@@ -1,0 +1,53 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.Det
+
+/** Embedding similarity primitives over `array<float>` columns (SURVEY
+  * "similarity search" rows). Dot products are composed from `zip_with` +
+  * `aggregate` — codegen'd catalyst expressions, no UDF — with explicit
+  * cast-to-double so accumulation order and precision are identical in the
+  * DuckDB oracle (`list_dot_product` on DOUBLE[]).
+  *
+  * Scale path: brute-force top-k is O(Q·N) per query batch and is the
+  * correctness baseline; [[lshBucket]] gives the 100 TB path — a
+  * random-hyperplane signature bucketing that turns ANN into an equi-join on
+  * bucket id (shuffle on bucket, no cross product).
+  */
+object Vectors {
+
+  /** Σ a_i · b_i with left-to-right double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Deterministic random-hyperplane LSH bucket (nBits ≤ 16): bit j is the
+    * sign of Σ_d h_jd·v_d where h_jd ∈ {-1,+1} comes from the shared keyed
+    * LCG ([[Det.frac]] of j·1024+d) — reproducible on any cluster and in SQL. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
+    (0 until nBits).map { j =>
+      val proj = (0 until dim).map { d =>
+        val sign = when(lit(hyperplaneSign(j, d, seed)) === 1, 1.0).otherwise(-1.0)
+        element_at(vec, d + 1).cast("double") * sign
+      }.reduce(_ + _)
+      when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Host-side twin of the hyperplane sign (used to fold constants into the
+    * plan and to generate the oracle SQL): LCG fraction of (seed, j·1024+d). */
+  def hyperplaneSign(j: Int, d: Int, seed: Long): Int = {
+    val id = j * 1024L + d
+    val h0 = (id % Det.M) + (seed % Det.M)
+    val r1 = (h0 * Det.A + Det.C) % Det.M
+    val r2 = (r1 * Det.A + Det.C) % Det.M
+    if (r2.toDouble / Det.M < 0.5) -1 else 1
+  }
+}
