@@ -67,16 +67,19 @@ object Injector {
   /** Apply one setting to a job DataFrame. Expects a stable numeric `idCol`
     * and a timestamp `tsCol`; rewrites each target column, sets
     * `injected_anomaly` and `label` on touched rows
-    * (`anomalyinjector.py:156-167`). In-span mean/range (A1) are computed
-    * with one tiny scalar aggregate and joined back by cross-join broadcast
-    * (constant per setting — no per-row shuffle).
+    * (`anomalyinjector.py:156-167`). Per-column mean/range (A1) are computed
+    * over the *selected* slice (matching the reference, which draws the
+    * subset first and derives stats from it, `anomalyinjector.py:148-154`)
+    * in one tiny conditional-aggregate pass joined back by cross-join
+    * broadcast (constant per setting — no per-row shuffle).
     */
   def inject(df: DataFrame, idCol: String, tsCol: String, s: AnomalySetting): DataFrame = {
     val epochS = col(tsCol).cast("long")
-    val stats = df
-      .filter(inSpan(epochS, s))
-      .select(s.columns.flatMap(c =>
-        Seq(avg(col(c)).as(s"__mean_$c"), (max(col(c)) - min(col(c))).as(s"__range_$c"))): _*)
+    val stats = df.select(s.columns.zipWithIndex.flatMap { case (c, i) =>
+      val sel = selected(col(idCol), epochS, s, i)
+      Seq(avg(when(sel, col(c))).as(s"__mean_$c"),
+        (max(when(sel, col(c))) - min(when(sel, col(c)))).as(s"__range_$c"))
+    }: _*)
     val withStats = df.crossJoin(broadcast(stats))
 
     val touched = s.columns.zipWithIndex
