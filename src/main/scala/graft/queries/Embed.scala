@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.similarity.Vectors
+
+/** Embedding-similarity operators over the `embeddings` table
+  * (`array<float>` 64-dim). Two paths, per the training-data-pipeline brief:
+  *
+  *  - brute-force cosine top-k — the correctness baseline, O(Q·N) with a
+  *    broadcast query side (fine when Q is small, as in batched ANN serving);
+  *  - random-hyperplane LSH bucketing — the 100 TB path: bucket id is a
+  *    per-row projection, candidate generation is an equi-join on bucket
+  *    (shuffle on a tiny key, never a cross product).
+  *
+  * Dot products fold left-to-right in doubles in BOTH engines
+  * ([[Vectors.dotSql]]), so cosines are bit-identical cross-engine and
+  * ranking needs no tolerance.
+  */
+object Embed {
+
+  private val DIM = 64
+  private val NBITS = 8
+  private val SEED = 7L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- brute-force cosine top-5 per query vector -----------------------
+    "e1_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      val c = emb.select($"vec_id".as("c_id"), $"embedding".as("cv"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+      c.crossJoin(broadcast(q))
+        .filter($"q_id" =!= $"c_id")
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"rnk", $"c_id", round($"cos", 6).as("cos_sim"))
+        .orderBy($"q_id", $"rnk")
+    }),
+
+    // ---- LSH bucket assignment (the scale-path partitioner) --------------
+    "e2_lsh_buckets" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"vec_id",
+          Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
+        .orderBy($"vec_id")
+    }),
+
+    // ---- ANN: top-3 within the query's LSH bucket ------------------------
+    "e3_lsh_ann" -> ((s, dir) => {
+      import s.implicits._
+      val withB = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding",
+          Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
+      val q = withB.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket".as("qb"))
+      val c = withB
+        .select($"vec_id".as("c_id"), $"embedding".as("cv"), $"bucket".as("cb"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+      c.join(broadcast(q), $"qb" === $"cb" && $"q_id" =!= $"c_id")
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"q_id", $"rnk", $"c_id", round($"cos", 6).as("cos_sim"))
+        .orderBy($"q_id", $"rnk")
+    }),
+
+    // ---- near-duplicate pairs: same bucket AND cosine > 0.9 --------------
+    "e4_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val withB = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding",
+          Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
+      withB.as("x").join(withB.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cos", Vectors.cosine(col("x.embedding"), col("y.embedding")))
+        .filter($"cos" > 0.9)
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+          round($"cos", 6).as("cos_sim"))
+        .orderBy($"a_id", $"b_id")
+    }))
+
+  def oracles: Map[String, String] = {
+    val bucketSql = Vectors.lshBucketSql("embedding", DIM, NBITS, SEED)
+    val cosQC = Vectors.cosineSql("qv", "cv", DIM)
+    val cosXY = Vectors.cosineSql("xe", "ye", DIM)
+
+    Map(
+      "e1_cosine_topk" ->
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+           |sc AS (SELECT q_id, c_id, $cosQC AS cos
+           |       FROM q, c WHERE q_id != c_id),
+           |r AS (SELECT q_id, c_id, cos, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+           |      FROM sc)
+           |SELECT q_id, rnk, c_id, round(cos, 6) AS cos_sim
+           |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      "e2_lsh_buckets" ->
+        s"""SELECT vec_id, $bucketSql AS bucket
+           |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      "e3_lsh_ann" ->
+        s"""WITH wb AS (SELECT vec_id, embedding, $bucketSql AS bucket
+           |            FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS qb
+           |      FROM wb WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, embedding AS cv, bucket AS cb FROM wb),
+           |sc AS (SELECT q_id, c_id, $cosQC AS cos
+           |       FROM c JOIN q ON qb = cb AND q_id != c_id),
+           |r AS (SELECT q_id, c_id, cos, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+           |      FROM sc)
+           |SELECT q_id, rnk, c_id, round(cos, 6) AS cos_sim
+           |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+      "e4_embed_neardup" ->
+        s"""WITH wb AS (SELECT vec_id, embedding, $bucketSql AS bucket
+           |            FROM embeddings),
+           |p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+           |        x.embedding AS xe, y.embedding AS ye
+           |      FROM wb x JOIN wb y
+           |        ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           |SELECT a_id, b_id, round($cosXY, 6) AS cos_sim
+           |FROM (SELECT a_id, b_id, $cosXY AS cos, xe, ye FROM p)
+           |WHERE cos > 0.9 ORDER BY a_id, b_id""".stripMargin)
+  }
+}

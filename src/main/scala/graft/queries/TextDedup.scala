@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.text.TextOps
+
+/** Text-analysis + deduplication operators over the `documents` table
+  * (training-data-pipeline surface; graded first-class alongside SURVEY §2).
+  *
+  * Everything is md5-derived and expression-only, so each operator has an
+  * exact DuckDB oracle. Pipeline shapes are the 100 TB ones:
+  *  - minhash signatures are per-row projections (`array_min(transform(...))`,
+  *    no explode/shuffle);
+  *  - candidate pairs come from LSH band / chunk equi-joins (shuffle on a
+  *    short band key), never a cross product;
+  *  - exact verification (n-gram Jaccard, hamming) runs only on candidates.
+  */
+object TextDedup {
+
+  private val SHINGLE_K = 5
+  private val NGRAM_N = 3
+
+  private def toks(c: Column) = TextOps.tokens(c)
+
+  /** Signature frame: doc_id + 8 minhash slices s0..s7. */
+  private def sigDF(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = TextOps.charShingles($"text", SHINGLE_K)
+    t(s, dir, "documents").select(
+      ($"doc_id" +: (0 until 8).map(j => TextOps.minhashSig(sh, j).as(s"s$j"))): _*)
+  }
+
+  /** Candidate pairs sharing ≥1 of 4 LSH bands (2 slices per band), with
+    * their 8-slice match count as estimated Jaccard. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = sigDF(s, dir).cache()
+    val bands = sig.select($"doc_id", posexplode(array((0 until 4).map(b =>
+      concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*)).as(Seq("band", "bv")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val est = (0 until 8).map(j =>
+      when(col(s"xa.s$j") === col(s"xb.s$j"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sig.as("xa"), col("a_id") === col("xa.doc_id"))
+      .join(sig.as("xb"), col("b_id") === col("xb.doc_id"))
+      .select($"a_id", $"b_id", (est / lit(8.0)).as("est_jaccard"))
+  }
+
+  private val sigSqlCols: Seq[String] = (0 until 8).map { j =>
+    val digest = if (j < 4) "md5(sh)" else "md5('x' || sh)"
+    s"list_min(list_transform(shingles, sh -> substr($digest, ${(j % 4) * 8 + 1}, 8))) AS s$j"
+  }
+
+  private val sigSql: String =
+    s"""sig AS (
+       |  SELECT doc_id, ${sigSqlCols.mkString(", ")}
+       |  FROM (SELECT doc_id, list_transform(generate_series(1,
+       |          greatest(len(text) - ${SHINGLE_K - 1}, 1)),
+       |          i -> substr(text, i, $SHINGLE_K)) AS shingles
+       |        FROM documents))""".stripMargin
+
+  private val lshPairsSql: String =
+    s"""$sigSql,
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    CASE b WHEN 0 THEN s0 || s1 WHEN 1 THEN s2 || s3
+       |           WHEN 2 THEN s4 || s5 ELSE s6 || s7 END AS bv
+       |  FROM sig, (VALUES (0), (1), (2), (3)) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id,
+       |    ((CASE WHEN xa.s0 = xb.s0 THEN 1 ELSE 0 END) +
+       |     (CASE WHEN xa.s1 = xb.s1 THEN 1 ELSE 0 END) +
+       |     (CASE WHEN xa.s2 = xb.s2 THEN 1 ELSE 0 END) +
+       |     (CASE WHEN xa.s3 = xb.s3 THEN 1 ELSE 0 END) +
+       |     (CASE WHEN xa.s4 = xb.s4 THEN 1 ELSE 0 END) +
+       |     (CASE WHEN xa.s5 = xb.s5 THEN 1 ELSE 0 END) +
+       |     (CASE WHEN xa.s6 = xb.s6 THEN 1 ELSE 0 END) +
+       |     (CASE WHEN xa.s7 = xb.s7 THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
+       |  FROM cand JOIN sig xa ON a_id = xa.doc_id
+       |            JOIN sig xb ON b_id = xb.doc_id)""".stripMargin
+
+  private val tokensSqlExpr =
+    "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- language-ID (stopword-hit heuristic) ----------------------------
+    "t1_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextOps.langId(toks($"text")).as("lang_pred"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- quality scoring -------------------------------------------------
+    "t2_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextOps.qualityScore($"text", toks($"text")).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- token counting (whitespace + BPE-ish estimate) ------------------
+    "t3_token_counts" -> ((s, dir) => {
+      import s.implicits._
+      val (ws, bpe) = TextOps.tokenCounts($"text")
+      t(s, dir, "documents")
+        .select($"doc_id", ws.as("n_ws_tokens"), bpe.as("n_bpe_est"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- document fingerprint (canonical bag-of-words md5) ---------------
+    "t4_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextOps.fingerprint(toks($"text")).as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- exact dedup: identical-text groups ------------------------------
+    "d1_exact_dedup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy(md5($"text".cast("binary")).as("text_hash"))
+        .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keep_id"))
+        .filter($"cnt" > 1)
+        .orderBy($"text_hash")
+    }),
+
+    // ---- minhash signatures ----------------------------------------------
+    "d2_minhash_sig" -> ((s, dir) => {
+      import s.implicits._
+      sigDF(s, dir).orderBy($"doc_id")
+    }),
+
+    // ---- minhash LSH near-dup candidate pairs ----------------------------
+    "d3_minhash_lsh_pairs" -> ((s, dir) => {
+      import s.implicits._
+      lshPairs(s, dir).orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- simhash fingerprints --------------------------------------------
+    "d4_simhash" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextOps.simhash16(toks($"text")).as("sim"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- simhash near-dup pairs (4-bit chunk blocking, hamming ≤ 3) ------
+    "d5_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sim = t(s, dir, "documents")
+        .select($"doc_id", TextOps.simhash16(toks($"text")).as("sim")).cache()
+      val chunks = sim.select($"doc_id", $"sim", posexplode(array(
+        (0 until 4).map(c => shiftright($"sim", 4 * c).bitwiseAND(15)): _*))
+        .as(Seq("chunk", "cv")))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- exact n-gram Jaccard on LSH candidates --------------------------
+    "d6_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val grams = docs.select($"doc_id",
+        array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N)).as("g"))
+      lshPairs(s, dir)
+        .join(grams.as("ga"), col("a_id") === col("ga.doc_id"))
+        .join(grams.as("gb"), col("b_id") === col("gb.doc_id"))
+        .select($"a_id", $"b_id",
+          round(size(array_intersect(col("ga.g"), col("gb.g"))).cast("double") /
+            (size(col("ga.g")) + size(col("gb.g")) -
+              size(array_intersect(col("ga.g"), col("gb.g")))).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy($"a_id", $"b_id")
+    }))
+
+  def oracles: Map[String, String] = {
+    val langCases = TextOps.langWords.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      l -> s"len(list_filter(tokens, x -> x IN ($set)))"
+    }
+    val best = langCases.map(_._2).mkString("greatest(", ", ", ")")
+    val langCase = langCases.map { case (l, e) => s"WHEN $e = $best THEN '$l'" }
+      .mkString(s"CASE WHEN $best = 0 THEN 'und' ", " ", " END")
+    val allStop = TextOps.langWords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+
+    Map(
+      "t1_lang_id" ->
+        s"""SELECT doc_id, $langCase AS lang_pred
+           |FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+
+      "t2_quality_score" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, CAST(len(text) AS DOUBLE) AS nc,
+           |    CAST(len($tokensSqlExpr) AS DOUBLE) AS nt,
+           |    CAST(len(list_filter($tokensSqlExpr, x -> x IN ($allStop)))
+           |      AS DOUBLE) AS sh
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    CASE WHEN nt > 0 THEN (nc - (nt - 1)) / nt ELSE 0.0 END AS atl,
+           |    CASE WHEN nt > 0 THEN sh / nt ELSE 0.0 END AS sr,
+           |    least(nt / 100.0, 1.0) AS ls
+           |  FROM b)
+           |SELECT doc_id, round(0.4 * ls + 0.3 * sr +
+           |  0.3 * (CASE WHEN atl >= 3.0 AND atl <= 8.0 THEN 1.0 ELSE 0.5 END), 4)
+           |  AS quality
+           |FROM m ORDER BY doc_id""".stripMargin,
+
+      "t3_token_counts" ->
+        s"""SELECT doc_id, len($tokensSqlExpr) AS n_ws_tokens,
+           |  CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "t4_fingerprint" ->
+        s"""SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct($tokensSqlExpr)), ' '))
+           |    AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "d1_exact_dedup" ->
+        """SELECT md5(text) AS text_hash, count(*) AS cnt,
+          |  min(doc_id) AS keep_id
+          |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+          |ORDER BY text_hash""".stripMargin,
+
+      "d2_minhash_sig" ->
+        s"""WITH $sigSql
+           |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+      "d3_minhash_lsh_pairs" ->
+        s"""WITH $lshPairsSql
+           |SELECT a_id, b_id, est_jaccard FROM pairs
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "d4_simhash" -> {
+        val bits = (1 to 16).map { j =>
+          s"""(CASE WHEN list_sum(list_transform(tokens,
+             |  t -> CASE WHEN substr(md5(t), $j, 1) >= '8' THEN 1 ELSE -1 END))
+             |  > 0 THEN ${1L << (j - 1)} ELSE 0 END)""".stripMargin
+        }.mkString("(", " + ", ")")
+        s"""SELECT doc_id, $bits AS sim
+           |FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "d5_simhash_pairs" -> {
+        val bits = (1 to 16).map { j =>
+          s"""(CASE WHEN list_sum(list_transform(tokens,
+             |  t -> CASE WHEN substr(md5(t), $j, 1) >= '8' THEN 1 ELSE -1 END))
+             |  > 0 THEN ${1L << (j - 1)} ELSE 0 END)""".stripMargin
+        }.mkString("(", " + ", ")")
+        s"""WITH sim AS (
+           |  SELECT doc_id, $bits AS sim
+           |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
+           |chunks AS (
+           |  SELECT doc_id, sim, c AS chunk,
+           |    (sim >> (4 * c)) & 15 AS cv
+           |  FROM sim, (VALUES (0), (1), (2), (3)) t(c))
+           |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+           |  bit_count(xor(x.sim, y.sim)) AS hamming
+           |FROM chunks x JOIN chunks y
+           |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+
+      "d6_ngram_jaccard" ->
+        s"""WITH $lshPairsSql,
+           |grams AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(0, greatest(len(tokens) - $NGRAM_N, 0)),
+           |    i -> array_to_string(list_slice(tokens, i + 1, i + $NGRAM_N), ' ')))
+           |    AS g
+           |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents))
+           |SELECT a_id, b_id,
+           |  round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+           |    CAST(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))
+           |      AS DOUBLE), 4) AS jaccard
+           |FROM pairs JOIN grams ga ON a_id = ga.doc_id
+           |           JOIN grams gb ON b_id = gb.doc_id
+           |ORDER BY a_id, b_id""".stripMargin)
+  }
+}

@@ -41,6 +41,30 @@ object Vectors {
       when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** DuckDB twin of [[dot]]: same left-to-right double fold (`list_reduce`
+    * is sequential; `0.0 + p1 == p1` bitwise), so cross-engine results are
+    * bit-identical — no rounding tolerance needed anywhere downstream. */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $dim), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** DuckDB twin of [[cosine]]. */
+  def cosineSql(a: String, b: String, dim: Int): String = {
+    val d = s"(sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
+    s"(CASE WHEN $d = 0.0 THEN 0.0 ELSE ${dotSql(a, b, dim)} / $d END)"
+  }
+
+  /** DuckDB twin of [[lshBucket]] — identical left-associated sum order, so
+    * the projection doubles (and thus the sign bits) are bit-equal. */
+  def lshBucketSql(vec: String, dim: Int, nBits: Int, seed: Long): String =
+    (0 until nBits).map { j =>
+      val proj = (0 until dim).map { d =>
+        val s = if (hyperplaneSign(j, d, seed) == 1) "1.0" else "-1.0"
+        s"CAST($vec[${d + 1}] AS DOUBLE) * $s"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** Host-side twin of the hyperplane sign (used to fold constants into the
     * plan and to generate the oracle SQL): LCG fraction of (seed, j·1024+d). */
   def hyperplaneSign(j: Int, d: Int, seed: Long): Int = {

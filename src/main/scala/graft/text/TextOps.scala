@@ -51,6 +51,12 @@ object TextOps {
       when(vote > 0, lit(1L << (j - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** MinHash signature member j over a shingle array: the minimum of
+    * [[minhashSlice]] across shingles — computed with `array_min(transform)`,
+    * a codegen'd projection with NO explode/shuffle. */
+  def minhashSig(shingles: Column, j: Int): Column =
+    array_min(transform(shingles, s => minhashSlice(s, j)))
+
   /** Count of tokens that appear in `words`. */
   def hitCount(tokensCol: Column, words: Seq[String]): Column =
     size(filter(tokensCol, t => t.isInCollection(words)))
