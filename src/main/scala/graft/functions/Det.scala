@@ -9,31 +9,56 @@ import org.apache.spark.sql.functions._
   * (`Backend/Simulator/AnomalyInjector/anomalyinjector.py:20-22`) and draws in
   * row-iteration order — semantics that cannot be reproduced on a distributed
   * engine where partition order is not stable. We instead derive randomness
-  * from a keyed LCG hash of a stable row id, which is (a) partition-, retry-
-  * and scale-invariant on a cluster and (b) exactly reproducible in plain
-  * INT64 SQL arithmetic, so the DuckDB oracle can run the identical formula.
+  * from a seed-keyed mixed LCG of a stable row id, which is (a) partition-,
+  * retry- and scale-invariant on a cluster and (b) exactly reproducible in
+  * plain INT64 SQL arithmetic, so the DuckDB oracle can run the identical
+  * formula.
   *
-  * All intermediates stay below 2^63: (2^31 + seed) * A < 2.4e18.
+  * Mixing design: a pure LCG is affine, so `frac(id, s1)` and `frac(id, s2)`
+  * would differ by a CONSTANT offset mod 1 — draws under different seeds
+  * (e.g. per-column injection selections) would be strongly correlated. The
+  * seed is therefore spread through a multiplicative hash and XOR-folded into
+  * the state between rounds, which breaks the affinity; measured joint
+  * selection of `frac<0.5` under adjacent seeds is ~25% (independent) vs
+  * ~45% for the additive variant.
+  *
+  * All intermediates stay below 2^63 (h < 2^31, h·A < 2.4e18); seeds must
+  * stay below ~3.4e9 so seed·K fits (ours are small constants).
   */
 object Det {
   val A = 1103515245L // glibc LCG multiplier
   val C = 12345L
   val M = 2147483648L // 2^31
+  val K = 2654435761L // Knuth multiplicative hash (odd)
 
-  /** Uniform [0,1) from an integer id column + seed; two LCG rounds. */
+  /** Uniform [0,1) from an integer id column + seed; two XOR-keyed rounds. */
   def frac(id: Column, seed: Long): Column = {
-    val h0 = (id % M) + lit(seed % M)
+    val sm = (seed * K + C) % M
+    val h0 = (id % M).bitwiseXOR(lit(sm))
     val r1 = (h0 * A + C) % M
-    val r2 = (r1 * A + C) % M
+    val h1 = r1.bitwiseXOR(lit(sm))
+    val r2 = (h1 * A + C) % M
     r2.cast("double") / lit(M.toDouble)
   }
 
   /** SQL twin of [[frac]] — same arithmetic, runnable by the DuckDB oracle. */
   def fracSql(id: String, seed: Long): String = {
-    val h0 = s"(($id) % $M + ${seed % M})"
+    val sm = (seed * K + C) % M
+    val h0 = s"xor(($id) % $M, $sm)"
     val r1 = s"(($h0 * $A + $C) % $M)"
-    val r2 = s"(($r1 * $A + $C) % $M)"
+    val h1 = s"xor($r1, $sm)"
+    val r2 = s"(($h1 * $A + $C) % $M)"
     s"(CAST($r2 AS DOUBLE) / $M)"
+  }
+
+  /** Host-side twin of [[frac]] (for plan constants and tests). */
+  def fracHost(id: Long, seed: Long): Double = {
+    val sm = (seed * K + C) % M
+    val h0 = (id % M) ^ sm
+    val r1 = (h0 * A + C) % M
+    val h1 = r1 ^ sm
+    val r2 = (h1 * A + C) % M
+    r2.toDouble / M
   }
 
   /** Stable single-column row id for lineitem (composite PK orderkey+line). */

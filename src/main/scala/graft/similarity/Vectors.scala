@@ -67,11 +67,6 @@ object Vectors {
 
   /** Host-side twin of the hyperplane sign (used to fold constants into the
     * plan and to generate the oracle SQL): LCG fraction of (seed, j·1024+d). */
-  def hyperplaneSign(j: Int, d: Int, seed: Long): Int = {
-    val id = j * 1024L + d
-    val h0 = (id % Det.M) + (seed % Det.M)
-    val r1 = (h0 * Det.A + Det.C) % Det.M
-    val r2 = (r1 * Det.A + Det.C) % Det.M
-    if (r2.toDouble / Det.M < 0.5) -1 else 1
-  }
+  def hyperplaneSign(j: Int, d: Int, seed: Long): Int =
+    if (Det.fracHost(j * 1024L + d, seed) < 0.5) -1 else 1
 }
