@@ -47,6 +47,7 @@ object Embed {
     "e2_lsh_buckets" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id",
           Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
         .orderBy($"vec_id")
@@ -56,6 +57,7 @@ object Embed {
     "e3_lsh_ann" -> ((s, dir) => {
       import s.implicits._
       val withB = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"embedding",
           Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
       val q = withB.filter($"vec_id" < 10)
@@ -75,6 +77,7 @@ object Embed {
     "e4_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       val withB = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"embedding",
           Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
       withB.as("x").join(withB.as("y"),

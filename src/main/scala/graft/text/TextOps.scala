@@ -57,6 +57,36 @@ object TextOps {
   def minhashSig(shingles: Column, j: Int): Column =
     array_min(transform(shingles, s => minhashSlice(s, j)))
 
+  /** Both md5 digests (plain + salted) per shingle, computed ONCE. Callers
+    * should materialize this as a real column (`withColumn`) and derive the
+    * 8 signature members from it with [[minhashSigFromDigests]] — deriving
+    * all 8 via [[minhashSig]] inlines the digest computation per member and
+    * costs 8× the md5 work (measured 4× wall-clock on the minhash bench). */
+  def minhashDigests(shingles: Column): Column =
+    transform(shingles, s => struct(
+      md5(s.cast("binary")).as("d1"),
+      md5(concat(lit("x"), s).cast("binary")).as("d2")))
+
+  /** Signature member j from a materialized [[minhashDigests]] array —
+    * identical values to [[minhashSig]], substring-only work. */
+  def minhashSigFromDigests(digests: Column, j: Int): Column =
+    array_min(transform(digests, d =>
+      substring(if (j < 4) d.getField("d1") else d.getField("d2"),
+        (j % 4) * 8 + 1, 8)))
+
+  /** One md5 hex digest per token, computed once (see [[minhashDigests]]
+    * for the rationale; [[simhash16FromDigests]] scans this 16×). */
+  def md5Digests(tokensCol: Column): Column =
+    transform(tokensCol, t => md5(t.cast("binary")))
+
+  /** [[simhash16]] from a materialized digest array — identical values. */
+  def simhash16FromDigests(dg: Column): Column =
+    (1 to 16).map { j =>
+      val vote = aggregate(dg, lit(0),
+        (acc, d) => acc + when(substring(d, j, 1) >= "8", 1).otherwise(-1))
+      when(vote > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Count of tokens that appear in `words`. */
   def hitCount(tokensCol: Column, words: Seq[String]): Column =
     size(filter(tokensCol, t => t.isInCollection(words)))

@@ -57,6 +57,21 @@ class TextOpsSpec extends SparkSpec {
     assert(viaSig == viaExplode)
   }
 
+  test("digest-based minhash/simhash equal the direct forms") {
+    val df = Seq("hello world foo bar", "spark native engine").toDF("t")
+    val sh = TextOps.charShingles($"t", 4)
+    val direct = df.select((0 until 8).map(j => TextOps.minhashSig(sh, j)): _*)
+      .collect().map(_.toSeq)
+    val viaDg = df.withColumn("__dg", TextOps.minhashDigests(sh))
+      .select((0 until 8).map(j => TextOps.minhashSigFromDigests($"__dg", j)): _*)
+      .collect().map(_.toSeq)
+    assert(direct.toSeq == viaDg.toSeq)
+    val s1 = df.select(TextOps.simhash16(TextOps.tokens($"t"))).as[Long].collect()
+    val s2 = df.withColumn("__dg", TextOps.md5Digests(TextOps.tokens($"t")))
+      .select(TextOps.simhash16FromDigests($"__dg")).as[Long].collect()
+    assert(s1.toSeq == s2.toSeq)
+  }
+
   test("simhash16 is a 16-bit value, stable, and order-invariant") {
     val got = Seq("a b c d e", "e d c b a", "totally different words here")
       .toDF("t").select(TextOps.simhash16(TextOps.tokens($"t"))).as[Long].collect()
