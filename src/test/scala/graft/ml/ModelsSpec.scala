@@ -1,0 +1,105 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.inject.AnomalySetting
+import graft.jobs.BatchJob
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) =
+    new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + i * 1000L)
+
+  /** 2000-point series: smooth sine + noise; 60 planted anomalies with large
+    * spikes and label=1. */
+  private lazy val series = {
+    val rng = new scala.util.Random(7)
+    (0 until 2000).map { i =>
+      val anomalous = i % 33 == 13
+      val base = 50.0 + 10.0 * math.sin(i / 25.0) + rng.nextGaussian()
+      val v = if (anomalous) base * (3.0 + rng.nextDouble()) else base
+      (ts(i), v, v * 0.5 + rng.nextGaussian(), if (anomalous) 1 else 0)
+    }.toDF("timestamp", "v1", "v2", "label")
+  }
+
+  test("supervised decision tree learns planted anomalies end-to-end") {
+    val summary = BatchJob.run(spark, "t_dt", series, "timestamp", Some("label"),
+      injections = Nil,
+      detector = SupervisedDetector(Seq("v1", "v2"), "decision_tree"),
+      persistTable = false)
+    assert(summary.rows == 2000)
+    assert(summary.metricsTest("accuracy") > 0.9,
+      s"test metrics: ${summary.metricsTest}")
+    assert(summary.metricsTest("recall_tpr") > 0.7)
+    assert(summary.metricsAll("f1_score") > 0.7)
+  }
+
+  test("logreg + linear_svc produce calibrated-ish anomaly scores") {
+    Seq("logreg", "linear_svc").foreach { algo =>
+      val det = SupervisedDetector(Seq("v1", "v2"), algo)
+      val fitted = det.fit(series)
+      val out = fitted.transform(series)
+      val scores = out.select(min("anomaly_score"), max("anomaly_score")).head
+      assert(scores.getDouble(0) >= 0.0 && scores.getDouble(1) <= 1.0, algo)
+      // scores must rank anomalies above normals on average
+      val m = out.groupBy($"label").agg(avg("anomaly_score")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(m(1) > m(0), s"$algo: $m")
+    }
+  }
+
+  test("isolation forest flags planted extremes without labels") {
+    val det = IsolationForestDetector(Seq("v1", "v2"), nTrees = 50,
+      contamination = 0.05)
+    val out = det.fit(series).transform(series)
+    val m = Metrics2.recallPrecision(out)
+    assert(m._1 > 0.6, s"recall ${m._1}") // most planted spikes caught
+  }
+
+  test("windowed z-score detector flags spikes, warm-up never flagged") {
+    val det = WindowZScoreDetector(Seq("v1"), tsCol = "timestamp", L = 10,
+      percentile = 0.98)
+    val out = det.fit(series).transform(series).cache()
+    // warm-up rows cannot be flagged
+    val first9 = out.orderBy($"timestamp").limit(9)
+    assert(first9.filter($"is_anomaly").count() == 0)
+    val m = Metrics2.recallPrecision(out)
+    assert(m._1 > 0.5, s"recall ${m._1}")
+    out.unpersist()
+  }
+
+  test("batch job with injection: injected rows get labeled and detected") {
+    val clean = series.drop("label")
+    val inj = AnomalySetting("spike", 1704067200L + 500, durationSec = 300,
+      magnitude = 6.0, percentage = 80.0, columns = Seq("v1"))
+    val summary = BatchJob.run(spark, "t_inj", clean, "timestamp", None,
+      injections = Seq(inj),
+      detector = SupervisedDetector(Seq("v1", "v2"), "decision_tree"),
+      persistTable = false)
+    assert(summary.injectedRows > 100 && summary.injectedRows < 280,
+      s"injected ${summary.injectedRows}")
+    assert(summary.metricsAll("recall_tpr") > 0.5, summary.metricsAll.toString)
+  }
+
+  test("gbt feature importances are exposed (X2 capability)") {
+    val det = SupervisedDetector(Seq("v1", "v2"), "gbt")
+    val fitted = det.fit(series).asInstanceOf[FittedSupervised]
+    val imp = fitted.featureImportances
+    assert(imp.isDefined && imp.get.length == 2)
+    assert(math.abs(imp.get.sum - 1.0) < 1e-6)
+  }
+}
+
+/** Tiny helpers for unsupervised evaluation in tests. */
+object Metrics2 {
+  def recallPrecision(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+    val r = df.agg(
+      sum(when(col("is_anomaly") && col("label") === 1, 1L).otherwise(0L)),
+      sum(when(col("label") === 1, 1L).otherwise(0L)),
+      sum(when(col("is_anomaly"), 1L).otherwise(0L))).head
+    val tp = r.getLong(0).toDouble
+    (tp / math.max(r.getLong(1), 1L), tp / math.max(r.getLong(2), 1L))
+  }
+}
