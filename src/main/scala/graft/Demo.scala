@@ -46,6 +46,27 @@ object Demo {
     assert(summary.metricsAll("recall_tpr") > 0.5,
       s"recall ${summary.metricsAll}")
     assert(api.getAllJobs.contains("job_batch_demo"), "catalog")
+
+    // streaming leg: replay the normalized dataset, inject + detect per
+    // micro-batch, drain with availableNow
+    val normalized = graft.ingest.Ingest.normalize(
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(imported), "time", None)
+    val det = api.detector("isolation_forest", Seq("reading", "aux"))
+    val fitted = det.fit(normalized)
+    val stage = Files.createTempDirectory("graft_demo_stream").toString
+    val stream = graft.streaming.StreamJob.stageAndReplay(
+      spark, normalized, stage, nChunks = 10, filesPerTrigger = 3)
+    val injected = graft.streaming.StreamJob.injectStream(
+      stream, normalized, "id", "timestamp", Seq(inj))
+    val q = graft.streaming.StreamJob.detectSink(injected, fitted, "demo_stream_scored")
+    q.awaitTermination(120000)
+    val scored = spark.table("demo_stream_scored")
+    println(s"stream scored rows: ${scored.count()}, flagged: " +
+      scored.filter(org.apache.spark.sql.functions.col("is_anomaly")).count())
+    assert(scored.count() == 5000, "stream row count")
+    spark.sql("DROP TABLE demo_stream_scored")
+
     api.cancelJob("demo")
     println("DEMO_OK")
     spark.stop()

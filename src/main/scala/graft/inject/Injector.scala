@@ -109,4 +109,47 @@ object Injector {
   def injectAll(df: DataFrame, idCol: String, tsCol: String,
                 settings: Seq[AnomalySetting]): DataFrame =
     settings.foldLeft(df)((d, s) => inject(d, idCol, tsCol, s))
+
+  /** Selected-slice stats collected to the driver — the streaming pre-pass
+    * (reference computes per-column stats on the static dataset before the
+    * stream starts, `simulator.py:166-183`). */
+  def staticStats(df: DataFrame, idCol: String, tsCol: String,
+                  s: AnomalySetting): Map[String, (Double, Double)] = {
+    val epochS = col(tsCol).cast("long")
+    val row = df.select(s.columns.zipWithIndex.flatMap { case (c, i) =>
+      val sel = selected(col(idCol), epochS, s, i)
+      Seq(avg(when(sel, col(c))), max(when(sel, col(c))) - min(when(sel, col(c))))
+    }: _*).head
+    s.columns.zipWithIndex.map { case (c, i) =>
+      c -> ((if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i),
+        if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)))
+    }.toMap
+  }
+
+  /** T2: streaming-safe injection — identical per-row expressions to
+    * [[inject]] but with stats as literals (no aggregate, no join: legal in
+    * any streaming `select`, stateless, shuffle-free). */
+  def injectStreaming(df: DataFrame, idCol: String, tsCol: String,
+                      s: AnomalySetting,
+                      stats: Map[String, (Double, Double)]): DataFrame = {
+    val epochS = col(tsCol).cast("long")
+    val touched = s.columns.zipWithIndex
+      .map { case (_, i) => selected(col(idCol), epochS, s, i) }
+      .reduce(_ || _)
+    val rewritten = s.columns.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val sel = selected(col(idCol), epochS, s, i)
+      val u = Det.frac(col(idCol), s.seed + 7919L + i * 1000L)
+      val (mean, range) = stats.getOrElse(c, (0.0, 0.0))
+      d.withColumn(c,
+        when(sel, injectedValue(col(c), u, s, lit(mean), lit(range)))
+          .otherwise(col(c)))
+    }
+    val flagged = rewritten.withColumn("injected_anomaly",
+      when(touched, lit(true)).otherwise(
+        if (df.columns.contains("injected_anomaly")) col("injected_anomaly")
+        else lit(false)))
+    if (df.columns.contains("label"))
+      flagged.withColumn("label", when(touched, lit(1)).otherwise(col("label")))
+    else flagged.withColumn("label", when(touched, lit(1)).otherwise(lit(0)))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.inject.{AnomalySetting, Injector}
+import graft.ml.FittedDetector
+
+/** Streaming pipeline (SURVEY §2.9, T1–T3), replacing the reference's
+  * broken row-loop + 1 Hz full-table rescan (T7 defects:
+  * `Backend/engine.py:245`, `Backend/execute_calls.py:941-970`) with
+  * Structured Streaming by construction:
+  *
+  *  - T1 replay: a file source over the staged dataset directory replays it
+  *    micro-batch by micro-batch (`maxFilesPerTrigger`); event-time pacing
+  *    (the reference's `sleep(gap/speedup)`) becomes trigger cadence —
+  *    at scale the source is Kafka/files landing, same plan;
+  *  - T2 injection: [[Injector.injectStreaming]] — stateless Column
+  *    expressions with pre-pass stats, no shuffle in the stream;
+  *  - T3 detection: `foreachBatch` scores ONLY the new micro-batch with the
+  *    pre-trained detector and appends to the scored table — incremental,
+  *    not a rescan; `availableNow` drains a finite replay and stops.
+  *
+  * Watermark support (T4, absent in the reference) comes free:
+  * `withEventTimeWatermark` on the replayed frame.
+  */
+object StreamJob {
+
+  /** T1: stage a normalized dataset as N parquet files and open a replaying
+    * stream over them (filesPerTrigger files per micro-batch). */
+  def stageAndReplay(spark: SparkSession, normalized: DataFrame,
+                     stageDir: String, nChunks: Int = 20,
+                     filesPerTrigger: Int = 1): DataFrame = {
+    normalized.repartitionByRange(nChunks, col("timestamp"))
+      .write.mode("overwrite").parquet(stageDir)
+    spark.readStream
+      .schema(normalized.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(stageDir)
+  }
+
+  /** T2: per-row streaming injection for a list of settings (stats from the
+    * static pre-pass). */
+  def injectStream(stream: DataFrame, staticDf: DataFrame, idCol: String,
+                   tsCol: String, settings: Seq[AnomalySetting]): DataFrame =
+    settings.foldLeft(stream) { (s, setting) =>
+      val stats = Injector.staticStats(staticDf, idCol, tsCol, setting)
+      Injector.injectStreaming(s, idCol, tsCol, setting, stats)
+    }
+
+  /** T3: incremental detection sink — scores each micro-batch with the
+    * pre-trained model and appends to `outTable`. */
+  def detectSink(stream: DataFrame, fitted: FittedDetector, outTable: String,
+                 availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        fitted.transform(batch)
+          .write.mode("append").format("parquet").saveAsTable(outTable)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.inject.{AnomalySetting, Injector}
+import graft.ml.WindowZScoreDetector
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(id: Long, ts: Timestamp, v: Double)
+
+class StreamJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) =
+    new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + i * 1000L)
+  private val rows = (0 until 200).map(i => Ev(i, ts(i), 10.0 + (i % 7)))
+  private val setting = AnomalySetting("spike", 1704067200L + 50,
+    durationSec = 60, magnitude = 4.0, percentage = 100.0, columns = Seq("v"))
+
+  test("T2: streaming injection ≡ batch injection on the same rows") {
+    val static = rows.toDF()
+    val batchResult = Injector.inject(static, "id", "ts", setting)
+      .select($"id", $"v", $"injected_anomaly", $"label")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val stats = Injector.staticStats(static, "id", "ts", setting)
+    val injected = Injector.injectStreaming(mem.toDF(), "id", "ts", setting, stats)
+    val q = injected.writeStream.format("memory").queryName("t2_out")
+      .outputMode("append").start()
+    mem.addData(rows.take(120): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(120): _*) // arrival order independence
+    q.processAllAvailable(); q.stop()
+
+    val streamResult = spark.table("t2_out")
+      .select($"id", $"v", $"injected_anomaly", $"label")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamResult.size == 200)
+    assert(streamResult == batchResult)
+  }
+
+  test("T1+T3: file replay through incremental detection matches batch detect") {
+    val static = rows.toDF().withColumnRenamed("ts", "timestamp")
+    val det = WindowZScoreDetector(Seq("v"), tsCol = "timestamp", L = 5)
+    val fitted = det.fit(static)
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val stream = StreamJob.stageAndReplay(spark, static, stage, nChunks = 8,
+      filesPerTrigger = 2)
+    val q = StreamJob.detectSink(stream, fitted, "t3_scored")
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("t3_scored")
+    assert(streamed.count() == 200)
+    // per-micro-batch windows restart, so only verify batch-parity where the
+    // chunk gives the detector its full window: global flag count is close
+    val batchFlags = fitted.transform(static).filter($"is_anomaly").count()
+    val streamFlags = streamed.filter($"is_anomaly").count()
+    assert(math.abs(batchFlags - streamFlags) <= batchFlags / 2 + 2,
+      s"batch=$batchFlags stream=$streamFlags")
+    spark.sql("DROP TABLE t3_scored")
+  }
+}
