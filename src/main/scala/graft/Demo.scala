@@ -47,6 +47,18 @@ object Demo {
       s"recall ${summary.metricsAll}")
     assert(api.getAllJobs.contains("job_batch_demo"), "catalog")
 
+    // XAI leg: which feature explains the detections? ground truth: "reading"
+    val scoredJob = spark.table("job_batch_demo_scored")
+    val det0 = api.detector("decision_tree", Seq("reading", "aux"))
+    val fitted0 = det0.fit(scoredJob.withColumnRenamed("is_anomaly", "__dummy")
+      .withColumnRenamed("label", "label"))
+    val imp = graft.xai.Xai.permutationImportance(
+      scoredJob, fitted0, Seq("reading", "aux"))
+    imp.show()
+    val ndcg = graft.xai.Xai.ndcgVsInjected(imp, Set("reading"), 3)
+    println(s"xai ndcg@3 vs injected: $ndcg")
+    assert(ndcg == 1.0, "injected column must rank first")
+
     // streaming leg: replay the normalized dataset, inject + detect per
     // micro-batch, drain with availableNow
     val normalized = graft.ingest.Ingest.normalize(
