@@ -80,6 +80,24 @@ object Demo {
     spark.sql("DROP TABLE demo_stream_scored")
 
     api.cancelJob("demo")
+
+    // multimodal leg: binary media → decode → frames → embeddings → ANN buckets
+    import spark.implicits._
+    val media = (0 until 30).map { i =>
+      (i.toLong, Seq("image", "audio", "video")(i % 3),
+        Array.fill(300)(((i * 31 + 7) % 251).toByte))
+    }.toDF("media_id", "media_type", "content")
+    val decoded = graft.multimodal.Media.decode(media).toDF()
+    val frames = graft.multimodal.Media.frameSample(decoded, fps = 1.0)
+    val emb = graft.multimodal.Media.featureExtractStub(decoded, dim = 64)
+      .select($"media_id", $"embedding").cache()
+    emb.count()
+    val buckets = emb.select($"media_id",
+      graft.similarity.Vectors.lshBucket($"embedding", 64, 8, 7L).as("bucket"))
+    println(s"media decoded: ${decoded.count()}, video frames: ${frames.count()}, " +
+      s"distinct ann buckets: ${buckets.select("bucket").distinct().count()}")
+    assert(decoded.count() == 30 && frames.count() > 0, "media plumbing")
+
     println("DEMO_OK")
     spark.stop()
   }

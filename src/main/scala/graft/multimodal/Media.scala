@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `BINARY` content + typed metadata, with decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The REAL parts (what this module actually delivers): the canonical
+  * schema, the mapPartitions batch shape a codec binding plugs into, frame
+  * explosion, size-aware partitioning, and the hand-off into the embedding /
+  * ANN operators ([[graft.similarity.Vectors]]).
+  *
+  * The STUB parts (clearly marked): actual pixel/sample decoding — the
+  * image/audio libraries are not in this container, so `decode*Stub`
+  * derive deterministic fake values from the bytes. Swapping in a real
+  * codec changes ONLY the function body inside `mapPartitions`; every
+  * schema, partition and join shape stays as tested here.
+  */
+object Media {
+
+  /** Canonical media-table schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("sample_rate", IntegerType))))))
+
+  case class MediaMeta(width: Option[Int], height: Option[Int],
+                       duration_ms: Option[Long], sample_rate: Option[Int])
+  case class DecodedMedia(media_id: Long, media_type: String,
+                          content: Array[Byte], meta: MediaMeta)
+
+  /** Wrap raw binary rows (media_id, media_type, content) into the canonical
+    * frame with decoded metadata. `mapPartitions` is the codec batch shape:
+    * one codec context per partition, streamed rows. */
+  def decode(df: DataFrame): Dataset[DecodedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast(LongType), col("media_type"),
+        col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // >>> a real binding would open ONE codec context here <<<
+        it.map { case (id, typ, bytes) =>
+          DecodedMedia(id, typ, bytes, decodeHeaderStub(typ, bytes))
+        }
+      }
+  }
+
+  /** STUB: header decode. Deterministic fake dimensions derived from the
+    * first bytes (a real implementation parses the container header). */
+  def decodeHeaderStub(mediaType: String, bytes: Array[Byte]): MediaMeta = {
+    def b(i: Int): Int = if (bytes.length > i) bytes(i) & 0xff else 0
+    mediaType match {
+      case "image" => MediaMeta(Some(64 + b(0) % 512), Some(64 + b(1) % 512), None, None)
+      case "audio" => MediaMeta(None, None,
+        Some(1000L + (b(0).toLong << 8 | b(1)) * 10), Some(16000 + b(2) % 2 * 28100))
+      case "video" => MediaMeta(Some(320 + b(0) % 1600), Some(240 + b(1) % 900),
+        Some(5000L + (b(2).toLong << 8 | b(3)) * 40), None)
+      case _ => MediaMeta(None, None, None, None)
+    }
+  }
+
+  /** Frame sampling (video): one output row per sampled frame at `fps`,
+    * via `explode(sequence(...))` — the frame extraction itself is the
+    * STUB slice; the explosion/row-multiplication shape is real. */
+  def frameSample(decoded: DataFrame, fps: Double): DataFrame = {
+    val nFrames = greatest(lit(1),
+      floor(col("meta.duration_ms") / lit(1000.0) * fps)).cast(IntegerType)
+    decoded
+      .filter(col("media_type") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), nFrames - 1)))
+      .withColumn("frame_ts_ms",
+        (col("frame_idx") / fps * 1000.0).cast(LongType))
+      // STUB frame bytes: deterministic content slice keyed by frame index
+      .withColumn("frame_content",
+        sha2(concat(col("content"),
+          col("frame_idx").cast(StringType).cast(BinaryType)), 256)
+          .cast(BinaryType))
+  }
+
+  /** STUB resize: fixed-budget thumbnail bytes, deterministic from content.
+    * Schema contract: output column is BINARY with bounded size. */
+  def resizeStub(decoded: DataFrame, maxBytes: Int = 32): DataFrame =
+    decoded.withColumn("thumb",
+      substring(sha2(col("content"), 512).cast(BinaryType), 1, maxBytes))
+
+  /** STUB feature extraction: binary → dense `array<float>` embedding of
+    * `dim` dimensions (deterministic md5-chain). Output matches the
+    * `embeddings` table shape, so downstream ANN / dedup
+    * ([[graft.similarity.Vectors]]) applies unchanged.
+    *
+    * MATERIALIZE (cache/checkpoint/write) the result before feeding it to
+    * wide consumers like [[graft.similarity.Vectors.lshBucket]]: Catalyst's
+    * project-collapse otherwise inlines this dim-term expression into every
+    * downstream element reference (dim × nBits×dim md5 evaluations per
+    * row — a codegen explosion). In production the embedding column is a
+    * written table anyway. */
+  def featureExtractStub(decoded: DataFrame, dim: Int = 64): DataFrame = {
+    val floats = (0 until dim).map { d =>
+      (conv(substring(md5(concat(col("content"),
+        lit(d.toString).cast(BinaryType))), 1, 6), 16, 10)
+        .cast(DoubleType) / lit(16777215.0) * 2.0 - 1.0).cast(FloatType)
+    }
+    decoded.withColumn("embedding", array(floats: _*))
+  }
+
+  /** Media rows are orders of magnitude wider than tabular rows: partition
+    * by a byte budget, not a row count (the 100 TB knob). */
+  def repartitionByByteBudget(df: DataFrame, bytesPerPartition: Long): DataFrame = {
+    val totalBytes = df.agg(sum(length(col("content")))).head.getLong(0)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / bytesPerPartition).toInt)
+    df.repartition(parts)
+  }
+}

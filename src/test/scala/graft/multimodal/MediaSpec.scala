@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.similarity.Vectors
+import org.apache.spark.sql.functions._
+
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val raw = {
+    val rng = new scala.util.Random(9)
+    (0 until 60).map { i =>
+      val typ = Seq("image", "audio", "video")(i % 3)
+      val bytes = Array.fill(200 + rng.nextInt(800))(rng.nextInt().toByte)
+      (i.toLong, typ, bytes)
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  test("decode: canonical schema, per-type metadata, content untouched") {
+    val decoded = Media.decode(raw).toDF()
+    assert(decoded.columns.toSeq ==
+      Seq("media_id", "media_type", "content", "meta"))
+    val img = decoded.filter($"media_type" === "image").select("meta.*").head
+    assert(!img.isNullAt(0) && img.getInt(0) >= 64) // width
+    val aud = decoded.filter($"media_type" === "audio").select("meta.*").head
+    assert(!aud.isNullAt(2) && aud.getLong(2) >= 1000) // duration
+    // content round-trips byte-identically
+    val orig = raw.select($"media_id", md5($"content")).as[(Long, String)]
+      .collect().toMap
+    val back = decoded.select($"media_id", md5($"content")).as[(Long, String)]
+      .collect().toMap
+    assert(orig == back)
+  }
+
+  test("frameSample: duration×fps rows per video, bounded frame bytes") {
+    val decoded = Media.decode(raw).toDF()
+    val frames = Media.frameSample(decoded, fps = 2.0)
+    val perVideo = frames.groupBy($"media_id").count()
+    val expected = decoded.filter($"media_type" === "video")
+      .select($"media_id", greatest(lit(1),
+        floor($"meta.duration_ms" / 1000.0 * 2.0)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    perVideo.as[(Long, Long)].collect().foreach { case (id, n) =>
+      assert(n == expected(id), s"video $id")
+    }
+    // frame timestamps monotone within a video
+    val ts0 = frames.filter($"frame_idx" === 0).select($"frame_ts_ms").head.getLong(0)
+    assert(ts0 == 0L)
+  }
+
+  test("resize + feature extraction: bounded thumbs, ANN-ready embeddings") {
+    val decoded = Media.decode(raw).toDF()
+    val thumbs = Media.resizeStub(decoded, maxBytes = 32)
+    assert(thumbs.select(max(length($"thumb"))).head.getInt(0) <= 32)
+
+    // materialized before wide reuse — see featureExtractStub scaladoc
+    val emb = Media.featureExtractStub(decoded, dim = 64)
+      .select($"media_id", $"embedding").cache()
+    assert(emb.count() == 60)
+    assert(emb.select(size($"embedding")).head.getInt(0) == 64)
+    val bounds = emb.select(explode($"embedding").as("x"))
+      .agg(min($"x"), max($"x")).head
+    assert(bounds.getFloat(0) >= -1.0f && bounds.getFloat(1) <= 1.0f)
+
+    // hand-off into the similarity layer: LSH buckets over the cached frame
+    val buckets = emb.select($"media_id",
+      Vectors.lshBucket($"embedding", 64, 8, 7L).as("bucket"))
+    assert(buckets.filter($"bucket" >= 0 && $"bucket" < 256).count() == 60)
+    // determinism: same content → same embedding (collected comparison)
+    val e1 = emb.as[(Long, Seq[Float])].collect().toMap
+    val e2 = Media.featureExtractStub(decoded, dim = 64)
+      .select($"media_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(e1 == e2)
+    emb.unpersist()
+  }
+
+  test("byte-budget repartitioning scales partitions with data volume") {
+    val parts = Media.repartitionByByteBudget(raw, bytesPerPartition = 5000)
+      .rdd.getNumPartitions
+    assert(parts >= 4, s"parts=$parts") // ~42KB total / 5KB
+  }
+}
