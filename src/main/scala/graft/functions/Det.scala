@@ -61,7 +61,12 @@ object Det {
     r2.toDouble / M
   }
 
-  /** Stable single-column row id for lineitem (composite PK orderkey+line). */
+  /** Stable single-column row id for lineitem from (orderkey, linenumber).
+    * NOTE: only as unique as the underlying key — the synthetic testdata
+    * repeats ~24% of (orderkey, linenumber) pairs, so colliding rows draw
+    * identical randomness and are selected together. That keeps every
+    * engine/partitioning consistent (which is the contract); true row-unique
+    * ids would need a `row_number` over a total order. */
   def lineitemId(orderkey: Column, linenumber: Column): Column =
     orderkey * 10L + linenumber
   def lineitemIdSql: String = "(l_orderkey * 10 + l_linenumber)"

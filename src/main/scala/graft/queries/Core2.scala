@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.functions.Det
+import graft.inject.{AnomalySetting, Injector}
+import graft.text.TextOps
+import graft.window.Sequencer
+
+/** Second coverage pack: A2 imputation, A10 explode-aggregation, W1 true
+  * sequence generation, I6 multi-column injection (per-column independent
+  * seeded selection on a composite-key table), P8 anomaly-first selection. */
+object Core2 {
+
+  private val es = Det.epochSSql("ts")
+
+  // 1996 calendar year inside lineitem's shipdate range
+  private val liSpan = (820454400L, 836179200L)
+  private val liSetting = AnomalySetting("custom", liSpan._1,
+    liSpan._2 - liSpan._1, magnitude = 3.0, percentage = 30.0,
+    columns = Seq("l_quantity", "l_extendedprice"), seed = 42L)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A2: mean imputation (Imputer semantics, expression form) --------
+    "a2_mean_impute" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("v_holey",
+          when($"event_type" === "view", lit(null)).otherwise($"value"))
+      // global mean of the non-null values, exact via integer cents
+      val mean = sum(round($"v_holey" * 100).cast("long")).cast("double") /
+        lit(100.0) / count($"v_holey")
+      val withMean = ev.crossJoin(broadcast(ev.agg(round(mean, 4).as("__m"))))
+      withMean.select($"event_id",
+          coalesce($"v_holey", $"__m").as("v_imputed"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- A10: explode → aggregate (importance-style token frequency) -----
+    "a10_token_freq" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokens($"text")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"token")
+        .limit(50)
+    }),
+
+    // ---- W1: true stride-1 sequence generation (flattened for compare) ---
+    "w2_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_shipdate", $"l_quantity")
+      Sequencer.sequences(li, Some("l_suppkey"),
+          "l_shipdate", Seq("l_quantity"), L = 3,
+          orderTiebreak = Seq(col("l_orderkey"), col("l_linenumber")))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          array_join(transform($"sequence",
+            a => element_at(a, 1).cast("int").cast("string")), ",").as("seq"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- I6: multi-column injection, composite stable id -----------------
+    "i7_inject_multicol" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          Det.lineitemId($"l_orderkey", $"l_linenumber").as("li_id"),
+          // parquet NTZ → session-UTC timestamp so epoch-seconds cast works
+          $"l_shipdate".cast("timestamp").as("ts"),
+          $"l_quantity", $"l_extendedprice")
+      Injector.inject(li, "li_id", "ts", liSetting)
+        .select($"l_orderkey", $"l_linenumber",
+          round($"l_quantity", 4).as("qty_inj"),
+          round($"l_extendedprice", 4).as("price_inj"),
+          $"injected_anomaly", $"label")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- P8: first_n_anomalies selection strategy ------------------------
+    "p9_first_n_anomalies" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .filter($"event_type" === "error")
+        .orderBy($"ts", $"event_id")
+        .limit(20)
+        .select($"event_id")
+        .orderBy($"event_id")
+    }))
+
+  def oracles: Map[String, String] = {
+    val liEs = "CAST(floor(epoch(l_shipdate)) AS BIGINT)"
+    val id = Det.lineitemIdSql
+    def sel(colIdx: Int) =
+      s"($liEs >= ${liSpan._1} AND $liEs < ${liSpan._2} AND " +
+        s"${Det.fracSql(id, 42L + colIdx * 1000L)} < 0.3)"
+
+    Map(
+      "a2_mean_impute" ->
+        """WITH h AS (
+          |  SELECT event_id,
+          |    CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v_holey
+          |  FROM events),
+          |m AS (
+          |  SELECT round(CAST(sum(CAST(round(v_holey * 100) AS BIGINT))
+          |    AS DOUBLE) / 100.0 / count(v_holey), 4) AS mv
+          |  FROM h)
+          |SELECT event_id, coalesce(v_holey, mv) AS v_imputed
+          |FROM h, m ORDER BY event_id""".stripMargin,
+
+      "a10_token_freq" ->
+        """SELECT token, count(*) AS freq
+          |FROM (SELECT unnest(list_filter(string_split(text, ' '),
+          |        x -> len(x) > 0)) AS token FROM documents)
+          |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+
+      "w2_sequences" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          |  array_to_string(list_transform(seq,
+          |    x -> CAST(CAST(x AS INT) AS VARCHAR)), ',') AS seq
+          |FROM (
+          |  SELECT l_suppkey, l_orderkey, l_linenumber,
+          |    list(l_quantity) OVER (PARTITION BY l_suppkey
+          |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq
+          |  FROM lineitem)
+          |WHERE len(seq) = 3
+          |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+      "i7_inject_multicol" -> {
+        val u0 = Det.fracSql(id, 42L + 7919L)
+        val u1 = Det.fracSql(id, 42L + 7919L + 1000L)
+        s"""SELECT l_orderkey, l_linenumber,
+           |  round(CASE WHEN ${sel(0)} THEN l_quantity * 3.0
+           |        ELSE l_quantity END, 4) AS qty_inj,
+           |  round(CASE WHEN ${sel(1)} THEN l_extendedprice * 3.0
+           |        ELSE l_extendedprice END, 4) AS price_inj,
+           |  (${sel(0)} OR ${sel(1)}) AS injected_anomaly,
+           |  CASE WHEN ${sel(0)} OR ${sel(1)} THEN 1 ELSE 0 END AS label
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      },
+
+      "p9_first_n_anomalies" ->
+        s"""SELECT event_id FROM (
+           |  SELECT event_id FROM events WHERE event_type = 'error'
+           |  ORDER BY ts, event_id LIMIT 20)
+           |ORDER BY event_id""".stripMargin)
+  }
+}

@@ -18,13 +18,16 @@ object Sequencer {
 
   /** W1: per-series sliding sequences of length L as nested arrays,
     * emitted only when the full window exists (W6 warm-up: first L-1 rows of
-    * each series produce no sequence). */
+    * each series produce no sequence). Pass `orderTiebreak` columns when the
+    * time column has duplicates — window contents are otherwise
+    * nondeterministic across partitionings. */
   def sequences(df: DataFrame, seriesCol: Option[String], tsCol: String,
-                features: Seq[String], L: Int): DataFrame = {
+                features: Seq[String], L: Int,
+                orderTiebreak: Seq[Column] = Nil): DataFrame = {
     val w = seriesCol
       .map(s => Window.partitionBy(col(s)))
       .getOrElse(Window.partitionBy())
-      .orderBy(col(tsCol))
+      .orderBy(col(tsCol) +: orderTiebreak: _*)
       .rowsBetween(-(L - 1), Window.currentRow)
     df.withColumn("__seq", collect_list(array(features.map(col): _*)).over(w))
       .filter(size(col("__seq")) === L)
