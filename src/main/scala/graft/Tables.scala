@@ -19,8 +19,13 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+      case Some(_) =>
+        // keep the raw ns column: predicates on `ts_ns` reference the
+        // physical parquet column and PUSH DOWN to the scan (row-group
+        // min/max pruning); predicates on the derived `ts` cannot
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
     }
   }
 }

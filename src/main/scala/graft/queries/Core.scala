@@ -31,8 +31,11 @@ object Core {
     // ---- S9: time-range scan (predicate reaches the parquet scan) --------
     "s9_time_range_scan" -> ((s, dir) => {
       import s.implicits._
+      // filter on the raw ns column so the range predicate reaches the
+      // parquet scan (PushedFilters + row-group pruning at scale)
       t(s, dir, "events")
-        .filter(Det.epochS($"ts") >= 1704412800L && Det.epochS($"ts") < 1704499200L)
+        .filter($"ts_ns" >= 1704412800L * 1000000000L &&
+          $"ts_ns" < 1704499200L * 1000000000L)
         .select($"event_id", Det.epochS($"ts").as("epoch_s"), $"event_type",
           $"value")
         .orderBy($"epoch_s", $"event_id")
