@@ -64,7 +64,7 @@ object Demo {
     val normalized = graft.ingest.Ingest.normalize(
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(imported), "time", None)
-    val det = api.detector("isolation_forest", Seq("reading", "aux"))
+    val det = api.detector("pca_oneclass", Seq("reading", "aux"))
     val fitted = det.fit(normalized)
     val stage = Files.createTempDirectory("graft_demo_stream").toString
     val stream = graft.streaming.StreamJob.stageAndReplay(

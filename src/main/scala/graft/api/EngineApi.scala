@@ -29,12 +29,13 @@ class EngineApi(spark: SparkSession, datasetDir: String = "/tmp/graft_datasets")
   /** get-models (`engine.py:332`). */
   def getModels: Seq[String] =
     Seq("decision_tree", "gbt", "logreg", "linear_svc", "isolation_forest",
-      "window_zscore")
+      "window_zscore", "pca_oneclass")
 
   def detector(modelName: String, features: Seq[String]): AnomalyDetector =
     modelName match {
       case "isolation_forest" => IsolationForestDetector(features)
       case "window_zscore"    => WindowZScoreDetector(features)
+      case "pca_oneclass"     => PcaDetector(features)
       case supervised         => SupervisedDetector(features, supervised)
     }
 
@@ -44,7 +45,8 @@ class EngineApi(spark: SparkSession, datasetDir: String = "/tmp/graft_datasets")
 
   /** get-xai-methods (`engine.py:339`): the capability set we deliver. */
   def getXaiMethods: Seq[String] =
-    Seq("tree_importances", "permutation_importance")
+    Seq("tree_importances", "permutation_importance", "lime_surrogate",
+      "nun_counterfactuals")
 
   /** get-data (`engine.py:257`): time-range scan of a job table. */
   def getData(jobName: String,
