@@ -81,6 +81,41 @@ object Core2 {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // ---- q6: selective filter + aggregate (pushdown showcase) ------------
+    "q6_revenue_forecast" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+          $"l_quantity" < 24.0)
+        .agg((sum(round($"l_extendedprice" * $"l_discount" * 100).cast("long"))
+          / 100.0).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- left-semi join (U2 family: native Spark capability) -------------
+    "j4_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+        .filter($"q" > 150.0).select($"l_orderkey")
+      t(s, dir, "orders")
+        .join(bigOrders, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- left-anti join (customers with no 1995 orders) ------------------
+    "j5_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val early = t(s, dir, "orders")
+        .filter($"o_orderdate" < "1996-01-01")
+        .select($"o_custkey").distinct()
+      t(s, dir, "customer")
+        .join(early, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
     // ---- P8: first_n_anomalies selection strategy ------------------------
     "p9_first_n_anomalies" -> ((s, dir) => {
       import s.implicits._
@@ -143,6 +178,29 @@ object Core2 {
            |  CASE WHEN ${sel(0)} OR ${sel(1)} THEN 1 ELSE 0 END AS label
            |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
       },
+
+      "q6_revenue_forecast" ->
+        """SELECT
+          |  sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+          |    / 100.0 AS revenue,
+          |  count(*) AS n_rows
+          |FROM lineitem
+          |WHERE l_discount >= 0.05 AND l_discount <= 0.07
+          |  AND l_quantity < 24.0""".stripMargin,
+
+      "j4_semi_join" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem
+          |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0)
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "j5_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_custkey NOT IN (
+          |  SELECT o_custkey FROM orders
+          |  WHERE o_orderdate < TIMESTAMP '1996-01-01')
+          |ORDER BY c_custkey""".stripMargin,
 
       "p9_first_n_anomalies" ->
         s"""SELECT event_id FROM (

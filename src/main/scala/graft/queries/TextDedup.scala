@@ -23,19 +23,20 @@ object TextDedup {
 
   private def toks(c: Column) = TextOps.tokens(c)
 
-  /** Signature frame: doc_id + 8 minhash slices s0..s7. Digests are
-    * materialized once per shingle (two md5s), then the 8 members are
-    * substring-min passes over the cached array. */
+  /** Signature frame: doc_id + 8 minhash slices s0..s7, via the native
+    * single-pass [[graft.expressions.MinHashSigExpr]] (no intermediate
+    * shingle/digest arrays; proven identical to the functions composition
+    * and the DuckDB oracle in `MinHashSigSpec`). */
   private def sigDF(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // single-file parquet → 1 input split; spread the md5-heavy projection
     // across cores (at warehouse scale the source has many splits already)
     t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("__dg",
-        TextOps.minhashDigests(TextOps.charShingles($"text", SHINGLE_K)))
+      .withColumn("__sig",
+        graft.expressions.MinHashSigExpr.sigs($"text", SHINGLE_K))
       .select(($"doc_id" +: (0 until 8).map(j =>
-        TextOps.minhashSigFromDigests($"__dg", j).as(s"s$j"))): _*)
+        element_at($"__sig", j + 1).as(s"s$j"))): _*)
   }
 
   /** Candidate pairs sharing ≥1 of 4 LSH bands (2 slices per band), with
