@@ -81,6 +81,33 @@ object Demo {
 
     api.cancelJob("demo")
 
+    // stateful-window streaming leg: batch-exact rolling windows across
+    // micro-batches + SQL surface check
+    graft.expressions.GraftFunctions.register(spark)
+    println("sql surface: " + spark.sql(
+      "SELECT graft_duration_seconds('1h30m') AS s, graft_frac(7, 42) AS f")
+      .head)
+    val wdet = graft.ml.WindowZScoreDetector(Seq("reading"), L = 10)
+    val wfit = wdet.fit(normalized).asInstanceOf[graft.ml.FittedWindowZScore]
+    val stage2 = Files.createTempDirectory("graft_demo_sw").toString
+    val stream2 = graft.streaming.StreamJob.stageAndReplay(
+      spark, normalized.withColumn("sid", org.apache.spark.sql.functions.lit("s0")),
+      stage2, nChunks = 6, filesPerTrigger = 2)
+    val swq = graft.streaming.StatefulWindow.score(stream2, Seq("reading"),
+        "sid", "timestamp", 10, wfit.threshold)
+      .writeStream.format("memory").queryName("demo_sw")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    swq.awaitTermination(120000)
+    val swFlags = spark.table("demo_sw")
+      .filter(org.apache.spark.sql.functions.col("is_anomaly")).count()
+    val batchFlags = wfit.transform(
+      normalized.withColumn("sid", org.apache.spark.sql.functions.lit("s0")))
+      .filter(org.apache.spark.sql.functions.col("is_anomaly")).count()
+    println(s"stateful-window flags: stream=$swFlags batch=$batchFlags")
+    assert(spark.table("demo_sw").count() == 5000, "stateful stream rows")
+    assert(swFlags == batchFlags, "batch-exact stateful windows")
+
     // multimodal leg: binary media → decode → frames → embeddings → ANN buckets
     import spark.implicits._
     val media = (0 until 30).map { i =>

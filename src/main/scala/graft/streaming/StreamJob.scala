@@ -33,6 +33,17 @@ object StreamJob {
                      filesPerTrigger: Int = 1): DataFrame = {
     normalized.repartitionByRange(nChunks, col("timestamp"))
       .write.mode("overwrite").parquet(stageDir)
+    // The file source orders batches by file modification time; chunks
+    // written in the same instant tie and replay order becomes arbitrary,
+    // breaking the event-time-ordered-arrival contract that stateful window
+    // scoring relies on. Stamp strictly increasing mtimes in range order
+    // (part-NNNNN is range-ordered under repartitionByRange).
+    val parts = new java.io.File(stageDir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 2000L)
+    }
     spark.readStream
       .schema(normalized.schema)
       .option("maxFilesPerTrigger", filesPerTrigger)

@@ -1,0 +1,38 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.functions.Det
+import org.apache.spark.sql.functions._
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL surface: graft functions callable from spark.sql") {
+    GraftFunctions.register(spark)
+    Seq(("the quick brown fox", 1L)).toDF("text", "id")
+      .createOrReplaceTempView("gf_t")
+
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(text, 5) AS s FROM gf_t")
+      .as[Seq[String]].head()
+    assert(sig.length == 8 && sig.forall(_.matches("[0-9a-f]{8}")))
+
+    val dur = spark.sql(
+      "SELECT graft_duration_seconds('2days 5hours') AS d, " +
+        "graft_duration_seconds('bogus') AS b").head
+    assert(dur.getLong(0) == 190800L && dur.isNullAt(1))
+
+    val fr = spark.sql("SELECT graft_frac(id, 42) AS f FROM gf_t")
+      .as[Double].head()
+    assert(fr == Det.fracHost(1L, 42L))
+  }
+
+  test("non-literal k/seed is rejected with a clear error") {
+    GraftFunctions.register(spark)
+    Seq(("x", 2)).toDF("text", "n").createOrReplaceTempView("gf_t2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(text, n) FROM gf_t2").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}
