@@ -36,8 +36,11 @@ object Demo {
     val inj = AnomalySetting("spike", 1704067200L + 1000, durationSec = 120,
       magnitude = 5.0, percentage = 90.0, columns = Seq("reading"))
     val summary = api.runBatch("demo", imported, "time", None,
-      "decision_tree", Seq("reading", "aux"), Seq(inj))
+      "decision_tree", Seq("reading", "aux"), Seq(inj),
+      xai = Some(graft.jobs.XaiConfig(Seq("reading", "aux"))))
     println(s"summary: $summary")
+    assert(summary.xaiNdcg("permutation_importance") == 1.0,
+      "in-job XAI must rank the injected column first")
 
     val sample = api.getData("demo").limit(3)
     sample.show(truncate = false)

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Ingest
 import graft.inject.AnomalySetting
-import graft.jobs.{BatchJob, RunSummary}
+import graft.jobs.{BatchJob, RunSummary, XaiConfig}
 import graft.ml._
 
 /** The reference's 13-verb job-control surface (SURVEY §2.12;
@@ -20,10 +20,11 @@ class EngineApi(spark: SparkSession, datasetDir: String = "/tmp/graft_datasets")
   def runBatch(name: String, datasetPath: String, timeColumn: String,
                labelColumn: Option[String], modelName: String,
                features: Seq[String],
-               injections: Seq[AnomalySetting] = Nil): RunSummary = {
+               injections: Seq[AnomalySetting] = Nil,
+               xai: Option[XaiConfig] = None): RunSummary = {
     val raw = Ingest.readFile(spark, datasetPath)
     BatchJob.run(spark, name, raw, timeColumn, labelColumn, injections,
-      detector(modelName, features))
+      detector(modelName, features), xai = xai)
   }
 
   /** get-models (`engine.py:332`). */

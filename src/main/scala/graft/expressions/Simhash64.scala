@@ -1,0 +1,82 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import java.security.MessageDigest
+
+/** 64-bit SimHash of a token array as one native pass (ROADMAP item 3: the
+  * 16-bit variant collides heavily on vocabulary-dense corpora).
+  *
+  * Bit b (0..63) of a token's md5 = bit (7−b%8) of digest byte b/8 — i.e.
+  * the full 128-bit digest's first 64 bits, matching the SQL twin's
+  * hex-nibble decomposition. Each token votes ±1 per bit; the fingerprint
+  * sets bit b iff the vote is positive. Per-row cost: one md5 per token +
+  * 64 table-free bit probes.
+  */
+case class Simhash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      if (tok != null) {
+        md.reset(); md.update(tok.getBytes)
+        val digest = md.digest()
+        var b = 0
+        while (b < 64) {
+          val bit = (digest(b >> 3) >> (7 - (b & 7))) & 1
+          votes(b) += (if (bit == 1) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64Expr =
+    copy(child = newChild)
+}
+
+object Simhash64Expr {
+  import org.apache.spark.sql.graftbridge
+
+  def simhash64(tokens: Column): Column =
+    graftbridge.toColumn(Simhash64Expr(graftbridge.toExpression(tokens)))
+
+  /** DuckDB twin: identical bit decomposition via hex-nibble lookup.
+    * `tokens` is a SQL expression yielding a VARCHAR list. */
+  def simhash64Sql(tokens: String): String = {
+    val bits = (0 until 64).map { b =>
+      val hexPos = b / 4 + 1          // 1-based hex char
+      val nibbleBit = 3 - (b % 4)     // high-to-low within the nibble
+      s"""(CASE WHEN list_sum(list_transform($tokens, t ->
+         |  CASE WHEN ((strpos('0123456789abcdef',
+         |    substr(md5(t), $hexPos, 1)) - 1) >> $nibbleBit) & 1 = 1
+         |  THEN 1 ELSE -1 END)) > 0
+         |  THEN ${if (b == 63) "(-9223372036854775807 - 1)"
+                   else s"(CAST(1 AS BIGINT) << $b)"} ELSE 0 END)""".stripMargin
+        .replaceAll("\n", " ")
+    }
+    bits.mkString("(", " | ", ")")
+  }
+}

@@ -18,7 +18,17 @@ case class RunSummary(
     flaggedRows: Long,
     metricsTest: Map[String, Double],
     metricsAll: Map[String, Double],
-    timingsSec: Map[String, Double])
+    timingsSec: Map[String, Double],
+    xaiImportance: Map[String, Map[String, Double]] = Map.empty,
+    xaiNdcg: Map[String, Double] = Map.empty)
+
+/** XAI stage configuration (X1 parity: the reference's `xai_params`,
+  * `Frontend/callbacks.py:1665-1708`). */
+case class XaiConfig(
+    features: Seq[String],
+    methods: Seq[String] = Seq("permutation_importance"),
+    ndcgK: Int = 3,
+    nInstances: Int = 10)
 
 /** The `run-batch` lifecycle (SURVEY §3.1) as one declarative driver-side
   * flow: normalize → inject → persist job table → temporal split → fit →
@@ -35,7 +45,8 @@ object BatchJob {
           injections: Seq[AnomalySetting],
           detector: AnomalyDetector,
           trainRatio: Double = 0.85,
-          persistTable: Boolean = true): RunSummary = {
+          persistTable: Boolean = true,
+          xai: Option[XaiConfig] = None): RunSummary = {
     def now() = System.nanoTime()
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val t0 = now()
@@ -85,10 +96,48 @@ object BatchJob {
     val mTest = metricsOf(detected.filter(col("split") === "test"))
     val mAll = metricsOf(detected)
     val injectedRows = data.filter(col("injected_anomaly")).count()
+
+    // X1/X5: in-job explanation stage + NDCG vs injected ground truth
+    val (xaiImp, xaiNdcg) = xai match {
+      case Some(cfg) if detected.columns.contains("label") =>
+        val tXai = now()
+        val truth = injections.flatMap(_.columns).toSet
+        val results = cfg.methods.map {
+          case m @ "permutation_importance" =>
+            val imp = graft.xai.Xai.permutationImportance(
+              detected, fitted, cfg.features)
+            m -> imp
+          case m @ "nun_counterfactuals" =>
+            val anoms = detected.filter(col("is_anomaly")).limit(cfg.nInstances)
+            val normals = detected.filter(!col("is_anomaly")).limit(500)
+            val cfs = graft.xai.Xai.nunCounterfactuals(
+              anoms, normals, cfg.features)
+            m -> graft.xai.Xai.counterfactualImportance(cfs, cfg.features)
+          case other => throw new IllegalArgumentException(s"xai method $other")
+        }
+        val imp = results.map { case (m, df) =>
+          m -> df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        }.toMap
+        val ndcg =
+          if (truth.isEmpty) Map.empty[String, Double]
+          else results.map { case (m, df) =>
+            m -> graft.xai.Xai.ndcgVsInjected(df, truth, cfg.ndcgK)
+          }.toMap
+        timings += "xai" -> (now() - tXai) / 1e9
+        (imp, ndcg)
+      case _ => (Map.empty[String, Map[String, Double]], Map.empty[String, Double])
+    }
     timings += "total" -> (now() - t0) / 1e9
 
     data.unpersist(); detected.unpersist()
     RunSummary(jobName, "completed", rows, injectedRows, flagged,
-      mTest, mAll, timings.toMap)
+      mTest, mAll, timings.toMap, xaiImp, xaiNdcg)
+  }
+
+  /** S15: persist the summary as a one-record JSON file (the reference's
+    * `/data/<job>/logfile`). */
+  def writeSummary(spark: SparkSession, summary: RunSummary, path: String): Unit = {
+    import spark.implicits._
+    Seq(summary).toDS().coalesce(1).write.mode("overwrite").json(path)
   }
 }

@@ -116,6 +116,38 @@ object Core2 {
         .orderBy($"c_custkey")
     }),
 
+    // ---- T5: event-time tumbling window aggregation ----------------------
+    // (the batch expression of the streaming windowed agg; same plan shape
+    // under readStream + withWatermark)
+    "w10_tumbling_window" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round($"value" * 100).cast("long")) / 100.0).as("sum_value"))
+        .select($"w.start".cast("long").as("w_start"), $"event_type",
+          $"cnt", $"sum_value")
+        .orderBy($"w_start", $"event_type")
+    }),
+
+    // ---- T5: session windows (30-min inactivity gap per user) ------------
+    "w11_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("es", Det.epochS($"ts"))
+        .withColumn("gap", $"es" - lag($"es", 1).over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+        .withColumn("new_sess",
+          when($"gap".isNull || $"gap" > 1800, 1).otherwise(0))
+        .withColumn("sess_id", sum($"new_sess").over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"es").as("sess_start"), max($"es").as("sess_end"))
+        .orderBy($"user_id", $"sess_id")
+    }),
+
     // ---- P8: first_n_anomalies selection strategy ------------------------
     "p9_first_n_anomalies" -> ((s, dir) => {
       import s.implicits._
@@ -201,6 +233,34 @@ object Core2 {
           |  SELECT o_custkey FROM orders
           |  WHERE o_orderdate < TIMESTAMP '1996-01-01')
           |ORDER BY c_custkey""".stripMargin,
+
+      "w10_tumbling_window" ->
+        s"""SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+           |    AS w_start,
+           |  event_type, count(*) AS cnt,
+           |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+           |FROM events
+           |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+      "w11_sessionize" ->
+        s"""WITH g AS (
+           |  SELECT user_id, ts, event_id, $es AS e,
+           |    $es - lag($es) OVER
+           |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           |  FROM events),
+           |n AS (
+           |  SELECT user_id, ts, event_id, e,
+           |    CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS ns
+           |  FROM g),
+           |sess AS (
+           |  SELECT user_id, e,
+           |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS sess_id
+           |  FROM n)
+           |SELECT user_id, sess_id, count(*) AS n_events,
+           |  min(e) AS sess_start, max(e) AS sess_end
+           |FROM sess GROUP BY user_id, sess_id
+           |ORDER BY user_id, sess_id""".stripMargin,
 
       "p9_first_n_anomalies" ->
         s"""SELECT event_id FROM (

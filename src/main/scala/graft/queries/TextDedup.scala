@@ -188,6 +188,37 @@ object TextDedup {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // ---- 64-bit simhash (native expression; collision-resistant) ---------
+    "d8_simhash64" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          graft.expressions.Simhash64Expr.simhash64(toks($"text")).as("sim64"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- 64-bit simhash near-dup pairs (8-chunk blocking, hamming ≤ 7) ---
+    "d9_simhash64_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sim = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          graft.expressions.Simhash64Expr.simhash64(toks($"text")).as("sim"))
+        .cache()
+      val chunks = sim.select($"doc_id", $"sim", posexplode(array(
+        (0 until 8).map(c => shiftright($"sim", 8 * c).bitwiseAND(255)): _*))
+        .as(Seq("chunk", "cv")))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+        .filter($"hamming" <= 7)
+        .distinct()
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // ---- exact n-gram Jaccard on high-confidence LSH candidates ----------
     // Refinement step of the minhash pipeline: exact verification runs only
     // on pairs whose estimated Jaccard (signature agreement) clears 0.5 —
@@ -299,6 +330,29 @@ object TextDedup {
            |FROM chunks x JOIN chunks y
            |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
            |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+
+      "d8_simhash64" -> {
+        val sim = graft.expressions.Simhash64Expr.simhash64Sql("tokens")
+        s"""SELECT doc_id, $sim AS sim64
+           |FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "d9_simhash64_pairs" -> {
+        val sim = graft.expressions.Simhash64Expr.simhash64Sql("tokens")
+        s"""WITH sim AS (
+           |  SELECT doc_id, $sim AS sim
+           |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
+           |chunks AS (
+           |  SELECT doc_id, sim, c AS chunk, (sim >> (8 * c)) & 255 AS cv
+           |  FROM sim, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(c))
+           |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+           |  bit_count(xor(x.sim, y.sim)) AS hamming
+           |FROM chunks x JOIN chunks y
+           |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.sim, y.sim)) <= 7
            |ORDER BY a_id, b_id""".stripMargin
       },
 

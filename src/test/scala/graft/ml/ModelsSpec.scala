@@ -70,17 +70,33 @@ class ModelsSpec extends SparkSpec {
     out.unpersist()
   }
 
-  test("batch job with injection: injected rows get labeled and detected") {
+  test("batch job with injection: injected rows get labeled and detected; " +
+      "in-job XAI ranks the injected column first") {
     val clean = series.drop("label")
     val inj = AnomalySetting("spike", 1704067200L + 500, durationSec = 300,
       magnitude = 6.0, percentage = 80.0, columns = Seq("v1"))
     val summary = BatchJob.run(spark, "t_inj", clean, "timestamp", None,
       injections = Seq(inj),
       detector = SupervisedDetector(Seq("v1", "v2"), "decision_tree"),
-      persistTable = false)
+      persistTable = false,
+      xai = Some(graft.jobs.XaiConfig(Seq("v1", "v2"),
+        methods = Seq("permutation_importance", "nun_counterfactuals"))))
     assert(summary.injectedRows > 100 && summary.injectedRows < 280,
       s"injected ${summary.injectedRows}")
     assert(summary.metricsAll("recall_tpr") > 0.5, summary.metricsAll.toString)
+    // X1/X5: both methods attribute v1 (the injected column), NDCG@3 = 1
+    summary.xaiImportance.foreach { case (m, imp) =>
+      assert(imp("v1") > imp("v2"), s"$m: $imp")
+    }
+    assert(summary.xaiNdcg.values.forall(_ == 1.0), summary.xaiNdcg.toString)
+    assert(summary.timingsSec.contains("xai"))
+
+    // S15: summary JSON sink round-trips
+    val out = java.nio.file.Files.createTempDirectory("graft_sum").toString
+    BatchJob.writeSummary(spark, summary, out)
+    val back = spark.read.json(out)
+    assert(back.count() == 1)
+    assert(back.select("job").head.getString(0) == "t_inj")
   }
 
   test("gbt feature importances are exposed (X2 capability)") {
