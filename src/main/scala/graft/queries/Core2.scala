@@ -116,6 +116,17 @@ object Core2 {
         .orderBy($"c_custkey")
     }),
 
+    // ---- skew-salted join: result identical to the plain join ------------
+    "q7_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+      graft.ops.Skew.saltedJoin(li, sup, $"l_suppkey", $"s_suppkey", salts = 8)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum($"l_quantity").as("sum_qty"))
+        .orderBy($"s_nationkey")
+    }),
+
     // ---- T5: event-time tumbling window aggregation ----------------------
     // (the batch expression of the streaming windowed agg; same plan shape
     // under readStream + withWatermark)
@@ -233,6 +244,11 @@ object Core2 {
           |  SELECT o_custkey FROM orders
           |  WHERE o_orderdate < TIMESTAMP '1996-01-01')
           |ORDER BY c_custkey""".stripMargin,
+
+      "q7_salted_join" ->
+        """SELECT s_nationkey, count(*) AS cnt, sum(l_quantity) AS sum_qty
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
       "w10_tumbling_window" ->
         s"""SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)

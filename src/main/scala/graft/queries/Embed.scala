@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
-import graft.similarity.Vectors
+import graft.similarity.{Ivf, Vectors}
 
 /** Embedding-similarity operators over the `embeddings` table
   * (`array<float>` 64-dim). Two paths, per the training-data-pipeline brief:
@@ -69,6 +69,23 @@ object Embed {
         .withColumn("cos", Vectors.cosine($"qv", $"cv"))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
+        .select($"q_id", $"rnk", $"c_id", round($"cos", 6).as("cos_sim"))
+        .orderBy($"q_id", $"rnk")
+    }),
+
+    // ---- IVF ANN: k-means coarse quantizer, nProbe=2 (rows-only check:
+    // the trained quantizer has no DuckDB twin) ----------------------------
+    "e5_ivf_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      val index = Ivf.fit(emb, "embedding", k = 8)
+      val indexed = index.assign(emb, "embedding")
+        .select($"vec_id".as("c_id"), $"embedding".as("cv"), $"cell")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      index.search(queries, indexed, "qv", "cv", "q_id", "c_id",
+          topK = 5, nProbe = 2)
         .select($"q_id", $"rnk", $"c_id", round($"cos", 6).as("cos_sim"))
         .orderBy($"q_id", $"rnk")
     }),
