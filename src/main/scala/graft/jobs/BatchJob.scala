@@ -20,7 +20,8 @@ case class RunSummary(
     metricsAll: Map[String, Double],
     timingsSec: Map[String, Double],
     xaiImportance: Map[String, Map[String, Double]] = Map.empty,
-    xaiNdcg: Map[String, Double] = Map.empty)
+    xaiNdcg: Map[String, Double] = Map.empty,
+    cvMetrics: Map[String, Double] = Map.empty)
 
 /** XAI stage configuration (X1 parity: the reference's `xai_params`,
   * `Frontend/callbacks.py:1665-1708`). */
@@ -129,9 +130,14 @@ object BatchJob {
     }
     timings += "total" -> (now() - t0) / 1e9
 
+    val cvMetrics = fitted match {
+      case fs: graft.ml.FittedSupervised => fs.cvMetrics
+      case _                             => Map.empty[String, Double]
+    }
+
     data.unpersist(); detected.unpersist()
     RunSummary(jobName, "completed", rows, injectedRows, flagged,
-      mTest, mAll, timings.toMap, xaiImp, xaiNdcg)
+      mTest, mAll, timings.toMap, xaiImp, xaiNdcg, cvMetrics)
   }
 
   /** S15: persist the summary as a one-record JSON file (the reference's

@@ -75,6 +75,7 @@ case class SupervisedDetector(
       when(col(labelCol) === 1, wPos).otherwise(wNeg))
 
     val stages = Array(imputer, assembler, scalerStage, clf)
+    var cvMetrics = Map.empty[String, Double]
     val model: PipelineModel =
       if (!autoTune) new Pipeline().setStages(stages).fit(weighted)
       else {
@@ -94,13 +95,19 @@ case class SupervisedDetector(
           .setEstimator(new Pipeline().setStages(stages))
           .setEvaluator(new BinaryClassificationEvaluator().setLabelCol(labelCol))
           .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(seed)
-        cv.fit(weighted).bestModel.asInstanceOf[PipelineModel]
+        val cvm = cv.fit(weighted)
+        // reference parity: per-candidate CV scores land in the run summary
+        cvMetrics = cvm.avgMetrics.zipWithIndex.map { case (m, i) =>
+          s"cv_auc_candidate_$i" -> m
+        }.toMap + ("cv_auc_best" -> cvm.avgMetrics.max)
+        cvm.bestModel.asInstanceOf[PipelineModel]
       }
-    FittedSupervised(model, algo)
+    FittedSupervised(model, algo, cvMetrics)
   }
 }
 
-case class FittedSupervised(model: PipelineModel, algo: String) extends FittedDetector {
+case class FittedSupervised(model: PipelineModel, algo: String,
+    cvMetrics: Map[String, Double] = Map.empty) extends FittedDetector {
   /** M8 score interpretation: normalize every algo to
     * `anomaly_score` = P(anomaly) (probability when available; rawPrediction
     * margin pushed through a sigmoid for hinge models, F7). */

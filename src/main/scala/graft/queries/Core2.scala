@@ -159,6 +159,20 @@ object Core2 {
         .orderBy($"user_id", $"sess_id")
     }),
 
+    // ---- A9: NDCG averaging across groups and k values -------------------
+    "a9_ndcg_mean" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val perK = Seq(3, 5, 10).map { k =>
+        graft.eval.Metrics.ndcgAtK(ev, Seq("event_type"), $"value",
+            ($"event_id" % 3 === 0).cast("double"), $"event_id", k)
+          .select(lit(k).as("k"), col(s"ndcg_$k").as("ndcg"))
+      }.reduce(_ unionByName _)
+      perK.groupBy($"k")
+        .agg(round(avg($"ndcg"), 4).as("mean_ndcg"))
+        .orderBy($"k")
+    }),
+
     // ---- P8: first_n_anomalies selection strategy ------------------------
     "p9_first_n_anomalies" -> ((s, dir) => {
       import s.implicits._
@@ -277,6 +291,27 @@ object Core2 {
            |  min(e) AS sess_start, max(e) AS sess_end
            |FROM sess GROUP BY user_id, sess_id
            |ORDER BY user_id, sess_id""".stripMargin,
+
+      "a9_ndcg_mean" -> {
+        def ndcgSql(k: Int) =
+          s"""SELECT $k AS k, CASE WHEN idcg = 0.0 THEN 0.0
+             |    ELSE dcg / idcg END AS ndcg
+             |FROM (
+             |  SELECT event_type,
+             |    sum(CASE WHEN rn <= $k THEN rel / log2(rn + 1) ELSE 0.0 END) AS dcg,
+             |    sum(CASE WHEN irn <= $k THEN rel / log2(irn + 1) ELSE 0.0 END) AS idcg
+             |  FROM (
+             |    SELECT event_type, CAST(event_id % 3 = 0 AS DOUBLE) AS rel,
+             |      row_number() OVER (PARTITION BY event_type
+             |        ORDER BY value DESC, event_id) AS rn,
+             |      row_number() OVER (PARTITION BY event_type
+             |        ORDER BY CAST(event_id % 3 = 0 AS DOUBLE) DESC, event_id) AS irn
+             |    FROM events)
+             |  GROUP BY event_type)""".stripMargin
+        s"""SELECT k, round(avg(ndcg), 4) AS mean_ndcg FROM (
+           |${ndcgSql(3)} UNION ALL ${ndcgSql(5)} UNION ALL ${ndcgSql(10)})
+           |GROUP BY k ORDER BY k""".stripMargin
+      },
 
       "p9_first_n_anomalies" ->
         s"""SELECT event_id FROM (

@@ -99,6 +99,17 @@ class ModelsSpec extends SparkSpec {
     assert(back.select("job").head.getString(0) == "t_inj")
   }
 
+  test("autoTune surfaces CV fold metrics into the run summary") {
+    val summary = BatchJob.run(spark, "t_cv", series, "timestamp", Some("label"),
+      injections = Nil,
+      detector = SupervisedDetector(Seq("v1", "v2"), "decision_tree",
+        autoTune = true),
+      persistTable = false)
+    assert(summary.cvMetrics.contains("cv_auc_best"), summary.cvMetrics.toString)
+    assert(summary.cvMetrics("cv_auc_best") > 0.8)
+    assert(summary.cvMetrics.keys.count(_.startsWith("cv_auc_candidate_")) == 3)
+  }
+
   test("gbt feature importances are exposed (X2 capability)") {
     val det = SupervisedDetector(Seq("v1", "v2"), "gbt")
     val fitted = det.fit(series).asInstanceOf[FittedSupervised]
