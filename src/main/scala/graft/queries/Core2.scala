@@ -38,6 +38,46 @@ object Core2 {
         .orderBy($"event_id")
     }),
 
+    // ---- A2 (mode strategy): most-frequent-value imputation --------------
+    "a2b_mode_impute" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("t_holey",
+          when($"value" > 190.0, lit(null)).otherwise($"event_type"))
+      // deterministic mode: max count, ties broken by smallest value
+      val modeDf = ev.filter($"t_holey".isNotNull)
+        .groupBy($"t_holey").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"t_holey".asc).limit(1)
+        .select($"t_holey".as("__mode"))
+      ev.crossJoin(broadcast(modeDf))
+        .select($"event_id", coalesce($"t_holey", $"__mode").as("t_imputed"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- P8: last_n_anomalies (most recent n of the anomaly class) -------
+    "p10_last_n_anomalies" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .filter($"event_type" === "error")
+        .orderBy($"ts".desc, $"event_id".desc)
+        .limit(20)
+        .select($"event_id")
+        .orderBy($"event_id")
+    }),
+
+    // ---- P8: half_n_half (n/2 anomalies ∪ n/2 normals, seeded random) ----
+    "p11_half_n_half" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val anoms = ev.filter($"event_type" === "error")
+        .orderBy(Det.frac($"event_id", 11L), $"event_id").limit(25)
+        .select($"event_id", lit("anom").as("half"))
+      val norms = ev.filter($"event_type" =!= "error")
+        .orderBy(Det.frac($"event_id", 12L), $"event_id").limit(25)
+        .select($"event_id", lit("norm").as("half"))
+      anoms.unionByName(norms).orderBy($"event_id")
+    }),
+
     // ---- A10: explode → aggregate (importance-style token frequency) -----
     "a10_token_freq" -> ((s, dir) => {
       import s.implicits._
@@ -203,6 +243,34 @@ object Core2 {
           |  FROM h)
           |SELECT event_id, coalesce(v_holey, mv) AS v_imputed
           |FROM h, m ORDER BY event_id""".stripMargin,
+
+      "a2b_mode_impute" ->
+        """WITH h AS (
+          |  SELECT event_id,
+          |    CASE WHEN value > 190.0 THEN NULL ELSE event_type END AS t_holey
+          |  FROM events),
+          |m AS (
+          |  SELECT t_holey AS mv FROM h WHERE t_holey IS NOT NULL
+          |  GROUP BY t_holey ORDER BY count(*) DESC, t_holey ASC LIMIT 1)
+          |SELECT event_id, coalesce(t_holey, mv) AS t_imputed
+          |FROM h, m ORDER BY event_id""".stripMargin,
+
+      "p10_last_n_anomalies" ->
+        """SELECT event_id FROM (
+          |  SELECT event_id FROM events WHERE event_type = 'error'
+          |  ORDER BY ts DESC, event_id DESC LIMIT 20)
+          |ORDER BY event_id""".stripMargin,
+
+      "p11_half_n_half" ->
+        s"""SELECT * FROM (
+           |  SELECT event_id, 'anom' AS half FROM (
+           |    SELECT event_id FROM events WHERE event_type = 'error'
+           |    ORDER BY ${Det.fracSql("event_id", 11L)}, event_id LIMIT 25)
+           |  UNION ALL
+           |  SELECT event_id, 'norm' AS half FROM (
+           |    SELECT event_id FROM events WHERE event_type != 'error'
+           |    ORDER BY ${Det.fracSql("event_id", 12L)}, event_id LIMIT 25))
+           |ORDER BY event_id""".stripMargin,
 
       "a10_token_freq" ->
         """SELECT token, count(*) AS freq

@@ -56,10 +56,14 @@ object Embed {
     // ---- ANN: top-3 within the query's LSH bucket ------------------------
     "e3_lsh_ann" -> ((s, dir) => {
       import s.implicits._
+      // localCheckpoint: withB feeds both join sides (one via broadcast
+      // build); without a hard materialization the 512-term bucket
+      // expression recomputes per consumer
       val withB = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"embedding",
           Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
+        .localCheckpoint()
       val q = withB.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket".as("qb"))
       val c = withB
@@ -97,6 +101,7 @@ object Embed {
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"embedding",
           Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
+        .localCheckpoint()
       withB.as("x").join(withB.as("y"),
           col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))

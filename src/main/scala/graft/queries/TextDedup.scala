@@ -43,7 +43,12 @@ object TextDedup {
     * their 8-slice match count as estimated Jaccard. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = sigDF(s, dir).cache()
+    // localCheckpoint, not cache: the signature frame feeds FOUR consumers
+    // (band self-join both sides + two est joins), several through
+    // broadcast builds. Cache matching is plan-identity-fragile here and a
+    // miss makes every broadcast build recompute the whole minhash pass;
+    // checkpoint blocks are unconditionally reused.
+    val sig = sigDF(s, dir).localCheckpoint()
     val bands = sig.select($"doc_id", posexplode(array((0 until 4).map(b =>
       concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*)).as(Seq("band", "bv")))
     val cand = bands.as("x").join(bands.as("y"),
@@ -174,7 +179,7 @@ object TextDedup {
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("__dg", TextOps.md5Digests(toks($"text")))
         .select($"doc_id", TextOps.simhash16FromDigests($"__dg").as("sim"))
-        .cache()
+        .localCheckpoint()
       val chunks = sim.select($"doc_id", $"sim", posexplode(array(
         (0 until 4).map(c => shiftright($"sim", 4 * c).bitwiseAND(15)): _*))
         .as(Seq("chunk", "cv")))
@@ -205,7 +210,7 @@ object TextDedup {
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id",
           graft.expressions.Simhash64Expr.simhash64(toks($"text")).as("sim"))
-        .cache()
+        .localCheckpoint()
       val chunks = sim.select($"doc_id", $"sim", posexplode(array(
         (0 until 8).map(c => shiftright($"sim", 8 * c).bitwiseAND(255)): _*))
         .as(Seq("chunk", "cv")))

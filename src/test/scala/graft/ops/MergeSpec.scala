@@ -1,0 +1,28 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeFlags: flags exactly the predicted ids, idempotent") {
+    (0L until 100L).map(i => (i, s"r$i", false))
+      .toDF("id", "payload", "is_anomaly")
+      .write.mode("overwrite").format("parquet").saveAsTable("merge_t")
+
+    val preds = Seq(3L, 7L, 7L, 42L).toDF("id") // dup in preds is fine
+    val n = Merge.mergeFlags(spark, "merge_t", preds)
+    assert(n == 3)
+    val flagged = spark.table("merge_t").filter($"is_anomaly")
+      .select($"id").as[Long].collect().toSet
+    assert(flagged == Set(3L, 7L, 42L))
+    // untouched rows keep payload + flag
+    assert(spark.table("merge_t").filter(!$"is_anomaly").count() == 97)
+
+    // second merge adds, never clears
+    val n2 = Merge.mergeFlags(spark, "merge_t", Seq(42L, 99L).toDF("id"))
+    assert(n2 == 4)
+    spark.sql("DROP TABLE merge_t")
+  }
+}
