@@ -365,7 +365,7 @@ object Core {
         |ORDER BY e.event_id""".stripMargin,
 
     "j3_range_join" ->
-      s"""SELECT e.event_id, w.win_id
+      s"""SELECT e.event_id, CAST(w.win_id AS BIGINT) AS win_id
          |FROM (SELECT event_id, $epochSql AS es FROM events
          |      WHERE event_type = 'error') e
          |JOIN (VALUES (1, 1704240000, 1704326400),
@@ -420,12 +420,12 @@ object Core {
     "a3_confusion_metrics" ->
       """WITH c AS (
         |  SELECT
-        |    sum(CASE WHEN value > 120.0 AND event_type = 'error' THEN 1 ELSE 0 END) AS tp,
-        |    sum(CASE WHEN NOT value > 120.0 AND NOT event_type = 'error' THEN 1 ELSE 0 END) AS tn,
-        |    sum(CASE WHEN value > 120.0 AND NOT event_type = 'error' THEN 1 ELSE 0 END) AS fp,
-        |    sum(CASE WHEN NOT value > 120.0 AND event_type = 'error' THEN 1 ELSE 0 END) AS fn
+        |    CAST(sum(CASE WHEN value > 120.0 AND event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN NOT value > 120.0 AND NOT event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN value > 120.0 AND NOT event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT value > 120.0 AND event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS fn
         |  FROM events)
-        |SELECT tp, tn, fp, fn, tp + tn + fp + fn AS total_predictions,
+        |SELECT tp, tn, fp, fn, CAST(tp + tn + fp + fn AS BIGINT) AS total_predictions,
         |  round(CASE WHEN tp+tn+fp+fn = 0 THEN 0.0 ELSE (tp+tn) / CAST(tp+tn+fp+fn AS DOUBLE) END, 4) AS accuracy,
         |  round(CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp / CAST(tp+fp AS DOUBLE) END, 4) AS precision,
         |  round(CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp / CAST(tp+fn AS DOUBLE) END, 4) AS recall_tpr,
@@ -517,7 +517,7 @@ object Core {
         |ORDER BY event_id""".stripMargin,
 
     "w9_topk_per_group" ->
-      """SELECT event_type, rnk, event_id, value FROM (
+      """SELECT event_type, CAST(rnk AS INTEGER) AS rnk, event_id, value FROM (
         |  SELECT event_type, event_id, value,
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY value DESC, event_id) AS rnk
@@ -556,7 +556,8 @@ object Core {
         "1w", "90", "", "0", "1.5h", "bogus")
       val rows = cases.map(c =>
         s"('${c}', ${Durations.parseOrZero(c)})").mkString(", ")
-      s"SELECT * FROM (VALUES $rows) t(expr, seconds) ORDER BY expr"
+      s"SELECT expr, CAST(seconds AS BIGINT) AS seconds " +
+        s"FROM (VALUES $rows) t(expr, seconds) ORDER BY expr"
     },
 
     "f7_sigmoid_proba" ->

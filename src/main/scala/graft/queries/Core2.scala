@@ -199,6 +199,17 @@ object Core2 {
         .orderBy($"user_id", $"sess_id")
     }),
 
+    // ---- F6+I6 via the SQL surface: registered graft functions -----------
+    "f8_sql_surface" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      t(s, dir, "events").createOrReplaceTempView("__events_sql")
+      s.sql(
+        """SELECT event_id,
+          |  round(graft_frac(event_id, 42), 8) AS frac,
+          |  coalesce(graft_duration_seconds('1h30m'), 0) AS dur_s
+          |FROM __events_sql ORDER BY event_id""".stripMargin)
+    }),
+
     // ---- A9: NDCG averaging across groups and k values -------------------
     "a9_ndcg_mean" -> ((s, dir) => {
       import s.implicits._
@@ -352,13 +363,19 @@ object Core2 {
            |  FROM g),
            |sess AS (
            |  SELECT user_id, e,
-           |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |      ROWS UNBOUNDED PRECEDING) AS sess_id
+           |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
            |  FROM n)
            |SELECT user_id, sess_id, count(*) AS n_events,
            |  min(e) AS sess_start, max(e) AS sess_end
            |FROM sess GROUP BY user_id, sess_id
            |ORDER BY user_id, sess_id""".stripMargin,
+
+      "f8_sql_surface" ->
+        s"""SELECT event_id,
+           |  round(${Det.fracSql("event_id", 42L)}, 8) AS frac,
+           |  CAST(5400 AS BIGINT) AS dur_s
+           |FROM events ORDER BY event_id""".stripMargin,
 
       "a9_ndcg_mean" -> {
         def ndcgSql(k: Int) =

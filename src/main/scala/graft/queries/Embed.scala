@@ -127,11 +127,11 @@ object Embed {
            |r AS (SELECT q_id, c_id, cos, row_number() OVER
            |        (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
            |      FROM sc)
-           |SELECT q_id, rnk, c_id, round(cos, 6) AS cos_sim
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id, round(cos, 6) AS cos_sim
            |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
       "e2_lsh_buckets" ->
-        s"""SELECT vec_id, $bucketSql AS bucket
+        s"""SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket
            |FROM embeddings ORDER BY vec_id""".stripMargin,
 
       "e3_lsh_ann" ->
@@ -145,7 +145,7 @@ object Embed {
            |r AS (SELECT q_id, c_id, cos, row_number() OVER
            |        (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
            |      FROM sc)
-           |SELECT q_id, rnk, c_id, round(cos, 6) AS cos_sim
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id, round(cos, 6) AS cos_sim
            |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
       "e4_embed_neardup" ->

@@ -281,7 +281,7 @@ object TextDedup {
            |FROM m ORDER BY doc_id""".stripMargin,
 
       "t3_token_counts" ->
-        s"""SELECT doc_id, len($tokensSqlExpr) AS n_ws_tokens,
+        s"""SELECT doc_id, CAST(len($tokensSqlExpr) AS INTEGER) AS n_ws_tokens,
            |  CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est
            |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -312,7 +312,7 @@ object TextDedup {
              |  t -> CASE WHEN substr(md5(t), $j, 1) >= '8' THEN 1 ELSE -1 END))
              |  > 0 THEN ${1L << (j - 1)} ELSE 0 END)""".stripMargin
         }.mkString("(", " + ", ")")
-        s"""SELECT doc_id, $bits AS sim
+        s"""SELECT doc_id, CAST($bits AS BIGINT) AS sim
            |FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
            |ORDER BY doc_id""".stripMargin
       },
@@ -324,14 +324,14 @@ object TextDedup {
              |  > 0 THEN ${1L << (j - 1)} ELSE 0 END)""".stripMargin
         }.mkString("(", " + ", ")")
         s"""WITH sim AS (
-           |  SELECT doc_id, $bits AS sim
+           |  SELECT doc_id, CAST($bits AS BIGINT) AS sim
            |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
            |chunks AS (
            |  SELECT doc_id, sim, c AS chunk,
            |    (sim >> (4 * c)) & 15 AS cv
            |  FROM sim, (VALUES (0), (1), (2), (3)) t(c))
            |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-           |  bit_count(xor(x.sim, y.sim)) AS hamming
+           |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
            |FROM chunks x JOIN chunks y
            |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
            |WHERE bit_count(xor(x.sim, y.sim)) <= 3
@@ -340,7 +340,7 @@ object TextDedup {
 
       "d8_simhash64" -> {
         val sim = graft.expressions.Simhash64Expr.simhash64Sql("tokens")
-        s"""SELECT doc_id, $sim AS sim64
+        s"""SELECT doc_id, CAST($sim AS BIGINT) AS sim64
            |FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
            |ORDER BY doc_id""".stripMargin
       },
@@ -348,13 +348,13 @@ object TextDedup {
       "d9_simhash64_pairs" -> {
         val sim = graft.expressions.Simhash64Expr.simhash64Sql("tokens")
         s"""WITH sim AS (
-           |  SELECT doc_id, $sim AS sim
+           |  SELECT doc_id, CAST($sim AS BIGINT) AS sim
            |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
            |chunks AS (
            |  SELECT doc_id, sim, c AS chunk, (sim >> (8 * c)) & 255 AS cv
            |  FROM sim, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(c))
            |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-           |  bit_count(xor(x.sim, y.sim)) AS hamming
+           |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
            |FROM chunks x JOIN chunks y
            |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
            |WHERE bit_count(xor(x.sim, y.sim)) <= 7
