@@ -38,6 +38,13 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
         d = d.sort_values(by=list(d.columns)).reset_index(drop=True)
+        # physical dtype parity first: a strict driver hash may compare raw
+        # bytes (DuckDB HUGEINT sums and TINYINT bit_count are the usual
+        # culprits — cast the oracle, not the Spark side)
+        dt = [c for c in s.columns if str(s[c].dtype) != str(d[c].dtype)]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {[(c, str(s[c].dtype), str(d[c].dtype)) for c in dt]}")
+            n_fail += 1; continue
         # normalize dtypes for compare
         mismatch = None
         for c in s.columns:
