@@ -231,18 +231,27 @@ object TextDedup {
     // cost ~100× for pairs that can't be near-dups.
     "d6_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
-      val grams = docs.select($"doc_id",
-        array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N)).as("g"))
-      lshPairs(s, dir)
+      // repartition (single-split source) + localCheckpoint (feeds BOTH
+      // broadcast build sides) — see PLANS.md fan-out rule
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N)).as("g"))
+        .localCheckpoint()
+      // one projection computes the intersection size, then a scalar-only
+      // checkpoint: CollapseProject would otherwise re-inline the expensive
+      // array_intersect into every reference (2x per row)
+      val sized = lshPairs(s, dir)
         .filter($"est_jaccard" >= 0.5)
         .join(grams.as("ga"), col("a_id") === col("ga.doc_id"))
         .join(grams.as("gb"), col("b_id") === col("gb.doc_id"))
-        .withColumn("__i",
-          size(array_intersect(col("ga.g"), col("gb.g"))).cast("double"))
         .select($"a_id", $"b_id",
-          round($"__i" /
-            (size(col("ga.g")) + size(col("gb.g")) - $"__i"), 4).as("jaccard"))
+          size(array_intersect(col("ga.g"), col("gb.g"))).cast("double").as("__i"),
+          size(col("ga.g")).cast("double").as("__na"),
+          size(col("gb.g")).cast("double").as("__nb"))
+        .localCheckpoint()
+      sized.select($"a_id", $"b_id",
+          round($"__i" / ($"__na" + $"__nb" - $"__i"), 4).as("jaccard"))
         .orderBy($"a_id", $"b_id")
     }))
 
