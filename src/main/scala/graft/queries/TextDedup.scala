@@ -272,22 +272,9 @@ object TextDedup {
            |ORDER BY doc_id""".stripMargin,
 
       "t2_quality_score" ->
-        s"""WITH b AS (
-           |  SELECT doc_id, CAST(len(text) AS DOUBLE) AS nc,
-           |    CAST(len($tokensSqlExpr) AS DOUBLE) AS nt,
-           |    CAST(len(list_filter($tokensSqlExpr, x -> x IN ($allStop)))
-           |      AS DOUBLE) AS sh
-           |  FROM documents),
-           |m AS (
-           |  SELECT doc_id,
-           |    CASE WHEN nt > 0 THEN (nc - (nt - 1)) / nt ELSE 0.0 END AS atl,
-           |    CASE WHEN nt > 0 THEN sh / nt ELSE 0.0 END AS sr,
-           |    least(nt / 100.0, 1.0) AS ls
-           |  FROM b)
-           |SELECT doc_id, round(0.4 * ls + 0.3 * sr +
-           |  0.3 * (CASE WHEN atl >= 3.0 AND atl <= 8.0 THEN 1.0 ELSE 0.5 END), 4)
-           |  AS quality
-           |FROM m ORDER BY doc_id""".stripMargin,
+        s"""SELECT doc_id,
+           |  ${TextOps.qualityScoreSql("text", tokensSqlExpr, allStop)} AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "t3_token_counts" ->
         s"""SELECT doc_id, CAST(len($tokensSqlExpr) AS INTEGER) AS n_ws_tokens,

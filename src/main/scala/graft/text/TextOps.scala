@@ -112,17 +112,41 @@ object TextOps {
   def fingerprint(tokensCol: Column): Column =
     md5(array_join(array_sort(array_distinct(tokensCol)), " ").cast("binary"))
 
-  /** Quality score in [0,1]: blend of length, stopword density, and
-    * average-token-length sanity (SURVEY "quality scoring" row). */
+  /** Quality score in [0,1]: blend of length (0.4·min(nt,100)/100),
+    * stopword density (0.3·hits/nt), and average-token-length sanity
+    * (0.3 if 3 ≤ (chars−(nt−1))/nt ≤ 8 else 0.15), at 4 dp.
+    *
+    * Computed ENTIRELY in integer ten-thousandths: the float formulation
+    * diverged between engines at the 4th decimal (12/5000 docs at sf0.1) —
+    * a rational a/b with b ≤ a few thousand is never within 1e-4 of a
+    * rounding boundary, so integer half-up division is exact in both
+    * engines. The only non-integer term, round(3000·hits/nt), uses
+    * ⌊(2·3000·hits + nt)/(2·nt)⌋ via double division of exact ints < 2^53
+    * (correctly rounded ⇒ exact for quotients this far from integers). */
   def qualityScore(text: Column, tokensCol: Column): Column = {
-    val nChars = length(text).cast("double")
-    val nTokens = size(tokensCol).cast("double")
-    val avgTokLen = when(nTokens > 0, (nChars - (nTokens - 1)) / nTokens).otherwise(0.0)
-    val stopHits = hitCount(tokensCol, langWords.flatMap(_._2)).cast("double")
-    val stopRatio = when(nTokens > 0, stopHits / nTokens).otherwise(0.0)
-    val lenScore = least(nTokens / lit(100.0), lit(1.0))
-    round(lit(0.4) * lenScore + lit(0.3) * stopRatio +
-      lit(0.3) * when(avgTokLen >= 3.0 && avgTokLen <= 8.0, 1.0).otherwise(0.5), 4)
+    val nt = size(tokensCol).cast("long")
+    val nc = length(text).cast("long")
+    val sh = hitCount(tokensCol, langWords.flatMap(_._2)).cast("long")
+    val lenPart = lit(40L) * least(nt, lit(100L))
+    val stopPart = when(nt > 0,
+      ((lit(6000L) * sh + nt) / (nt * 2L)).cast("long")).otherwise(0L)
+    val atlOk = nt > 0 && nc - nt + 1L >= nt * 3L && nc - nt + 1L <= nt * 8L
+    val atlPart = when(atlOk, 3000L).otherwise(1500L)
+    (lenPart + stopPart + atlPart).cast("double") / lit(10000.0)
+  }
+
+  /** DuckDB twin of [[qualityScore]] (`tokens` = token-list expression). */
+  def qualityScoreSql(text: String, tokens: String, allStop: String): String = {
+    val nt = s"CAST(len($tokens) AS BIGINT)"
+    val nc = s"CAST(len($text) AS BIGINT)"
+    val sh = s"CAST(len(list_filter($tokens, x -> x IN ($allStop))) AS BIGINT)"
+    s"""(CAST(40 * least($nt, 100)
+       | + (CASE WHEN $nt > 0
+       |      THEN (6000 * $sh + $nt) // ($nt * 2) ELSE 0 END)
+       | + (CASE WHEN $nt > 0 AND $nc - $nt + 1 >= $nt * 3
+       |          AND $nc - $nt + 1 <= $nt * 8
+       |      THEN 3000 ELSE 1500 END) AS DOUBLE) / 10000.0)"""
+      .stripMargin.replaceAll("\n", "")
   }
 
   /** Whitespace token count + a BPE-ish subword estimate (ceil(chars/4) — the
