@@ -84,12 +84,20 @@ object Ingest {
     val casted = measures.foldLeft(withLabel)((d, c) =>
       d.withColumn(c, col(c).cast(DoubleType)))
 
-    // P6: drop rows whose timestamp failed coercion; 5.–7.: sort, flags, id
-    val ordered = casted.na.drop(Seq("timestamp")).orderBy(col("timestamp"))
+    // P6: drop rows whose timestamp failed coercion; 5.–7.: sort, flags, id.
+    // The id is the STABLE-ID CONTRACT of the engine: a 0-based rank over
+    // (timestamp, measures..., label) via the range-partitioned two-pass
+    // rank — a pure function of row content, identical under any partition
+    // count / cluster size (monotonically_increasing_id encodes the
+    // partition index and is NOT). Downstream keyed randomness (Det.frac →
+    // injection selection, permutation) depends on this invariance. Rows
+    // tied on every order column are fully identical, so either rank
+    // assignment yields the same frame.
+    val valid = casted.na.drop(Seq("timestamp"))
     val cols = Seq(col("timestamp")) ++ measures.map(col) ++
       (if (labelColumn.isDefined) Seq(col("label")) else Nil)
-    ordered.select(cols: _*)
-      .withColumn("id", monotonically_increasing_id())
+    graft.ops.Ranks.globalRowNumber(valid.select(cols: _*), cols, "id")
+      .withColumn("id", col("id") - 1L)
       .withColumn("injected_anomaly", lit(false))
       .withColumn("is_anomaly", lit(false))
   }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scale-safe global ordering primitives.
+  *
+  * A bare `Window.orderBy(...)` (no partitionBy) funnels every row through
+  * ONE task — correct, but the cluster idles while a single thread sorts
+  * 100 TB. The equivalent distributed shape is a two-pass rank:
+  *
+  *   1. assign each row an order-aligned bucket: equi-depth boundaries on
+  *      the leading order key (one `approxQuantile` stats pass), bucket =
+  *      number of boundaries below the row's key — a PURE FUNCTION of row
+  *      values, so every consumer of the frame computes the identical
+  *      bucket for a row no matter how the data is partitioned;
+  *   2. rank locally within each bucket (`row_number` partitioned by
+  *      bucket — balanced, parallel, one hash shuffle);
+  *   3. add the cumulative row count of all lower buckets — a ≤`buckets`-row
+  *      frame joined back by broadcast.
+  *
+  * An earlier variant derived the bucket from `spark_partition_id()` after
+  * `repartitionByRange` — WRONG under reuse: each consumer branch gets its
+  * own range exchange, each samples its own boundaries, and the offsets
+  * branch can count under different boundaries than the rank branch
+  * (observed as duplicated/shifted ranks under `coalesce(1)` writes).
+  * Value-derived buckets cannot disagree, and they also shuffle the data
+  * once instead of twice.
+  *
+  * Determinism contract: `orderCols` must be ascending and form a total
+  * order (append a tiebreak); rows tied on every order column must be fully
+  * identical (interchangeable). The boundary probe is an eager (driver)
+  * action — callers build rankings at pipeline-assembly time.
+  *
+  * Skew: rows tied on the LEADING key always share a bucket (correctness
+  * requires it), so a 100 TB frame whose leading key has massive tie runs
+  * should rank on a finer leading key (e.g. add a coarse time bucket).
+  */
+object Ranks {
+
+  /** Append a global 1-based `row_number() OVER (ORDER BY orderCols)` as
+    * `out` (LongType) without a single-task global window. */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column], out: String,
+                      numPartitions: Int = 0): DataFrame =
+    ranked(df, orderCols, out, total = None, numPartitions)
+
+  /** [[globalRowNumber]] that also appends the total row count as
+    * `totalOut` — callers needing `N` (e.g. ratio splits) avoid a second
+    * scan: the count falls out of the per-bucket offsets frame. */
+  def globalRowNumberWithTotal(df: DataFrame, orderCols: Seq[Column],
+                               out: String, totalOut: String,
+                               numPartitions: Int = 0): DataFrame =
+    ranked(df, orderCols, out, total = Some(totalOut), numPartitions)
+
+  private def ranked(df: DataFrame, orderCols: Seq[Column], out: String,
+                     total: Option[String], numPartitions: Int): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = df.withColumn("__gr_key", orderCols.head.cast("double"))
+
+    // equi-depth internal boundaries of the leading key (deterministic
+    // given the data; any monotone bucketing yields exact ranks — the
+    // boundary quality only affects balance). NaN/null keys sort first in
+    // both the bucket expression (bucket 0) and the window order.
+    val bounds: Array[Double] =
+      if (n <= 1) Array.empty
+      else keyed.stat
+        .approxQuantile("__gr_key", (1 until n).map(_.toDouble / n).toArray, 0.001)
+        .filterNot(_.isNaN).distinct.sorted
+    val bucket = bounds
+      .map(b => when(col("__gr_key") > lit(b), 1).otherwise(0))
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    val parted = keyed.withColumn("__gr_b", bucket).drop("__gr_key")
+
+    // tiny frame: one row per bucket → exclusive cumulative offsets (the
+    // global window here runs over ≤ n rows, not the data)
+    val offWin = Window.orderBy(col("__gr_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allWin = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets0 = parted.groupBy(col("__gr_b"))
+      .agg(count(lit(1)).as("__gr_cnt"))
+      .withColumn("__gr_off", coalesce(sum(col("__gr_cnt")).over(offWin), lit(0L)))
+    val offsets = total
+      .map(tc => offsets0.withColumn(tc, sum(col("__gr_cnt")).over(allWin)))
+      .getOrElse(offsets0)
+      .withColumnRenamed("__gr_b", "__gr_b2")
+      .drop("__gr_cnt")
+
+    val localWin = Window.partitionBy(col("__gr_b")).orderBy(orderCols: _*)
+    parted.withColumn("__gr_lrn", row_number().over(localWin))
+      .join(broadcast(offsets), col("__gr_b") === col("__gr_b2"))
+      .withColumn(out, col("__gr_off") + col("__gr_lrn"))
+      .drop("__gr_b", "__gr_b2", "__gr_off", "__gr_lrn")
+  }
+}

@@ -71,11 +71,12 @@ object Core {
     }),
 
     // ---- J1: positional prediction alignment with warm-up padding --------
+    // rank via range-partitioned two-pass rank (no single-task window)
     "j1_pred_alignment" -> ((s, dir) => {
       import s.implicits._
-      val base = t(s, dir, "events")
-        .select($"event_id", $"ts", $"value")
-        .withColumn("rn", row_number().over(Window.orderBy($"ts", $"event_id")))
+      val base = graft.ops.Ranks.globalRowNumber(
+        t(s, dir, "events").select($"event_id", $"ts", $"value"),
+        Seq($"ts", $"event_id"), "rn")
       val preds = base.filter($"rn" >= 10)
         .select($"rn".as("prn"), ($"value" > 150.0).as("pred"))
       base.join(preds, $"rn" === $"prn", "left")
@@ -228,14 +229,18 @@ object Core {
     }),
 
     // ---- W1-lite: sliding window aggregate per series --------------------
+    // l_quantity tiebreak: (orderkey, linenumber) pairs repeat in the
+    // synthetic data, so without it the window order is not total and BOTH
+    // engines flap run-to-run; win_avg_qty in the output order for the same
+    // reason (tied key rows carry different averages).
     "w1_sliding_avg" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
       li.select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           round(Sequencer.slidingAvg(li, "l_suppkey",
-            Seq($"l_shipdate", $"l_orderkey", $"l_linenumber"),
+            Seq($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity"),
             $"l_quantity", 5), 4).as("win_avg_qty"))
-        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"win_avg_qty")
     }),
 
     // ---- W3: temporal 85/15 split ----------------------------------------
@@ -479,10 +484,10 @@ object Core {
     "w1_sliding_avg" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(avg(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS win_avg_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, win_avg_qty""".stripMargin,
 
     "w3_temporal_split" ->
       """WITH s AS (

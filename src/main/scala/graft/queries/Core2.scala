@@ -95,13 +95,17 @@ object Core2 {
       val li = t(s, dir, "lineitem")
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           $"l_shipdate", $"l_quantity")
+      // l_quantity tiebreak + seq in the output order: (orderkey,
+      // linenumber) pairs repeat, so without them neither the window order
+      // nor the output order is total and both engines flap run-to-run
       Sequencer.sequences(li, Some("l_suppkey"),
           "l_shipdate", Seq("l_quantity"), L = 3,
-          orderTiebreak = Seq(col("l_orderkey"), col("l_linenumber")))
+          orderTiebreak = Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity")))
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           array_join(transform($"sequence",
             a => element_at(a, 1).cast("int").cast("string")), ",").as("seq"))
-        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"seq")
     }),
 
     // ---- I6: multi-column injection, composite stable id -----------------
@@ -296,11 +300,11 @@ object Core2 {
           |FROM (
           |  SELECT l_suppkey, l_orderkey, l_linenumber,
           |    list(l_quantity) OVER (PARTITION BY l_suppkey
-          |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
           |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq
           |  FROM lineitem)
           |WHERE len(seq) = 3
-          |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+          |ORDER BY l_suppkey, l_orderkey, l_linenumber, seq""".stripMargin,
 
       "i7_inject_multicol" -> {
         val u0 = Det.fracSql(id, 42L + 7919L)

@@ -70,7 +70,23 @@ object Inject {
     "i6_inject_multi" -> ((s, dir) =>
       run(s, dir,
         setting("spike", spikeW, pct = 50.0, mag = 3.0),
-        setting("step", stepW, pct = 100.0, mag = 2.0))))
+        setting("step", stepW, pct = 100.0, mag = 2.0))),
+
+    // Full ingest pipeline: normalize (stable rank-derived ids) → inject.
+    // The oracle recomputes the id AS PURE SQL (row_number over the content
+    // order), so this row goes red if ids ever become partition-dependent
+    // again — the gate for the stable-id contract.
+    "i8_normalize_inject" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "events")
+        .select(Det.epochS($"ts").as("when"), $"value", $"event_id")
+      val norm = graft.ingest.Ingest.normalize(raw, "when")
+      val inj = Injector.inject(norm, "id", "timestamp",
+        setting("spike", spikeW, pct = 50.0, mag = 3.0))
+      inj.select($"id", $"timestamp".cast("long").as("es"),
+          round($"value", 4).as("value_inj"), $"injected_anomaly", $"label")
+        .orderBy($"id")
+    }))
 
   def oracles: Map[String, String] = {
     val spikeSel = selSql(spikeW, 50.0)
@@ -101,6 +117,29 @@ object Inject {
         oracle(s"CASE WHEN $customSel THEN value * 5.0 ELSE value END", customSel),
       "i6_inject_multi" ->
         oracle(s"CASE WHEN $stepSel THEN value + $stepMean * 2.0 ELSE ($spikeVal) END",
-          spikeSel, stepSel))
+          spikeSel, stepSel),
+
+      "i8_normalize_inject" -> {
+        // the id is recomputed as pure SQL: 0-based row_number over the
+        // normalized content order (timestamp, measures...) — the oracle
+        // twin of the Ranks-based stable-id contract in Ingest.normalize
+        val sel = s"(es >= ${spikeW._1} AND es < ${spikeW._2} " +
+          s"AND ${Det.fracSql("id", 42L)} < 0.5)"
+        val u = Det.fracSql("id", 42L + 7919L)
+        s"""WITH base AS (
+           |  SELECT $es AS es, CAST(value AS DOUBLE) AS value,
+           |         CAST(event_id AS DOUBLE) AS eid
+           |  FROM events),
+           |norm AS (
+           |  SELECT es, value,
+           |         row_number() OVER (ORDER BY es, value, eid) - 1 AS id
+           |  FROM base)
+           |SELECT id, es,
+           |  round(CASE WHEN $sel THEN value * (1.0 + 2.0 * ($u)) ELSE value END, 4)
+           |    AS value_inj,
+           |  $sel AS injected_anomaly,
+           |  CASE WHEN $sel THEN 1 ELSE 0 END AS label
+           |FROM norm ORDER BY id""".stripMargin
+      })
   }
 }

@@ -43,15 +43,13 @@ object Sequencer {
 
   /** W3: temporal 85/15 split (`Backend/execute_calls.py:333-346`): first
     * ⌊r·N⌋ rows by time order are "train", rest "test". Adds `split`.
-    * Uses a count window rather than a driver-side count. */
-  def temporalSplit(df: DataFrame, orderCols: Seq[Column], trainRatio: Double = 0.85): DataFrame = {
-    val w = Window.orderBy(orderCols: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    * Rank and total both come from [[graft.ops.Ranks]]' range-partitioned
+    * two-pass rank — no single-task global window, no driver-side count. */
+  def temporalSplit(df: DataFrame, orderCols: Seq[Column], trainRatio: Double = 0.85): DataFrame =
+    graft.ops.Ranks.globalRowNumberWithTotal(df, orderCols, "__rn", "__n")
       .withColumn("split",
         when(col("__rn") <= floor(col("__n") * trainRatio), "train").otherwise("test"))
       .drop("__rn", "__n")
-  }
 
   /** W5: balanced tail sampling (`Backend/execute_calls.py:145-331`): take the
     * most-recent ⌊n/2⌋ rows of each class; if a class cannot fill its quota

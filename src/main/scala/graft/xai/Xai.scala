@@ -27,13 +27,17 @@ object Xai {
 
   /** Deterministically permute `feature` across rows: rows are ranked twice
     * (by stable id, by keyed-LCG of id) and the value moves from one rank to
-    * the other — a partition-invariant derangement-ish shuffle. */
+    * the other — a partition-invariant derangement-ish shuffle. Both ranks
+    * use [[graft.ops.Ranks]]' range-partitioned two-pass rank, so no row
+    * funnels through a single-task global window. */
   def permuteColumn(df: DataFrame, idCol: String, feature: String,
                     seed: Long): DataFrame = {
-    val byId = Window.orderBy(Det.frac(col(idCol), seed), col(idCol))
-    val donor = df.select(col(feature).as("__perm_v"),
-      row_number().over(Window.orderBy(col(idCol))).as("__rn"))
-    df.withColumn("__rn", row_number().over(byId))
+    val donor = graft.ops.Ranks.globalRowNumber(
+        df.select(col(feature).as("__perm_v"), col(idCol)),
+        Seq(col(idCol)), "__rn")
+      .select("__perm_v", "__rn")
+    graft.ops.Ranks.globalRowNumber(df,
+        Seq(Det.frac(col(idCol), seed), col(idCol)), "__rn")
       .join(donor, "__rn")
       .drop(feature, "__rn")
       .withColumnRenamed("__perm_v", feature)
