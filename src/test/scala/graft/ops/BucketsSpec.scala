@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BucketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // adversarial fixture: one degenerate bucket every member shares (the
+  // all-identical-band case) plus healthy small buckets
+  private def fixture = {
+    val hot = (1 to 200).map(i => (i.toLong, "deadbeef"))
+    val ok = (201 to 220).map(i => (i.toLong, s"b${i % 5}"))
+    (hot ++ ok).toDF("doc_id", "bv")
+  }
+
+  test("capMembers drops over-cap buckets and keeps the rest intact") {
+    val capped = Buckets.capMembers(fixture, Seq($"bv"), cap = 10, label = "t1")
+    val kept = capped.select("bv").distinct().as[String].collect().toSet
+    assert(!kept.contains("deadbeef"))
+    assert(kept == (0 until 5).map(i => s"b$i").toSet)
+    assert(capped.count() == 20)
+  }
+
+  test("self-join over capped members is bounded; uncapped would explode") {
+    val capped = Buckets.capMembers(fixture, Seq($"bv"), cap = 10, label = "t2")
+    val pairs = capped.as("x").join(capped.as("y"),
+      col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+    // healthy buckets have 4 members each → 4C2 × 5 = 30 pairs; the hot
+    // bucket alone would have contributed 200C2 = 19900
+    assert(pairs.count() == 30)
+  }
+
+  test("overCap reports exactly the skipped buckets with sizes") {
+    val audit = Buckets.overCap(fixture, Seq($"bv"), cap = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(audit == Seq(("deadbeef", 200L)))
+  }
+
+  test("cap not hit → frame passes through unchanged") {
+    val capped = Buckets.capMembers(fixture, Seq($"bv"), cap = 5000, label = "t3")
+    assert(capped.count() == fixture.count())
+  }
+}
