@@ -32,9 +32,15 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_minhash_sig"
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // per-thread digest: one expression instance can be evaluated from
+  // several threads (interpreted projections, subexpression reuse) and a
+  // shared MessageDigest would interleave state across rows
+  @transient private lazy val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
 
   override def nullSafeEval(input: Any): Any = {
+    val md = mdLocal.get()
     val text = input.asInstanceOf[UTF8String]
     val n = math.max(text.numChars() - (k - 1), 1)
     val mins = Array.fill(8)(0xffffffffL)

@@ -23,9 +23,15 @@ case class Simhash64Expr(child: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_simhash64"
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // per-thread digest: one expression instance can be evaluated from
+  // several threads (interpreted projections, subexpression reuse) and a
+  // shared MessageDigest would interleave state across rows
+  @transient private lazy val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
 
   override def nullSafeEval(input: Any): Any = {
+    val md = mdLocal.get()
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Int](64)

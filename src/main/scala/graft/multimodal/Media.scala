@@ -13,11 +13,17 @@ import org.apache.spark.sql.types._
   * explosion, size-aware partitioning, and the hand-off into the embedding /
   * ANN operators ([[graft.similarity.Vectors]]).
   *
-  * The STUB parts (clearly marked): actual pixel/sample decoding — the
-  * image/audio libraries are not in this container, so `decode*Stub`
-  * derive deterministic fake values from the bytes. Swapping in a real
-  * codec changes ONLY the function body inside `mapPartitions`; every
-  * schema, partition and join shape stays as tested here.
+  * IMAGES decode for REAL via the JDK's `javax.imageio` ([[ImageCodec]]):
+  * header metadata, resize, and pixel-statistics embeddings all operate on
+  * actual pixels, inside the same `mapPartitions` batch shape. Bytes that
+  * no installed reader accepts fall back to the deterministic stub values,
+  * so synthetic fixtures keep working.
+  *
+  * The remaining STUB parts (clearly marked): audio/video sample decoding —
+  * no JDK codec exists for them, so `decode*Stub` derive deterministic fake
+  * values from the bytes. Swapping in a real codec changes ONLY the
+  * function body inside `mapPartitions`; every schema, partition and join
+  * shape stays as tested here.
   */
 object Media {
 
@@ -47,12 +53,24 @@ object Media {
         col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // >>> a real binding would open ONE codec context here <<<
+        // one codec context per partition: in-memory ImageIO (no temp files)
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, typ, bytes) =>
-          DecodedMedia(id, typ, bytes, decodeHeaderStub(typ, bytes))
+          DecodedMedia(id, typ, bytes, decodeHeader(typ, bytes))
         }
       }
   }
+
+  /** Header decode: REAL for images (javax.imageio dimensions), stub
+    * fallback for undecodable bytes and for audio/video. */
+  def decodeHeader(mediaType: String, bytes: Array[Byte]): MediaMeta =
+    mediaType match {
+      case "image" =>
+        ImageCodec.decode(bytes)
+          .map(i => MediaMeta(Some(i.getWidth), Some(i.getHeight), None, None))
+          .getOrElse(decodeHeaderStub(mediaType, bytes))
+      case _ => decodeHeaderStub(mediaType, bytes)
+    }
 
   /** STUB: header decode. Deterministic fake dimensions derived from the
     * first bytes (a real implementation parses the container header). */
@@ -111,6 +129,44 @@ object Media {
         .cast(DoubleType) / lit(16777215.0) * 2.0 - 1.0).cast(FloatType)
     }
     decoded.withColumn("embedding", array(floats: _*))
+  }
+
+  /** REAL image resize: decode → smooth-scale to (w, h) → re-encode PNG,
+    * one codec context per partition; rows whose bytes no reader accepts
+    * are dropped (count the gap upstream if lineage matters). */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          ImageCodec.decode(bytes).map(img =>
+            (id, ImageCodec.encodePng(ImageCodec.resize(img, w, h))))
+        }
+      }.toDF("media_id", "thumb")
+  }
+
+  /** REAL image feature extraction: grid×grid mean-luminance pixels →
+    * `array<float>` embedding (grid² dims, [-1, 1]) matching the
+    * `embeddings` table shape — downstream ANN / near-dup
+    * ([[graft.similarity.Vectors]]) applies unchanged. Undecodable rows are
+    * dropped. Unlike [[featureExtractStub]] this is a plain per-row
+    * mapPartitions value (no wide Catalyst expression), so no
+    * materialization caveat applies. */
+  def imageEmbeddings(df: DataFrame, grid: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          ImageCodec.decode(bytes).map(img =>
+            (id, ImageCodec.embedding(img, grid).toSeq))
+        }
+      }.toDF("media_id", "embedding")
   }
 
   /** Media rows are orders of magnitude wider than tabular rows: partition

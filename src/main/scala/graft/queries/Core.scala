@@ -557,10 +557,14 @@ object Core {
          |FROM raw ORDER BY event_id""".stripMargin,
 
     "f6_duration_parse" -> {
-      val cases = Seq("1H", "30min", "2D", "1h30m", "2days 5hours", "10s",
-        "1w", "90", "", "0", "1.5h", "bogus")
-      val rows = cases.map(c =>
-        s"('${c}', ${Durations.parseOrZero(c)})").mkString(", ")
+      // HAND-WRITTEN expected seconds (not generated by Durations — the
+      // oracle must be independent of the parser it checks)
+      val expected = Seq(
+        "1H" -> 3600L, "30min" -> 1800L, "2D" -> 172800L,
+        "1h30m" -> 5400L, "2days 5hours" -> 190800L, "10s" -> 10L,
+        "1w" -> 604800L, "90" -> 90L, "" -> 0L, "0" -> 0L,
+        "1.5h" -> 5400L, "bogus" -> 0L)
+      val rows = expected.map { case (c, s) => s"('$c', $s)" }.mkString(", ")
       s"SELECT expr, CAST(seconds AS BIGINT) AS seconds " +
         s"FROM (VALUES $rows) t(expr, seconds) ORDER BY expr"
     },

@@ -74,6 +74,56 @@ class MediaSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("REAL png decode → resize → embedding → ANN, end to end") {
+    import java.awt.image.BufferedImage
+    // two near-identical gradients + one inverted image, as real PNGs
+    def png(w: Int, h: Int, invert: Boolean, noise: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = (x * 255 / math.max(1, w - 1) + (x + y) % (noise + 1)).min(255)
+        val v = if (invert) 255 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      ImageCodec.encodePng(img)
+    }
+    val rows = Seq(
+      (0L, "image", png(40, 20, invert = false, noise = 0)),
+      (1L, "image", png(40, 20, invert = false, noise = 2)), // near-dup of 0
+      (2L, "image", png(32, 32, invert = true, noise = 0)),  // opposite
+      (3L, "image", Array.fill(64)(7.toByte))                // undecodable
+    ).toDF("media_id", "media_type", "content")
+
+    // real header dimensions (stub fallback only for the junk row)
+    val meta = Media.decode(rows).toDF()
+      .select($"media_id", $"meta.width", $"meta.height")
+      .as[(Long, Int, Int)].collect()
+      .map { case (k, w, h) => k -> ((w, h)) }.toMap
+    assert(meta(0L) == ((40, 20)) && meta(2L) == ((32, 32)))
+
+    // real resize: decodable rows only, thumbnail round-trips at (8, 8)
+    val thumbs = Media.resizeImages(rows, 8, 8)
+    assert(thumbs.count() == 3)
+    val tb = thumbs.filter($"media_id" === 0L).head.getAs[Array[Byte]]("thumb")
+    val timg = ImageCodec.decode(tb).get
+    assert(timg.getWidth == 8 && timg.getHeight == 8)
+
+    // real 64-dim pixel embeddings → cosine ANN finds the near-dup
+    val emb = Media.imageEmbeddings(rows, grid = 8).cache()
+    assert(emb.count() == 3)
+    assert(emb.select(size($"embedding")).head.getInt(0) == 64)
+    val q = emb.filter($"media_id" === 0L)
+      .select($"media_id".as("q_id"), $"embedding".as("qv"))
+    val best = emb.filter($"media_id" =!= 0L)
+      .select($"media_id".as("c_id"), $"embedding".as("cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+      .orderBy($"cos".desc).select($"c_id", $"cos")
+      .as[(Long, Double)].collect()
+    assert(best.head._1 == 1L, s"nearest=${best.toSeq}") // the near-dup wins
+    assert(best.head._2 > 0.99 && best.last._2 < 0)      // inverted is anti
+    emb.unpersist()
+  }
+
   test("byte-budget repartitioning scales partitions with data volume") {
     val parts = Media.repartitionByByteBudget(raw, bytesPerPartition = 5000)
       .rdd.getNumPartitions

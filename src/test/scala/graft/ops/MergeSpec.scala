@@ -25,4 +25,18 @@ class MergeSpec extends SparkSpec {
     assert(n2 == 4)
     spark.sql("DROP TABLE merge_t")
   }
+
+  test("mergeFlags: NULL flags coerce to false, not NULL (NULL OR false trap)") {
+    Seq((1L, Some(true)), (2L, None), (3L, None))
+      .toDF("id", "is_anomaly")
+      .write.mode("overwrite").format("parquet").saveAsTable("merge_n")
+    val n = Merge.mergeFlags(spark, "merge_n", Seq(3L).toDF("id"))
+    assert(n == 2) // id 1 (pre-set) + id 3 (merged)
+    // id 2 must come out literally false — a NULL would survive an OR false
+    // and silently poison later filters
+    val id2 = spark.table("merge_n").filter($"id" === 2).select($"is_anomaly")
+      .collect()(0)
+    assert(!id2.isNullAt(0) && !id2.getBoolean(0))
+    spark.sql("DROP TABLE merge_n")
+  }
 }
