@@ -114,6 +114,32 @@ object BatchJob {
             val cfs = graft.xai.Xai.nunCounterfactuals(
               anoms, normals, cfg.features)
             m -> graft.xai.Xai.counterfactualImportance(cfs, cfg.features)
+          case m @ "per_timestep_importance" =>
+            // X2 over sequences: per-(feature, lag) occlusion attribution on
+            // flattened windows of the labeled anomalies, reduced to base
+            // features (xai_runner.py:197-308)
+            val fz = fitted match {
+              case f: graft.ml.FittedWindowZScore => f
+              case _ => throw new IllegalArgumentException(
+                "per_timestep_importance requires a windowed detector (M1)")
+            }
+            val flat = Sequencer.flattenWindows(
+              detected.drop("anomaly_score", "is_anomaly", "split"),
+              fz.cfg.seriesCol, "timestamp", cfg.features, fz.cfg.L,
+              orderTiebreak = Seq(col("id")))
+            val perTs = graft.xai.Xai.perTimestepAttribution(
+              flat.filter(col("label") === 1), fz.transformFlat,
+              cfg.features, fz.cfg.L)
+            m -> graft.xai.Xai.aggregateTimesteps(perTs)
+          case m @ "random_counterfactuals" =>
+            // X4 'random' DiCE mode; needs a per-row scorer, so windowed
+            // detectors should use per_timestep_importance instead
+            val clean = detected.drop("anomaly_score", "is_anomaly")
+            val anoms = detected.filter(col("is_anomaly")).limit(cfg.nInstances)
+              .drop("anomaly_score", "is_anomaly")
+            val cfs = graft.xai.Xai.randomCounterfactuals(
+              anoms, clean, fitted.transform, cfg.features)
+            m -> graft.xai.Xai.counterfactualImportance(cfs, cfg.features)
           case other => throw new IllegalArgumentException(s"xai method $other")
         }
         val imp = results.map { case (m, df) =>

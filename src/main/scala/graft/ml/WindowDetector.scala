@@ -63,4 +63,25 @@ case class FittedWindowZScore(cfg: WindowZScoreDetector, threshold: Double)
     df.withColumn("anomaly_score", cfg.scoreCol)
       .withColumn("is_anomaly",
         coalesce(col("anomaly_score") > threshold, lit(false)))
+
+  /** Score a flattened-window frame ([[graft.window.Sequencer.flattenWindows]]
+    * columns `<f>_tm<j>`) — the same Σ_f z² as [[transform]], but computed
+    * from the window's own lag cells instead of a window function. Pure
+    * per-row expressions (no shuffle), so per-timestep XAI can perturb a
+    * single (feature, lag) cell and re-score; on a complete window the score
+    * is identical to the windowed form up to float association order. */
+  def transformFlat(flat: DataFrame): DataFrame = {
+    val z2 = cfg.features.map { f =>
+      val cells = (0 until cfg.L).map(j => col(s"${f}_tm$j"))
+      val m = cells.reduce(_ + _) / lit(cfg.L.toDouble)
+      val variance = cells.map(v => (v - m) * (v - m)).reduce(_ + _) /
+        lit((cfg.L - 1).toDouble)
+      val sd = sqrt(variance)
+      val z = (col(s"${f}_tm0") - m) / when(sd > 1e-12, sd).otherwise(lit(1.0))
+      z * z
+    }.reduce(_ + _)
+    flat.withColumn("anomaly_score", z2)
+      .withColumn("is_anomaly",
+        coalesce(col("anomaly_score") > threshold, lit(false)))
+  }
 }

@@ -108,6 +108,24 @@ object Core2 {
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"seq")
     }),
 
+    // ---- W1-flat: lag-flattened windows (per-timestep XAI substrate) -----
+    "w12_flatten_windows" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_shipdate", $"l_quantity")
+      Sequencer.flattenWindows(li, Some("l_suppkey"), "l_shipdate",
+          Seq("l_quantity"), L = 3,
+          orderTiebreak = Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity")))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_quantity_tm0".cast("int").as("q0"),
+          $"l_quantity_tm1".cast("int").as("q1"),
+          $"l_quantity_tm2".cast("int").as("q2"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"q0", $"q1", $"q2")
+    }),
+
     // ---- I6: multi-column injection, composite stable id -----------------
     "i7_inject_multicol" -> ((s, dir) => {
       import s.implicits._
@@ -305,6 +323,17 @@ object Core2 {
           |  FROM lineitem)
           |WHERE len(seq) = 3
           |ORDER BY l_suppkey, l_orderkey, l_linenumber, seq""".stripMargin,
+
+      "w12_flatten_windows" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          |  CAST(l_quantity AS INT) AS q0,
+          |  CAST(lag(l_quantity, 1) OVER w AS INT) AS q1,
+          |  CAST(lag(l_quantity, 2) OVER w AS INT) AS q2
+          |FROM lineitem
+          |WINDOW w AS (PARTITION BY l_suppkey
+          |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
+          |QUALIFY row_number() OVER w >= 3
+          |ORDER BY l_suppkey, l_orderkey, l_linenumber, q0, q1, q2""".stripMargin,
 
       "i7_inject_multicol" -> {
         val u0 = Det.fracSql(id, 42L + 7919L)

@@ -50,6 +50,24 @@ object StreamJob {
       .parquet(stageDir)
   }
 
+  /** T1 pacing — the reference's `speedup` parameter
+    * (`Backend/Simulator/SimulateFromDataSet/simulator.py:203-217` sleeps
+    * `gap/speedup` between rows): a dataset whose event time spans S seconds
+    * replays over S/speedup wall-clock seconds. Row-level sleeps don't exist
+    * in a distributed engine; the equivalent is micro-batch cadence —
+    * `nChunks` range-ordered files at one file per trigger, interval =
+    * S/(nChunks·speedup). Pass the result as `trigger` to [[detectSink]]
+    * (with `availableNow = false`). */
+  def replayTrigger(normalized: DataFrame, tsCol: String, nChunks: Int,
+                    speedup: Double): Trigger = {
+    require(speedup > 0, "speedup must be positive")
+    val r = normalized
+      .agg(min(col(tsCol)).cast("long"), max(col(tsCol)).cast("long")).head
+    val spanSec = math.max(r.getLong(1) - r.getLong(0), 0L)
+    val intervalMs = math.max((spanSec * 1000.0 / (nChunks * speedup)).toLong, 1L)
+    Trigger.ProcessingTime(intervalMs)
+  }
+
   /** T2: per-row streaming injection for a list of settings (stats from the
     * static pre-pass). */
   def injectStream(stream: DataFrame, staticDf: DataFrame, idCol: String,
@@ -62,14 +80,17 @@ object StreamJob {
   /** T3: incremental detection sink — scores each micro-batch with the
     * pre-trained model and appends to `outTable`. */
   def detectSink(stream: DataFrame, fitted: FittedDetector, outTable: String,
-                 availableNow: Boolean = true): StreamingQuery = {
+                 availableNow: Boolean = true,
+                 trigger: Option[Trigger] = None): StreamingQuery = {
     val writer = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         fitted.transform(batch)
           .write.mode("append").format("parquet").saveAsTable(outTable)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
+    val triggered =
+      if (availableNow) writer.trigger(Trigger.AvailableNow())
+      else trigger.map(writer.trigger).getOrElse(writer)
+    triggered.start()
   }
 }

@@ -34,6 +34,29 @@ object Sequencer {
       .withColumnRenamed("__seq", "sequence")
   }
 
+  /** W1-flat: the reference's flattened-window representation — one row per
+    * complete window end with scalar columns `<f>_tm<j>` = feature f at lag
+    * j (j = 0 most recent), the naming DiCE/LIME use for sequence features
+    * (`Backend/XAI_methods/methods/DiceExplainer.py:83-88`, `f_t-j` with the
+    * offset counted from the window start; we count lags from the end, same
+    * cells). All L·F lag expressions share ONE window frame, so Spark
+    * computes them in a single sorted pass per series partition — no array
+    * materialization, unlike [[sequences]]. */
+  def flattenWindows(df: DataFrame, seriesCol: Option[String], tsCol: String,
+                     features: Seq[String], L: Int,
+                     orderTiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = seriesCol
+      .map(s => Window.partitionBy(col(s)))
+      .getOrElse(Window.partitionBy())
+      .orderBy(col(tsCol) +: orderTiebreak: _*)
+    val lagCols = for (f <- features; j <- 0 until L)
+      yield lag(col(f), j).over(w).as(s"${f}_tm$j")
+    df.select(df.columns.map(col) ++ lagCols :+
+        row_number().over(w).as("__wpos"): _*)
+      .filter(col("__wpos") >= L) // W6 warm-up: incomplete windows emit nothing
+      .drop("__wpos")
+  }
+
   /** W1-lite: sliding aggregate (avg) over the last L rows per series —
     * the scale-friendly form used for windowed detectors (no array blowup). */
   def slidingAvg(df: DataFrame, seriesCol: String, orderCols: Seq[Column],

@@ -99,6 +99,149 @@ object Xai {
       sqrt(col("__d2")).as("distance")) ++ deltaCols: _*)
   }
 
+  /** X2 over sequences: per-(feature, lag) attribution on a flattened-window
+    * frame (`<f>_tm<j>` columns from
+    * [[graft.window.Sequencer.flattenWindows]]) by OCCLUSION — replace one
+    * cell with its background mean, re-score, and average the |score drop|
+    * over the instances being explained. This is the Spark form of the
+    * reference's per-timestep |SHAP| matrix (`Backend/XAI_methods/methods/
+    * ShapExplainer.py:263-340`, shape (L, F)): SHAP measures each cell's
+    * contribution to the model SCORE against a background baseline, and
+    * mean-occlusion is its standard model-agnostic single-coalition
+    * estimate. (A metric-drop permutation variant was tried and rejected:
+    * scrambling ANY cell of an autocorrelated feature wrecks the rolling
+    * statistics of every window, so classification-metric deltas confound
+    * the causal cell with global false-positive noise.)
+    *
+    * The baseline is LOCAL: each cell is replaced by the mean of the other
+    * L−1 cells of the same feature in the same window (leave-one-out), not
+    * by a global feature mean — for a drifting/seasonal series the global
+    * mean differs from the window's local level, so substituting it
+    * manufactures an artificial anomaly and inflates attribution of smooth
+    * features. The LOO mean removes exactly the cell's own deviation from
+    * its window context and nothing else.
+    *
+    * Scale shape: the F·L occluded scores are appended as chained
+    * projections on the SAME frame, so the whole matrix is ONE distributed
+    * pass over `instances` plus one tiny agg — no per-cell jobs, no joins.
+    * (The plan holds (F·L)² score terms; for very large F·L, chunk the cell
+    * list and union.) `score` appends `anomaly_score` to a flat frame —
+    * e.g. [[graft.ml.FittedWindowZScore.transformFlat]]; `instances` is the
+    * (already filtered) set of rows to explain. */
+  def perTimestepAttribution(instances: DataFrame,
+                             score: DataFrame => DataFrame,
+                             features: Seq[String], L: Int): DataFrame = {
+    val spark = instances.sparkSession
+    import spark.implicits._
+    val cells = for (f <- features; j <- 0 until L) yield (f, j)
+
+    var cur = score(instances)
+      .withColumnRenamed("anomaly_score", "__base").drop("is_anomaly")
+    for ((f, j) <- cells) {
+      val cell = s"${f}_tm$j"
+      val looMean = (0 until L).filter(_ != j)
+        .map(o => col(s"${f}_tm$o")).reduce(_ + _) / lit((L - 1).toDouble)
+      cur = score(
+          cur.withColumn("__stash", col(cell))
+            .withColumn(cell, looMean))
+        .withColumnRenamed("anomaly_score", s"__occ_${f}_$j")
+        .drop("is_anomaly")
+        .withColumn(cell, col("__stash")).drop("__stash")
+    }
+    val aggs = cells.map { case (f, j) =>
+      avg(abs(col("__base") - col(s"__occ_${f}_$j"))).as(s"${f}_$j")
+    }
+    val row = cur.agg(aggs.head, aggs.tail: _*).head
+    cells.zipWithIndex.map { case ((f, j), i) => (f, j, row.getDouble(i)) }
+      .toDF("feature", "lag", "importance")
+      .orderBy($"importance".desc, $"feature", $"lag")
+  }
+
+  /** Aggregate a per-(feature, lag) importance table to base features by
+    * summing |importance| across lags — the reference's per-timestep →
+    * base-feature reduction (`Backend/XAI_methods/xai_runner.py:219-224`
+    * sums |SHAP| over timesteps). Output matches
+    * [[permutationImportance]]'s (feature, importance) shape, so it feeds
+    * A10 aggregation and [[ndcgVsInjected]] unchanged. */
+  def aggregateTimesteps(perTimestep: DataFrame): DataFrame = {
+    val spark = perTimestep.sparkSession
+    import spark.implicits._
+    perTimestep.groupBy($"feature")
+      .agg(sum(abs($"importance")).as("importance"))
+      .orderBy($"importance".desc, $"feature")
+  }
+
+  /** X4 "random" mode — DiCE's diverse random counterfactuals
+    * (`Backend/XAI_methods/methods/DiceExplainer.py:39` `dice_method=
+    * 'random'`), next to [[nunCounterfactuals]] (the kdtree mode). Per
+    * instance: `nCandidates` deterministic random perturbations (each
+    * feature re-drawn uniformly inside its observed [min,max] with
+    * probability `pVary`, keyed LCG so the draw is partition-invariant),
+    * scored by `score`; candidates whose prediction flips to normal are
+    * ranked by scaled-L2 proximity, and the k returned per instance are
+    * DIVERSE — at most one per changed-feature signature, nearest first.
+    *
+    * Scale shape: explode ×nCandidates → per-row expressions → score →
+    * two windows partitioned by instance. No cross join, no driver loop.
+    * Output matches [[nunCounterfactuals]] (`delta_<f>`/`changed_<f>`), so
+    * [[counterfactualImportance]] consumes either mode. */
+  def randomCounterfactuals(instances: DataFrame, background: DataFrame,
+                            score: DataFrame => DataFrame,
+                            features: Seq[String], idCol: String = "id",
+                            k: Int = 3, nCandidates: Int = 50,
+                            pVary: Double = 0.3, tau: Double = 0.1,
+                            seed: Long = 42L): DataFrame = {
+    // observed feature ranges (tiny agg, driver-side constants in the plan)
+    val aggCols = features.flatMap(f => Seq(min(col(f)), max(col(f))))
+    val statsRow = background.agg(aggCols.head, aggCols.tail: _*).head
+    val range = features.zipWithIndex.map { case (f, i) =>
+      val lo = statsRow.getDouble(2 * i); val hi = statsRow.getDouble(2 * i + 1)
+      f -> (lo, if (hi > lo) hi - lo else 1.0)
+    }.toMap
+    val F = features.size
+
+    val exploded = instances
+      .withColumn("__trial", explode(sequence(lit(1), lit(nCandidates))))
+    val perturbed = features.zipWithIndex.foldLeft(exploded) {
+      case (d, (f, fi)) =>
+        // unique key per (row, trial, feature) ⇒ independent draws
+        val key = col(idCol) * lit(nCandidates.toLong * F) +
+          (col("__trial") - 1) * lit(F.toLong) + lit(fi.toLong)
+        val (lo, span) = range(f)
+        d.withColumn(s"__orig_$f", col(f))
+          .withColumn(f,
+            when(Det.frac(key, seed) < pVary,
+              lit(lo) + Det.frac(key, seed + 7919) * lit(span))
+              .otherwise(col(f)))
+    }
+
+    val flipped = score(perturbed).filter(!col("is_anomaly"))
+    val dist2 = features.map { f =>
+      val d = (col(f) - col(s"__orig_$f")) / lit(range(f)._2)
+      d * d
+    }.reduce(_ + _)
+    val sigParts = features.map(f =>
+      (abs((col(f) - col(s"__orig_$f")) / lit(range(f)._2)) > tau).cast("int"))
+    val withDist = flipped.withColumn("__d2", dist2)
+      .withColumn("__sig", concat_ws(",", sigParts: _*))
+    // diversity: nearest candidate per distinct change-signature, then top-k
+    val perSig = Window.partitionBy(col(idCol), col("__sig"))
+      .orderBy(col("__d2"), col("__trial"))
+    val perInst = Window.partitionBy(col(idCol))
+      .orderBy(col("__d2"), col("__trial"))
+    val picked = withDist
+      .withColumn("__sr", row_number().over(perSig)).filter(col("__sr") === 1)
+      .withColumn("__rnk", row_number().over(perInst)).filter(col("__rnk") <= k)
+    val deltaCols = features.flatMap { f =>
+      Seq((col(f) - col(s"__orig_$f")).as(s"delta_$f"),
+        (abs((col(f) - col(s"__orig_$f")) / lit(range(f)._2)) > tau)
+          .as(s"changed_$f"))
+    }
+    picked.select(Seq(col(idCol).as("instance_id"),
+      col("__trial").cast("long").as("cf_id"), col("__rnk").as("rank"),
+      sqrt(col("__d2")).as("distance")) ++ deltaCols: _*)
+  }
+
   /** DiCE-style importance from counterfactuals: per feature, the fraction
     * of counterfactual rows that changed it (A10). */
   def counterfactualImportance(cfs: DataFrame, features: Seq[String]): DataFrame = {

@@ -99,6 +99,31 @@ class ModelsSpec extends SparkSpec {
     assert(back.select("job").head.getString(0) == "t_inj")
   }
 
+  test("windowed detector + per-timestep XAI land in the run summary " +
+      "(X2 over sequences, Demo path)") {
+    // anomaly-free base series: the ONLY anomaly signal is the injected one
+    // (the shared `series` fixture has unlabeled natural spikes that leak
+    // into v2 and would legitimately draw attribution)
+    val rng = new scala.util.Random(19)
+    val clean = (0 until 2000).map { i =>
+      (ts(i), 50.0 + 10.0 * math.sin(i / 25.0) + rng.nextGaussian(),
+        rng.nextGaussian() * 5.0)
+    }.toDF("timestamp", "v1", "v2")
+    val inj = AnomalySetting("spike", 1704067200L + 500, durationSec = 300,
+      magnitude = 6.0, percentage = 80.0, columns = Seq("v1"))
+    val summary = BatchJob.run(spark, "t_pts", clean, "timestamp", None,
+      injections = Seq(inj),
+      detector = WindowZScoreDetector(Seq("v1", "v2"), L = 8,
+        percentile = 0.98),
+      persistTable = false,
+      xai = Some(graft.jobs.XaiConfig(Seq("v1", "v2"),
+        methods = Seq("per_timestep_importance"), ndcgK = 1)))
+    val imp = summary.xaiImportance("per_timestep_importance")
+    assert(imp("v1") > imp("v2"), imp.toString)
+    assert(summary.xaiNdcg("per_timestep_importance") == 1.0,
+      summary.xaiNdcg.toString)
+  }
+
   test("autoTune surfaces CV fold metrics into the run summary") {
     val summary = BatchJob.run(spark, "t_cv", series, "timestamp", Some("label"),
       injections = Nil,

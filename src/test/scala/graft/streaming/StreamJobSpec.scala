@@ -42,6 +42,18 @@ class StreamJobSpec extends SparkSpec {
     assert(streamResult == batchResult)
   }
 
+  test("T1: replayTrigger paces event-time span by the speedup factor") {
+    // rows span 199 s of event time; 10 chunks at speedup 50 ⇒ the whole
+    // replay should take 199/50 ≈ 4 s wall ⇒ 398 ms per micro-batch
+    val trig = StreamJob.replayTrigger(rows.toDF(), "ts", nChunks = 10,
+      speedup = 50.0)
+    assert(trig.toString.contains("398"), trig.toString)
+    // and a degenerate single-instant dataset still yields a valid trigger
+    val one = Seq(Ev(0, ts(0), 1.0)).toDF()
+    val t1 = StreamJob.replayTrigger(one, "ts", nChunks = 5, speedup = 2.0)
+    assert(t1.toString.contains("1"), t1.toString)
+  }
+
   test("T1+T3: file replay through incremental detection matches batch detect") {
     val static = rows.toDF().withColumnRenamed("ts", "timestamp")
     val det = WindowZScoreDetector(Seq("v"), tsCol = "timestamp", L = 5)

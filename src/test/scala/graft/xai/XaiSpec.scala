@@ -1,7 +1,8 @@
 package graft.xai
 
 import graft.SparkSpec
-import graft.ml.SupervisedDetector
+import graft.ml.{FittedWindowZScore, SupervisedDetector, WindowZScoreDetector}
+import graft.window.Sequencer
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -41,6 +42,74 @@ class XaiSpec extends SparkSpec {
     assert(imp.head._1 == "v1", imp.mkString(", "))
     assert(imp.head._2 > 0.02) // scrambling v1 hurts accuracy
     assert(math.abs(imp.last._2) < 0.01) // scrambling noise does nothing
+  }
+
+  /** Windowed fixture: smooth v1 with planted spikes (label=1), v2 noise.
+    * The anomaly signal lives entirely in v1 at the window's newest cell. */
+  private lazy val seriesData = {
+    val rng = new scala.util.Random(11)
+    (0 until 1200).map { i =>
+      val anom = i > 60 && i % 97 == 3
+      val v1 = 50.0 + 2.0 * math.sin(i / 10.0) + rng.nextGaussian() * 0.5 +
+        (if (anom) 30.0 else 0.0)
+      (i.toLong, ts(i), v1, rng.nextGaussian() * 10, if (anom) 1 else 0)
+    }.toDF("id", "timestamp", "v1", "v2", "label")
+  }
+
+  test("flattenWindows + transformFlat reproduce the windowed score") {
+    val det = WindowZScoreDetector(Seq("v1", "v2"), L = 6)
+    val fitted = det.fit(seriesData).asInstanceOf[FittedWindowZScore]
+    val win = fitted.transform(seriesData)
+      .filter($"anomaly_score".isNotNull)
+      .select($"id", $"anomaly_score".as("ws"))
+    val flat = Sequencer.flattenWindows(seriesData, None, "timestamp",
+      Seq("v1", "v2"), 6, Seq($"id"))
+    assert(flat.count() == 1200 - 5) // W6 warm-up emits nothing
+    val fs = fitted.transformFlat(flat).select($"id", $"anomaly_score".as("fs"))
+    val maxDiff = win.join(fs, "id").agg(max(abs($"ws" - $"fs"))).head.getDouble(0)
+    assert(maxDiff < 1e-8, s"maxDiff $maxDiff")
+  }
+
+  test("per-timestep attribution pins the injected cell (v1, lag 0); NDCG = 1") {
+    val det = WindowZScoreDetector(Seq("v1", "v2"), L = 6)
+    val fitted = det.fit(seriesData).asInstanceOf[FittedWindowZScore]
+    val flat = Sequencer.flattenWindows(seriesData, None, "timestamp",
+      Seq("v1", "v2"), 6, Seq($"id")).cache()
+    val perTs = Xai.perTimestepAttribution(flat.filter($"label" === 1),
+      fitted.transformFlat, Seq("v1", "v2"), 6).cache()
+    val rows = perTs.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // the causal cell ranks first; no noise (v2) cell outranks it
+    assert(rows.head._1 == "v1" && rows.head._2 == 0,
+      rows.take(5).mkString("; "))
+    val v1lag0 = rows.find(r => r._1 == "v1" && r._2 == 0).get._3
+    val v2max = rows.filter(_._1 == "v2").map(_._3).max
+    assert(v1lag0 > v2max, s"v1@0 $v1lag0 vs v2 max $v2max")
+    // base-feature reduction (A10) + NDCG vs ground truth
+    val agg = Xai.aggregateTimesteps(perTs)
+    assert(agg.head().getString(0) == "v1")
+    assert(Xai.ndcgVsInjected(agg, Set("v1"), 1) == 1.0)
+    perTs.unpersist(); flat.unpersist()
+  }
+
+  test("X4 random mode: diverse CFs flip the prediction and rank v1 first") {
+    val fitted = SupervisedDetector(Seq("v1", "v2"), "decision_tree").fit(data)
+    val scored = fitted.transform(data)
+    val anoms = scored.filter($"is_anomaly").limit(5)
+      .drop("is_anomaly", "anomaly_score")
+    val cfs = Xai.randomCounterfactuals(anoms, data, fitted.transform,
+      Seq("v1", "v2"), k = 3).cache()
+    assert(cfs.count() > 0)
+    // ≤ k per instance, each with a DISTINCT changed-feature signature
+    cfs.groupBy($"instance_id").agg(count(lit(1)).as("n"),
+        countDistinct($"changed_v1", $"changed_v2").as("sigs"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) <= 3 && r.getLong(1) == r.getLong(2), r.toString)
+      }
+    val imp = Xai.counterfactualImportance(cfs, Seq("v1", "v2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(imp.head._1 == "v1", imp.mkString(", "))
+    cfs.unpersist()
   }
 
   test("X4: counterfactuals point at the causal feature; X5 NDCG = 1") {
