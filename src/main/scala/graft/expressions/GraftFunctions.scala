@@ -26,6 +26,21 @@ object GraftFunctions {
       MinHashSigExpr(exprs(0), litLong(exprs(1), "shingle size k").toInt)
     },
     "graft_duration_seconds" -> { exprs => DurationSecondsExpr(exprs(0)) },
+    "graft_simhash64" -> { exprs => Simhash64Expr(exprs(0)) },
+    // text-analysis surface: Column compositions re-rooted on the caller's
+    // child expressions (tokens: array<string> where noted)
+    "graft_tokens" -> { exprs =>
+      graftbridge.toExpressionTree(graft.text.TextOps.tokens(
+        graftbridge.toColumn(exprs(0)))) },
+    "graft_langid" -> { exprs =>
+      graftbridge.toExpressionTree(graft.text.TextOps.langId(
+        graftbridge.toColumn(exprs(0)))) },
+    "graft_fingerprint" -> { exprs =>
+      graftbridge.toExpressionTree(graft.text.TextOps.fingerprint(
+        graftbridge.toColumn(exprs(0)))) },
+    "graft_quality" -> { exprs =>
+      graftbridge.toExpressionTree(graft.text.TextOps.qualityScore(
+        graftbridge.toColumn(exprs(0)), graftbridge.toColumn(exprs(1)))) },
     // deterministic uniform [0,1): the exact keyed-LCG the engine uses
     // internally, built from catalyst arithmetic nodes (a Column-API
     // composition doesn't resolve inside a registry builder)

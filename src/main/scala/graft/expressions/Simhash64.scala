@@ -2,10 +2,9 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
-import java.security.MessageDigest
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** 64-bit SimHash of a token array as one native pass (ROADMAP item 3: the
   * 16-bit variant collides heavily on vocabulary-dense corpora).
@@ -14,50 +13,21 @@ import java.security.MessageDigest
   * the full 128-bit digest's first 64 bits, matching the SQL twin's
   * hex-nibble decomposition. Each token votes ±1 per bit; the fingerprint
   * sets bit b iff the vote is positive. Per-row cost: one md5 per token +
-  * 64 table-free bit probes.
+  * 64 table-free bit probes. Codegen emits a static [[GraftHash]] call, so
+  * the projection stays in one whole-stage-codegen span.
   */
-case class Simhash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class Simhash64Expr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_simhash64"
 
-  // per-thread digest: one expression instance can be evaluated from
-  // several threads (interpreted projections, subexpression reuse) and a
-  // shared MessageDigest would interleave state across rows
-  @transient private lazy val mdLocal = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.simhash64(input.asInstanceOf[ArrayData])
 
-  override def nullSafeEval(input: Any): Any = {
-    val md = mdLocal.get()
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < n) {
-      val tok = arr.getUTF8String(i)
-      if (tok != null) {
-        md.reset(); md.update(tok.getBytes)
-        val digest = md.digest()
-        var b = 0
-        while (b < 64) {
-          val bit = (digest(b >> 3) >> (7 - (b & 7))) & 1
-          votes(b) += (if (bit == 1) 1 else -1)
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var sim = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) sim |= (1L << b)
-      b += 1
-    }
-    sim
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.GraftHash.simhash64($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash64Expr =
     copy(child = newChild)

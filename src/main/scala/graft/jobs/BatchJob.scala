@@ -140,6 +140,14 @@ object BatchJob {
             val cfs = graft.xai.Xai.randomCounterfactuals(
               anoms, clean, fitted.transform, cfg.features)
             m -> graft.xai.Xai.counterfactualImportance(cfs, cfg.features)
+          case m @ "genetic_counterfactuals" =>
+            // X4 'genetic' DiCE mode: evolved validity/proximity/sparsity
+            val clean = detected.drop("anomaly_score", "is_anomaly")
+            val anoms = detected.filter(col("is_anomaly")).limit(cfg.nInstances)
+              .drop("anomaly_score", "is_anomaly")
+            val cfs = graft.xai.Xai.geneticCounterfactuals(
+              anoms, clean, fitted.transform, cfg.features)
+            m -> graft.xai.Xai.counterfactualImportance(cfs, cfg.features)
           case other => throw new IllegalArgumentException(s"xai method $other")
         }
         val imp = results.map { case (m, df) =>

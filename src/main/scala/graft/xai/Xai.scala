@@ -133,6 +133,22 @@ object Xai {
                              features: Seq[String], L: Int): DataFrame = {
     val spark = instances.sparkSession
     import spark.implicits._
+    perInstanceAttribution(instances, score, features, L)
+      .groupBy($"feature", $"lag").agg(avg($"attribution").as("importance"))
+      .orderBy($"importance".desc, $"feature", $"lag")
+  }
+
+  /** The per-INSTANCE form of [[perTimestepAttribution]] — one row per
+    * (instance, feature, lag) with that cell's |score drop|, i.e. the
+    * reference's full per-instance SHAP matrix
+    * (`Backend/XAI_methods/xai_runner.py:197-230` extracts exactly this
+    * shape per explained instance before aggregating). Built from the SAME
+    * single-pass occluded frame, unpivoted with `stack` — still no joins,
+    * no per-cell jobs; output is (n_instances · F · L) rows, distributed. */
+  def perInstanceAttribution(instances: DataFrame,
+                             score: DataFrame => DataFrame,
+                             features: Seq[String], L: Int,
+                             idCol: String = "id"): DataFrame = {
     val cells = for (f <- features; j <- 0 until L) yield (f, j)
 
     var cur = score(instances)
@@ -148,13 +164,14 @@ object Xai {
         .drop("is_anomaly")
         .withColumn(cell, col("__stash")).drop("__stash")
     }
-    val aggs = cells.map { case (f, j) =>
-      avg(abs(col("__base") - col(s"__occ_${f}_$j"))).as(s"${f}_$j")
-    }
-    val row = cur.agg(aggs.head, aggs.tail: _*).head
-    cells.zipWithIndex.map { case ((f, j), i) => (f, j, row.getDouble(i)) }
-      .toDF("feature", "lag", "importance")
-      .orderBy($"importance".desc, $"feature", $"lag")
+    val stackArgs = cells.map { case (f, j) =>
+      s"'$f', $j, abs(__base - `__occ_${f}_$j`)"
+    }.mkString(", ")
+    val idSel =
+      if (cur.columns.contains(idCol)) col(idCol).as("instance_id")
+      else lit(null).cast("long").as("instance_id")
+    cur.select(idSel, col("__base").as("base_score"),
+      expr(s"stack(${cells.size}, $stackArgs) AS (feature, lag, attribution)"))
   }
 
   /** Aggregate a per-(feature, lag) importance table to base features by
@@ -236,6 +253,97 @@ object Xai {
       Seq((col(f) - col(s"__orig_$f")).as(s"delta_$f"),
         (abs((col(f) - col(s"__orig_$f")) / lit(range(f)._2)) > tau)
           .as(s"changed_$f"))
+    }
+    picked.select(Seq(col(idCol).as("instance_id"),
+      col("__trial").cast("long").as("cf_id"), col("__rnk").as("rank"),
+      sqrt(col("__d2")).as("distance")) ++ deltaCols: _*)
+  }
+
+  /** X4 "genetic" mode — DiCE's evolutionary counterfactual search
+    * (`Backend/XAI_methods/methods/DiceExplainer.py:39` `dice_method=
+    * 'genetic'`): start from the random mode's population, then refine over
+    * `generations` with two deterministic mutations per surviving (flipped)
+    * candidate:
+    *
+    *  - PROXIMITY: move every perturbed feature halfway back toward the
+    *    original (a CF that still flips after the move strictly dominates
+    *    its parent on distance);
+    *  - SPARSITY: reset the least-changed perturbed feature to its original
+    *    value (fewer changed features — DiCE's sparsity objective).
+    *
+    * Children that no longer flip are discarded at the next scoring pass
+    * (validity), so fitness = (flips, fewer changes, smaller distance) —
+    * the same objectives dice_ml's genetic loss encodes. All candidates of
+    * all instances evolve together as one DataFrame per generation
+    * (`localCheckpoint` truncates the growing lineage); the driver loop
+    * only stages G plans. Output shape matches [[nunCounterfactuals]]. */
+  def geneticCounterfactuals(instances: DataFrame, background: DataFrame,
+                             score: DataFrame => DataFrame,
+                             features: Seq[String], idCol: String = "id",
+                             k: Int = 3, popSize: Int = 50,
+                             generations: Int = 3, pVary: Double = 0.5,
+                             tau: Double = 0.1, seed: Long = 42L): DataFrame = {
+    val aggCols = features.flatMap(f => Seq(min(col(f)), max(col(f))))
+    val statsRow = background.agg(aggCols.head, aggCols.tail: _*).head
+    val span = features.zipWithIndex.map { case (f, i) =>
+      val lo = statsRow.getDouble(2 * i); val hi = statsRow.getDouble(2 * i + 1)
+      f -> (if (hi > lo) hi - lo else 1.0)
+    }.toMap
+    val F = features.size
+
+    // generation 0 = the random mode's perturbation population
+    val exploded = instances
+      .withColumn("__trial", explode(sequence(lit(1), lit(popSize))))
+    var pop = features.zipWithIndex.foldLeft(exploded) { case (d, (f, fi)) =>
+      val key = col(idCol) * lit(popSize.toLong * F) +
+        (col("__trial") - 1) * lit(F.toLong) + lit(fi.toLong)
+      val (lo, hi) = (statsRow.getDouble(2 * features.indexOf(f)),
+        statsRow.getDouble(2 * features.indexOf(f) + 1))
+      d.withColumn(s"__orig_$f", col(f))
+        .withColumn(f,
+          when(Det.frac(key, seed) < pVary,
+            lit(lo) + Det.frac(key, seed + 7919) * lit(math.max(hi - lo, 1e-12)))
+            .otherwise(col(f)))
+    }
+
+    def scaledAbs(f: String): Column =
+      abs((col(f) - col(s"__orig_$f")) / lit(span(f)))
+    for (_ <- 1 to generations) {
+      val alive = score(pop).filter(!col("is_anomaly"))
+        .drop("is_anomaly", "anomaly_score")
+      // PROXIMITY child: halve every delta
+      val prox = features.foldLeft(alive)((d, f) =>
+        d.withColumn(f, col(s"__orig_$f") + (col(f) - col(s"__orig_$f")) / 2))
+      // SPARSITY child: reset the feature with the smallest nonzero change
+      val minChange = least(features.map(f =>
+        when(scaledAbs(f) > 1e-12, scaledAbs(f))): _*)
+      val sparse = features.foldLeft(alive)((d, f) =>
+        d.withColumn(f,
+          when(scaledAbs(f) <= coalesce(minChange, lit(-1.0)) + lit(1e-15),
+            col(s"__orig_$f")).otherwise(col(f))))
+      pop = alive.unionByName(prox).unionByName(sparse).localCheckpoint()
+    }
+
+    val fit = score(pop).filter(!col("is_anomaly"))
+    val dist2 = features.map { f =>
+      val d = (col(f) - col(s"__orig_$f")) / lit(span(f)); d * d
+    }.reduce(_ + _)
+    val nChanged = features.map(f => (scaledAbs(f) > tau).cast("int"))
+      .reduce(_ + _)
+    val sigParts = features.map(f => (scaledAbs(f) > tau).cast("int"))
+    val withFit = fit.withColumn("__d2", dist2)
+      .withColumn("__nc", nChanged)
+      .withColumn("__sig", concat_ws(",", sigParts: _*))
+    val perSig = Window.partitionBy(col(idCol), col("__sig"))
+      .orderBy(col("__nc"), col("__d2"), col("__trial"))
+    val perInst = Window.partitionBy(col(idCol))
+      .orderBy(col("__nc"), col("__d2"), col("__trial"))
+    val picked = withFit
+      .withColumn("__sr", row_number().over(perSig)).filter(col("__sr") === 1)
+      .withColumn("__rnk", row_number().over(perInst)).filter(col("__rnk") <= k)
+    val deltaCols = features.flatMap { f =>
+      Seq((col(f) - col(s"__orig_$f")).as(s"delta_$f"),
+        (scaledAbs(f) > tau).as(s"changed_$f"))
     }
     picked.select(Seq(col(idCol).as("instance_id"),
       col("__trial").cast("long").as("cf_id"), col("__rnk").as("rank"),

@@ -10,6 +10,14 @@ package object graftbridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Convert a Column to a REAL Catalyst expression tree (not the lazy
+    * `ColumnNodeExpression` wrapper [[toExpression]] yields, whose children
+    * hide inside the ColumnNode payload where the analyzer's tree traversal
+    * cannot resolve them). Required when re-rooting a Column composition
+    * under a function-registry builder. */
+  def toExpressionTree(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Register a temp function into a live session's registry. */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =

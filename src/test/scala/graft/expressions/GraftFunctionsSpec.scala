@@ -27,6 +27,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(fr == Det.fracHost(1L, 42L))
   }
 
+  test("text-analysis SQL surface matches the Column API") {
+    GraftFunctions.register(spark)
+    Seq("the quick brown fox is fast", "der hund und die katze")
+      .toDF("text").createOrReplaceTempView("gf_txt")
+    val viaSql = spark.sql(
+      """SELECT graft_langid(graft_tokens(text)) AS lang,
+        |  graft_quality(text, graft_tokens(text)) AS q,
+        |  graft_fingerprint(graft_tokens(text)) AS fp,
+        |  graft_simhash64(graft_tokens(text)) AS sh
+        |FROM gf_txt""".stripMargin).collect()
+    val viaCols = spark.table("gf_txt").select(
+      graft.text.TextOps.langId(graft.text.TextOps.tokens($"text")).as("lang"),
+      graft.text.TextOps.qualityScore($"text",
+        graft.text.TextOps.tokens($"text")).as("q"),
+      graft.text.TextOps.fingerprint(graft.text.TextOps.tokens($"text")).as("fp"),
+      Simhash64Expr.simhash64(graft.text.TextOps.tokens($"text")).as("sh"))
+      .collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCols.map(_.toSeq).toSeq)
+    assert(viaSql.map(_.getString(0)).toSeq == Seq("en", "de"))
+  }
+
   test("non-literal k/seed is rejected with a clear error") {
     GraftFunctions.register(spark)
     Seq(("x", 2)).toDF("text", "n").createOrReplaceTempView("gf_t2")

@@ -89,6 +89,16 @@ class XaiSpec extends SparkSpec {
     val agg = Xai.aggregateTimesteps(perTs)
     assert(agg.head().getString(0) == "v1")
     assert(Xai.ndcgVsInjected(agg, Set("v1"), 1) == 1.0)
+    // per-INSTANCE matrices: every explained instance individually pins
+    // its own top cell at (v1, 0) — the reference's per-instance SHAP shape
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"instance_id").orderBy($"attribution".desc)
+    val tops = Xai.perInstanceAttribution(flat.filter($"label" === 1),
+        fitted.transformFlat, Seq("v1", "v2"), 6)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select("feature", "lag").distinct().collect()
+    assert(tops.length == 1 && tops.head.getString(0) == "v1" &&
+      tops.head.getInt(1) == 0, tops.mkString("; "))
     perTs.unpersist(); flat.unpersist()
   }
 
@@ -110,6 +120,26 @@ class XaiSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1))
     assert(imp.head._1 == "v1", imp.mkString(", "))
     cfs.unpersist()
+  }
+
+  test("X4 genetic mode: evolution tightens proximity; v1 still ranks first") {
+    val fitted = SupervisedDetector(Seq("v1", "v2"), "decision_tree").fit(data)
+    val scored = fitted.transform(data)
+    val anoms = scored.filter($"is_anomaly").limit(5)
+      .drop("is_anomaly", "anomaly_score")
+    val rand = Xai.randomCounterfactuals(anoms, data, fitted.transform,
+      Seq("v1", "v2"), k = 3)
+    val gen = Xai.geneticCounterfactuals(anoms, data, fitted.transform,
+      Seq("v1", "v2"), k = 3)
+    assert(gen.count() > 0)
+    // every returned CF flips (validity is enforced by construction); the
+    // evolved population should sit strictly closer to the originals
+    val avgR = rand.agg(avg($"distance")).head.getDouble(0)
+    val avgG = gen.agg(avg($"distance")).head.getDouble(0)
+    assert(avgG < avgR, s"genetic $avgG vs random $avgR")
+    val imp = Xai.counterfactualImportance(gen, Seq("v1", "v2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(imp.head._1 == "v1", imp.mkString(", "))
   }
 
   test("X4: counterfactuals point at the causal feature; X5 NDCG = 1") {
