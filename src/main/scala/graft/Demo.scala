@@ -62,6 +62,16 @@ object Demo {
     println(s"xai ndcg@3 vs injected: $ndcg")
     assert(ndcg == 1.0, "injected column must rank first")
 
+    // counterfactual legs: DiCE random + genetic modes on the detections
+    val cfBase = scoredJob.drop("is_anomaly", "anomaly_score")
+    val cfAnoms = scoredJob.filter(
+        org.apache.spark.sql.functions.col("is_anomaly"))
+      .limit(5).drop("is_anomaly", "anomaly_score")
+    val gcfs = graft.xai.Xai.geneticCounterfactuals(
+      cfAnoms, cfBase, fitted0.transform, Seq("reading", "aux"))
+    println("genetic counterfactual importance:")
+    graft.xai.Xai.counterfactualImportance(gcfs, Seq("reading", "aux")).show()
+
     // streaming leg: replay the normalized dataset, inject + detect per
     // micro-batch, drain with availableNow
     val normalized = graft.ingest.Ingest.normalize(
@@ -70,6 +80,11 @@ object Demo {
     val det = api.detector("pca_oneclass", Seq("reading", "aux"))
     val fitted = det.fit(normalized)
     val stage = Files.createTempDirectory("graft_demo_stream").toString
+    // reference `speedup` parity: 5000 s of event time at speedup 5000
+    // would pace one micro-batch per ~100 ms (drained with availableNow
+    // below so the demo stays fast)
+    println("replay pacing at speedup 5000: " +
+      graft.streaming.StreamJob.replayTrigger(normalized, "timestamp", 10, 5000.0))
     val stream = graft.streaming.StreamJob.stageAndReplay(
       spark, normalized, stage, nChunks = 10, filesPerTrigger = 3)
     val injected = graft.streaming.StreamJob.injectStream(

@@ -37,4 +37,55 @@ object Merge {
     merged.write.mode("overwrite").format("parquet").saveAsTable(table)
     spark.table(table).filter(col(flagCol)).count()
   }
+
+  /** Stage a table for FILE-PRUNED merges: partition by
+    * `__mbucket = pmod(hash(id), nBuckets)` so [[mergeFlagsPruned]] can
+    * rewrite only the buckets that contain predicted ids. Murmur3 `hash`
+    * is deterministic across sessions and partitionings, so the same id
+    * always lands in the same bucket directory. */
+  def writeMergeTable(df: DataFrame, table: String, idCol: String = "id",
+                      nBuckets: Int = 64): Unit =
+    df.withColumn("__mbucket", pmod(hash(col(idCol)), lit(nBuckets)))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("__mbucket").saveAsTable(table)
+
+  /** [[mergeFlags]] for a [[writeMergeTable]]-staged table, but touching
+    * only the partitions whose buckets contain predicted ids: the scan is
+    * partition-pruned to those buckets and the write uses DYNAMIC partition
+    * overwrite, so a merge of m ids costs O(m/nBuckets) of the table in IO
+    * instead of a full rewrite — the plain-parquet equivalent of a
+    * MERGE-capable format's matched-file rewrite. At 100 TB with 10k
+    * buckets, flagging one detection run's ids rewrites only the handful
+    * of buckets they hash into. */
+  def mergeFlagsPruned(spark: SparkSession, table: String, predIds: DataFrame,
+                       idCol: String = "id", flagCol: String = "is_anomaly",
+                       nBuckets: Int = 64): Long = {
+    import spark.implicits._
+    val preds = predIds.toDF("__pid").distinct()
+      .withColumn("__mbucket", pmod(hash(col("__pid")), lit(nBuckets)))
+    val buckets = preds.select("__mbucket").distinct().as[Int].collect().sorted
+    val touched = spark.table(table)
+      .filter(col("__mbucket").isInCollection(buckets.toSeq))
+    val merged = touched
+      .join(broadcast(preds.select("__pid")), col(idCol) === col("__pid"), "left")
+      .withColumn(flagCol,
+        coalesce(col(flagCol), lit(false)) || col("__pid").isNotNull)
+      .drop("__pid")
+      .localCheckpoint()
+
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      // insertInto matches positionally: align to the table's column order
+      // (data columns first, partition column last)
+      val cols = spark.table(table).columns.map(col)
+      merged.select(cols.toIndexedSeq: _*)
+        .write.mode("overwrite").insertInto(table)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    spark.table(table).filter(col(flagCol)).count()
+  }
 }

@@ -126,6 +126,23 @@ object Core2 {
           $"q0", $"q1", $"q2")
     }),
 
+    // ---- P6+F8: invalid-row filter via tolerant float coercion -----------
+    // (Ingest.scala: unparseable values null out under try_cast, rows that
+    // fail coercion are dropped). Raw strings are built from integer cents
+    // so both engines format identically; 'error' rows get corrupted and
+    // must vanish.
+    "f10_coercion_filter" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_id",
+          concat(when($"event_type" === "error", "x").otherwise(""),
+            round($"value" * 100).cast("long").cast("string")).as("raw"))
+        .withColumn("v", expr("try_cast(raw AS double)") / 100.0)
+        .filter($"v".isNotNull)
+        .select($"event_id", $"v")
+        .orderBy($"event_id")
+    }),
+
     // ---- I6: multi-column injection, composite stable id -----------------
     "i7_inject_multicol" -> ((s, dir) => {
       import s.implicits._
@@ -334,6 +351,16 @@ object Core2 {
           |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
           |QUALIFY row_number() OVER w >= 3
           |ORDER BY l_suppkey, l_orderkey, l_linenumber, q0, q1, q2""".stripMargin,
+
+      "f10_coercion_filter" ->
+        """SELECT event_id, TRY_CAST(raw AS DOUBLE) / 100.0 AS v
+          |FROM (
+          |  SELECT event_id,
+          |    (CASE WHEN event_type = 'error' THEN 'x' ELSE '' END ||
+          |     CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)) AS raw
+          |  FROM events)
+          |WHERE TRY_CAST(raw AS DOUBLE) IS NOT NULL
+          |ORDER BY event_id""".stripMargin,
 
       "i7_inject_multicol" -> {
         val u0 = Det.fracSql(id, 42L + 7919L)

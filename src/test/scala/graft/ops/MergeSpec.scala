@@ -26,6 +26,47 @@ class MergeSpec extends SparkSpec {
     spark.sql("DROP TABLE merge_t")
   }
 
+  test("mergeFlagsPruned rewrites ONLY the buckets containing predicted ids") {
+    val df = (0L until 200L).map(i => (i, s"r$i", false))
+      .toDF("id", "payload", "is_anomaly")
+    Merge.writeMergeTable(df, "merge_p", nBuckets = 8)
+
+    // per-partition-directory file snapshot (name → length, mtime)
+    val loc = new java.io.File(java.net.URI.create(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("merge_p")).location.toString))
+    def snapshot(): Map[String, Set[(String, Long, Long)]] =
+      loc.listFiles().filter(_.getName.startsWith("__mbucket=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    val before = snapshot()
+
+    val predIds = Seq(3L, 42L)
+    val touchedBuckets = df.filter($"id".isin(predIds: _*))
+      .select(pmod(hash($"id"), lit(8))).as[Int].collect().toSet
+      .map((b: Int) => s"__mbucket=$b")
+
+    val n = Merge.mergeFlagsPruned(spark, "merge_p", predIds.toDF("id"),
+      nBuckets = 8)
+    assert(n == 2)
+    val flagged = spark.table("merge_p").filter($"is_anomaly")
+      .select($"id").as[Long].collect().toSet
+    assert(flagged == Set(3L, 42L))
+    assert(spark.table("merge_p").count() == 200)
+
+    val after = snapshot()
+    // untouched bucket directories: byte-identical files, untouched mtimes
+    (before.keySet -- touchedBuckets).foreach { dir =>
+      assert(before(dir) == after(dir), s"$dir was rewritten")
+    }
+    // touched buckets really were rewritten
+    touchedBuckets.foreach { dir =>
+      assert(before(dir) != after(dir), s"$dir was NOT rewritten")
+    }
+    spark.sql("DROP TABLE merge_p")
+  }
+
   test("mergeFlags: NULL flags coerce to false, not NULL (NULL OR false trap)") {
     Seq((1L, Some(true)), (2L, None), (3L, None))
       .toDF("id", "is_anomaly")
