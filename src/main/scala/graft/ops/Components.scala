@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the step that turns near-dup
+  * PAIRS (minhash/simhash/embedding candidates) into dedup CLUSTERS, so a
+  * pipeline can keep one canonical document per cluster. The reference has
+  * no clustering stage (its dedup story stops at pairs); training-data
+  * pipelines need the closure: A~B and B~C must dedup A, B, C together
+  * even though (A, C) was never emitted as a pair.
+  *
+  * Algorithm: iterated min-label propagation. Every node starts labeled
+  * with itself; each round every node takes the min of its own label and
+  * its neighbors' labels. Converges in O(cluster diameter) rounds — near-dup
+  * clusters are near-cliques (diameter 2-3), so the default cap is
+  * generous. Each round is one shuffle join + one aggregation over the
+  * EDGE list (never all-pairs), `localCheckpoint` truncates the growing
+  * lineage, and convergence is detected with a count of changed labels —
+  * the classic scalable shape (map-reduce CC; for billion-edge graphs the
+  * large-star/small-star variant halves rounds, same skeleton). */
+object Components {
+
+  /** Component id (= min node id in the component) for every node that
+    * appears in `edges`. Output: (node, component), both typed like the
+    * input columns. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 15): DataFrame = {
+    // pre-partition the (static) edge list on the join key once: every
+    // round's join then reuses this exchange and only the labels side
+    // shuffles
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .repartition(col("dst"))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "__n"), col("dst") === col("__n"))
+        .groupBy(col("src")).agg(min(col("component")).as("__nbr"))
+      // carry the previous label through the checkpoint so convergence is a
+      // filter over materialized data, not another shuffle join
+      val next = labels
+        .join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"), col("component").as("__prev"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = next.filter(col("component") =!= col("__prev")).count()
+      labels = next.drop("__prev")
+      iter += 1
+    }
+    labels
+  }
+}

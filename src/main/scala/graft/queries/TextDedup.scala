@@ -144,6 +144,23 @@ object TextDedup {
         .orderBy($"doc_id")
     }),
 
+    // ---- PII-style redaction (training-data scrub stage) -----------------
+    // Synthesized contact strings (derived from doc_id, identical in both
+    // engines) prove the regex semantics exactly; the patterns are chosen
+    // to behave the same under Java regex (Spark) and RE2 (DuckDB).
+    "t5_redact" -> ((s, dir) => {
+      import s.implicits._
+      val withPii = concat($"text", lit(" contact user"),
+        $"doc_id".cast("string"), lit("@example.com or call 555123456789"))
+      t(s, dir, "documents")
+        .select($"doc_id",
+          regexp_replace(
+            regexp_replace(withPii,
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "[0-9]{6,}", "<NUM>").as("redacted"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- exact dedup: identical-text groups ------------------------------
     "d1_exact_dedup" -> ((s, dir) => {
       import s.implicits._
@@ -210,26 +227,18 @@ object TextDedup {
     }),
 
     // ---- 64-bit simhash near-dup pairs (8-chunk blocking, hamming ≤ 7) ---
-    "d9_simhash64_pairs" -> ((s, dir) => {
+    "d9_simhash64_pairs" -> ((s, dir) =>
+      sim64Pairs(s, dir).orderBy(col("a_id"), col("b_id"))),
+
+    // ---- near-dup CLUSTERS: connected components over the pair list ------
+    // A~B and B~C must dedup {A,B,C} together even though (A,C) was never
+    // emitted; component id = min doc_id, the canonical-doc selection key.
+    "d7_dedup_components" -> ((s, dir) => {
       import s.implicits._
-      val sim = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id",
-          graft.expressions.Simhash64Expr.simhash64(toks($"text")).as("sim"))
-        .localCheckpoint()
-      val chunks = graft.ops.Buckets.capMembers(
-        sim.select($"doc_id", $"sim", posexplode(array(
-          (0 until 8).map(c => shiftright($"sim", 8 * c).bitwiseAND(255)): _*))
-          .as(Seq("chunk", "cv"))),
-        Seq(col("chunk"), col("cv")), label = "simhash64")
-      chunks.as("x").join(chunks.as("y"),
-          col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-          bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
-        .filter($"hamming" <= 7)
-        .distinct()
-        .orderBy($"a_id", $"b_id")
+      graft.ops.Components.connectedComponents(
+          sim64Pairs(s, dir), "a_id", "b_id")
+        .select($"node".as("doc_id"), $"component")
+        .orderBy($"doc_id")
     }),
 
     // ---- exact n-gram Jaccard on high-confidence LSH candidates ----------
@@ -263,6 +272,47 @@ object TextDedup {
         .orderBy($"a_id", $"b_id")
     }))
 
+  /** Shared by d9 (pair list) and d7 (components): 8-chunk-blocked 64-bit
+    * simhash near-dup pairs, hamming ≤ 7, distinct, unordered. */
+  private def sim64Pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sim = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id",
+        graft.expressions.Simhash64Expr.simhash64(toks($"text")).as("sim"))
+      .localCheckpoint()
+    val chunks = graft.ops.Buckets.capMembers(
+      sim.select($"doc_id", $"sim", posexplode(array(
+        (0 until 8).map(c => shiftright($"sim", 8 * c).bitwiseAND(255)): _*))
+        .as(Seq("chunk", "cv"))),
+      Seq(col("chunk"), col("cv")), label = "simhash64")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .filter($"hamming" <= 7)
+      .distinct()
+  }
+
+  /** CTE body producing `pairs64` — the d9 pair set, shared by the d9 and
+    * d7 oracles (composed under WITH / WITH RECURSIVE). */
+  private def sim64PairsCte: String = {
+    val sim = graft.expressions.Simhash64Expr.simhash64Sql("tokens")
+    s"""sim AS (
+       |  SELECT doc_id, CAST($sim AS BIGINT) AS sim
+       |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
+       |chunks AS (
+       |  SELECT doc_id, sim, c AS chunk, (sim >> (8 * c)) & 255 AS cv
+       |  FROM sim, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(c)),
+       |pairs64 AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |    CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+       |  FROM chunks x JOIN chunks y
+       |    ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sim, y.sim)) <= 7)""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     val langCases = TextOps.langWords.map { case (l, ws) =>
       val set = ws.map(w => s"'$w'").mkString(", ")
@@ -294,6 +344,16 @@ object TextDedup {
            |  md5(array_to_string(list_sort(list_distinct($tokensSqlExpr)), ' '))
            |    AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "t5_redact" ->
+        """SELECT doc_id,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |        || '@example.com or call 555123456789',
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '[0-9]{6,}', '<NUM>', 'g') AS redacted
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "d1_exact_dedup" ->
         """SELECT md5(text) AS text_hash, count(*) AS cnt,
@@ -349,21 +409,22 @@ object TextDedup {
            |ORDER BY doc_id""".stripMargin
       },
 
-      "d9_simhash64_pairs" -> {
-        val sim = graft.expressions.Simhash64Expr.simhash64Sql("tokens")
-        s"""WITH sim AS (
-           |  SELECT doc_id, CAST($sim AS BIGINT) AS sim
-           |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
-           |chunks AS (
-           |  SELECT doc_id, sim, c AS chunk, (sim >> (8 * c)) & 255 AS cv
-           |  FROM sim, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(c))
-           |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-           |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
-           |FROM chunks x JOIN chunks y
-           |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
-           |WHERE bit_count(xor(x.sim, y.sim)) <= 7
-           |ORDER BY a_id, b_id""".stripMargin
-      },
+      "d9_simhash64_pairs" ->
+        s"""WITH $sim64PairsCte
+           |SELECT a_id, b_id, hamming FROM pairs64
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "d7_dedup_components" ->
+        s"""WITH RECURSIVE $sim64PairsCte,
+           |sym AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs64
+           |  UNION SELECT b_id, a_id FROM pairs64),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM sym
+           |  UNION SELECT src, src FROM sym
+           |  UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+           |SELECT src AS doc_id, min(dst) AS component
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
       "d6_ngram_jaccard" ->
         s"""WITH $lshPairsSql,

@@ -1,0 +1,24 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min-label propagation labels chains, cliques and pairs correctly") {
+    // a 5-node chain (worst case: diameter rounds), a triangle, a lone pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val comp = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("iteration cap stops early without losing nodes") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Components.connectedComponents(edges, "a", "b", maxIter = 1)
+    assert(out.count() == 3) // labels may not have converged, nodes all there
+  }
+}
