@@ -19,11 +19,16 @@ import org.apache.spark.sql.types._
   * no installed reader accepts fall back to the deterministic stub values,
   * so synthetic fixtures keep working.
   *
-  * The remaining STUB parts (clearly marked): audio/video sample decoding —
-  * no JDK codec exists for them, so `decode*Stub` derive deterministic fake
-  * values from the bytes. Swapping in a real codec changes ONLY the
-  * function body inside `mapPartitions`; every schema, partition and join
-  * shape stays as tested here.
+  * AUDIO decodes for REAL via the JDK's `javax.sound.sampled`
+  * ([[AudioCodec]]): WAV/AIFF/AU PCM headers (rate, duration) and per-band
+  * RMS embeddings operate on actual samples; compressed audio falls back
+  * to the stub.
+  *
+  * The remaining STUB parts (clearly marked): video sample decoding and
+  * compressed audio — no JDK codec exists for them, so `decode*Stub`
+  * derive deterministic fake values from the bytes. Swapping in a real
+  * codec changes ONLY the function body inside `mapPartitions`; every
+  * schema, partition and join shape stays as tested here.
   */
 object Media {
 
@@ -61,13 +66,18 @@ object Media {
       }
   }
 
-  /** Header decode: REAL for images (javax.imageio dimensions), stub
-    * fallback for undecodable bytes and for audio/video. */
+  /** Header decode: REAL for images (javax.imageio dimensions) and for
+    * PCM audio containers (javax.sound.sampled rate + duration), stub
+    * fallback for undecodable bytes and for video. */
   def decodeHeader(mediaType: String, bytes: Array[Byte]): MediaMeta =
     mediaType match {
       case "image" =>
         ImageCodec.decode(bytes)
           .map(i => MediaMeta(Some(i.getWidth), Some(i.getHeight), None, None))
+          .getOrElse(decodeHeaderStub(mediaType, bytes))
+      case "audio" =>
+        AudioCodec.decode(bytes)
+          .map(p => MediaMeta(None, None, Some(p.durationMs), Some(p.sampleRate)))
           .getOrElse(decodeHeaderStub(mediaType, bytes))
       case _ => decodeHeaderStub(mediaType, bytes)
     }
@@ -165,6 +175,22 @@ object Media {
         it.flatMap { case (id, bytes) =>
           ImageCodec.decode(bytes).map(img =>
             (id, ImageCodec.embedding(img, grid).toSeq))
+        }
+      }.toDF("media_id", "embedding")
+  }
+
+  /** REAL audio feature extraction: per-band RMS-energy embedding
+    * (`bands` dims, [-1, 1]) from decoded PCM — same `embeddings`-table
+    * hand-off as [[imageEmbeddings]]. Undecodable rows are dropped. */
+  def audioEmbeddings(df: DataFrame, bands: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          AudioCodec.decode(bytes).map(p =>
+            (id, AudioCodec.embedding(p, bands).toSeq))
         }
       }.toDF("media_id", "embedding")
   }

@@ -241,6 +241,21 @@ object TextDedup {
         .orderBy($"doc_id")
     }),
 
+    // ---- the actual dedup: keep one canonical doc per cluster ------------
+    // Survivors = docs outside any near-dup cluster + each cluster's
+    // representative (min doc_id). This is the operator a training-data
+    // pipeline runs: anti-join the corpus against non-canonical members.
+    "d10_canonical_docs" -> ((s, dir) => {
+      import s.implicits._
+      val comps = graft.ops.Components.connectedComponents(
+        sim64Pairs(s, dir), "a_id", "b_id")
+      val drop = comps.filter($"node" =!= $"component")
+        .select($"node".as("doc_id"))
+      t(s, dir, "documents").select($"doc_id")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
     // ---- exact n-gram Jaccard on high-confidence LSH candidates ----------
     // Refinement step of the minhash pipeline: exact verification runs only
     // on pairs whose estimated Jaccard (signature agreement) clears 0.5 —
@@ -425,6 +440,23 @@ object TextDedup {
            |  UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
            |SELECT src AS doc_id, min(dst) AS component
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      "d10_canonical_docs" ->
+        s"""WITH RECURSIVE $sim64PairsCte,
+           |sym AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs64
+           |  UNION SELECT b_id, a_id FROM pairs64),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM sym
+           |  UNION SELECT src, src FROM sym
+           |  UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+           |comp AS (
+           |  SELECT src AS doc_id, min(dst) AS component
+           |  FROM reach GROUP BY src)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (
+           |  SELECT doc_id FROM comp WHERE doc_id <> component)
+           |ORDER BY doc_id""".stripMargin,
 
       "d6_ngram_jaccard" ->
         s"""WITH $lshPairsSql,

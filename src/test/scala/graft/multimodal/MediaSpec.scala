@@ -124,6 +124,54 @@ class MediaSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("REAL wav decode → header meta → RMS embedding → ANN, end to end") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit PCM mono WAV with an amplitude envelope
+    def wav(sr: Int, seconds: Double, amp: Int => Double): Array[Byte] = {
+      val n = (sr * seconds).toInt
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (math.sin(2 * math.Pi * 440.0 * i / sr) * amp(i) * 32767)
+          .toInt.toShort
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (0L, "audio", wav(8000, 0.5, _ => 0.80)),
+      (1L, "audio", wav(8000, 0.5, _ => 0.78)),            // near-dup of 0
+      (2L, "audio", wav(8000, 0.5, i => 0.8 * i / 4000.0)), // ramp envelope
+      (3L, "audio", Array.fill(64)(9.toByte))               // undecodable
+    ).toDF("media_id", "media_type", "content")
+
+    // real header meta: rate + duration from actual PCM frames
+    val meta = Media.decode(rows).toDF()
+      .filter($"media_id" === 0L)
+      .select($"meta.sample_rate", $"meta.duration_ms").head
+    assert(meta.getInt(0) == 8000 && math.abs(meta.getLong(1) - 500L) <= 5,
+      meta.toString)
+
+    // real per-band embeddings → the matching envelope is the nearest
+    val emb = Media.audioEmbeddings(rows, bands = 16).cache()
+    assert(emb.count() == 3) // junk row dropped
+    assert(emb.select(size($"embedding")).head.getInt(0) == 16)
+    val q = emb.filter($"media_id" === 0L)
+      .select($"media_id".as("q_id"), $"embedding".as("qv"))
+    val best = emb.filter($"media_id" =!= 0L)
+      .select($"media_id".as("c_id"), $"embedding".as("cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+      .orderBy($"cos".desc).select($"c_id").as[Long].collect()
+    assert(best.head == 1L, s"nearest=${best.toSeq}")
+    emb.unpersist()
+  }
+
   test("byte-budget repartitioning scales partitions with data volume") {
     val parts = Media.repartitionByByteBudget(raw, bytesPerPartition = 5000)
       .rdd.getNumPartitions
