@@ -180,4 +180,49 @@ object BatchJob {
     import spark.implicits._
     Seq(summary).toDS().coalesce(1).write.mode("overwrite").json(path)
   }
+
+  /** X6: render the run's metrics + per-method feature importances as one
+    * self-contained HTML file (inline CSS bars, no script, no deps) — the
+    * engine-side equivalent of the reference's importance plots
+    * (`Frontend/callbacks.py` XAI figures), produced as a data artifact a
+    * dashboard can serve directly. */
+  def writeReport(summary: RunSummary, file: String): Unit = {
+    def esc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def fmt(d: Double) = f"$d%.4f"
+    val metricsRows = (summary.metricsTest.toSeq.sortBy(_._1).map {
+      case (k, v) => s"<tr><td>test.${esc(k)}</td><td>${fmt(v)}</td></tr>"
+    } ++ summary.metricsAll.toSeq.sortBy(_._1).map {
+      case (k, v) => s"<tr><td>all.${esc(k)}</td><td>${fmt(v)}</td></tr>"
+    }).mkString("\n")
+    val methods = summary.xaiImportance.toSeq.sortBy(_._1).map {
+      case (method, imp) =>
+        val mx = math.max(imp.values.map(math.abs).maxOption.getOrElse(1.0), 1e-12)
+        val rows = imp.toSeq.sortBy(-_._2).map { case (f, v) =>
+          val pct = (math.abs(v) / mx * 100).round
+          s"""<tr><td>${esc(f)}</td><td>${fmt(v)}</td>
+             |<td><div style="background:#47c;height:10px;width:$pct%"></div></td></tr>"""
+            .stripMargin.replace("\n", "")
+        }.mkString("\n")
+        val ndcg = summary.xaiNdcg.get(method)
+          .map(n => s"<p>NDCG vs injected ground truth: <b>${fmt(n)}</b></p>")
+          .getOrElse("")
+        s"""<h2>${esc(method)}</h2>$ndcg
+           |<table border="1" cellspacing="0" cellpadding="4">
+           |<tr><th>feature</th><th>importance</th><th></th></tr>
+           |$rows</table>""".stripMargin
+    }.mkString("\n")
+    val html =
+      s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+         |<title>graft run ${esc(summary.job)}</title></head>
+         |<body style="font-family:sans-serif;max-width:48em">
+         |<h1>Run ${esc(summary.job)} — ${esc(summary.status)}</h1>
+         |<p>rows: ${summary.rows}, injected: ${summary.injectedRows},
+         |flagged: ${summary.flaggedRows}</p>
+         |<h2>Metrics</h2>
+         |<table border="1" cellspacing="0" cellpadding="4">$metricsRows</table>
+         |$methods
+         |</body></html>""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(file), html)
+  }
 }

@@ -126,6 +126,40 @@ object Core2 {
           $"q0", $"q1", $"q2")
     }),
 
+    // ---- W4: calibration-tail selection (most-recent fraction per key) ---
+    // The windowed detectors' threshold calibration (WindowDetector.scala:
+    // percent_rank ≥ 1 − calibrationFraction) as a standalone oracle row.
+    "w13_calibration_tail" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("__pr", percent_rank().over(
+          Window.partitionBy($"event_type")
+            .orderBy(Det.epochS($"ts"), $"event_id")))
+        .filter($"__pr" >= 0.8)
+        .select($"event_id", $"event_type")
+        .orderBy($"event_id", $"event_type")
+    }),
+
+    // ---- A11: cross-method importance averaging --------------------------
+    // Two importance tables over the same keys (value-based and
+    // frequency-based), averaged — pure double arithmetic in identical
+    // order on both engines, so no rounding tolerance is needed.
+    "a11_method_average" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val m1 = ev.groupBy($"event_type").agg(
+        (sum(round($"value" * 100).cast("long")).cast("double") /
+          (count(lit(1)) * lit(100.0))).as("imp1"))
+      val totals = ev.agg(count(lit(1)).as("__tot"))
+      val m2 = ev.groupBy($"event_type").agg(count(lit(1)).as("__n"))
+        .crossJoin(broadcast(totals))
+        .select($"event_type",
+          ($"__n".cast("double") / $"__tot".cast("double")).as("imp2"))
+      m1.join(m2, "event_type")
+        .select($"event_type", (($"imp1" + $"imp2") / 2.0).as("importance"))
+        .orderBy($"importance".desc, $"event_type")
+    }),
+
     // ---- P6+F8: invalid-row filter via tolerant float coercion -----------
     // (Ingest.scala: unparseable values null out under try_cast, rows that
     // fail coercion are dropped). Raw strings are built from integer cents
@@ -351,6 +385,30 @@ object Core2 {
           |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
           |QUALIFY row_number() OVER w >= 3
           |ORDER BY l_suppkey, l_orderkey, l_linenumber, q0, q1, q2""".stripMargin,
+
+      "w13_calibration_tail" ->
+        s"""SELECT event_id, event_type FROM (
+           |  SELECT event_id, event_type,
+           |    percent_rank() OVER (PARTITION BY event_type
+           |      ORDER BY ${Det.epochSSql("ts")}, event_id) AS pr
+           |  FROM events)
+           |WHERE pr >= 0.8
+           |ORDER BY event_id, event_type""".stripMargin,
+
+      "a11_method_average" ->
+        """WITH m1 AS (
+          |  SELECT event_type,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) /
+          |      (count(*) * 100.0) AS imp1
+          |  FROM events GROUP BY event_type),
+          |m2 AS (
+          |  SELECT event_type,
+          |    CAST(count(*) AS DOUBLE) /
+          |      CAST((SELECT count(*) FROM events) AS DOUBLE) AS imp2
+          |  FROM events GROUP BY event_type)
+          |SELECT m1.event_type, (imp1 + imp2) / 2.0 AS importance
+          |FROM m1 JOIN m2 ON m1.event_type = m2.event_type
+          |ORDER BY importance DESC, m1.event_type""".stripMargin,
 
       "f10_coercion_filter" ->
         """SELECT event_id, TRY_CAST(raw AS DOUBLE) / 100.0 AS v

@@ -122,6 +122,13 @@ class ModelsSpec extends SparkSpec {
     assert(imp("v1") > imp("v2"), imp.toString)
     assert(summary.xaiNdcg("per_timestep_importance") == 1.0,
       summary.xaiNdcg.toString)
+
+    // X6: the HTML report artifact carries the method, features and NDCG
+    val report = java.nio.file.Files.createTempFile("graft_rep", ".html")
+    BatchJob.writeReport(summary, report.toString)
+    val html = java.nio.file.Files.readString(report)
+    assert(html.contains("per_timestep_importance") && html.contains("v1") &&
+      html.contains("NDCG"), html.take(200))
   }
 
   test("autoTune surfaces CV fold metrics into the run summary") {
