@@ -53,11 +53,39 @@ object Ranks {
                                numPartitions: Int = 0): DataFrame =
     ranked(df, orderCols, out, total = Some(totalOut), numPartitions)
 
+  /** Order-preserving numeric proxy of the leading key, used ONLY for
+    * bucketing (within-bucket ordering uses the real `orderCols`). Strings
+    * map via their first 7 UTF-8 bytes (hex → base-10 → double): a monotone
+    * non-strict mapping, so prefix collisions merely share a bucket — exact
+    * ranks are unaffected, only balance degrades. Unsupported leading types
+    * FAIL FAST: the old unconditional `cast("double")` turned a string key
+    * into an all-null bucket column — i.e. a silent single-task rank, the
+    * exact degradation this primitive exists to prevent. */
+  private def bucketKey(head: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType   => head.cast("double")
+      case BooleanType      => head.cast("int").cast("double")
+      case TimestampType    => head.cast("double")
+      case TimestampNTZType => head.cast("timestamp").cast("double")
+      case DateType         => head.cast("timestamp").cast("double")
+      case StringType       =>
+        // rpad both pads short hex AND truncates past 14 digits (7 bytes);
+        // 14 hex digits < 2^56, and the double rounding is monotone
+        conv(rpad(hex(encode(head, "UTF-8")), 14, "0"), 16, 10).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"Ranks: leading order key has unsupported type $other — " +
+          "use a numeric/timestamp/date/boolean/string leading key " +
+          "(or prepend a coarse numeric bucket)")
+    }
+  }
+
   private def ranked(df: DataFrame, orderCols: Seq[Column], out: String,
                      total: Option[String], numPartitions: Int): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val keyed = df.withColumn("__gr_key", orderCols.head.cast("double"))
+    val leadType = df.select(orderCols.head.as("__gr_probe")).schema.head.dataType
+    val keyed = df.withColumn("__gr_key", bucketKey(orderCols.head, leadType))
 
     // equi-depth internal boundaries of the leading key (deterministic
     // given the data; any monotone bucketing yields exact ranks — the

@@ -31,12 +31,22 @@ object Xai {
     * use [[graft.ops.Ranks]]' range-partitioned two-pass rank, so no row
     * funnels through a single-task global window. */
   def permuteColumn(df: DataFrame, idCol: String, feature: String,
-                    seed: Long): DataFrame = {
-    val donor = graft.ops.Ranks.globalRowNumber(
-        df.select(col(feature).as("__perm_v"), col(idCol)),
-        Seq(col(idCol)), "__rn")
-      .select("__perm_v", "__rn")
-    graft.ops.Ranks.globalRowNumber(df,
+                    seed: Long): DataFrame =
+    permuteRanked(withIdRank(df, idCol), idCol, feature, seed)
+
+  /** `df` + `__idrn` (rank by id) — the donor side of [[permuteColumn]]'s
+    * shuffle. The id rank is feature-independent, so callers permuting MANY
+    * features ([[permutationImportance]]) hoist this one rank (plus a
+    * `localCheckpoint` to materialize it) out of the loop: F+1 two-pass
+    * ranks instead of 2F. */
+  def withIdRank(df: DataFrame, idCol: String): DataFrame =
+    graft.ops.Ranks.globalRowNumber(df, Seq(col(idCol)), "__idrn")
+
+  private def permuteRanked(ranked: DataFrame, idCol: String, feature: String,
+                            seed: Long): DataFrame = {
+    val donor = ranked.select(col(feature).as("__perm_v"),
+      col("__idrn").as("__rn"))
+    graft.ops.Ranks.globalRowNumber(ranked.drop("__idrn"),
         Seq(Det.frac(col(idCol), seed), col(idCol)), "__rn")
       .join(donor, "__rn")
       .drop(feature, "__rn")
@@ -56,8 +66,10 @@ object Xai {
       Metrics.confusion(scored, col("is_anomaly"), col(labelCol) === 1)
         .head.getAs[Double]("accuracy")
     val base = accuracy(fitted.transform(df))
+    // donor rank is feature-independent: compute + materialize it ONCE
+    val ranked = withIdRank(df, idCol).localCheckpoint()
     val rows = features.zipWithIndex.map { case (f, i) =>
-      val permuted = permuteColumn(df, idCol, f, seed + i)
+      val permuted = permuteRanked(ranked, idCol, f, seed + i)
       (f, base - accuracy(fitted.transform(permuted)))
     }
     rows.toDF("feature", "importance").orderBy($"importance".desc, $"feature")
@@ -66,10 +78,22 @@ object Xai {
   /** X4: for each row of `instances` (predicted anomalous), the k nearest
     * rows of `normals` by L2 over min-max-scaled features; returns one row
     * per (instance, neighbor) with the per-feature deltas, plus
-    * `changed_<f>` flags (|scaled delta| > tau). */
-  def nunCounterfactuals(instances: DataFrame, normals: DataFrame,
+    * `changed_<f>` flags (|scaled delta| > tau).
+    *
+    * The normals set is CAPPED at `maxBackground` rows (deterministic
+    * keyed-LCG sample, partition-invariant) before it becomes the broadcast
+    * build side — at 100 TB "all predicted-normal rows" is not
+    * broadcastable. Mirrors the reference's background cap
+    * (`Backend/XAI_methods/xai_runner.py:20`, `MAX_BG_SAMPLES = 250000`). */
+  def nunCounterfactuals(instances: DataFrame, normals0: DataFrame,
                          features: Seq[String], idCol: String = "id",
-                         k: Int = 3, tau: Double = 0.1): DataFrame = {
+                         k: Int = 3, tau: Double = 0.1,
+                         maxBackground: Int = 250000,
+                         seed: Long = 42L): DataFrame = {
+    // deterministic background sample: TakeOrdered on the keyed LCG — a
+    // bounded distributed top-k, never a full sort
+    val normals = normals0
+      .orderBy(Det.frac(col(idCol), seed), col(idCol)).limit(maxBackground)
     // global min/max for scale-invariant distance (one tiny agg, broadcast)
     val aggCols = features.flatMap(f => Seq(min(col(f)), max(col(f))))
     val statsRow = normals.unionByName(instances.select(normals.columns.map(col): _*))

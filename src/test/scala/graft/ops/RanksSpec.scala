@@ -35,6 +35,40 @@ class RanksSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("string leading key ranks distributed, exactly, partition-invariantly") {
+    // realistic doc-id-ish strings incl. shared prefixes, empty, non-ASCII
+    val docs = (1 to 400).map { i =>
+      val s = i % 40 match {
+        case 0 => ""
+        case 1 => s"Ω-doc-$i"
+        case n if n < 8 => s"common/prefix/longer/than/seven/bytes/$i"
+        case _ => s"doc-${(i * 131) % 97}%04d-$i"
+      }
+      (s, i.toLong)
+    }.toDF("k", "v")
+    val got = Ranks.globalRowNumber(docs, Seq($"k", $"v"), "rn",
+        numPartitions = 8)
+      .orderBy($"rn").select($"k", $"v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = docs.orderBy($"k", $"v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // invariance across input partitioning / bucket counts
+    val a = Ranks.globalRowNumber(docs.repartition(3), Seq($"k", $"v"), "rn",
+      numPartitions = 4).orderBy($"v").select($"rn").as[Long].collect().toSeq
+    val b = Ranks.globalRowNumber(docs.repartition(11), Seq($"k", $"v"), "rn",
+      numPartitions = 9).orderBy($"v").select($"rn").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("unsupported leading key type fails fast (no silent one-bucket rank)") {
+    val df = Seq((Array(1.0, 2.0), 1L), (Array(2.0, 1.0), 2L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Ranks.globalRowNumber(df, Seq($"k", $"v"), "rn")
+    }
+    assert(e.getMessage.contains("leading order key"))
+  }
+
   test("no single-partition Window in the physical plan") {
     val df = (1 to 100).map(_.toLong).toDF("v")
     val plan = Ranks.globalRowNumber(df, Seq($"v"), "rn")

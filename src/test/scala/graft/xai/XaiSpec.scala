@@ -142,6 +142,23 @@ class XaiSpec extends SparkSpec {
     assert(imp.head._1 == "v1", imp.mkString(", "))
   }
 
+  test("X4 NUN: background cap bounds the broadcast side deterministically") {
+    val fitted = SupervisedDetector(Seq("v1", "v2"), "decision_tree").fit(data)
+    val scored = fitted.transform(data).cache()
+    val anomalies = scored.filter($"is_anomaly").limit(10)
+    val normals = scored.filter(!$"is_anomaly")
+    val cfs = Xai.nunCounterfactuals(anomalies, normals, Seq("v1", "v2"),
+      k = 3, maxBackground = 50)
+    assert(cfs.count() == 30)
+    // every neighbor comes from the keyed-LCG top-50 sample, nothing else
+    val allowed = normals.select($"id").collect().map(_.getLong(0))
+      .sortBy(id => (graft.functions.Det.fracHost(id, 42L), id)).take(50).toSet
+    val used = cfs.select($"cf_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(used.subsetOf(allowed), s"outside sample: ${used -- allowed}")
+    scored.unpersist()
+  }
+
   test("X4: counterfactuals point at the causal feature; X5 NDCG = 1") {
     val fitted = SupervisedDetector(Seq("v1", "v2"), "decision_tree").fit(data)
     val scored = fitted.transform(data).cache()
