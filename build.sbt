@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the driver parses the LAST stdout line of `runMain graft.Bench` as JSON;
+// sbt's trailing "[success] Total time..." line would land after it, and
+// the logger's "[info] " prefix on the JSON line itself would break
+// json.loads — forward the forked JVM's stdout verbatim instead
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
