@@ -103,14 +103,17 @@ object Embed {
     // ---- near-duplicate pairs: same bucket AND cosine > 0.9 --------------
     "e4_embed_neardup" -> ((s, dir) => {
       import s.implicits._
-      val withB0 = t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"vec_id", $"embedding",
-          Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
+      // hot-bucket guard INSIDE the checkpoint: the capped frame feeds both
+      // self-join sides, so materializing after the cap runs the guard's
+      // exchange+sort+window ONCE — checkpointing before it re-ran them per
+      // consumer (the broadcast side's partitioning work was pure waste)
+      val withB = graft.ops.Buckets.capMembers(
+        t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select($"vec_id", $"embedding",
+            Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket")),
+        Seq(col("bucket")), label = "embed_neardup")
         .localCheckpoint()
-      // hot-bucket guard: the self-join is quadratic in the largest bucket
-      val withB = graft.ops.Buckets.capMembers(withB0, Seq(col("bucket")),
-        label = "embed_neardup")
       withB.as("x").join(withB.as("y"),
           col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))

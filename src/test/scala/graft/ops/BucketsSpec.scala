@@ -37,6 +37,31 @@ class BucketsSpec extends SparkSpec {
     assert(audit == Seq(("deadbeef", 200L)))
   }
 
+  test("observed cap metrics fire when the capped frame is localCheckpointed") {
+    // guarded queries now materialize the CAPPED frame (one window pass,
+    // shared by all consumers) — the audit metric must still surface from
+    // the checkpoint action itself
+    @volatile var seen: Option[Long] = None
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.observedMetrics.get("graft_bucket_cap_ckpt")
+          .foreach(r => seen = Some(r.getAs[Long]("dropped_rows")))
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Buckets.capMembers(fixture, Seq($"bv"), cap = 10, label = "ckpt")
+        .localCheckpoint()
+      val deadline = System.nanoTime() + 5000000000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.contains(200L), s"metric not observed: $seen")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("cap not hit → frame passes through unchanged") {
     val capped = Buckets.capMembers(fixture, Seq($"bv"), cap = 5000, label = "t3")
     assert(capped.count() == fixture.count())
