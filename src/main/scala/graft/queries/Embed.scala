@@ -27,6 +27,9 @@ object Embed {
   /** e5's fixed quantizer: 8 medoid vectors spread across the id range
     * (disjoint from the q_id<10 query set). */
   private val CENTROID_IDS = Seq(10L, 70L, 130L, 190L, 250L, 310L, 370L, 430L)
+  /** e6's fixed residual codebook sources — disjoint from centroids and
+    * queries. */
+  private val CODEWORD_IDS = Seq(40L, 100L, 160L, 220L, 280L, 340L, 400L, 460L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -100,6 +103,28 @@ object Embed {
         .orderBy($"q_id", $"rnk")
     }),
 
+    // ---- residual-quantized IVF ANN, oracle-exact: fixed codebooks make
+    // encode (cell+code assignment, recNorm), the broadcast-only approximate
+    // score, and the exact refine all pure SQL arithmetic. This runs the
+    // PRODUCTION IvfRqIndex.encode/search path — only the codebook source
+    // differs from the k-means fit (IvfRqSpec covers recall there).
+    "e6_ivfrq_ann" -> ((s, dir) => {
+      import s.implicits._
+      val idx = graft.similarity.IvfRq.fixed(t(s, dir, "embeddings"),
+        "vec_id", "embedding", CENTROID_IDS, CODEWORD_IDS)
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      val encoded = idx.encode(
+        emb.select($"vec_id".as("c_id"), $"embedding".as("cv")), "c_id", "cv")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      val full = emb.select($"vec_id".as("c_id"), $"embedding".as("cv"))
+      idx.search(queries, encoded, full, "q_id", "qv", "c_id", "cv",
+          topK = 5, nProbe = 2, refine = 4)
+        .select($"q_id", $"rnk", $"c_id", round($"cos", 6).as("cos_sim"))
+        .orderBy($"q_id", $"rnk")
+    }),
+
     // ---- near-duplicate pairs: same bucket AND cosine > 0.9 --------------
     "e4_embed_neardup" -> ((s, dir) => {
       import s.implicits._
@@ -133,6 +158,21 @@ object Embed {
     def d2(v: String): String =
       s"(${Vectors.dotSql(v, v, DIM)} - 2.0 * ${Vectors.dotSql(v, "cenv", DIM)}" +
         s" + ${Vectors.dotSql("cenv", "cenv", DIM)})"
+    // e6 fold helpers — identical left-to-right double accumulation to the
+    // engine's zip_with/aggregate chain (see Vectors.dotSql)
+    def fold64(term: String): String =
+      s"list_reduce(list_transform(generate_series(1, $DIM), i -> $term), " +
+        "(x, y) -> x + y)"
+    def resDotRes(v: String, c: String): String = fold64(
+      s"(CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
+        s"(CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))")
+    def resDotCw(v: String, c: String, w: String): String =
+      fold64(s"(CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * $w[i]")
+    val resList =
+      s"list_transform(generate_series(1, $DIM), i -> " +
+        "CAST(embedding[i] AS DOUBLE) - CAST(cenv[i] AS DOUBLE))"
+    val recDot = fold64(
+      "(CAST(cenv[i] AS DOUBLE) + cwv[i]) * (CAST(cenv[i] AS DOUBLE) + cwv[i])")
 
     Map(
       "e1_cosine_topk" ->
@@ -188,6 +228,72 @@ object Embed {
            |r AS (SELECT q_id, c_id, cos, row_number() OVER
            |        (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
            |      FROM sc)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id, round(cos, 6) AS cos_sim
+           |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      "e6_ivfrq_ann" ->
+        s"""WITH cent AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cenv
+           |  FROM embeddings WHERE vec_id IN (${CENTROID_IDS.mkString(", ")})),
+           |cwa AS (
+           |  SELECT vec_id, embedding, cell, cenv, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY ${d2("embedding")} ASC, cell) AS arnk
+           |  FROM embeddings, cent
+           |  WHERE vec_id IN (${CODEWORD_IDS.mkString(", ")})),
+           |cw AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+           |         $resList AS cwv
+           |  FROM cwa WHERE arnk = 1),
+           |asg AS (
+           |  SELECT vec_id AS c_id, embedding AS cv, cell, cenv, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY ${d2("embedding")} ASC, cell) AS arnk
+           |  FROM embeddings, cent),
+           |enc0 AS (SELECT c_id, cv, cell, cenv FROM asg WHERE arnk = 1),
+           |encc AS (
+           |  SELECT c_id, cell, cenv, cwv, code, row_number() OVER
+           |    (PARTITION BY c_id ORDER BY
+           |       (${resDotRes("cv", "cenv")} - 2.0 * ${resDotCw("cv", "cenv", "cwv")}
+           |        + ${Vectors.dotSql("cwv", "cwv", DIM)}) ASC, code) AS crnk
+           |  FROM enc0, cw),
+           |enc AS (
+           |  SELECT c_id, cell, code, sqrt($recDot) AS recNorm
+           |  FROM encc WHERE crnk = 1),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv
+           |      FROM embeddings WHERE vec_id < 10),
+           |qc AS (
+           |  SELECT q_id, qv, cell, ${Vectors.dotSql("qv", "cenv", DIM)} AS qdc,
+           |    row_number() OVER
+           |      (PARTITION BY q_id ORDER BY ${d2("qv")} ASC, cell) AS prnk
+           |  FROM q, cent),
+           |probes AS (SELECT q_id, qv, cell, qdc FROM qc WHERE prnk <= 2),
+           |qw AS (
+           |  SELECT q_id AS qwid, code AS qwcode,
+           |         ${fold64("CAST(qv[i] AS DOUBLE) * cwv[i]")} AS qdw
+           |  FROM q, cw),
+           |qnt AS (SELECT q_id AS qnid,
+           |          sqrt(${Vectors.dotSql("qv", "qv", DIM)}) AS qn FROM q),
+           |cand AS (
+           |  SELECT p.q_id, p.qv, e.c_id,
+           |    (p.qdc + w.qdw) / (CASE WHEN qnt.qn * e.recNorm > 0.0
+           |       THEN qnt.qn * e.recNorm ELSE 1.0 END) AS approx
+           |  FROM probes p JOIN enc e USING (cell)
+           |  JOIN qw w ON p.q_id = w.qwid AND e.code = w.qwcode
+           |  JOIN qnt ON p.q_id = qnt.qnid
+           |  WHERE p.q_id != e.c_id),
+           |sl AS (
+           |  SELECT q_id, qv, c_id, row_number() OVER
+           |    (PARTITION BY q_id ORDER BY approx DESC, c_id) AS ar
+           |  FROM cand),
+           |ref AS (
+           |  SELECT sls.q_id, sls.c_id,
+           |         ${Vectors.cosineSql("qv", "cv2", DIM)} AS cos
+           |  FROM (SELECT q_id, qv, c_id FROM sl WHERE ar <= 20) sls
+           |  JOIN (SELECT vec_id AS cid2, embedding AS cv2 FROM embeddings) f
+           |    ON sls.c_id = f.cid2),
+           |r AS (SELECT q_id, c_id, cos, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+           |      FROM ref)
            |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id, round(cos, 6) AS cos_sim
            |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 

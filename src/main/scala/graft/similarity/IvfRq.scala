@@ -121,6 +121,38 @@ case class IvfRqIndex(
 
 object IvfRq {
 
+  /** Oracle-able fit (the [[graft.similarity.FixedIvf]] recipe extended to
+    * the residual stage): centroids are k chosen DATA vectors, codewords
+    * are the residuals of k2 OTHER chosen rows against their nearest
+    * centroid. All 2k rows are collected once (tiny); the host arithmetic
+    * below replicates the engine fold order exactly (left-to-right double
+    * accumulation from 0.0, ties to the lowest cell), so a DuckDB oracle
+    * can rebuild both codebooks as pure SQL. [[fit]] stays the production
+    * path; this gates [[IvfRqIndex.encode]]/[[IvfRqIndex.search]] — which
+    * run identically under either codebook source. */
+  def fixed(emb: DataFrame, idCol: String, vecCol: String,
+            centroidIds: Seq[Long], codewordIds: Seq[Long]): IvfRqIndex = {
+    import org.apache.spark.sql.functions.col
+    val byId = emb.filter(col(idCol).isInCollection(centroidIds ++ codewordIds))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    val cents = centroidIds.sorted.map(byId).toArray
+    def dotH(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cws = codewordIds.sorted.map { id =>
+      val v = byId(id)
+      val cell = cents.zipWithIndex.minBy { case (c, i) =>
+        (dotH(v, v) - 2.0 * dotH(v, c) + dotH(c, c), i)
+      }._2
+      v.zip(cents(cell)).map { case (x, c) => x - c }
+    }.toArray
+    IvfRqIndex(cents, cws)
+  }
+
   /** Two-stage fit: k-means coarse quantizer, then k-means on the
     * residuals. Both codebooks are tiny driver state (k·dim + k2·dim
     * doubles) broadcast into every later plan. */
