@@ -10,11 +10,43 @@ import org.apache.spark.sql.expressions.Window
   * (`Backend/utils.py:147-282`) — an O(N·L) copy on one host. Here windows are
   * declared over `Window.partitionBy(series).orderBy(ts)` frames so Spark
   * keeps them as streaming window aggregates: one shuffle on the series key,
-  * then a single sorted pass per partition. For ungrouped (single-series)
-  * data callers should still provide a coarse partition key (e.g. a time
-  * bucket) at 100 TB — a global `Window.orderBy` funnels into one task.
+  * then a single sorted pass per partition. Ungrouped (single-series) data
+  * no longer falls back to a one-task global window: [[sequences]] and
+  * [[flattenWindows]] with `seriesCol = None` block the total order into ~P
+  * contiguous rank ranges and replicate each block's last L−1 rows into the
+  * next block as context, so every lookback-L window completes inside one
+  * partition (see [[Sequencer.blockedByRank]]).
   */
 object Sequencer {
+
+  /** Distributed total-order blocking for lookback-L windows on a frame
+    * with NO series key: a [[graft.ops.Ranks]] two-pass rank assigns each
+    * row its global position `__rn`, rows land in block `__blk` =
+    * ⌊(rn−1)·P/N⌋, and any row whose following L−1 successors cross a block
+    * boundary is replicated into those later blocks flagged `__ctx` = true.
+    * Lookback windows partitioned by `__blk` (ordered by `__rn`) then see
+    * exactly the rows an unpartitioned window would — consumers compute the
+    * window, drop context rows, and drop the helper columns. Replication
+    * overhead: (P−1)·(L−1) rows total. `orderCols` must form a total order
+    * (same contract as the bare window this replaces). */
+  private def blockedByRank(df: DataFrame, orderCols: Seq[Column],
+                            L: Int): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val ranked = graft.ops.Ranks
+      .globalRowNumberWithTotal(df, orderCols, "__rn", "__n")
+    val blk = expr(s"((__rn - 1) * $p) div __n")
+    val ahead = least(expr(s"((__rn - 1 + ${L - 1}) * $p) div __n"),
+      lit(p - 1))
+    val own = ranked.withColumn("__blk", blk).withColumn("__ctx", lit(false))
+    // explode of a null array emits nothing: only boundary rows replicate
+    val ctx = ranked.withColumn("__blk0", blk)
+      .withColumn("__blk",
+        explode(when(ahead > col("__blk0"),
+          sequence(col("__blk0") + 1, ahead))))
+      .drop("__blk0")
+      .withColumn("__ctx", lit(true))
+    own.unionByName(ctx).drop("__n")
+  }
 
   /** W1: per-series sliding sequences of length L as nested arrays,
     * emitted only when the full window exists (W6 warm-up: first L-1 rows of
@@ -23,15 +55,22 @@ object Sequencer {
     * nondeterministic across partitionings. */
   def sequences(df: DataFrame, seriesCol: Option[String], tsCol: String,
                 features: Seq[String], L: Int,
-                orderTiebreak: Seq[Column] = Nil): DataFrame = {
-    val w = seriesCol
-      .map(s => Window.partitionBy(col(s)))
-      .getOrElse(Window.partitionBy())
-      .orderBy(col(tsCol) +: orderTiebreak: _*)
-      .rowsBetween(-(L - 1), Window.currentRow)
-    df.withColumn("__seq", collect_list(array(features.map(col): _*)).over(w))
-      .filter(size(col("__seq")) === L)
-      .withColumnRenamed("__seq", "sequence")
+                orderTiebreak: Seq[Column] = Nil): DataFrame = seriesCol match {
+    case Some(s) =>
+      val w = Window.partitionBy(col(s))
+        .orderBy(col(tsCol) +: orderTiebreak: _*)
+        .rowsBetween(-(L - 1), Window.currentRow)
+      df.withColumn("__seq", collect_list(array(features.map(col): _*)).over(w))
+        .filter(size(col("__seq")) === L)
+        .withColumnRenamed("__seq", "sequence")
+    case None =>
+      val b = blockedByRank(df, col(tsCol) +: orderTiebreak, L)
+      val w = Window.partitionBy(col("__blk")).orderBy(col("__rn"))
+        .rowsBetween(-(L - 1), Window.currentRow)
+      b.withColumn("__seq", collect_list(array(features.map(col): _*)).over(w))
+        .filter(!col("__ctx") && size(col("__seq")) === L)
+        .withColumnRenamed("__seq", "sequence")
+        .drop("__rn", "__blk", "__ctx")
   }
 
   /** W1-flat: the reference's flattened-window representation — one row per
@@ -44,17 +83,26 @@ object Sequencer {
     * materialization, unlike [[sequences]]. */
   def flattenWindows(df: DataFrame, seriesCol: Option[String], tsCol: String,
                      features: Seq[String], L: Int,
-                     orderTiebreak: Seq[Column] = Nil): DataFrame = {
-    val w = seriesCol
-      .map(s => Window.partitionBy(col(s)))
-      .getOrElse(Window.partitionBy())
-      .orderBy(col(tsCol) +: orderTiebreak: _*)
-    val lagCols = for (f <- features; j <- 0 until L)
-      yield lag(col(f), j).over(w).as(s"${f}_tm$j")
-    df.select(df.columns.map(col) ++ lagCols :+
-        row_number().over(w).as("__wpos"): _*)
-      .filter(col("__wpos") >= L) // W6 warm-up: incomplete windows emit nothing
-      .drop("__wpos")
+                     orderTiebreak: Seq[Column] = Nil): DataFrame = seriesCol match {
+    case Some(s) =>
+      val w = Window.partitionBy(col(s))
+        .orderBy(col(tsCol) +: orderTiebreak: _*)
+      val lagCols = for (f <- features; j <- 0 until L)
+        yield lag(col(f), j).over(w).as(s"${f}_tm$j")
+      df.select(df.columns.map(col) ++ lagCols :+
+          row_number().over(w).as("__wpos"): _*)
+        .filter(col("__wpos") >= L) // W6 warm-up: incomplete windows emit nothing
+        .drop("__wpos")
+    case None =>
+      val b = blockedByRank(df, col(tsCol) +: orderTiebreak, L)
+      val w = Window.partitionBy(col("__blk")).orderBy(col("__rn"))
+      val lagCols = for (f <- features; j <- 0 until L)
+        yield lag(col(f), j).over(w).as(s"${f}_tm$j")
+      // __rn IS the global position: W6 warm-up needs no extra row_number
+      b.select(df.columns.map(col) ++ Seq(col("__rn"), col("__ctx")) ++
+          lagCols: _*)
+        .filter(!col("__ctx") && col("__rn") >= L)
+        .drop("__rn", "__ctx")
   }
 
   /** W1-lite: sliding aggregate (avg) over the last L rows per series —

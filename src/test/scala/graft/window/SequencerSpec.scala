@@ -33,6 +33,31 @@ class SequencerSpec extends SparkSpec {
     assert(counts == Map("a" -> 3L, "b" -> 2L))
   }
 
+  test("single-series (None) paths are blocked yet equal to the global window") {
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val df = (0 until 237)
+        .map(i => (new Timestamp(base + i * 1000L), i.toLong, math.sin(i)))
+        .toDF("ts", "id", "x")
+      val asOne = df.withColumn("sid", lit("g"))
+      val flatS = Sequencer.flattenWindows(asOne, Some("sid"), "ts",
+        Seq("x"), 4, Seq($"id")).drop("sid")
+      val flatN = Sequencer.flattenWindows(df, None, "ts",
+        Seq("x"), 4, Seq($"id"))
+      assert(flatN.orderBy($"id").collect().toSeq ==
+        flatS.orderBy($"id").collect().toSeq)
+      // the data-sized window is partitioned by the derived block key —
+      // not the old one-task Window.partitionBy() fallback
+      assert(flatN.queryExecution.executedPlan.toString.contains("__blk"))
+      val seqS = Sequencer.sequences(asOne, Some("sid"), "ts",
+        Seq("x"), 4, Seq($"id")).drop("sid")
+      val seqN = Sequencer.sequences(df, None, "ts", Seq("x"), 4, Seq($"id"))
+      assert(seqN.orderBy($"id").collect().toSeq ==
+        seqS.orderBy($"id").collect().toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "2")
+  }
+
   test("W3 temporal split: first 85% by time are train") {
     val df = (0 until 40).map(i => (ts(i), i)).toDF("ts", "i")
     val split = Sequencer.temporalSplit(df, Seq($"ts"), 0.85)
