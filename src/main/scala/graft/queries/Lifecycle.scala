@@ -48,11 +48,14 @@ object Lifecycle {
         .select(Det.epochS($"ts").as("when"), $"value", $"event_id")
       val norm = graft.ingest.Ingest.normalize(raw, "when")
       // 2. inject: spike in train, custom in test (stat-free methods only)
+      // checkpoint the injected frame: temporalSplit's rank-boundary probe
+      // is an eager action that would otherwise recompute normalize+inject
       val inj = Injector.injectAll(norm, "id", "timestamp", Seq(
         AnomalySetting("spike", trainW._1, trainW._2 - trainW._1,
           magnitude = 3.0, percentage = 50.0, columns = Seq("value"), seed = 42L),
         AnomalySetting("custom", testW._1, testW._2 - testW._1,
           magnitude = 6.0, percentage = 40.0, columns = Seq("value"), seed = 43L)))
+        .localCheckpoint()
       // 3. temporal 85/15 split; checkpoint the fan-out (thr, test, merge)
       val snap = Sequencer.temporalSplit(inj, Seq($"timestamp", $"id"), 0.85)
         .localCheckpoint()
