@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Inject.queries ++
       graft.queries.TextDedup.queries ++ graft.queries.Embed.queries ++
-      graft.queries.Core2.queries ++ graft.queries.Lifecycle.queries
+      graft.queries.Core2.queries ++ graft.queries.Lifecycle.queries ++
+      graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracles ++ graft.queries.Inject.oracles ++
       graft.queries.TextDedup.oracles ++ graft.queries.Embed.oracles ++
-      graft.queries.Core2.oracles ++ graft.queries.Lifecycle.oracles
+      graft.queries.Core2.oracles ++ graft.queries.Lifecycle.oracles ++
+      graft.queries.Pipeline.oracles
 }

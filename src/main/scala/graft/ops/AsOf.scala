@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Backward as-of join — the time-series join Spark has no native operator
+  * for (each left row picks the single right row with the greatest right
+  * timestamp ≤ its own, per key). The classic use: align each event with
+  * the most recent prior marker (deploy, error, config change).
+  *
+  * Implementation is the union-and-carry form, not a join: tag both sides,
+  * union them, and run ONE keyed window pass carrying the last non-null
+  * right payload forward (`last(..., ignoreNulls)` over an unbounded-
+  * preceding row frame). Cost = one shuffle on the key + one sorted pass —
+  * the same shape as any per-key window, vs. a range-join's quadratic
+  * candidate blowup. Right rows sort BEFORE left rows at equal timestamps,
+  * so the match is inclusive (ts_right = ts_left matches).
+  *
+  * Contract: `right` must be unique per (keys, tsCol) — dedupe first (e.g.
+  * keep the max-id row per key+ts) or the carried payload is the last one
+  * in nondeterministic order. Timestamp columns must be the same type on
+  * both sides.
+  */
+object AsOf {
+
+  /** Left-outer backward as-of join: every left row, plus `asof_<p>`
+    * columns from the matched right row (null when no prior right row). */
+  def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, payload: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val carry = struct(payload.map(col): _*)
+    val carryType = right.select(carry.as("__c")).schema("__c").dataType
+
+    val r2base = right.select(keyCols :+ col(tsCol) :+ carry.as("__carry"): _*)
+      .withColumn("__side", lit(0))
+    // pad the right side with typed nulls for every other left column
+    val extras = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val r2 = extras.foldLeft(r2base)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val l2 = left
+      .withColumn("__carry", lit(null).cast(carryType))
+      .withColumn("__side", lit(1))
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asofCols = payload.map(p => col(s"__match.$p").as(s"asof_$p"))
+    l2.unionByName(r2.select(l2.columns.map(col): _*))
+      .withColumn("__match", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ asofCols: _*)
+  }
+}

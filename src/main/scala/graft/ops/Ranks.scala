@@ -80,6 +80,46 @@ object Ranks {
     }
   }
 
+  /** Append the INCLUSIVE prefix sum of `value` over the global
+    * `orderCols` order as `out` — the same two-pass shape as the rank:
+    * value-derived buckets, per-bucket window cumsum, plus broadcast
+    * per-bucket offsets. Partition-invariance holds when `value` sums
+    * exactly (integers / integer cents — the engine's money contract);
+    * float values would re-associate across bucket boundaries. */
+  def globalCumSum(df: DataFrame, orderCols: Seq[Column], value: Column,
+                   out: String, numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val leadType = df.select(orderCols.head.as("__gr_probe")).schema.head.dataType
+    val keyed = df.withColumn("__gr_key", bucketKey(orderCols.head, leadType))
+      .withColumn("__gr_v", value)
+    val bounds: Array[Double] =
+      if (n <= 1) Array.empty
+      else keyed.stat
+        .approxQuantile("__gr_key", (1 until n).map(_.toDouble / n).toArray, 0.001)
+        .filterNot(_.isNaN).distinct.sorted
+    val bucket = bounds
+      .map(b => when(col("__gr_key") > lit(b), 1).otherwise(0))
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    val parted = keyed.withColumn("__gr_b", bucket).drop("__gr_key")
+
+    val offWin = Window.orderBy(col("__gr_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__gr_b"))
+      .agg(sum(col("__gr_v")).as("__gr_bsum"))
+      .withColumn("__gr_off",
+        coalesce(sum(col("__gr_bsum")).over(offWin), lit(0L)))
+      .withColumnRenamed("__gr_b", "__gr_b2")
+      .drop("__gr_bsum")
+
+    val localWin = Window.partitionBy(col("__gr_b")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.withColumn("__gr_lcs", sum(col("__gr_v")).over(localWin))
+      .join(broadcast(offsets), col("__gr_b") === col("__gr_b2"))
+      .withColumn(out, col("__gr_off") + col("__gr_lcs"))
+      .drop("__gr_b", "__gr_b2", "__gr_off", "__gr_lcs", "__gr_v")
+  }
+
   private def ranked(df: DataFrame, orderCols: Seq[Column], out: String,
                      total: Option[String], numPartitions: Int): DataFrame = {
     val n = if (numPartitions > 0) numPartitions

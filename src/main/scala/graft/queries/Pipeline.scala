@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.functions.Det
+import graft.text.TextOps
+
+/** Training-data-pipeline operators beyond the reference surface (graded
+  * first-class alongside SURVEY §2): backward as-of join, token-budget
+  * document packing over a distributed prefix sum, Gopher-style quality
+  * rules, and deterministic stratified sampling — each with an exact DuckDB
+  * oracle.
+  */
+object Pipeline {
+
+  private val tokensSqlExpr =
+    "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+  private val PackBudget = 1000L
+  private val StratumN = 30
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- backward as-of join: most recent prior error per user -----------
+    // The union-and-carry AsOf operator: one shuffle on user_id, one sorted
+    // pass — no range-join candidate blowup (ops/AsOf.scala).
+    "z2_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id", Det.epochS($"ts").as("es"), $"value")
+      // right side unique per (user_id, es): keep the max-event_id error
+      val dedupW = Window.partitionBy($"user_id", $"es")
+        .orderBy($"err_id".desc)
+      val errs = t(s, dir, "events")
+        .filter($"event_type" === "error")
+        .select($"user_id", Det.epochS($"ts").as("es"),
+          $"event_id".as("err_id"), $"value".as("err_value"))
+        .withColumn("__rn", row_number().over(dedupW))
+        .filter($"__rn" === 1).drop("__rn")
+      graft.ops.AsOf.joinBackward(ev, errs, Seq("user_id"), "es",
+          Seq("err_id", "err_value"))
+        .select($"event_id", $"asof_err_id".as("prior_error_id"),
+          round($"asof_err_value", 4).as("prior_error_value"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- token-budget packing (concat-and-chunk pretraining layout) ------
+    // bin = the fixed-size token block a document STARTS in, from a
+    // distributed prefix sum (Ranks.globalCumSum — never a one-task window).
+    "t6_pack_budget" -> ((s, dir) => {
+      import s.implicits._
+      val withTok = t(s, dir, "documents")
+        .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tok"))
+      graft.ops.Ranks.globalCumSum(withTok, Seq($"doc_id"), $"n_tok", "cum_tok")
+        .select($"doc_id", $"n_tok", $"cum_tok",
+          expr(s"(cum_tok - n_tok) div $PackBudget").as("bin"),
+          (($"cum_tok" - $"n_tok") % PackBudget).as("bin_offset"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- Gopher-style quality rules (Rae et al. 2021 §A1.1, the public
+    // repetition/length heuristics) — all-integer arithmetic, rule columns
+    // plus the conjunction --------------------------------------------------
+    "t7_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val nw = size(toks).cast("long")
+      val alpha = length(regexp_replace($"text", " ", "")).cast("long")
+      val nHash = (length($"text") -
+        length(regexp_replace($"text", "#", ""))).cast("long")
+      val nStop = TextOps.hitCount(toks,
+        TextOps.langWords.flatMap(_._2)).cast("long")
+      val wordsOk = nw >= 50L && nw <= 100000L
+      val mwlOk = alpha >= nw * 3L && alpha <= nw * 10L
+      val symbolOk = nHash * 10L <= nw
+      val stopOk = nStop >= 2L
+      t(s, dir, "documents")
+        .select($"doc_id", nw.as("n_words"),
+          wordsOk.as("words_ok"), mwlOk.as("mean_word_len_ok"),
+          symbolOk.as("symbol_ok"), stopOk.as("stopword_ok"),
+          (wordsOk && mwlOk && symbolOk && stopOk).as("passes_gopher"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- deterministic stratified sampling: N per stratum, keyed LCG -----
+    "p12_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type")
+        .orderBy(Det.frac($"event_id", 11L), $"event_id")
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= StratumN)
+        .select($"event_type", $"rn", $"event_id")
+        .orderBy($"event_type", $"rn")
+    }))
+
+  def oracles: Map[String, String] = {
+    val es = Det.epochSSql("ts")
+    Map(
+      "z2_asof_join" ->
+        s"""WITH errs AS (
+           |  SELECT user_id, es, event_id AS err_id, value AS err_value
+           |  FROM (SELECT user_id, $es AS es, event_id, value,
+           |          row_number() OVER (PARTITION BY user_id, $es
+           |            ORDER BY event_id DESC) AS rn
+           |        FROM events WHERE event_type = 'error')
+           |  WHERE rn = 1),
+           |l AS (SELECT event_id, user_id, $es AS es FROM events)
+           |SELECT l.event_id, e.err_id AS prior_error_id,
+           |       round(e.err_value, 4) AS prior_error_value
+           |FROM l ASOF LEFT JOIN errs e
+           |  ON l.user_id = e.user_id AND l.es >= e.es
+           |ORDER BY l.event_id""".stripMargin,
+
+      "t6_pack_budget" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, CAST(len($tokensSqlExpr) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tok,
+           |    sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           |      AS cum_tok
+           |  FROM tok)
+           |SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+           |  CAST((cum_tok - n_tok) // $PackBudget AS BIGINT) AS bin,
+           |  CAST((cum_tok - n_tok) % $PackBudget AS BIGINT) AS bin_offset
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      "t7_gopher_rules" -> {
+        val allStop = TextOps.langWords.flatMap(_._2)
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    CAST(len($tokensSqlExpr) AS BIGINT) AS nw,
+           |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS alpha,
+           |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS nhash,
+           |    CAST(len(list_filter($tokensSqlExpr, x -> x IN ($allStop)))
+           |      AS BIGINT) AS nstop
+           |  FROM documents)
+           |SELECT doc_id, nw AS n_words,
+           |  (nw >= 50 AND nw <= 100000) AS words_ok,
+           |  (alpha >= nw * 3 AND alpha <= nw * 10) AS mean_word_len_ok,
+           |  (nhash * 10 <= nw) AS symbol_ok,
+           |  (nstop >= 2) AS stopword_ok,
+           |  ((nw >= 50 AND nw <= 100000) AND (alpha >= nw * 3 AND alpha <= nw * 10)
+           |   AND (nhash * 10 <= nw) AND (nstop >= 2)) AS passes_gopher
+           |FROM f ORDER BY doc_id""".stripMargin
+      },
+
+      "p12_stratified_sample" ->
+        s"""SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id FROM (
+           |  SELECT event_type, event_id, row_number() OVER
+           |    (PARTITION BY event_type
+           |     ORDER BY ${Det.fracSql("event_id", 11L)}, event_id) AS rn
+           |  FROM events)
+           |WHERE rn <= $StratumN ORDER BY event_type, rn""".stripMargin)
+  }
+}

@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  //           key  ts   id
+  private val left = Seq(
+    ("a", 5L, 1L), ("a", 10L, 2L), ("a", 20L, 3L),
+    ("b", 10L, 4L), ("b", 30L, 5L)).toDF("k", "ts", "id")
+  //           key  ts   payload
+  private val right = Seq(
+    ("a", 10L, "a@10"), ("a", 15L, "a@15"),
+    ("b", 25L, "b@25"), ("c", 1L, "c@1")).toDF("k", "ts", "v")
+
+  test("backward as-of: greatest right ts <= left ts, per key, inclusive") {
+    val out = AsOf.joinBackward(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(
+      1L -> None,          // before any right row
+      2L -> Some("a@10"),  // inclusive: equal ts matches
+      3L -> Some("a@15"),  // most recent prior, not just any prior
+      4L -> None,          // key b has no right row yet
+      5L -> Some("b@25"))) // per-key isolation (c@1 never leaks)
+  }
+
+  test("as-of output keeps every left row and column") {
+    val out = AsOf.joinBackward(left, right, Seq("k"), "ts", Seq("v"))
+    assert(out.count() == 5)
+    assert(out.columns.toSeq == Seq("k", "ts", "id", "asof_v"))
+  }
+}

@@ -35,6 +35,22 @@ class RanksSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("globalCumSum matches a global window prefix sum, partition-invariantly") {
+    val df = (1 to 500).map(i => ((i * 37) % 211, i.toLong, (i % 13).toLong))
+      .toDF("k", "v", "w")
+    val want = df.orderBy($"k", $"v").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).scanLeft((0L, 0L)) {
+        case ((_, acc), (v, wv)) => (v, acc + wv)
+      }.drop(1).toMap
+    def got(parts: Int, n: Int) =
+      Ranks.globalCumSum(df.repartition(parts), Seq($"k", $"v"), $"w", "cs",
+          numPartitions = n)
+        .select($"v", $"cs").as[(Long, Long)].collect().toMap
+    val a = got(3, 4)
+    assert(a == want)
+    assert(got(11, 9) == a)
+  }
+
   test("string leading key ranks distributed, exactly, partition-invariantly") {
     // realistic doc-id-ish strings incl. shared prefixes, empty, non-ASCII
     val docs = (1 to 400).map { i =>
