@@ -82,6 +82,61 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // ---- A12: grouping sets / rollup (native beyond reference) -----------
+    // rollup nulls are coalesced to a sentinel in BOTH engines, so the
+    // subtotal rows compare exactly (and null-ordering differences between
+    // Spark and DuckDB never arise)
+    "a12_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+        .rollup($"event_type", $"day")
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round($"value" * 100).cast("long")) / 100.0).as("sum_value"))
+        .select(coalesce($"event_type", lit("(all)")).as("etype"),
+          coalesce($"day", lit("(all)")).as("day"), $"cnt", $"sum_value")
+        .orderBy($"etype", $"day")
+    }),
+
+    // ---- U2: intersect / except (native beyond reference) ----------------
+    "u2_intersect_except" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val a = ev.filter($"value" > 150.0).select($"event_id")
+      val b = ev.filter($"event_type".isin("error", "click")).select($"event_id")
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionByName(a.except(b).withColumn("tag", lit("only_high")))
+        .orderBy($"event_id", $"tag")
+    }),
+
+    // ---- F10: JSON extraction + array construction/transform/fold --------
+    "f11_json_array" -> ((s, dir) => {
+      import s.implicits._
+      val k = get_json_object($"props", "$.k").cast("long")
+      val arr = array($"value", k.cast("double"))
+      t(s, dir, "events")
+        .select($"event_id", k.as("k"),
+          element_at(sort_array(arr), 1).as("lo"),
+          aggregate(transform(arr, x => x * 2.0), lit(0.0), _ + _)
+            .as("doubled_sum"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- repetition rule (Gopher §A1.1 top-n-gram fraction, unigram) -----
+    "t8_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val nw = size(toks).cast("long")
+      val maxCnt = coalesce(
+        array_max(transform(array_distinct(toks),
+          u => size(filter(toks, x => x === u)))), lit(0)).cast("long")
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", nw.as("n_words"), maxCnt.as("top_tok_count"),
+          (maxCnt * 5L <= nw).as("repetition_ok"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- deterministic stratified sampling: N per stratum, keyed LCG -----
     "p12_stratified_sample" -> ((s, dir) => {
       import s.implicits._
@@ -146,6 +201,53 @@ object Pipeline {
            |   AND (nhash * 10 <= nw) AND (nstop >= 2)) AS passes_gopher
            |FROM f ORDER BY doc_id""".stripMargin
       },
+
+      "a12_rollup" ->
+        """SELECT coalesce(event_type, '(all)') AS etype,
+          |  coalesce(day, '(all)') AS day, cnt, sum_value
+          |FROM (
+          |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          |    count(*) AS cnt,
+          |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+          |  FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d')))
+          |ORDER BY etype, day""".stripMargin,
+
+      "u2_intersect_except" ->
+        """SELECT * FROM (
+          |  SELECT event_id, 'both' AS tag FROM (
+          |    SELECT event_id FROM events WHERE value > 150.0
+          |    INTERSECT
+          |    SELECT event_id FROM events
+          |    WHERE event_type IN ('error', 'click'))
+          |  UNION ALL
+          |  SELECT event_id, 'only_high' AS tag FROM (
+          |    SELECT event_id FROM events WHERE value > 150.0
+          |    EXCEPT
+          |    SELECT event_id FROM events
+          |    WHERE event_type IN ('error', 'click')))
+          |ORDER BY event_id, tag""".stripMargin,
+
+      "f11_json_array" ->
+        """SELECT event_id, k,
+          |  list_sort([value, CAST(k AS DOUBLE)])[1] AS lo,
+          |  list_reduce(list_transform([value, CAST(k AS DOUBLE)],
+          |    x -> x * 2.0), (a, b) -> a + b) AS doubled_sum
+          |FROM (SELECT event_id, value,
+          |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          |      FROM events)
+          |ORDER BY event_id""".stripMargin,
+
+      "t8_repetition" ->
+        s"""SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_words,
+           |  CAST(coalesce(list_max(list_transform(list_distinct(toks),
+           |    u -> len(list_filter(toks, x -> x = u)))), 0) AS BIGINT)
+           |    AS top_tok_count,
+           |  (coalesce(list_max(list_transform(list_distinct(toks),
+           |     u -> len(list_filter(toks, x -> x = u)))), 0) * 5
+           |   <= len(toks)) AS repetition_ok
+           |FROM (SELECT doc_id, $tokensSqlExpr AS toks FROM documents)
+           |ORDER BY doc_id""".stripMargin,
 
       "p12_stratified_sample" ->
         s"""SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id FROM (
