@@ -36,6 +36,23 @@ object ImageCodec {
     out
   }
 
+  /** 64-bit average hash (aHash): bit i set iff the i-th cell of the 8×8
+    * mean-luminance grid is above the grid mean — the classic perceptual
+    * image fingerprint (robust to re-encode / resize / mild noise; hamming
+    * distance ≤ ~6 ⇒ visually the same image). Reuses [[embedding]], so the
+    * hash is deterministic wherever the embedding is. */
+  def aHash(img: BufferedImage): Long = {
+    val cells = embedding(img, 8)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += cells(i); i += 1 }
+    mean /= 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) { if (cells(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
   /** grid×grid mean-luminance embedding in [-1, 1] (row-major, grid²
     * dims) — the classic pixel-statistics baseline; deterministic, so
     * near-dup detection over it is reproducible. */

@@ -195,6 +195,44 @@ object Media {
       }.toDF("media_id", "embedding")
   }
 
+  /** REAL perceptual image hashing: per-row 64-bit aHash
+    * ([[ImageCodec.aHash]]) in the same mapPartitions batch shape —
+    * image dedup becomes the text pipeline's hash problem. Undecodable
+    * rows are dropped. */
+  def imageHashes(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          ImageCodec.decode(bytes).map(img => (id, ImageCodec.aHash(img)))
+        }
+      }.toDF("media_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs at hamming ≤ `maxDist` over [[imageHashes]]
+    * output — the identical 8-chunk blocked self-join the 64-bit text
+    * simhash path uses (pigeonhole: hashes within hamming 7 share ≥ 1 of 8
+    * byte chunks), hot-chunk guarded. One shuffle on (chunk, value); never
+    * a cross product. */
+  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist <= 7, "8-chunk blocking guarantees recall only to hamming 7")
+    val chunks = graft.ops.Buckets.capMembers(
+      hashes.select(col("media_id"), col("ahash"), posexplode(array(
+        (0 until 8).map(c => shiftright(col("ahash"), 8 * c).bitwiseAND(255)): _*))
+        .as(Seq("chunk", "cv"))),
+      Seq(col("chunk"), col("cv")), label = "image_ahash")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** Media rows are orders of magnitude wider than tabular rows: partition
     * by a byte budget, not a row count (the 100 TB knob). */
   def repartitionByByteBudget(df: DataFrame, bytesPerPartition: Long): DataFrame = {

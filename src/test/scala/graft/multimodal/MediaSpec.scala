@@ -124,6 +124,33 @@ class MediaSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("REAL png aHash → blocked near-dup pairs find the visual duplicate") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, invert: Boolean, noise: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = (x * 255 / math.max(1, w - 1) + (x + y) % (noise + 1)).min(255)
+        val v = if (invert) 255 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      ImageCodec.encodePng(img)
+    }
+    val rows = Seq(
+      (0L, "image", png(40, 20, invert = false, noise = 0)),
+      (1L, "image", png(80, 40, invert = false, noise = 2)), // rescaled near-dup
+      (2L, "image", png(32, 32, invert = true, noise = 0)),  // opposite
+      (3L, "image", Array.fill(64)(9.toByte))                // undecodable
+    ).toDF("media_id", "media_type", "content")
+    val hashes = Media.imageHashes(rows).cache()
+    assert(hashes.count() == 3) // junk row dropped
+    val pairs = Media.imageNearDupPairs(hashes, maxDist = 6)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // the resized+noised copy pairs with the original; the inverted image
+    // pairs with nothing (its hash is ~the complement)
+    assert(pairs == Set((0L, 1L)), s"pairs=$pairs")
+    hashes.unpersist()
+  }
+
   test("REAL wav decode → header meta → RMS embedding → ANN, end to end") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 16-bit PCM mono WAV with an amplitude envelope
