@@ -68,6 +68,17 @@ object StreamJob {
     Trigger.ProcessingTime(intervalMs)
   }
 
+  /** Streaming exact dedup with BOUNDED state: re-deliveries of the same
+    * key are dropped while the first sighting is within the watermark
+    * horizon; the per-key state then expires (a plain `dropDuplicates`
+    * would grow state forever — unusable on an unbounded stream). The
+    * streaming leg of the d1 exact-dedup story: at-least-once sources →
+    * effectively-once downstream. */
+  def dedupStream(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** T2: per-row streaming injection for a list of settings (stats from the
     * static pre-pass). */
   def injectStream(stream: DataFrame, staticDf: DataFrame, idCol: String,

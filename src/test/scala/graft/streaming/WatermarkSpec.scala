@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class WEv(ts: Timestamp, user: String, v: Double)
+case class DEv(ts: Timestamp, id: Long, v: Double)
 
 /** T4 (absent in the reference, free in Spark): event-time tumbling-window
   * aggregation with a watermark — late data beyond the watermark is
@@ -47,5 +48,29 @@ class WatermarkSpec extends SparkSpec {
     val base = 1704067200L
     assert(out.contains((base, "a", 2L)), s"window[0,10) got $out")      // NOT 3
     assert(out.contains((base + 1800, "a", 1L)), s"window[30,40) got $out")
+  }
+
+  test("streaming dedup: duplicates dropped within watermark, state expires") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DEv]
+    val q = StreamJob.dedupStream(mem.toDF(), "ts", Seq("id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    // first sighting passes; same-batch and next-batch re-deliveries drop
+    mem.addData(DEv(ts(1), 1L, 10), DEv(ts(1), 1L, 10), DEv(ts(2), 2L, 20))
+    q.processAllAvailable()
+    mem.addData(DEv(ts(3), 1L, 10))
+    q.processAllAvailable()
+    // advance event time far past the horizon → id 1's state expires
+    mem.addData(DEv(ts(60), 3L, 30))
+    q.processAllAvailable()
+    mem.addData(DEv(ts(55), 1L, 99)) // NOT a duplicate anymore: re-emitted
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_out").groupBy($"id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L), s"got $got")
   }
 }
