@@ -30,6 +30,8 @@ object Embed {
   /** e6's fixed residual codebook sources — disjoint from centroids and
     * queries. */
   private val CODEWORD_IDS = Seq(40L, 100L, 160L, 220L, 280L, 340L, 400L, 460L)
+  /** e7's in-cell near-duplicate cosine threshold (see the query's note). */
+  private val SEMDEDUP_COS = 0.4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -147,6 +149,40 @@ object Embed {
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
           round($"cos", 6).as("cos_sim"))
         .orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    // 2303.09540): cluster with the coarse quantizer, connect in-cell
+    // pairs above a cosine threshold, keep one representative (min id)
+    // per connected component, report the dropped members. In-cell
+    // candidate generation IS the SemDeDup design point — cluster count
+    // scales with N so cells stay bounded, and capMembers guards hot
+    // cells. Threshold 0.4 is calibrated to this synthetic table (max
+    // pairwise cosine 0.60; real embedding corpora use ~0.9) — the
+    // operator is threshold-agnostic.
+    "e7_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val cents = FixedIvf.centroids(t(s, dir, "embeddings"), "vec_id",
+        "embedding", CENTROID_IDS)
+      // capped frame feeds both self-join sides → guard inside the
+      // checkpoint, one guard pass (same reasoning as e4 above)
+      val assigned = graft.ops.Buckets.capMembers(
+          FixedIvf.assign(
+            t(s, dir, "embeddings")
+              .repartition(s.sparkContext.defaultParallelism),
+            "vec_id", "embedding", cents),
+          Seq(col("cell")), label = "semantic_dedup")
+        .localCheckpoint()
+      val edges = assigned.as("x").join(assigned.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cos", Vectors.cosine(col("x.embedding"), col("y.embedding")))
+        .filter($"cos" > SEMDEDUP_COS)
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      graft.ops.Components.connectedComponents(edges, "a_id", "b_id")
+        .filter($"node" =!= $"component")
+        .select($"node".as("vec_id"), $"component".as("kept_id"))
+        .orderBy($"vec_id")
     }))
 
   def oracles: Map[String, String] = {
@@ -306,6 +342,34 @@ object Embed {
            |        ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
            |SELECT a_id, b_id, round($cosXY, 6) AS cos_sim
            |FROM (SELECT a_id, b_id, $cosXY AS cos, xe, ye FROM p)
-           |WHERE cos > 0.9 ORDER BY a_id, b_id""".stripMargin)
+           |WHERE cos > 0.9 ORDER BY a_id, b_id""".stripMargin,
+
+      "e7_semantic_dedup" ->
+        s"""WITH RECURSIVE cent AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cenv
+           |  FROM embeddings WHERE vec_id IN (${CENTROID_IDS.mkString(", ")})),
+           |asg AS (
+           |  SELECT vec_id, embedding, cell, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY ${d2("embedding")} ASC, cell) AS arnk
+           |  FROM embeddings, cent),
+           |inv AS (SELECT vec_id, embedding, cell FROM asg WHERE arnk = 1),
+           |p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+           |        x.embedding AS xe, y.embedding AS ye
+           |      FROM inv x JOIN inv y
+           |        ON x.cell = y.cell AND x.vec_id < y.vec_id),
+           |prs AS (SELECT a_id, b_id
+           |        FROM (SELECT a_id, b_id, $cosXY AS cos, xe, ye FROM p)
+           |        WHERE cos > $SEMDEDUP_COS),
+           |sym AS (
+           |  SELECT a_id AS src, b_id AS dst FROM prs
+           |  UNION SELECT b_id, a_id FROM prs),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM sym
+           |  UNION SELECT src, src FROM sym
+           |  UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+           |SELECT src AS vec_id, min(dst) AS kept_id
+           |FROM reach GROUP BY src HAVING src <> min(dst)
+           |ORDER BY vec_id""".stripMargin)
   }
 }

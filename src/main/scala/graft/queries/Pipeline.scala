@@ -19,6 +19,12 @@ object Pipeline {
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
   private val PackBudget = 1000L
   private val StratumN = 30
+  /** Decontamination n-gram size (8 on this short-doc synthetic corpus; the
+    * published convention is 13-grams on real web text). */
+  private val DecontamN = 8
+  private val ChunkW = 64
+  private val ChunkS = 48
+  private val Bm25Terms = Seq("join", "vector", "window", "dup")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- backward as-of join: most recent prior error per user -----------
@@ -147,6 +153,89 @@ object Pipeline {
         .filter($"rn" <= StratumN)
         .select($"event_type", $"rn", $"event_id")
         .orderBy($"event_type", $"rn")
+    }),
+
+    // ---- benchmark decontamination (the GPT-3 appendix-C n-gram overlap
+    // check): flag training docs sharing any distinct n-gram with a held-out
+    // eval set. 100 TB shape: the eval set is tiny (benchmarks, not corpus),
+    // so its gram set BROADCASTS; the train side is a map-side explode +
+    // broadcast semi-join + per-doc agg — one shuffle, on doc_id only.
+    "t9_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      def grams(df: DataFrame) = df
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= DecontamN)
+        .select($"doc_id",
+          array_distinct(TextOps.wordNgrams($"toks", DecontamN)).as("gs"))
+      val base = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val evalG = grams(base.filter($"doc_id" % 50 === 0))
+        .select(explode($"gs").as("g")).distinct()
+      val train = grams(base.filter($"doc_id" % 50 =!= 0))
+        .select($"doc_id", size($"gs").as("n_gram"), explode($"gs").as("g"))
+      train.join(broadcast(evalG), Seq("g"), "left_semi")
+        .groupBy($"doc_id", $"n_gram")
+        .agg(count(lit(1)).as("n_hit"))
+        .select($"doc_id", $"n_hit",
+          round($"n_hit".cast("double") / $"n_gram", 4).as("hit_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- BM25 relevance scoring (Robertson et al.; k1=1.2, b=0.75) -------
+    // Corpus stats (N, Σdl, per-term df) are ONE tiny agg broadcast back;
+    // scoring is then a per-row projection — a linear scan at 100 TB. The
+    // lone transcendental (ln in idf) is rounded to 6dp on both engines so
+    // libm ULP differences can't surface; everything else is order-fixed
+    // IEEE double arithmetic, bit-identical cross-engine.
+    "t10_bm25" -> ((s, dir) => {
+      import s.implicits._
+      // tokenised frame feeds stats AND scoring → localCheckpoint
+      // (PLANS.md fan-out rule)
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select(($"doc_id" +: size($"toks").cast("long").as("dl") +:
+          Bm25Terms.zipWithIndex.map { case (tm, i) =>
+            size(filter($"toks", x => x === tm)).cast("long").as(s"tf$i")
+          }): _*)
+        .localCheckpoint()
+      val aggs = sum($"dl").as("sdl") +: Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L)).cast("double").as(s"df$i"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+      val scored = docs.crossJoin(broadcast(stats))
+        .withColumn("avgdl", $"sdl".cast("double") / $"n")
+      val score = Bm25Terms.indices.map { i =>
+        val tf = col(s"tf$i").cast("double")
+        val idf = round(
+          log(($"n" - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+            + lit(1.0)), 6)
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+            ($"dl".cast("double") / $"avgdl")))
+      }.reduce(_ + _)
+      scored.select($"doc_id", round(score, 4).as("bm25"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- sliding-window chunking (stride < window → overlapping training
+    // chunks, the standard LLM pre-tokenization layout). Pure per-row
+    // explode — ~len/stride output rows per doc, no shuffle before the
+    // final presentation sort.
+    "t11_chunk_stride" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", $"toks",
+          explode(sequence(lit(0), size($"toks") - 1, lit(ChunkS))).as("start"))
+        .select($"doc_id",
+          ($"start" / ChunkS).cast("int").as("chunk_idx"),
+          least(size($"toks") - $"start", lit(ChunkW)).as("chunk_len"),
+          substring(md5(array_join(
+            slice($"toks", $"start" + 1, lit(ChunkW)), " ").cast("binary")),
+            1, 8).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_idx")
     }))
 
   def oracles: Map[String, String] = {
@@ -255,6 +344,65 @@ object Pipeline {
            |    (PARTITION BY event_type
            |     ORDER BY ${Det.fracSql("event_id", 11L)}, event_id) AS rn
            |  FROM events)
-           |WHERE rn <= $StratumN ORDER BY event_type, rn""".stripMargin)
+           |WHERE rn <= $StratumN ORDER BY event_type, rn""".stripMargin,
+
+      "t9_decontaminate" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $tokensSqlExpr AS tokens FROM documents),
+           |g AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(0, greatest(len(tokens) - $DecontamN, 0)),
+           |    i -> array_to_string(
+           |      list_slice(tokens, i + 1, i + $DecontamN), ' '))) AS gs
+           |  FROM toks WHERE len(tokens) >= $DecontamN),
+           |ev AS (SELECT DISTINCT unnest(gs) AS eg FROM g WHERE doc_id % 50 = 0),
+           |tr AS (SELECT doc_id, len(gs) AS n_gram, unnest(gs) AS tg
+           |       FROM g WHERE doc_id % 50 <> 0),
+           |h AS (SELECT doc_id, n_gram, count(*) AS n_hit FROM tr
+           |      WHERE tg IN (SELECT eg FROM ev) GROUP BY doc_id, n_gram)
+           |SELECT doc_id, n_hit,
+           |  round(CAST(n_hit AS DOUBLE) / n_gram, 4) AS hit_frac
+           |FROM h ORDER BY doc_id""".stripMargin,
+
+      "t10_bm25" -> {
+        val tfs = Bm25Terms.zipWithIndex.map { case (tm, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '$tm')) AS BIGINT) AS tf$i"
+        }.mkString(", ")
+        val dfs = Bm25Terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+          .mkString(", ")
+        val terms = Bm25Terms.indices.map { i =>
+          s"round(ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0), 6) * " +
+            s"(CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + " +
+            "1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+        }.mkString(" + ")
+        s"""WITH d AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfs
+           |  FROM (SELECT doc_id, $tokensSqlExpr AS toks FROM documents)),
+           |st AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sdl, $dfs
+           |  FROM d),
+           |sc AS (
+           |  SELECT doc_id, dl, ${Bm25Terms.indices.map(i => s"tf$i").mkString(", ")},
+           |    n, ${Bm25Terms.indices.map(i => s"df$i").mkString(", ")},
+           |    CAST(sdl AS DOUBLE) / n AS avgdl
+           |  FROM d, st)
+           |SELECT doc_id, round($terms, 4) AS bm25
+           |FROM sc ORDER BY doc_id""".stripMargin
+      },
+
+      "t11_chunk_stride" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $tokensSqlExpr AS tokens FROM documents),
+           |st AS (
+           |  SELECT doc_id, tokens,
+           |    unnest(generate_series(0, len(tokens) - 1, $ChunkS)) AS start
+           |  FROM toks WHERE len(tokens) > 0)
+           |SELECT doc_id, CAST(start // $ChunkS AS INTEGER) AS chunk_idx,
+           |  CAST(least(len(tokens) - start, $ChunkW) AS INTEGER) AS chunk_len,
+           |  substr(md5(array_to_string(
+           |    list_slice(tokens, start + 1, start + $ChunkW), ' ')), 1, 8)
+           |    AS chunk_hash
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)
   }
 }
