@@ -24,11 +24,17 @@ import org.apache.spark.sql.types._
   * RMS embeddings operate on actual samples; compressed audio falls back
   * to the stub.
   *
-  * The remaining STUB parts (clearly marked): video sample decoding and
-  * compressed audio — no JDK codec exists for them, so `decode*Stub`
-  * derive deterministic fake values from the bytes. Swapping in a real
-  * codec changes ONLY the function body inside `mapPartitions`; every
-  * schema, partition and join shape stays as tested here.
+  * VIDEO decodes for REAL when the container is MJPEG-AVI
+  * ([[VideoCodec]]: RIFF parse → per-frame JPEG): header metadata and
+  * frame sampling ([[videoFrames]]) operate on actual frames, which feed
+  * the image operators unchanged.
+  *
+  * The remaining STUB parts (clearly marked): inter-frame-compressed video
+  * (H.264 & co.) and compressed audio (mp3/ogg) — no JDK codec exists for
+  * them, so `decode*Stub` / [[frameSample]] derive deterministic fake
+  * values from the bytes. Swapping in a real codec changes ONLY the
+  * function body inside `mapPartitions`; every schema, partition and join
+  * shape stays as tested here.
   */
 object Media {
 
@@ -79,6 +85,11 @@ object Media {
         AudioCodec.decode(bytes)
           .map(p => MediaMeta(None, None, Some(p.durationMs), Some(p.sampleRate)))
           .getOrElse(decodeHeaderStub(mediaType, bytes))
+      case "video" =>
+        VideoCodec.parse(bytes)
+          .map(v => MediaMeta(Some(v.meta.width), Some(v.meta.height),
+            Some(v.meta.durationMs), None))
+          .getOrElse(decodeHeaderStub(mediaType, bytes))
       case _ => decodeHeaderStub(mediaType, bytes)
     }
 
@@ -96,9 +107,36 @@ object Media {
     }
   }
 
-  /** Frame sampling (video): one output row per sampled frame at `fps`,
-    * via `explode(sequence(...))` — the frame extraction itself is the
-    * STUB slice; the explosion/row-multiplication shape is real. */
+  /** REAL frame sampling for MJPEG-AVI video ([[VideoCodec]]): parse the
+    * container once per row, keep every k-th frame so the sampled rate ≈
+    * `fps`, and emit the frame's raw JPEG bytes — real image content that
+    * flows straight into [[imageEmbeddings]] / [[imageHashes]] (video
+    * dedup becomes the image pipeline's problem, which is already the text
+    * pipeline's problem). Frames the container carries but sampling skips
+    * are never JPEG-decoded (parse keeps frames as lazy byte slices).
+    * Rows that are not parseable AVI are dropped — route them through
+    * [[frameSample]]'s stub shape instead if lineage matters. */
+  def videoFrames(df: DataFrame, fps: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          VideoCodec.parse(bytes).toSeq.flatMap { v =>
+            val step = math.max(1, math.round(v.meta.fps / fps).toInt)
+            v.frames.indices.by(step).map { i =>
+              (id, i, i.toLong * v.meta.microSecPerFrame / 1000L, v.frames(i))
+            }
+          }
+        }
+      }.toDF("media_id", "frame_idx", "frame_ts_ms", "frame_content")
+  }
+
+  /** Frame sampling STUB shape (non-MJPEG codecs): one output row per
+    * sampled frame at `fps`, via `explode(sequence(...))` — the frame
+    * extraction itself is the STUB slice; the explosion/row-multiplication
+    * shape is real. */
   def frameSample(decoded: DataFrame, fps: Double): DataFrame = {
     val nFrames = greatest(lit(1),
       floor(col("meta.duration_ms") / lit(1000.0) * fps)).cast(IntegerType)

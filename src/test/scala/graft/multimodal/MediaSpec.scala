@@ -204,4 +204,65 @@ class MediaSpec extends SparkSpec {
       .rdd.getNumPartitions
     assert(parts >= 4, s"parts=$parts") // ~42KB total / 5KB
   }
+
+  test("REAL mjpeg-avi decode → header meta → frame sample → image pipeline") {
+    import java.awt.image.BufferedImage
+    // gradient background + a square that moves with the frame index, so
+    // frames are real distinct pictures; `inv` flips the gradient for a
+    // visually-unrelated video
+    def frame(i: Int, inv: Boolean, bright: Int): BufferedImage = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val gx = x * 255 / 63; val g = if (inv) 255 - gx else gx
+        val inSq = x >= i * 5 && x < i * 5 + 8 && y >= 20 && y < 28
+        val v = math.min(255, (if (inSq) 255 else g) + bright)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val vidA = VideoCodec.encodeAvi((0 until 10).map(frame(_, false, 0)), 10)
+    val vidB = VideoCodec.encodeAvi((0 until 10).map(frame(_, false, 3)), 10)
+    val vidC = VideoCodec.encodeAvi((0 until 10).map(frame(_, true, 0)), 10)
+
+    // container round-trip: header fields + frame bytes are real JPEGs
+    val parsed = VideoCodec.parse(vidA).get
+    assert(parsed.meta.width == 64 && parsed.meta.height == 48 &&
+      parsed.meta.nFrames == 10 && parsed.meta.microSecPerFrame == 100000L,
+      parsed.meta.toString)
+    assert(parsed.meta.durationMs == 1000L)
+    assert((parsed.frames(0)(0) & 0xff) == 0xff &&
+      (parsed.frames(0)(1) & 0xff) == 0xd8) // JPEG SOI ff d8
+    val f0 = VideoCodec.decodeFrame(parsed.frames(0)).get
+    assert(f0.getWidth == 64 && f0.getHeight == 48)
+
+    val rows = Seq((0L, "video", vidA), (1L, "video", vidB),
+      (2L, "video", vidC), (3L, "video", Array.fill(64)(7.toByte)))
+      .toDF("media_id", "media_type", "content")
+
+    // real header metadata through the canonical decode
+    val m = Media.decode(rows).toDF().filter($"media_id" === 0L)
+      .select($"meta.width", $"meta.height", $"meta.duration_ms").head
+    assert(m.getInt(0) == 64 && m.getInt(1) == 48 && m.getLong(2) == 1000L)
+
+    // sampling at half the native rate keeps every 2nd frame, real ts
+    val frames = Media.videoFrames(rows, fps = 5.0).cache()
+    assert(frames.filter($"media_id" === 3L).count() == 0) // junk dropped
+    val tsA = frames.filter($"media_id" === 0L).orderBy($"frame_idx")
+      .select($"frame_ts_ms").as[Long].collect().toSeq
+    assert(tsA == Seq(0L, 200L, 400L, 600L, 800L), tsA.toString)
+
+    // sampled frames are real image content: per-frame aHash near-dup
+    // pairs align A with its re-brightened twin B, never with inverted C
+    val asImages = frames.select(
+      ($"media_id" * 100 + $"frame_idx").as("media_id"),
+      $"frame_content".as("content"))
+    val pairs = Media.imageNearDupPairs(Media.imageHashes(asImages),
+      maxDist = 2).cache()
+    assert(pairs.filter($"a_id" === 0L && $"b_id" === 100L).count() == 1,
+      "frame 0 of A should match frame 0 of B")
+    assert(pairs.filter($"b_id" % 100L === lit(0L))
+      .filter($"a_id" === 0L && $"b_id" === 200L).count() == 0,
+      "A must not match the inverted video C")
+    frames.unpersist(); pairs.unpersist()
+  }
 }
