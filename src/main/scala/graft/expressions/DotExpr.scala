@@ -1,0 +1,86 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for Σ aᵢ·bᵢ over two numeric arrays —
+  * semantically identical (bit-for-bit, including the left-to-right double
+  * accumulation, element casts, null elements and length-mismatch → NULL)
+  * to the `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _ + _)`
+  * composition it replaces in [[graft.similarity.Vectors.dot]], and to the
+  * DuckDB `list_reduce(list_transform(...))` oracle twin.
+  *
+  * Why it exists: Spark's higher-order functions (`zip_with`, `aggregate`)
+  * have no `doGenCode` — each evaluation allocates the zipped array and
+  * boxes every lambda step. On pair-generation hot paths (ANN refine,
+  * in-cell SemDeDup scoring: hundreds of thousands of cosines) those three
+  * interpreted 64-element folds per pair dominate the query. This kernel is
+  * one tight primitive loop, and the static-call codegen keeps the whole
+  * projection in a single whole-stage span ([[GraftHash]] pattern).
+  */
+case class DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVec.dotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("graftDot")
+      s"""
+         |java.lang.Double $tmp = graft.expressions.GraftVec.dotBoxed(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotExpr {
+  import org.apache.spark.sql.graftbridge
+
+  /** Column factory over `array<float>` / `array<double>` columns. */
+  def dot(a: Column, b: Column): Column =
+    graftbridge.toColumn(DotExpr(graftbridge.toExpression(a),
+      graftbridge.toExpression(b)))
+}
+
+/** Static kernel shared by interpreted eval and generated code (Scala
+  * object methods compile to static forwarders — see [[GraftHash]]). */
+object GraftVec {
+
+  /** Left-to-right double dot product. NULL (boxed null) when the lengths
+    * differ or any element is null — exactly what the zip_with/aggregate
+    * composition yields (zip_with pads the shorter side with null; a null
+    * product makes the running sum null and it stays null). */
+  def dotBoxed(a: ArrayData, b: ArrayData,
+               aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}

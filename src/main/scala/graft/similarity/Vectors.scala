@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.functions.Det
 
 /** Embedding similarity primitives over `array<float>` columns (SURVEY
-  * "similarity search" rows). Dot products are composed from `zip_with` +
-  * `aggregate` — codegen'd catalyst expressions, no UDF — with explicit
-  * cast-to-double so accumulation order and precision are identical in the
-  * DuckDB oracle (`list_dot_product` on DOUBLE[]).
+  * "similarity search" rows). Dot products are the native codegen'd
+  * [[graft.expressions.DotExpr]] — no UDF, no interpreted higher-order
+  * functions — with explicit cast-to-double so accumulation order and
+  * precision are identical in the DuckDB oracle's sequential
+  * `list_reduce` fold.
   *
   * Scale path: brute-force top-k is O(Q·N) per query batch and is the
   * correctness baseline; [[lshBucket]] gives the 100 TB path — a
@@ -17,10 +18,13 @@ import graft.functions.Det
   */
 object Vectors {
 
-  /** Σ a_i · b_i with left-to-right double accumulation. */
+  /** Σ a_i · b_i with left-to-right double accumulation — the native
+    * codegen'd [[graft.expressions.DotExpr]], bit-identical to (and ~50×
+    * faster on pair hot paths than) the interpreted
+    * `aggregate(zip_with(a, b, (x, y) => x.cast * y.cast), 0.0, _ + _)`
+    * composition (DotExprSpec pins the parity, nulls and all). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.DotExpr.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
