@@ -25,6 +25,22 @@ object Pipeline {
   private val ChunkW = 64
   private val ChunkS = 48
   private val Bm25Terms = Seq("join", "vector", "window", "dup")
+  /** HLL: 2^6 = 64 registers; a 60-bit md5-derived hash splits into 6
+    * bucket bits + 54 register bits. */
+  private val HllM = 64
+  private val HllRemBits = 54
+  /** α₆₄·m²·2^(remBits+1), folded to ONE double constant in Scala and
+    * embedded verbatim in both engines (toString round-trips doubles). */
+  private val HllAlphaConst: Double =
+    0.709 * HllM * HllM * (1L << (HllRemBits + 1)).toDouble
+
+  /** Register value ρ(rem) = leading-zero rank of the 54-bit remainder —
+    * one CASE over the 54 power-of-two thresholds, the SAME SQL text
+    * evaluated by Spark (`expr`) and DuckDB (integer-exact; no log2). */
+  private def rhoCaseSql(rem: String): String =
+    (1 to HllRemBits).map(k =>
+      s"WHEN $rem >= ${1L << (HllRemBits - k)} THEN $k")
+      .mkString("CASE ", " ", s" ELSE ${HllRemBits + 1} END")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- backward as-of join: most recent prior error per user -----------
@@ -236,6 +252,45 @@ object Pipeline {
             slice($"toks", $"start" + 1, lit(ChunkW)), " ").cast("binary")),
             1, 8).as("chunk_hash"))
         .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // ---- HyperLogLog distinct sketch (Flajolet et al. 2007), exact
+    // cross-engine: the md5-derived hash, the CASE-based register rank, the
+    // integer-scaled harmonic sum (Σ 2^(55-M_j) as exact BIGINT — float
+    // fold order never arises) and the 6dp-rounded ln in the linear-
+    // counting branch are all deterministic in both engines. The 100 TB
+    // shape is the point: one map-side projection + a 64-register agg —
+    // distinct-counting with constant memory instead of a count-distinct
+    // shuffle. The exact count rides along to show the sketch error.
+    // At sf0.01 (150 users) the linear-counting branch fires; at sf0.1
+    // (1500) the standard estimator does — both gated.
+    "a13_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val regs = t(s, dir, "events")
+        .select(conv(substring(
+          md5($"user_id".cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+        .select(shiftright($"hv", HllRemBits).as("bucket"),
+          $"hv".bitwiseAND(lit((1L << HllRemBits) - 1)).as("rem"))
+        .withColumn("rho", expr(rhoCaseSql("rem")))
+        .groupBy($"bucket").agg(max($"rho").as("m"))
+      val filled = s.range(HllM).toDF("bucket")
+        .join(regs, Seq("bucket"), "left")
+        .select(coalesce($"m", lit(0)).as("m"))
+      val a = filled.agg(
+        sum(expr(s"shiftleft(cast(1 as bigint), ${HllRemBits + 1} - m)"))
+          .as("scaled"),
+        sum(when($"m" === 0, 1L).otherwise(0L)).as("zeros"))
+      val x = t(s, dir, "events")
+        .agg(count_distinct($"user_id").as("exact_distinct"))
+      val est0 = lit(HllAlphaConst) / $"scaled".cast("double")
+      val est = when(est0 <= lit(2.5 * HllM) && $"zeros" > 0L,
+        lit(HllM.toDouble) * round(log(lit(HllM.toDouble) / $"zeros"), 6))
+        .otherwise(est0)
+      a.crossJoin(x)
+        .select(round(est, 4).as("hll_estimate"), $"exact_distinct",
+          round(abs(round(est, 4) - $"exact_distinct") / $"exact_distinct", 4)
+            .as("rel_err"))
     }))
 
   def oracles: Map[String, String] = {
@@ -403,6 +458,39 @@ object Pipeline {
            |  substr(md5(array_to_string(
            |    list_slice(tokens, start + 1, start + $ChunkW), ' ')), 1, 8)
            |    AS chunk_hash
-           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "a13_hll_distinct" -> {
+        // 60-bit hash from 15 hex chars: DuckDB has no conv(), so fold the
+        // chars with exact shifted-BIGINT weights (≡ Spark's conv → long)
+        val hexFold = (0 until 15).map(i =>
+          s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * " +
+            s"${1L << (4 * (14 - i))}").mkString(" + ")
+        val est0 = s"$HllAlphaConst / CAST(scaled AS DOUBLE)"
+        val est = s"CASE WHEN $est0 <= ${2.5 * HllM} AND zeros > 0 " +
+          s"THEN ${HllM.toDouble} * round(ln(${HllM.toDouble} / zeros), 6) " +
+          s"ELSE $est0 END"
+        s"""WITH hv AS (
+           |  SELECT CAST($hexFold AS BIGINT) AS hv
+           |  FROM (SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h
+           |        FROM events)),
+           |br AS (SELECT hv >> $HllRemBits AS bucket,
+           |              hv & ${(1L << HllRemBits) - 1} AS rem FROM hv),
+           |r AS (SELECT bucket, max(${rhoCaseSql("rem")}) AS m
+           |      FROM br GROUP BY bucket),
+           |f AS (SELECT coalesce(r.m, 0) AS m
+           |      FROM generate_series(0, ${HllM - 1}) g(bucket)
+           |      LEFT JOIN r ON g.bucket = r.bucket),
+           |a AS (SELECT
+           |  CAST(sum(CAST(1 AS BIGINT) << (${HllRemBits + 1} - m)) AS BIGINT)
+           |    AS scaled,
+           |  CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+           |  FROM f),
+           |x AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+           |SELECT round($est, 4) AS hll_estimate, exact_distinct,
+           |  round(abs(round($est, 4) - exact_distinct) / exact_distinct, 4)
+           |    AS rel_err
+           |FROM a, x""".stripMargin
+      })
   }
 }
