@@ -30,6 +30,7 @@ object Ingest {
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case p if p.endsWith(".json") => spark.read.json(path)
       case p if p.endsWith(".parquet") => spark.read.parquet(path)
+      case p if p.endsWith(".orc") => spark.read.orc(path)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
 

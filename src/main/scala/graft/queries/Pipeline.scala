@@ -42,6 +42,11 @@ object Pipeline {
       s"WHEN $rem >= ${1L << (HllRemBits - k)} THEN $k")
       .mkString("CASE ", " ", s" ELSE ${HllRemBits + 1} END")
 
+  /** Count-min: 4 independent 32-bit hash rows from one md5 (8-hex-char
+    * slices, the minhash trick), width 256. */
+  private val CmD = 4
+  private val CmW = 256
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- backward as-of join: most recent prior error per user -----------
     // The union-and-carry AsOf operator: one shuffle on user_id, one sorted
@@ -291,6 +296,37 @@ object Pipeline {
         .select(round(est, 4).as("hll_estimate"), $"exact_distinct",
           round(abs(round(est, 4) - $"exact_distinct") / $"exact_distinct", 4)
             .as("rel_err"))
+    }),
+
+    // ---- count-min sketch heavy hitters (Cormode & Muthukrishnan 2005),
+    // exact cross-engine: d×w counter grid from md5-slice hashes, point
+    // estimate = min over the d counters, top-10 by estimate. Pure integer
+    // arithmetic end to end. The 100 TB shape: the sketch is a d·w-row agg
+    // (constant size, broadcastable), so frequency estimation never
+    // shuffles the keys themselves — the sketch phase is map-side + one
+    // tiny agg regardless of key cardinality. True counts ride along to
+    // show the one-sided overcount.
+    "a14_cm_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      def slots(j: Int) =
+        (conv(substring(md5($"user_id".cast("string").cast("binary")),
+          j * 8 + 1, 8), 16, 10).cast("long") % CmW).as(s"slot$j")
+      val base = t(s, dir, "events")
+        .select(($"user_id" +: (0 until CmD).map(slots)): _*)
+        .localCheckpoint() // feeds the sketch AND the key estimates
+      val slotArr = array((0 until CmD).map(j => col(s"slot$j")): _*)
+      val sketch = base
+        .select(posexplode(slotArr).as(Seq("j", "slot")))
+        .groupBy($"j", $"slot").agg(count(lit(1)).as("c"))
+      val keys = base
+        .groupBy(($"user_id" +: (0 until CmD).map(j => col(s"slot$j"))): _*)
+        .agg(count(lit(1)).as("true_cnt"))
+      keys.select($"user_id", $"true_cnt", posexplode(slotArr).as(Seq("j", "slot")))
+        .join(broadcast(sketch), Seq("j", "slot"))
+        .groupBy($"user_id", $"true_cnt").agg(min($"c").as("cm_est"))
+        .select($"user_id", $"cm_est", $"true_cnt",
+          ($"cm_est" - $"true_cnt").as("overcount"))
+        .orderBy($"cm_est".desc, $"user_id").limit(10)
     }))
 
   def oracles: Map[String, String] = {
@@ -491,6 +527,34 @@ object Pipeline {
            |  round(abs(round($est, 4) - exact_distinct) / exact_distinct, 4)
            |    AS rel_err
            |FROM a, x""".stripMargin
+      },
+
+      "a14_cm_heavy_hitters" -> {
+        def fold8(j: Int) = (0 until 8).map(i =>
+          s"(strpos('0123456789abcdef', substr(h, ${j * 8 + i + 1}, 1)) - 1)" +
+            s" * ${1L << (4 * (7 - i))}").mkString(" + ")
+        val slotDefs = (0 until CmD).map(j =>
+          s"CAST((${fold8(j)}) % $CmW AS BIGINT) AS slot$j").mkString(", ")
+        val slotCase =
+          "CASE j WHEN 0 THEN slot0 WHEN 1 THEN slot1 WHEN 2 THEN slot2 " +
+            "ELSE slot3 END"
+        s"""WITH b AS (
+           |  SELECT user_id, $slotDefs
+           |  FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h
+           |        FROM events)),
+           |p AS (SELECT j, $slotCase AS slot
+           |      FROM b, generate_series(0, ${CmD - 1}) g(j)),
+           |sk AS (SELECT j, slot, count(*) AS c FROM p GROUP BY j, slot),
+           |k AS (SELECT user_id, slot0, slot1, slot2, slot3,
+           |        count(*) AS true_cnt
+           |      FROM b GROUP BY user_id, slot0, slot1, slot2, slot3),
+           |kp AS (SELECT user_id, true_cnt, j, $slotCase AS slot
+           |       FROM k, generate_series(0, ${CmD - 1}) g(j)),
+           |est AS (SELECT user_id, true_cnt, min(c) AS cm_est
+           |        FROM kp JOIN sk USING (j, slot)
+           |        GROUP BY user_id, true_cnt)
+           |SELECT user_id, cm_est, true_cnt, cm_est - true_cnt AS overcount
+           |FROM est ORDER BY cm_est DESC, user_id LIMIT 10""".stripMargin
       })
   }
 }

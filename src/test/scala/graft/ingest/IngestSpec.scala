@@ -57,4 +57,12 @@ class IngestSpec extends SparkSpec {
       Ingest.readFile(spark, "/tmp/nope.xlsx")
     }
   }
+
+  test("ORC round-trips through the dispatch (S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t.orc"
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+      .write.mode("overwrite").orc(dir)
+    val back = Ingest.readFile(spark, dir)
+    assert(back.orderBy($"id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
 }
