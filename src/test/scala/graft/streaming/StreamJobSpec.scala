@@ -42,6 +42,29 @@ class StreamJobSpec extends SparkSpec {
     assert(streamResult == batchResult)
   }
 
+  test("streaming count-min sketch ≡ batch sketch, across batch cuts") {
+    val keys = (0 until 500).map(i => (i % 37).toLong)
+    val batchSketch = StreamJob.cmSketchStream(
+        keys.toDF("user_id"), "user_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val sk = StreamJob.cmSketchStream(mem.toDF().toDF("user_id"), "user_id")
+    val q = sk.writeStream.format("memory").queryName("cm_out")
+      .outputMode("complete").start()
+    mem.addData(keys.take(200): _*)
+    q.processAllAvailable()
+    mem.addData(keys.drop(200): _*)
+    q.processAllAvailable(); q.stop()
+
+    val streamSketch = spark.table("cm_out")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamSketch == batchSketch)
+    // bounded state: counters never exceed d·w rows
+    assert(streamSketch.size <= 4 * 256)
+  }
+
   test("T1: replayTrigger paces event-time span by the speedup factor") {
     // rows span 199 s of event time; 10 chunks at speedup 50 ⇒ the whole
     // replay should take 199/50 ≈ 4 s wall ⇒ 398 ms per micro-batch
