@@ -311,9 +311,13 @@ object Pipeline {
       def slots(j: Int) =
         (conv(substring(md5($"user_id".cast("string").cast("binary")),
           j * 8 + 1, 8), 16, 10).cast("long") % CmW).as(s"slot$j")
+      // two consumers (sketch + key estimates) each re-scan the source:
+      // at warehouse scale re-reading parquet and recomputing 4 md5 slices
+      // is far cheaper than materializing a data-sized frame — the
+      // checkpoint rule (PLANS.md) is for expensive columns feeding
+      // BROADCAST builds, which this is not
       val base = t(s, dir, "events")
         .select(($"user_id" +: (0 until CmD).map(slots)): _*)
-        .localCheckpoint() // feeds the sketch AND the key estimates
       val slotArr = array((0 until CmD).map(j => col(s"slot$j")): _*)
       val sketch = base
         .select(posexplode(slotArr).as(Seq("j", "slot")))
