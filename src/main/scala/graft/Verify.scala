@@ -8,6 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict to the named queries (fast local gating)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would make the oracle compare pass vacuously on zero queries")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

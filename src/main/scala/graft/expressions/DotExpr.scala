@@ -28,6 +28,23 @@ case class DotExpr(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_dot"
 
+  /** The kernel reads raw float/double slots; any other element type must
+    * fail analysis, not silently reinterpret bits (the composition this
+    * replaced accepted any numeric array via per-element cast). */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}" +
+          " — cast integral arrays explicitly")
+  }
+
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

@@ -72,9 +72,10 @@ object Media {
       }
   }
 
-  /** Header decode: REAL for images (javax.imageio dimensions) and for
-    * PCM audio containers (javax.sound.sampled rate + duration), stub
-    * fallback for undecodable bytes and for video. */
+  /** Header decode: REAL for images (javax.imageio dimensions), PCM audio
+    * containers (javax.sound.sampled rate + duration) and MJPEG-AVI video
+    * ([[VideoCodec.parse]] dimensions + duration); stub fallback only for
+    * bytes no codec accepts. */
   def decodeHeader(mediaType: String, bytes: Array[Byte]): MediaMeta =
     mediaType match {
       case "image" =>

@@ -23,9 +23,15 @@ object Components {
 
   /** Component id (= min node id in the component) for every node that
     * appears in `edges`. Output: (node, component), both typed like the
-    * input columns. */
+    * input columns.
+    *
+    * Convergence is REQUIRED: a silent stop at `maxIter` would hand back
+    * non-minimal labels — a wrong dedup representative, and an oracle
+    * mismatch against any exact-closure twin — so hitting the cap throws.
+    * Near-dup clusters are near-cliques (diameter 2–3); the default cap
+    * covers pathological chains (diameter = chain length) with room. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 15): DataFrame = {
+                          maxIter: Int = 60): DataFrame = {
     // pre-partition the (static) edge list on the join key once: every
     // round's join then reuses this exchange and only the labels side
     // shuffles
@@ -55,6 +61,10 @@ object Components {
       labels = next.drop("__prev")
       iter += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter; a graph this " +
+        "deep usually means the similarity threshold is too loose")
     labels
   }
 }

@@ -80,19 +80,20 @@ object Ranks {
     }
   }
 
-  /** Append the INCLUSIVE prefix sum of `value` over the global
-    * `orderCols` order as `out` — the same two-pass shape as the rank:
-    * value-derived buckets, per-bucket window cumsum, plus broadcast
-    * per-bucket offsets. Partition-invariance holds when `value` sums
-    * exactly (integers / integer cents — the engine's money contract);
-    * float values would re-associate across bucket boundaries. */
-  def globalCumSum(df: DataFrame, orderCols: Seq[Column], value: Column,
-                   out: String, numPartitions: Int = 0): DataFrame = {
+  /** Shared pass 1 of every global-order primitive here: append the
+    * value-derived order-aligned bucket `__gr_b` (leading-key type probe,
+    * equi-depth `approxQuantile` internal boundaries, monotone bucket
+    * expression). Deterministic given the data; any monotone bucketing
+    * yields exact ranks/sums — boundary quality only affects balance.
+    * NaN/null keys sort first in both the bucket expression (bucket 0)
+    * and the window order. ONE implementation on purpose: rank and cumsum
+    * bucketing must never desynchronize. */
+  private def bucketed(df: DataFrame, orderCols: Seq[Column],
+                       numPartitions: Int): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val leadType = df.select(orderCols.head.as("__gr_probe")).schema.head.dataType
     val keyed = df.withColumn("__gr_key", bucketKey(orderCols.head, leadType))
-      .withColumn("__gr_v", value)
     val bounds: Array[Double] =
       if (n <= 1) Array.empty
       else keyed.stat
@@ -101,7 +102,19 @@ object Ranks {
     val bucket = bounds
       .map(b => when(col("__gr_key") > lit(b), 1).otherwise(0))
       .reduceOption[Column](_ + _).getOrElse(lit(0))
-    val parted = keyed.withColumn("__gr_b", bucket).drop("__gr_key")
+    keyed.withColumn("__gr_b", bucket).drop("__gr_key")
+  }
+
+  /** Append the INCLUSIVE prefix sum of `value` over the global
+    * `orderCols` order as `out` — the same two-pass shape as the rank:
+    * value-derived buckets, per-bucket window cumsum, plus broadcast
+    * per-bucket offsets. Partition-invariance holds when `value` sums
+    * exactly (integers / integer cents — the engine's money contract);
+    * float values would re-associate across bucket boundaries. */
+  def globalCumSum(df: DataFrame, orderCols: Seq[Column], value: Column,
+                   out: String, numPartitions: Int = 0): DataFrame = {
+    val parted = bucketed(df.withColumn("__gr_v", value), orderCols,
+      numPartitions)
 
     val offWin = Window.orderBy(col("__gr_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -122,24 +135,7 @@ object Ranks {
 
   private def ranked(df: DataFrame, orderCols: Seq[Column], out: String,
                      total: Option[String], numPartitions: Int): DataFrame = {
-    val n = if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val leadType = df.select(orderCols.head.as("__gr_probe")).schema.head.dataType
-    val keyed = df.withColumn("__gr_key", bucketKey(orderCols.head, leadType))
-
-    // equi-depth internal boundaries of the leading key (deterministic
-    // given the data; any monotone bucketing yields exact ranks — the
-    // boundary quality only affects balance). NaN/null keys sort first in
-    // both the bucket expression (bucket 0) and the window order.
-    val bounds: Array[Double] =
-      if (n <= 1) Array.empty
-      else keyed.stat
-        .approxQuantile("__gr_key", (1 until n).map(_.toDouble / n).toArray, 0.001)
-        .filterNot(_.isNaN).distinct.sorted
-    val bucket = bounds
-      .map(b => when(col("__gr_key") > lit(b), 1).otherwise(0))
-      .reduceOption[Column](_ + _).getOrElse(lit(0))
-    val parted = keyed.withColumn("__gr_b", bucket).drop("__gr_key")
+    val parted = bucketed(df, orderCols, numPartitions)
 
     // tiny frame: one row per bucket → exclusive cumulative offsets (the
     // global window here runs over ≤ n rows, not the data)

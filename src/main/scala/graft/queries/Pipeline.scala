@@ -137,13 +137,20 @@ object Pipeline {
     }),
 
     // ---- F10: JSON extraction + array construction/transform/fold --------
+    // nulls are compacted out of the array before sorting: Spark sort_array
+    // puts NULLs FIRST, DuckDB list_sort puts them LAST, so a missing JSON
+    // key would silently diverge `lo` between the engines otherwise
+    // (doubled_sum needs no guard — null propagates identically through
+    // both folds)
     "f11_json_array" -> ((s, dir) => {
       import s.implicits._
       val k = get_json_object($"props", "$.k").cast("long")
       val arr = array($"value", k.cast("double"))
       t(s, dir, "events")
         .select($"event_id", k.as("k"),
-          element_at(sort_array(arr), 1).as("lo"),
+          // try_: ANSI element_at throws on the (all-null → empty) array;
+          // DuckDB's [1] yields NULL there
+          try_element_at(sort_array(array_compact(arr)), lit(1)).as("lo"),
           aggregate(transform(arr, x => x * 2.0), lit(0.0), _ + _)
             .as("doubled_sum"))
         .orderBy($"event_id")
@@ -308,9 +315,10 @@ object Pipeline {
     // show the one-sided overcount.
     "a14_cm_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
+      // slot derivation shared with the streaming sketch (functions.CmHash)
       def slots(j: Int) =
-        (conv(substring(md5($"user_id".cast("string").cast("binary")),
-          j * 8 + 1, 8), 16, 10).cast("long") % CmW).as(s"slot$j")
+        element_at(graft.functions.CmHash.slotArray($"user_id", CmD, CmW),
+          j + 1).as(s"slot$j")
       // two consumers (sketch + key estimates) each re-scan the source:
       // at warehouse scale re-reading parquet and recomputing 4 md5 slices
       // is far cheaper than materializing a data-sized frame — the
@@ -413,7 +421,8 @@ object Pipeline {
 
       "f11_json_array" ->
         """SELECT event_id, k,
-          |  list_sort([value, CAST(k AS DOUBLE)])[1] AS lo,
+          |  list_sort(list_filter([value, CAST(k AS DOUBLE)],
+          |    x -> x IS NOT NULL))[1] AS lo,
           |  list_reduce(list_transform([value, CAST(k AS DOUBLE)],
           |    x -> x * 2.0), (a, b) -> a + b) AS doubled_sum
           |FROM (SELECT event_id, value,

@@ -87,13 +87,11 @@ object StreamJob {
     * fixed memory. Same function works on a static frame, which is how
     * the spec proves stream ≡ batch across micro-batch cuts. */
   def cmSketchStream(stream: DataFrame, keyCol: String,
-                     d: Int = 4, w: Int = 256): DataFrame = {
-    val h = md5(col(keyCol).cast("string").cast("binary"))
-    val slots = array((0 until d).map(j =>
-      conv(substring(h, j * 8 + 1, 8), 16, 10).cast("long") % w): _*)
-    stream.select(posexplode(slots).as(Seq("j", "slot")))
+                     d: Int = 4, w: Int = 256): DataFrame =
+    stream.select(posexplode(
+        graft.functions.CmHash.slotArray(col(keyCol), d, w))
+        .as(Seq("j", "slot")))
       .groupBy(col("j"), col("slot")).agg(count(lit(1)).as("c"))
-  }
 
   /** T2: per-row streaming injection for a list of settings (stats from the
     * static pre-pass). */

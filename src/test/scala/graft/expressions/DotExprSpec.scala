@@ -61,6 +61,14 @@ class DotExprSpec extends SparkSpec {
     assert((1 to 3).forall(i => got(i).isNullAt(1)))
   }
 
+  test("integral element types are rejected at analysis, not " +
+      "bit-reinterpreted") {
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(DotExpr.dot($"a", $"b")).collect()
+    }
+  }
+
   test("codegen and interpreted paths agree; projection stays in one " +
       "WholeStageCodegen span") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dot").toString

@@ -16,9 +16,16 @@ class ComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("iteration cap stops early without losing nodes") {
+  test("hitting the iteration cap unconverged throws instead of handing " +
+      "back non-minimal labels") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
-    val out = Components.connectedComponents(edges, "a", "b", maxIter = 1)
-    assert(out.count() == 3) // labels may not have converged, nodes all there
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(edges, "a", "b", maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same chain converges (and is correct) with rounds to spare
+    val ok = Components.connectedComponents(edges, "a", "b", maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 }
