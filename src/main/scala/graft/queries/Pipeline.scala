@@ -339,6 +339,23 @@ object Pipeline {
         .select($"user_id", $"cm_est", $"true_cnt",
           ($"cm_est" - $"true_cnt").as("overcount"))
         .orderBy($"cm_est".desc, $"user_id").limit(10)
+    }),
+
+    // ---- z-order curve values (ops.ZOrder's Morton interleave, gated
+    // cross-engine). FIXED bucket boundaries (value/32 capped, user_id mod
+    // 16) rather than the production approxQuantile ranks: quantile
+    // boundaries are data-sketch outputs, while this row pins the bit
+    // arithmetic every layout decision rides on. ZOrderSpec covers the
+    // layout/pruning behavior itself.
+    "p13_zorder_curve" -> ((s, dir) => {
+      import s.implicits._
+      val xb = greatest(least(floor($"value" / 32.0), lit(15.0)), lit(0.0))
+        .cast("long")
+      val yb = $"user_id" % 16L
+      t(s, dir, "events")
+        .select($"event_id",
+          graft.ops.ZOrder.interleave(Seq(xb, yb), 4).as("zval"))
+        .orderBy($"event_id")
     }))
 
   def oracles: Map[String, String] = {
@@ -568,6 +585,21 @@ object Pipeline {
            |        GROUP BY user_id, true_cnt)
            |SELECT user_id, cm_est, true_cnt, cm_est - true_cnt AS overcount
            |FROM est ORDER BY cm_est DESC, user_id LIMIT 10""".stripMargin
+      },
+
+      "p13_zorder_curve" -> {
+        // same interleave as ZOrder.interleave / interleaveHost: column 0
+        // (xb) owns the high bit of each pair
+        val z = (0 until 4).flatMap(i => Seq(
+          s"(((xb >> $i) & 1) << ${i * 2 + 1})",
+          s"(((yb >> $i) & 1) << ${i * 2})")).mkString(" + ")
+        s"""SELECT event_id, CAST($z AS BIGINT) AS zval
+           |FROM (SELECT event_id,
+           |        CAST(greatest(least(floor(value / 32.0), 15.0), 0.0)
+           |          AS BIGINT) AS xb,
+           |        user_id % 16 AS yb
+           |      FROM events)
+           |ORDER BY event_id""".stripMargin
       })
   }
 }
