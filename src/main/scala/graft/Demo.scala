@@ -143,6 +143,35 @@ object Demo {
       s"distinct ann buckets: ${buckets.select("bucket").distinct().count()}")
     assert(decoded.count() == 30 && frames.count() > 0, "media plumbing")
 
+    // real video leg: MJPEG-AVI encode → parse → sampled frames → aHash
+    val clip = graft.multimodal.VideoCodec.encodeAvi(
+      (0 until 6).map { f =>
+        val img = new java.awt.image.BufferedImage(32, 24,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        for (y <- 0 until 24; x <- 0 until 32)
+          img.setRGB(x, y, if (x / 4 == f) 0xffffff else 0x202020)
+        img
+      }, fps = 3)
+    val vrows = Seq((100L, "video", clip)).toDF("media_id", "media_type", "content")
+    val vframes = graft.multimodal.Media.videoFrames(vrows, fps = 3.0)
+    val vhashes = graft.multimodal.Media.imageHashes(
+      vframes.select(($"media_id" * 10 + $"frame_idx").as("media_id"),
+        $"frame_content".as("content")))
+    println(s"mjpeg-avi: ${vframes.count()} real frames decoded, " +
+      s"${vhashes.select("ahash").distinct().count()} distinct perceptual hashes")
+    assert(vframes.count() == 6, "real video decode")
+
+    // sketches + layout: HLL / count-min / z-order over the job table
+    val sfDir = "/root/testdata/sf0.001"
+    val hll = SparkEntry.queries("a13_hll_distinct")(spark, sfDir).head()
+    println(s"hll estimate=${hll.getDouble(0)} exact=${hll.getLong(1)}")
+    val cm = SparkEntry.queries("a14_cm_heavy_hitters")(spark, sfDir)
+    println(s"count-min top hitter: ${cm.head.getLong(0)}")
+    val evs = graft.Tables.t(spark, sfDir, "events").select($"value", $"user_id")
+    val zed = graft.ops.ZOrder.cluster(evs, Seq($"value", $"user_id"),
+      bits = 4, numFiles = 8)
+    assert(zed.count() == evs.count(), "z-order layout preserves rows")
+
     println("DEMO_OK")
     spark.stop()
   }
