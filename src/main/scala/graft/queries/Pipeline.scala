@@ -356,6 +356,53 @@ object Pipeline {
         .select($"event_id",
           graft.ops.ZOrder.interleave(Seq(xb, yb), 4).as("zval"))
         .orderBy($"event_id")
+    }),
+
+    // ---- ordered funnel (view → click → purchase): each stage is a
+    // min-timestamp agg joined to the previous stage's users, all shuffles
+    // on user_id (co-partitioned; AQE reuses the exchange). The ORDERING
+    // constraint (click strictly after first view, purchase strictly after
+    // first qualifying click) is what makes this a funnel rather than
+    // three independent filters.
+    "q8_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_type", Det.epochS($"ts").as("es"))
+      def stage(df: DataFrame, typ: String,
+                prev: Option[DataFrame]): DataFrame = {
+        val base = df.filter($"event_type" === typ)
+        val gated = prev match {
+          case Some(p) => base.join(p, "user_id")
+            .filter($"es" > $"__t").drop("__t")
+          case None => base
+        }
+        gated.groupBy($"user_id").agg(min($"es").as("__t"))
+      }
+      val s1 = stage(ev, "view", None)
+      val s2 = stage(ev, "click", Some(s1))
+      val s3 = stage(ev, "purchase", Some(s2))
+      s1.agg(count(lit(1)).as("n_view")).crossJoin(
+          s2.agg(count(lit(1)).as("n_view_click"))).crossJoin(
+          s3.agg(count(lit(1)).as("n_full_funnel")))
+    }),
+
+    // ---- cohort retention: signup-week cohorts × active-week offsets.
+    // Integer week arithmetic from truncated epoch seconds — exact in
+    // both engines; one distinct on (user, week), one count per cell.
+    "q9_retention_cohorts" -> ((s, dir) => {
+      import s.implicits._
+      val epoch0 = 1704067200L // 2024-01-01 UTC, the table's origin
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_type",
+          ((Det.epochS($"ts") - epoch0) / 604800L).cast("long").as("wk"))
+      val cohorts = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+      val active = ev.select($"user_id", $"wk").distinct()
+      active.join(cohorts, "user_id")
+        .filter($"wk" >= $"cohort_week")
+        .groupBy($"cohort_week", ($"wk" - $"cohort_week").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
     }))
 
   def oracles: Map[String, String] = {
@@ -600,6 +647,36 @@ object Pipeline {
            |        user_id % 16 AS yb
            |      FROM events)
            |ORDER BY event_id""".stripMargin
-      })
+      },
+
+      "q8_funnel" ->
+        s"""WITH ev AS (SELECT user_id, event_type, ${Det.epochSSql("ts")} AS es
+           |            FROM events),
+           |s1 AS (SELECT user_id, min(es) AS t FROM ev
+           |       WHERE event_type = 'view' GROUP BY user_id),
+           |s2 AS (SELECT ev.user_id, min(es) AS t FROM ev
+           |       JOIN s1 ON ev.user_id = s1.user_id AND ev.es > s1.t
+           |       WHERE event_type = 'click' GROUP BY ev.user_id),
+           |s3 AS (SELECT ev.user_id, min(es) AS t FROM ev
+           |       JOIN s2 ON ev.user_id = s2.user_id AND ev.es > s2.t
+           |       WHERE event_type = 'purchase' GROUP BY ev.user_id)
+           |SELECT (SELECT count(*) FROM s1) AS n_view,
+           |       (SELECT count(*) FROM s2) AS n_view_click,
+           |       (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
+
+      "q9_retention_cohorts" ->
+        s"""WITH ev AS (
+           |  SELECT user_id, event_type,
+           |    (${Det.epochSSql("ts")} - 1704067200) // 604800 AS wk
+           |  FROM events),
+           |c AS (SELECT user_id, min(wk) AS cohort_week FROM ev
+           |      WHERE event_type = 'signup' GROUP BY user_id),
+           |a AS (SELECT DISTINCT user_id, wk FROM ev)
+           |SELECT cohort_week, wk - cohort_week AS week_offset,
+           |       count(*) AS n_users
+           |FROM a JOIN c USING (user_id)
+           |WHERE wk >= cohort_week
+           |GROUP BY cohort_week, wk - cohort_week
+           |ORDER BY cohort_week, week_offset""".stripMargin)
   }
 }
