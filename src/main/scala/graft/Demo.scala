@@ -107,6 +107,12 @@ object Demo {
       .head)
     val wdet = graft.ml.WindowZScoreDetector(Seq("reading"), L = 10)
     val wfit = wdet.fit(normalized).asInstanceOf[graft.ml.FittedWindowZScore]
+
+    // cross-feature windowed autoencoder equivalent (M1 substitute (a)):
+    // PCA reconstruction error over flattened windows
+    val pfit = api.detector("window_pca", Seq("reading", "aux")).fit(normalized)
+    println("window_pca flagged: " + pfit.transform(normalized)
+      .filter(org.apache.spark.sql.functions.col("is_anomaly")).count())
     val stage2 = Files.createTempDirectory("graft_demo_sw").toString
     val stream2 = graft.streaming.StreamJob.stageAndReplay(
       spark, normalized.withColumn("sid", org.apache.spark.sql.functions.lit("s0")),

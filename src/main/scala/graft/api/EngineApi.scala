@@ -30,12 +30,13 @@ class EngineApi(spark: SparkSession, datasetDir: String = "/tmp/graft_datasets")
   /** get-models (`engine.py:332`). */
   def getModels: Seq[String] =
     Seq("decision_tree", "gbt", "logreg", "linear_svc", "isolation_forest",
-      "window_zscore", "pca_oneclass")
+      "window_zscore", "window_pca", "pca_oneclass")
 
   def detector(modelName: String, features: Seq[String]): AnomalyDetector =
     modelName match {
       case "isolation_forest" => IsolationForestDetector(features)
       case "window_zscore"    => WindowZScoreDetector(features)
+      case "window_pca"       => WindowPcaDetector(features)
       case "pca_oneclass"     => PcaDetector(features)
       case supervised         => SupervisedDetector(features, supervised)
     }

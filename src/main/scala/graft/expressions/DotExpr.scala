@@ -26,6 +26,11 @@ case class DotExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // NULL can come from VALUES, not just null inputs (length mismatch /
+  // null elements), so nullable must not derive from child nullability:
+  // with non-nullable children the default (false) makes every consumer
+  // skip the null bit and read 0.0 where the kernel said NULL
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   /** The kernel reads raw float/double slots; any other element type must
@@ -52,14 +57,18 @@ case class DotExpr(left: Expression, right: Expression)
     GraftVec.dotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       isFloat(left), isFloat(right))
 
+  // null decision split from the value so the common path is a primitive
+  // double with NO per-row boxing (this kernel exists for the ANN/SemDeDup
+  // pair-scoring hot path; a boxed java.lang.Double per pair defeats it)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val tmp = ctx.freshName("graftDot")
       s"""
-         |java.lang.Double $tmp = graft.expressions.GraftVec.dotBoxed(
-         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
-         |if ($tmp == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $tmp.doubleValue(); }
+         |if (!graft.expressions.GraftVec.lengthsAndNullsOk($a, $b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expressions.GraftVec.dotPrim(
+         |    $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |}
        """.stripMargin
     })
 
@@ -81,18 +90,30 @@ object DotExpr {
   * object methods compile to static forwarders — see [[GraftHash]]). */
 object GraftVec {
 
-  /** Left-to-right double dot product. NULL (boxed null) when the lengths
-    * differ or any element is null — exactly what the zip_with/aggregate
-    * composition yields (zip_with pads the shorter side with null; a null
-    * product makes the running sum null and it stays null). */
-  def dotBoxed(a: ArrayData, b: ArrayData,
-               aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+  /** NULL-result predicate: false when the lengths differ or any element is
+    * null — exactly when the zip_with/aggregate composition this kernel
+    * replaces yields NULL (zip_with pads the shorter side with null; a null
+    * product makes the running sum null and it stays null). The null scan
+    * is a separate cheap pass so [[dotPrim]] stays branch-free. */
+  def lengthsAndNullsOk(a: ArrayData, b: ArrayData): Boolean = {
     val n = a.numElements()
-    if (b.numElements() != n) return null
+    if (b.numElements() != n) return false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Left-to-right double dot product over inputs [[lengthsAndNullsOk]]
+    * already validated — primitive return, zero allocation per call. */
+  def dotPrim(a: ArrayData, b: ArrayData,
+              aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -100,4 +121,9 @@ object GraftVec {
     }
     acc
   }
+
+  /** Boxed variant for interpreted (non-codegen) eval only. */
+  def dotBoxed(a: ArrayData, b: ArrayData,
+               aFloat: Boolean, bFloat: Boolean): java.lang.Double =
+    if (!lengthsAndNullsOk(a, b)) null else dotPrim(a, b, aFloat, bFloat)
 }

@@ -44,7 +44,15 @@ object GraftFunctions {
     // deterministic uniform [0,1): the exact keyed-LCG the engine uses
     // internally, built from catalyst arithmetic nodes (a Column-API
     // composition doesn't resolve inside a registry builder)
-    "graft_frac" -> { exprs => fracExpression(exprs(0), litLong(exprs(1), "seed")) })
+    "graft_frac" -> { exprs => fracExpression(exprs(0), litLong(exprs(1), "seed")) },
+    // native codegen'd dot product over array<float>/array<double>
+    "graft_dot" -> { exprs => DotExpr(exprs(0), exprs(1)) },
+    // Morton interleave: graft_zorder(bits, rank0, rank1, ...) — ranks must
+    // already be 0-based bucket ranks < 2^bits (see graft.ops.ZOrder)
+    "graft_zorder" -> { exprs =>
+      val bits = litLong(exprs(0), "bits").toInt
+      graftbridge.toExpressionTree(graft.ops.ZOrder.interleave(
+        exprs.drop(1).map(graftbridge.toColumn), bits)) })
 
   /** Catalyst-node twin of [[Det.frac]]. */
   def fracExpression(id: Expression, seed: Long): Expression = {

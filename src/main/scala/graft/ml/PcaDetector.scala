@@ -21,7 +21,10 @@ case class PcaDetector(
     k: Int = 2,
     nu: Double = 0.05) extends AnomalyDetector {
 
-  def fit(train: DataFrame): FittedDetector = {
+  /** Shared scale→PCA pipeline fit — also the inner model of
+    * [[WindowPcaDetector]], which thresholds differently (calibration-tail
+    * percentile instead of the training-wide nu-quantile). */
+  private[ml] def fitPipeline(train: DataFrame): (org.apache.spark.ml.PipelineModel, DenseMatrix) = {
     val assembler = new VectorAssembler()
       .setInputCols(features.toArray).setOutputCol("__fvec")
       .setHandleInvalid("keep")
@@ -30,8 +33,11 @@ case class PcaDetector(
     val pca = new PCA().setK(math.min(k, features.length))
       .setInputCol("__scaled").setOutputCol("__pc")
     val model = new Pipeline().setStages(Array(assembler, scaler, pca)).fit(train)
-    val pc = model.stages.last.asInstanceOf[PCAModel].pc
+    (model, model.stages.last.asInstanceOf[PCAModel].pc)
+  }
 
+  def fit(train: DataFrame): FittedDetector = {
+    val (model, pc) = fitPipeline(train)
     val scored = scoreFrame(model.transform(train), pc)
     val thr = scored.agg(expr(s"percentile(__err, ${1.0 - nu})")).head.getDouble(0)
     FittedPca(model, pc, thr)

@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 
 /** Windowed unsupervised detector — the M1 capability (reference: LSTM
   * autoencoder reconstruction error over stride-1 windows,
@@ -15,10 +15,18 @@ import org.apache.spark.sql.expressions.Window
   *   `lstm.py:128-147`); first L−1 rows have no full window ⇒ never flagged
   *   (W6 warm-up parity by construction).
   *
-  * Everything is window aggregates + expressions: one sort-shuffle on the
-  * (optional) series key, whole-stage codegen throughout, no model state to
-  * broadcast. At 100 TB provide `seriesCol` (or a coarse time-bucket key) so
-  * the window never funnels into a single task.
+  * Everything is window aggregates + expressions: whole-stage codegen
+  * throughout, no model state to broadcast. With a `seriesCol` the window
+  * partitions on the series key (one keyed shuffle). WITHOUT one, scoring
+  * no longer funnels into a single-task global window: the frame is blocked
+  * into ~P contiguous rank ranges with the previous block's last L−1 rows
+  * replicated as context ([[graft.window.Sequencer.blockedByRank]]), so the
+  * rolling window partitions by block and sees exactly the rows the bare
+  * `Window.partitionBy()` form saw — same cells, same in-order aggregation,
+  * identical scores — while every partition works in parallel.
+  *
+  * For a cross-feature windowed-autoencoder equivalent (correlation
+  * structure, not just per-feature level), see [[WindowPcaDetector]].
   */
 case class WindowZScoreDetector(
     features: Seq[String],
@@ -28,13 +36,8 @@ case class WindowZScoreDetector(
     calibrationFraction: Double = 0.2,
     percentile: Double = 0.95) extends AnomalyDetector {
 
-  private def w = seriesCol.map(c => Window.partitionBy(col(c)))
-    .getOrElse(Window.partitionBy())
-    .orderBy(col(tsCol))
-    .rowsBetween(-(L - 1), Window.currentRow)
-
-  /** Rolling-z score column; null while the window is incomplete (warm-up). */
-  private[ml] def scoreCol: Column = {
+  /** Σ_f z² over the rolling frame `w`; null while incomplete (warm-up). */
+  private def zSum(w: WindowSpec): Column = {
     val full = count(lit(1)).over(w) === L
     val z2 = features.map { f =>
       val m = avg(col(f)).over(w)
@@ -45,24 +48,59 @@ case class WindowZScoreDetector(
     when(full, z2).otherwise(lit(null))
   }
 
+  /** Rolling-z score column for the keyed path (`seriesCol` present). */
+  private[ml] def scoreCol: Column =
+    zSum(Window.partitionBy(col(seriesCol.get)).orderBy(col(tsCol))
+      .rowsBetween(-(L - 1), Window.currentRow))
+
+  /** Input frame + `__s` score column. The no-series path returns the
+    * blocked frame WITH `__rn`/`__n` (global position / total) still
+    * attached — [[fit]] reuses them for the calibration tail; `transform`
+    * drops them. */
+  private[ml] def scoredFrame(df: DataFrame): DataFrame = seriesCol match {
+    case Some(_) => df.withColumn("__s", scoreCol)
+    case None =>
+      val b = graft.window.Sequencer.blockedByRank(df, Seq(col(tsCol)), L)
+      val w = Window.partitionBy(col("__blk")).orderBy(col("__rn"))
+        .rowsBetween(-(L - 1), Window.currentRow)
+      b.withColumn("__s", zSum(w))
+        .filter(!col("__ctx"))
+        .drop("__blk", "__ctx")
+  }
+
   def fit(train: DataFrame): FittedDetector = {
-    val scored = train.withColumn("__s", scoreCol).filter(col("__s").isNotNull)
-    // calibration = most-recent fraction of the training split (W4 parity)
-    val withRank = scored.withColumn("__pr",
-      percent_rank().over(seriesCol.map(c => Window.partitionBy(col(c)))
-        .getOrElse(Window.partitionBy()).orderBy(col(tsCol))))
-    val cal = withRank.filter(col("__pr") >= 1.0 - calibrationFraction)
-    val thr = cal.agg(expr(s"percentile(__s, $percentile)")).head.getDouble(0)
+    // calibration = most-recent fraction of the scored rows (W4 parity)
+    val thr = seriesCol match {
+      case Some(c) =>
+        val scored = scoredFrame(train).filter(col("__s").isNotNull)
+        val withRank = scored.withColumn("__pr",
+          percent_rank().over(Window.partitionBy(col(c)).orderBy(col(tsCol))))
+        withRank.filter(col("__pr") >= 1.0 - calibrationFraction)
+          .agg(expr(s"percentile(__s, $percentile)")).head.getDouble(0)
+      case None =>
+        // percent_rank twin from the global rank already on the blocked
+        // frame: among scored rows (rn ≥ L), pr = (rn−L)/(n−L) — no
+        // unpartitioned window anywhere in the fit
+        val scored = scoredFrame(train).filter(col("__s").isNotNull)
+        scored.filter((col("__rn") - L).cast("double") >=
+            (lit(1.0) - calibrationFraction) * (col("__n") - L))
+          .agg(expr(s"percentile(__s, $percentile)")).head.getDouble(0)
+    }
     FittedWindowZScore(this, thr)
   }
 }
 
 case class FittedWindowZScore(cfg: WindowZScoreDetector, threshold: Double)
     extends FittedDetector {
-  def transform(df: DataFrame): DataFrame =
-    df.withColumn("anomaly_score", cfg.scoreCol)
+  def transform(df: DataFrame): DataFrame = {
+    val scored = cfg.seriesCol match {
+      case Some(_) => cfg.scoredFrame(df)
+      case None    => cfg.scoredFrame(df).drop("__rn", "__n")
+    }
+    scored.withColumn("anomaly_score", col("__s")).drop("__s")
       .withColumn("is_anomaly",
         coalesce(col("anomaly_score") > threshold, lit(false)))
+  }
 
   /** Score a flattened-window frame ([[graft.window.Sequencer.flattenWindows]]
     * columns `<f>_tm<j>`) — the same Σ_f z² as [[transform]], but computed

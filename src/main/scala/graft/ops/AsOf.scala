@@ -32,7 +32,11 @@ object AsOf {
     val carry = struct(payload.map(col): _*)
     val carryType = right.select(carry.as("__c")).schema("__c").dataType
 
-    val r2base = right.select(keyCols :+ col(tsCol) :+ carry.as("__carry"): _*)
+    // a null-ts right row would sort nulls-first and be carried as the
+    // "prior" match for every left row until superseded — an as-of join
+    // must never match a right row with no timestamp
+    val r2base = right.filter(col(tsCol).isNotNull)
+      .select(keyCols :+ col(tsCol) :+ carry.as("__carry"): _*)
       .withColumn("__side", lit(0))
     // pad the right side with typed nulls for every other left column
     val extras = left.columns.filterNot(c => keys.contains(c) || c == tsCol)

@@ -272,14 +272,19 @@ object Core2 {
         .orderBy($"user_id", $"sess_id")
     }),
 
-    // ---- F6+I6 via the SQL surface: registered graft functions -----------
+    // ---- F6+I6 + native kernels via the SQL surface: registered graft
+    // functions — a SQL-only user reaches the LCG, duration DSL, dot
+    // kernel, 64-bit simhash and Morton interleave without the Column API
     "f8_sql_surface" -> ((s, dir) => {
       graft.expressions.GraftFunctions.register(s)
       t(s, dir, "events").createOrReplaceTempView("__events_sql")
       s.sql(
         """SELECT event_id,
           |  round(graft_frac(event_id, 42), 8) AS frac,
-          |  coalesce(graft_duration_seconds('1h30m'), 0) AS dur_s
+          |  coalesce(graft_duration_seconds('1h30m'), 0) AS dur_s,
+          |  round(graft_dot(array(value, 1.0d), array(2.0d, 3.0d)), 6) AS dot,
+          |  graft_simhash64(array(event_type)) AS sh64,
+          |  graft_zorder(8, event_id % 256, user_id % 256) AS zv
           |FROM __events_sql ORDER BY event_id""".stripMargin)
     }),
 
@@ -489,11 +494,24 @@ object Core2 {
            |FROM sess GROUP BY user_id, sess_id
            |ORDER BY user_id, sess_id""".stripMargin,
 
-      "f8_sql_surface" ->
-        s"""SELECT event_id,
+      "f8_sql_surface" -> {
+        // Morton-interleave twin: same 16 shift/mask terms as
+        // ZOrder.interleaveHost (k=2, bits=8; column 0 = MSB lane)
+        val zTerms = (for { c <- 0 until 2; i <- 0 until 8 }
+          yield s"(((r$c >> $i) & 1) << ${i * 2 + (1 - c)})").mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT event_id, value, event_type,
+           |    event_id % 256 AS r0, user_id % 256 AS r1
+           |  FROM events)
+           |SELECT event_id,
            |  round(${Det.fracSql("event_id", 42L)}, 8) AS frac,
-           |  CAST(5400 AS BIGINT) AS dur_s
-           |FROM events ORDER BY event_id""".stripMargin,
+           |  CAST(5400 AS BIGINT) AS dur_s,
+           |  round(value * 2.0 + 3.0, 6) AS dot,
+           |  CAST(${graft.expressions.Simhash64Expr.simhash64Sql("[event_type]")}
+           |    AS BIGINT) AS sh64,
+           |  CAST($zTerms AS BIGINT) AS zv
+           |FROM b ORDER BY event_id""".stripMargin
+      },
 
       "a9_ndcg_mean" -> {
         def ndcgSql(k: Int) =

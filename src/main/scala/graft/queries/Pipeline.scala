@@ -157,17 +157,27 @@ object Pipeline {
     }),
 
     // ---- repetition rule (Gopher §A1.1 top-n-gram fraction, unigram) -----
+    // Top-token count via explode → groupBy(doc_id, tok) → max — LINEAR in
+    // document length with one doc_id-keyed shuffle. The previous form
+    // (array_max over a transform×filter fold) was O(distinct·len) PER ROW
+    // in interpreted higher-order functions: fine on 500 short test docs,
+    // the query's hot spot on real 10³–10⁴-token web documents.
     "t8_repetition" -> ((s, dir) => {
       import s.implicits._
-      val toks = TextOps.tokens($"text")
-      val nw = size(toks).cast("long")
-      val maxCnt = coalesce(
-        array_max(transform(array_distinct(toks),
-          u => size(filter(toks, x => x === u)))), lit(0)).cast("long")
-      t(s, dir, "documents")
+      // tokenised frame feeds lengths AND counts → localCheckpoint
+      // (PLANS.md fan-out rule)
+      val base = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", nw.as("n_words"), maxCnt.as("top_tok_count"),
-          (maxCnt * 5L <= nw).as("repetition_ok"))
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .localCheckpoint()
+      val top = base.select($"doc_id", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("__c"))
+        .groupBy($"doc_id").agg(max($"__c").as("__top"))
+      val cnt = coalesce($"__top", lit(0L))
+      base.select($"doc_id", size($"toks").cast("long").as("n_words"))
+        .join(top, Seq("doc_id"), "left") // empty docs: no tokens → 0
+        .select($"doc_id", $"n_words", cnt.as("top_tok_count"),
+          (cnt * 5L <= $"n_words").as("repetition_ok"))
         .orderBy($"doc_id")
     }),
 
@@ -392,9 +402,12 @@ object Pipeline {
     "q9_retention_cohorts" -> ((s, dir) => {
       import s.implicits._
       val epoch0 = 1704067200L // 2024-01-01 UTC, the table's origin
+      // floor division, not cast-truncation: the DuckDB twin uses `//`
+      // (floor), and a pre-origin timestamp would diverge under truncation
+      // (-0.5 wk → 0 truncated vs -1 floored)
       val ev = t(s, dir, "events")
         .select($"user_id", $"event_type",
-          ((Det.epochS($"ts") - epoch0) / 604800L).cast("long").as("wk"))
+          floor((Det.epochS($"ts") - epoch0) / 604800L).cast("long").as("wk"))
       val cohorts = ev.filter($"event_type" === "signup")
         .groupBy($"user_id").agg(min($"wk").as("cohort_week"))
       val active = ev.select($"user_id", $"wk").distinct()

@@ -28,9 +28,14 @@ object Sequencer {
     * exactly the rows an unpartitioned window would — consumers compute the
     * window, drop context rows, and drop the helper columns. Replication
     * overhead: (P−1)·(L−1) rows total. `orderCols` must form a total order
-    * (same contract as the bare window this replaces). */
-  private def blockedByRank(df: DataFrame, orderCols: Seq[Column],
-                            L: Int): DataFrame = {
+    * (same contract as the bare window this replaces).
+    *
+    * Output keeps `__rn` (global position), `__n` (total rows), `__blk`,
+    * `__ctx` — callers drop what they don't need. Shared with
+    * [[graft.ml.WindowZScoreDetector]], whose default (no-series) scoring
+    * path partitions its rolling window by `__blk` the same way. */
+  private[graft] def blockedByRank(df: DataFrame, orderCols: Seq[Column],
+                                   L: Int): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions.toLong
     val ranked = graft.ops.Ranks
       .globalRowNumberWithTotal(df, orderCols, "__rn", "__n")
@@ -45,7 +50,7 @@ object Sequencer {
           sequence(col("__blk0") + 1, ahead))))
       .drop("__blk0")
       .withColumn("__ctx", lit(true))
-    own.unionByName(ctx).drop("__n")
+    own.unionByName(ctx)
   }
 
   /** W1: per-series sliding sequences of length L as nested arrays,
@@ -70,7 +75,7 @@ object Sequencer {
       b.withColumn("__seq", collect_list(array(features.map(col): _*)).over(w))
         .filter(!col("__ctx") && size(col("__seq")) === L)
         .withColumnRenamed("__seq", "sequence")
-        .drop("__rn", "__blk", "__ctx")
+        .drop("__rn", "__n", "__blk", "__ctx")
   }
 
   /** W1-flat: the reference's flattened-window representation — one row per
@@ -80,29 +85,41 @@ object Sequencer {
     * offset counted from the window start; we count lags from the end, same
     * cells). All L·F lag expressions share ONE window frame, so Spark
     * computes them in a single sorted pass per series partition — no array
-    * materialization, unlike [[sequences]]. */
+    * materialization, unlike [[sequences]].
+    *
+    * `keepIncomplete = true` keeps the warm-up rows too (their lag cells
+    * null) and adds a boolean `window_complete` column instead of
+    * filtering — for detectors that must flag every input row
+    * ([[graft.ml.WindowPcaDetector]]: warm-up rows score null/false). */
   def flattenWindows(df: DataFrame, seriesCol: Option[String], tsCol: String,
                      features: Seq[String], L: Int,
-                     orderTiebreak: Seq[Column] = Nil): DataFrame = seriesCol match {
+                     orderTiebreak: Seq[Column] = Nil,
+                     keepIncomplete: Boolean = false): DataFrame = seriesCol match {
     case Some(s) =>
       val w = Window.partitionBy(col(s))
         .orderBy(col(tsCol) +: orderTiebreak: _*)
       val lagCols = for (f <- features; j <- 0 until L)
         yield lag(col(f), j).over(w).as(s"${f}_tm$j")
-      df.select(df.columns.map(col) ++ lagCols :+
-          row_number().over(w).as("__wpos"): _*)
-        .filter(col("__wpos") >= L) // W6 warm-up: incomplete windows emit nothing
-        .drop("__wpos")
+      val sel = df.select(df.columns.map(col) ++ lagCols :+
+        row_number().over(w).as("__wpos"): _*)
+      if (keepIncomplete)
+        sel.withColumn("window_complete", col("__wpos") >= L).drop("__wpos")
+      else
+        sel.filter(col("__wpos") >= L) // W6 warm-up: incomplete windows emit nothing
+          .drop("__wpos")
     case None =>
       val b = blockedByRank(df, col(tsCol) +: orderTiebreak, L)
       val w = Window.partitionBy(col("__blk")).orderBy(col("__rn"))
       val lagCols = for (f <- features; j <- 0 until L)
         yield lag(col(f), j).over(w).as(s"${f}_tm$j")
       // __rn IS the global position: W6 warm-up needs no extra row_number
-      b.select(df.columns.map(col) ++ Seq(col("__rn"), col("__ctx")) ++
+      val sel = b.select(df.columns.map(col) ++ Seq(col("__rn"), col("__ctx")) ++
           lagCols: _*)
-        .filter(!col("__ctx") && col("__rn") >= L)
-        .drop("__rn", "__ctx")
+        .filter(!col("__ctx"))
+      if (keepIncomplete)
+        sel.withColumn("window_complete", col("__rn") >= L).drop("__rn", "__ctx")
+      else
+        sel.filter(col("__rn") >= L).drop("__rn", "__ctx")
   }
 
   /** W1-lite: sliding aggregate (avg) over the last L rows per series —

@@ -145,11 +145,11 @@ object Xai {
     * features. The LOO mean removes exactly the cell's own deviation from
     * its window context and nothing else.
     *
-    * Scale shape: the F·L occluded scores are appended as chained
-    * projections on the SAME frame, so the whole matrix is ONE distributed
-    * pass over `instances` plus one tiny agg — no per-cell jobs, no joins.
-    * (The plan holds (F·L)² score terms; for very large F·L, chunk the cell
-    * list and union.) `score` appends `anomaly_score` to a flat frame —
+    * Scale shape: one union branch per occluded cell over the
+    * (checkpointed) instances frame, scored in one distributed pass — no
+    * per-cell jobs, no joins; plan size stays linear in F·L and is
+    * chunk-bounded (see [[perInstanceAttribution]]).
+    * `score` appends `anomaly_score` to a flat frame —
     * e.g. [[graft.ml.FittedWindowZScore.transformFlat]]; `instances` is the
     * (already filtered) set of rows to explain. */
   def perTimestepAttribution(instances: DataFrame,
@@ -166,36 +166,55 @@ object Xai {
     * (instance, feature, lag) with that cell's |score drop|, i.e. the
     * reference's full per-instance SHAP matrix
     * (`Backend/XAI_methods/xai_runner.py:197-230` extracts exactly this
-    * shape per explained instance before aggregating). Built from the SAME
-    * single-pass occluded frame, unpivoted with `stack` — still no joins,
-    * no per-cell jobs; output is (n_instances · F · L) rows, distributed. */
+    * shape per explained instance before aggregating). Cell-tagged union
+    * branches land directly in long format — no joins, no per-cell jobs;
+    * output is (n_instances · F · L) rows, distributed. */
   def perInstanceAttribution(instances: DataFrame,
                              score: DataFrame => DataFrame,
                              features: Seq[String], L: Int,
-                             idCol: String = "id"): DataFrame = {
+                             idCol: String = "id",
+                             cellsPerPass: Int = 256): DataFrame = {
     val cells = for (f <- features; j <- 0 until L) yield (f, j)
 
-    var cur = score(instances)
+    // materialize the base scores once: every occlusion branch re-reads
+    // this frame (instances are few by the X1 contract, so the checkpoint
+    // is tiny)
+    val base0 = score(instances)
       .withColumnRenamed("anomaly_score", "__base").drop("is_anomaly")
-    for ((f, j) <- cells) {
-      val cell = s"${f}_tm$j"
-      val looMean = (0 until L).filter(_ != j)
-        .map(o => col(s"${f}_tm$o")).reduce(_ + _) / lit((L - 1).toDouble)
-      cur = score(
-          cur.withColumn("__stash", col(cell))
-            .withColumn(cell, looMean))
-        .withColumnRenamed("anomaly_score", s"__occ_${f}_$j")
-        .drop("is_anomaly")
-        .withColumn(cell, col("__stash")).drop("__stash")
-    }
-    val stackArgs = cells.map { case (f, j) =>
-      s"'$f', $j, abs(__base - `__occ_${f}_$j`)"
-    }.mkString(", ")
+    val base = if (cells.size > 1) base0.localCheckpoint() else base0
+
+    // One UNION BRANCH per occluded cell — each branch is a single cheap
+    // projection (replace one cell with its LOO mean, tag the cell) — and
+    // ONE score() application over the union, so every occluded score is
+    // computed in the same distributed pass and lands already in long
+    // format (no stack/unpivot). An earlier form chained F·L
+    // score-projections on one frame: DataFrame ops analyze EAGERLY, so
+    // step k re-analyzed k accumulated ~F·L·L-node occluded-score
+    // expressions — quadratic in F·L, and tens of MINUTES of pure
+    // Catalyst time at F·L ≳ 100. The union form is linear: each branch
+    // is optimized once (the optimizer pushes the score through the
+    // union), bounded further by chunking at `cellsPerPass` cells or a
+    // ~2·10⁵ expression-node budget per pass, whichever is smaller.
+    val perCellNodes = (features.size * L * L).max(1)
+    val pass = math.max(4, math.min(cellsPerPass, 200000 / perCellNodes))
     val idSel =
-      if (cur.columns.contains(idCol)) col(idCol).as("instance_id")
+      if (base.columns.contains(idCol)) col(idCol).as("instance_id")
       else lit(null).cast("long").as("instance_id")
-    cur.select(idSel, col("__base").as("base_score"),
-      expr(s"stack(${cells.size}, $stackArgs) AS (feature, lag, attribution)"))
+    val parts = cells.grouped(pass).map { chunk =>
+      val branches = chunk.map { case (f, j) =>
+        val cell = s"${f}_tm$j"
+        val looMean = (0 until L).filter(_ != j)
+          .map(o => col(s"${f}_tm$o")).reduce(_ + _) / lit((L - 1).toDouble)
+        base.withColumn(cell, looMean)
+          .withColumn("__occf", lit(f))
+          .withColumn("__occlag", lit(j))
+      }
+      score(branches.reduce(_ unionByName _))
+        .select(idSel, col("__base").as("base_score"),
+          col("__occf").as("feature"), col("__occlag").as("lag"),
+          abs(col("__base") - col("anomaly_score")).as("attribution"))
+    }.toSeq
+    parts.reduce(_ unionByName _)
   }
 
   /** Aggregate a per-(feature, lag) importance table to base features by

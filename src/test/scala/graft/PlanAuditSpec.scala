@@ -26,6 +26,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q3_top_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("window z-score default (no series key) plans NO unpartitioned " +
+      "data window — rolling stats partition on the rank block") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0 until 200).map(i =>
+      (new java.sql.Timestamp(1704067200000L + i * 1000L), i.toDouble))
+      .toDF("timestamp", "v1")
+    val fitted = graft.ml.WindowZScoreDetector(Seq("v1"), L = 5).fit(df)
+    val p = fitted.transform(df).queryExecution.executedPlan.toString
+    // every Window computing the rolling stats must carry the __blk
+    // partition spec; a bare `Window.partitionBy()` would show avg(...)
+    // with an empty partition list and an Exchange SinglePartition feeding
+    // the full data through one task
+    val statWins = p.linesIterator
+      .filter(l => l.contains("Window") && l.contains("avg(")).toSeq
+    assert(statWins.nonEmpty, p.take(2000))
+    statWins.foreach(l => assert(l.contains("__blk"), l))
+  }
+
   test("no query plans a cartesian product") {
     // crossJoin of scalar aggs is BroadcastNestedLoopJoin over 1 row —
     // fine; an unconstrained CartesianProduct over data frames is never

@@ -48,6 +48,22 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.map(_.getString(0)).toSeq == Seq("en", "de"))
   }
 
+  test("native-kernel SQL surface: graft_dot and graft_zorder match the " +
+      "Column API / host twins") {
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+        |  graft_dot(array(1.0d), array(cast(null as double))) AS dn,
+        |  graft_dot(array(1.0d, 2.0d), array(1.0d)) AS dm""".stripMargin).head
+    assert(d.getDouble(0) == 32.0 && d.isNullAt(1) && d.isNullAt(2))
+
+    val z = spark.sql(
+      "SELECT graft_zorder(8, 5L, 9L) AS z, graft_zorder(4, 3L, 3L, 3L) AS z3")
+      .head
+    assert(z.getLong(0) == graft.ops.ZOrder.interleaveHost(Seq(5L, 9L), 8))
+    assert(z.getLong(1) == graft.ops.ZOrder.interleaveHost(Seq(3L, 3L, 3L), 4))
+  }
+
   test("non-literal k/seed is rejected with a clear error") {
     GraftFunctions.register(spark)
     Seq(("x", 2)).toDF("text", "n").createOrReplaceTempView("gf_t2")

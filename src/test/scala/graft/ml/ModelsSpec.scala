@@ -70,6 +70,66 @@ class ModelsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("window z-score no-series default equals the keyed path (blocked " +
+      "two-pass rank replaces the single-task global window)") {
+    val none = WindowZScoreDetector(Seq("v1", "v2"), L = 10).fit(series)
+      .asInstanceOf[FittedWindowZScore]
+    val keyed = WindowZScoreDetector(Seq("v1", "v2"), seriesCol = Some("sid"),
+        L = 10)
+      .fit(series.withColumn("sid", lit("x")))
+      .asInstanceOf[FittedWindowZScore]
+    // identical calibration rows → identical exact-percentile threshold
+    assert(math.abs(none.threshold - keyed.threshold) < 1e-9,
+      s"${none.threshold} vs ${keyed.threshold}")
+    val a = none.transform(series)
+      .select($"timestamp", $"anomaly_score".as("sa"), $"is_anomaly".as("fa"))
+    val b = keyed.transform(series.withColumn("sid", lit("x")))
+      .select($"timestamp", $"anomaly_score".as("sb"), $"is_anomaly".as("fb"))
+    val j = a.join(b, "timestamp").cache()
+    assert(j.count() == 2000)
+    // blocked windows see the exact cells the bare window saw, in order
+    val maxDiff = j.filter($"sa".isNotNull)
+      .agg(max(abs($"sa" - $"sb"))).head.getDouble(0)
+    assert(maxDiff < 1e-9, s"maxDiff $maxDiff")
+    assert(j.filter($"fa" =!= $"fb").count() == 0)
+    assert(j.filter($"sa".isNull =!= $"sb".isNull).count() == 0)
+    j.unpersist()
+  }
+
+  test("window_pca catches a cross-feature correlation break invisible to " +
+      "per-feature z-score (M1 autoencoder-equivalent)") {
+    // v2 tracks v1 (v2 = 2 + 0.8·s + noise); in [804, 904) the relation
+    // FLIPS (v2 = 2 − 0.8·s): both marginals keep their usual range and
+    // smoothness, so per-feature rolling z sees nothing, while a linear
+    // autoencoder over the joint window reconstructs v2 badly. The flip
+    // point sits where s ≈ 0, so no per-feature jump marks the boundary.
+    val rng = new scala.util.Random(23)
+    val df = (0 until 1200).map { i =>
+      val s = 10.0 * math.sin(i / 8.0)
+      val v1 = s + rng.nextGaussian() * 0.3
+      val flipped = i >= 804 && i < 904
+      val v2 = 2.0 + (if (flipped) -0.8 else 0.8) * s + rng.nextGaussian() * 0.3
+      (ts(i), v1, v2, if (flipped) 1 else 0)
+    }.toDF("timestamp", "v1", "v2", "label")
+    val clean = df.filter($"label" === 0 && $"timestamp" < ts(804))
+
+    val pca = WindowPcaDetector(Seq("v1", "v2"), L = 10, k = 4,
+      percentile = 0.98).fit(clean)
+    val z = WindowZScoreDetector(Seq("v1", "v2"), L = 10,
+      percentile = 0.98).fit(clean)
+
+    // interior of the flipped region: windows fully inside the anomaly
+    val interior = ($"timestamp" >= ts(814)) && ($"timestamp" < ts(904))
+    val pcaFlags = pca.transform(df).filter(interior && $"is_anomaly").count()
+    val zFlags = z.transform(df).filter(interior && $"is_anomaly").count()
+    assert(pcaFlags > 50, s"pca caught $pcaFlags of 90")
+    assert(zFlags < 10, s"z-score should miss the break, flagged $zFlags")
+
+    // warm-up parity: first L−1 rows never flagged, score null
+    val out = pca.transform(df).orderBy($"timestamp").limit(9)
+    assert(out.filter($"is_anomaly" || $"anomaly_score".isNotNull).count() == 0)
+  }
+
   test("batch job with injection: injected rows get labeled and detected; " +
       "in-job XAI ranks the injected column first") {
     val clean = series.drop("label")

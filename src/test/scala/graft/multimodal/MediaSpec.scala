@@ -265,4 +265,29 @@ class MediaSpec extends SparkSpec {
       "A must not match the inverted video C")
     frames.unpersist(); pairs.unpersist()
   }
+
+  test("m1 fixture: aHash round-trips the seed through the real codec, " +
+      "and the query matches the host-side arithmetic oracle") {
+    import graft.queries.Mm
+    // codec gate: PNG encode → ImageIO decode → aHash reproduces the seed
+    for (id <- Seq(0L, 1L, 7L, 23L, 123L, 499L)) {
+      val s = Mm.seedHost(id)
+      val img = graft.multimodal.ImageCodec.decode(Mm.pngOf(s)).get
+      assert(graft.multimodal.ImageCodec.aHash(img) == s, s"doc $id")
+    }
+    // full chain vs an exact host-side all-pairs oracle at sf0.001
+    val dir = "/root/testdata/sf0.001"
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id").as[Long].collect().sorted
+    val seeds = ids.map(id => id -> Mm.seedHost(id))
+    val expected = (for {
+      (a, sa) <- seeds; (b, sb) <- seeds if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (a, b, h)).toSet
+    val got = graft.SparkEntry.queries("m1_image_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"got ${got.size} pairs, expected ${expected.size}")
+    assert(expected.size > ids.length / 2, s"fixture too sparse: ${expected.size}")
+  }
 }

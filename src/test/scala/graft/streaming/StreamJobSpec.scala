@@ -77,6 +77,47 @@ class StreamJobSpec extends SparkSpec {
     assert(t1.toString.contains("1"), t1.toString)
   }
 
+  test("oracle bridge: an oracle-gated query's exact frame through " +
+      "detectSink's foreachBatch accumulation hash-matches the batch " +
+      "result across 3 micro-batch cut layouts") {
+    // i3_inject_step is oracle-green (CORRECTNESS r03): its RESULT frame is
+    // cross-engine verified. Streaming it through detectSink with a
+    // per-row-scoring detector must accumulate EXACTLY the batch transform
+    // — any micro-batch seam defect (dup, loss, per-batch re-derivation)
+    // changes the hash. Window detectors are cut-sensitive by nature (see
+    // the T1+T3 test); the bridge uses PCA scoring, which is stateless
+    // per row once fitted, so equality must be exact.
+    val frame = graft.SparkEntry.queries("i3_inject_step")(
+        spark, "/root/testdata/sf0.001")
+      .withColumn("timestamp", timestamp_seconds($"event_id"))
+      .localCheckpoint()
+    val fitted = graft.ml.PcaDetector(Seq("value_inj", "label"), k = 1)
+      .fit(frame)
+    def contentHash(df: org.apache.spark.sql.DataFrame): String = {
+      val s = df.select($"event_id", round($"anomaly_score", 9).as("s"),
+          $"is_anomaly")
+        .orderBy($"event_id")
+        .collect().mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val batchHash = contentHash(fitted.transform(frame))
+    val layouts = Seq((1, 1), (5, 2), (16, 3)) // (nChunks, filesPerTrigger)
+    layouts.zipWithIndex.foreach { case ((chunks, perTrigger), i) =>
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft_bridge_$i").toString
+      val stream = StreamJob.stageAndReplay(spark, frame, stage,
+        nChunks = chunks, filesPerTrigger = perTrigger)
+      val q = StreamJob.detectSink(stream, fitted, s"bridge_out_$i")
+      q.awaitTermination(60000)
+      val streamed = spark.table(s"bridge_out_$i")
+      assert(contentHash(streamed) == batchHash,
+        s"layout ($chunks, $perTrigger): stream ≠ batch " +
+          s"(${streamed.count()} rows)")
+      spark.sql(s"DROP TABLE bridge_out_$i")
+    }
+  }
+
   test("T1+T3: file replay through incremental detection matches batch detect") {
     val static = rows.toDF().withColumnRenamed("ts", "timestamp")
     val det = WindowZScoreDetector(Seq("v"), tsCol = "timestamp", L = 5)

@@ -102,6 +102,41 @@ class XaiSpec extends SparkSpec {
     perTs.unpersist(); flat.unpersist()
   }
 
+  test("perInstanceAttribution chunks large F·L cell sets: bounded plans, " +
+      "identical values") {
+    // F=9, L=8 → 72 cells; forcing cellsPerPass=32 yields 3 chunked
+    // passes, compared against the default single-pass form
+    val feats = (1 to 9).map(i => s"w$i")
+    val L = 8
+    val rng = new scala.util.Random(31)
+    val wide = (0 until 60).map { i =>
+      val vs = (1 to 9).map(f => math.sin(i / (3.0 + f)) + rng.nextGaussian())
+      (i.toLong, ts(i), vs(0), vs(1), vs(2), vs(3), vs(4), vs(5), vs(6),
+        vs(7), vs(8))
+    }.toDF("id" +: "timestamp" +: feats: _*)
+    val fitted = FittedWindowZScore(
+      WindowZScoreDetector(feats, L = L), threshold = 1.0)
+    val flat = Sequencer.flattenWindows(wide, None, "timestamp", feats, L,
+      Seq($"id")).limit(4).cache()
+
+    val chunked = Xai.perInstanceAttribution(flat, fitted.transformFlat,
+      feats, L, cellsPerPass = 32)
+    val single = Xai.perInstanceAttribution(flat, fitted.transformFlat,
+      feats, L)
+    assert(chunked.count() == 4L * 9 * L)
+    // chunking must not change a single attribution value
+    val joined = chunked.withColumnRenamed("attribution", "ac")
+      .join(single.withColumnRenamed("attribution", "as"),
+        Seq("instance_id", "feature", "lag"))
+    assert(joined.count() == 4L * 9 * L)
+    val maxDiff = joined.agg(max(abs($"ac" - $"as"))).head.getDouble(0)
+    assert(maxDiff == 0.0, s"maxDiff $maxDiff")
+    // bounded plan: per-cell branches appear as a Union, chunk-bounded
+    val plan = chunked.queryExecution.logical.toString
+    assert(plan.contains("Union"), plan.take(500))
+    flat.unpersist()
+  }
+
   test("X4 random mode: diverse CFs flip the prediction and rank v1 first") {
     val fitted = SupervisedDetector(Seq("v1", "v2"), "decision_tree").fit(data)
     val scored = fitted.transform(data)
