@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.functions.Det
 import graft.text.TextOps
 
 /** Text-analysis + deduplication operators over the `documents` table
@@ -285,6 +286,59 @@ object TextDedup {
       sized.select($"a_id", $"b_id",
           round($"__i" / ($"__na" + $"__nb" - $"__i"), 4).as("jaccard"))
         .orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- corpus-internal exact substring duplication (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better": flag
+    // text spans that occur verbatim in MORE THAN ONE document). Spark
+    // shape: per-doc DISTINCT n-grams keyed by their md5 (fixed-width key
+    // — the shuffle never carries raw span text), one gram-keyed groupBy
+    // to find grams with ≥2 carriers, and a semi-join back (same key, AQE
+    // reuses the exchange — the dup side is corpus-sized, NOT broadcast).
+    // Output: per-doc duplicated-span count + fraction, the signal the
+    // pipeline thresholds on. ----------------------------------------------
+    "d11_substring_dup" -> ((s, dir) => {
+      import s.implicits._
+      // gram frame feeds the dup-gram agg AND the per-doc join → checkpoint
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", toks($"text").as("toks"))
+        .filter(size($"toks") >= NGRAM_N)
+        .select($"doc_id",
+          array_distinct(TextOps.wordNgrams($"toks", NGRAM_N)).as("gs"))
+        .select($"doc_id", size($"gs").cast("long").as("n_gram"),
+          explode($"gs").as("g"))
+        .select($"doc_id", $"n_gram", md5($"g").as("h"))
+        .localCheckpoint()
+      val dup = grams.groupBy($"h").agg(count(lit(1)).as("__nd"))
+        .filter($"__nd" >= 2).select($"h")
+      grams.join(dup, Seq("h"), "left_semi")
+        .groupBy($"doc_id", $"n_gram")
+        .agg(count(lit(1)).as("n_dup"))
+        .select($"doc_id", $"n_dup",
+          round($"n_dup".cast("double") / $"n_gram", 4).as("dup_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- quality-weighted corpus resampling: keep each document with
+    // probability equal to its quality score (the importance-resampling
+    // shape behind DSIR-style data selection — select up-weighted data
+    // without materializing weights corpus-wide). Keyed-LCG determinism:
+    // the SAME sample on any cluster size, partitioning, or retry. Pure
+    // per-row projection + filter — a linear scan at 100 TB, no shuffle
+    // before the presentation sort. Quality is rounded to 4dp on BOTH
+    // engines before the comparison so an ULP difference can never flip
+    // a boundary row. -----------------------------------------------------
+    "p14_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val q = round(TextOps.qualityScore($"text", toks($"text")), 4)
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", q.as("quality"),
+          Det.frac($"doc_id", 99L).as("__u"))
+        .filter($"__u" < $"quality")
+        .select($"doc_id", $"quality")
+        .orderBy($"doc_id")
     }))
 
   /** Shared by d9 (pair list) and d7 (components): 8-chunk-blocked 64-bit
@@ -473,6 +527,31 @@ object TextDedup {
            |FROM pairs JOIN grams ga ON a_id = ga.doc_id
            |           JOIN grams gb ON b_id = gb.doc_id
            |WHERE est_jaccard >= 0.5
-           |ORDER BY a_id, b_id""".stripMargin)
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "d11_substring_dup" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $tokensSqlExpr AS tokens FROM documents),
+           |g AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(0, len(tokens) - $NGRAM_N),
+           |    i -> array_to_string(list_slice(tokens, i + 1, i + $NGRAM_N),
+           |      ' '))) AS gs
+           |  FROM toks WHERE len(tokens) >= $NGRAM_N),
+           |e AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_gram,
+           |        md5(unnest(gs)) AS h FROM g),
+           |d AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 2)
+           |SELECT doc_id, count(*) AS n_dup,
+           |  round(CAST(count(*) AS DOUBLE) / n_gram, 4) AS dup_frac
+           |FROM e WHERE h IN (SELECT h FROM d)
+           |GROUP BY doc_id, n_gram ORDER BY doc_id""".stripMargin,
+
+      "p14_weighted_sample" -> {
+        val q = s"round(${TextOps.qualityScoreSql("text", tokensSqlExpr, allStop)}, 4)"
+        s"""SELECT doc_id, $q AS quality
+           |FROM documents
+           |WHERE ${Det.fracSql("doc_id", 99L)} < $q
+           |ORDER BY doc_id""".stripMargin
+      })
   }
 }
