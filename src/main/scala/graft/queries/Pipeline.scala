@@ -276,6 +276,44 @@ object Pipeline {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // ---- n-gram LM perplexity scoring (the CCNet-style quality filter:
+    // score each document under a bigram language model trained on the
+    // corpus itself; low average log-probability = out-of-distribution
+    // text). Laplace-smoothed: lp(w2|w1) = ln((c(w1w2)+1)/(c(w1)+V)).
+    // 100 TB shape: unigram/bigram count tables are corpus-sized, so
+    // scoring is gram-keyed equi-JOINs (never broadcast), the vocab size
+    // is a 1-row broadcast, and per-doc aggregation shuffles on doc_id.
+    // Cross-engine exactness: each lp is rounded to 6dp and scaled to an
+    // integer (libm ln ULP differences can't surface, and the per-doc sum
+    // is associativity-proof integer arithmetic — the a13 pattern). -------
+    "t12_bigram_logprob" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .localCheckpoint() // feeds unigram counts AND the bigram explode
+      val docBi = docs
+        .select($"doc_id", explode(TextOps.wordNgrams($"toks", 2)).as("bg"))
+        .localCheckpoint() // feeds bigram counts AND scoring
+      val biCnt = docBi.groupBy($"bg").agg(count(lit(1)).as("cb"))
+      val uniCnt = docs.select(explode($"toks").as("w1"))
+        .groupBy($"w1").agg(count(lit(1)).as("cu"))
+      val vocab = uniCnt.agg(count(lit(1)).cast("double").as("v"))
+      docBi
+        .withColumn("w1", substring_index($"bg", " ", 1))
+        .join(biCnt, Seq("bg"))
+        .join(uniCnt, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lpi",
+          round(log(($"cb" + 1.0) / ($"cu" + $"v")) * 1e6).cast("long"))
+        .groupBy($"doc_id")
+        .agg(round(sum($"lpi").cast("double") / 1e6 /
+            count(lit(1)), 4).as("avg_logprob"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- HyperLogLog distinct sketch (Flajolet et al. 2007), exact
     // cross-engine: the md5-derived hash, the CASE-based register rank, the
     // integer-scaled harmonic sum (Σ 2^(55-M_j) as exact BIGINT — float
@@ -544,6 +582,35 @@ object Pipeline {
            |SELECT doc_id, n_hit,
            |  round(CAST(n_hit AS DOUBLE) / n_gram, 4) AS hit_frac
            |FROM h ORDER BY doc_id""".stripMargin,
+
+      "t12_bigram_logprob" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, tokens FROM
+           |    (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
+           |  WHERE len(tokens) >= 2),
+           |uni AS (
+           |  SELECT w1, count(*) AS cu FROM
+           |    (SELECT unnest(tokens) AS w1 FROM toks) GROUP BY w1),
+           |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+           |bi AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(0, len(tokens) - 2),
+           |    i -> array_to_string(list_slice(tokens, i + 1, i + 2), ' ')))
+           |    AS bg
+           |  FROM toks),
+           |bc AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+           |sc AS (
+           |  SELECT doc_id,
+           |    CAST(round(ln((cb + 1.0) / (cu + v)) * 1000000) AS BIGINT)
+           |      AS lpi
+           |  FROM bi JOIN bc USING (bg)
+           |    JOIN uni ON uni.w1 = split_part(bi.bg, ' ', 1)
+           |    CROSS JOIN v)
+           |SELECT doc_id,
+           |  round(CAST(sum(lpi) AS DOUBLE) / 1000000 / count(*), 4)
+           |    AS avg_logprob,
+           |  count(*) AS n_bigrams
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "t10_bm25" -> {
         val tfs = Bm25Terms.zipWithIndex.map { case (tm, i) =>
