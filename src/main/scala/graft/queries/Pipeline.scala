@@ -24,6 +24,9 @@ object Pipeline {
   private val DecontamN = 8
   private val ChunkW = 64
   private val ChunkS = 48
+  /** Top-K vocabulary size for the OOV-rate filter (tiny for the synthetic
+    * corpus; real pipelines use 10⁴–10⁵ — still broadcastable). */
+  private val OovVocabK = 100
   private val Bm25Terms = Seq("join", "vector", "window", "dup")
   /** HLL: 2^6 = 64 registers; a 60-bit md5-derived hash splits into 6
     * bucket bits + 54 register bits. */
@@ -274,6 +277,33 @@ object Pipeline {
             slice($"toks", $"start" + 1, lit(ChunkW)), " ").cast("binary")),
             1, 8).as("chunk_hash"))
         .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // ---- top-K-vocabulary OOV rate (the vocab-truncation filter: build
+    // the K most frequent corpus words — deterministic count-desc/word-asc
+    // tie-break — and score each document by its out-of-vocabulary token
+    // fraction). 100 TB shape: the vocab is K rows by CONSTRUCTION, so
+    // membership is a BROADCAST join against the exploded token stream;
+    // the only data-sized shuffles are the unigram count and the per-doc
+    // agg. ----------------------------------------------------------------
+    "t13_oov_rate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 1)
+        .localCheckpoint() // feeds the vocab count AND the scoring explode
+      val tok = docs.select($"doc_id", explode($"toks").as("w"))
+      val vocab = tok.groupBy($"w").agg(count(lit(1)).as("__cu"))
+        .orderBy($"__cu".desc, $"w").limit(OovVocabK)
+        .select($"w", lit(1).as("__inv"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when($"__inv".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"doc_id", $"n_tok", $"n_oov",
+          round($"n_oov".cast("double") / $"n_tok", 4).as("oov_frac"))
+        .orderBy($"doc_id")
     }),
 
     // ---- n-gram LM perplexity scoring (the CCNet-style quality filter:
@@ -582,6 +612,22 @@ object Pipeline {
            |SELECT doc_id, n_hit,
            |  round(CAST(n_hit AS DOUBLE) / n_gram, 4) AS hit_frac
            |FROM h ORDER BY doc_id""".stripMargin,
+
+      "t13_oov_rate" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, tokens FROM
+           |    (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
+           |  WHERE len(tokens) >= 1),
+           |tok AS (SELECT doc_id, unnest(tokens) AS w FROM toks),
+           |vocab AS (
+           |  SELECT w FROM (SELECT w, count(*) AS cu FROM tok GROUP BY w)
+           |  ORDER BY cu DESC, w LIMIT $OovVocabK)
+           |SELECT doc_id, count(*) AS n_tok,
+           |  CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
+           |    AS BIGINT) AS n_oov,
+           |  round(CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)
+           |      THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 4) AS oov_frac
+           |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "t12_bigram_logprob" ->
         s"""WITH toks AS (
