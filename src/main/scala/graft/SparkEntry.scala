@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Core.queries ++ graft.queries.Inject.queries ++
       graft.queries.TextDedup.queries ++ graft.queries.Embed.queries ++
       graft.queries.Core2.queries ++ graft.queries.Lifecycle.queries ++
-      graft.queries.Pipeline.queries ++ graft.queries.Mm.queries
+      graft.queries.Pipeline.queries ++ graft.queries.Mm.queries ++
+      graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     graft.queries.Core.oracles ++ graft.queries.Inject.oracles ++
       graft.queries.TextDedup.oracles ++ graft.queries.Embed.oracles ++
       graft.queries.Core2.oracles ++ graft.queries.Lifecycle.oracles ++
-      graft.queries.Pipeline.oracles ++ graft.queries.Mm.oracles
+      graft.queries.Pipeline.oracles ++ graft.queries.Mm.oracles ++
+      graft.queries.Analytics.oracles
 }

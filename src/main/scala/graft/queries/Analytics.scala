@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Warehouse-analytics operators rounding out the engine: graph centrality
+  * (the domain-ranking primitive web-curation pipelines consume), one-pass
+  * column profiling, pivot, exact group quantiles, and a correlation
+  * matrix — each with an exact DuckDB oracle.
+  */
+object Analytics {
+
+  /** PageRank fixed-point scale / damping / iterations — embedded verbatim
+    * in both engines (see ops/PageRank.scala for the integer-exact
+    * contract). */
+  private val PrScale = 1000000000000L
+  private val PrDamp = 85L
+  private val PrIters = 3
+  private val PrTopK = 20
+
+  private val ProfileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val PivotYears = 1995 to 2001
+  private val QuantilePs = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75,
+    "99" -> 0.99)
+  private val CorrPairs = Seq(
+    ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"), ("l_extendedprice", "l_tax"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- G1: PageRank over the customer↔supplier trade graph -------------
+    // Edge list from one equi-join, made symmetric (an undirected random
+    // walk); ranks are integer fixed-point so the iterative join-agg is
+    // bit-reproducible — the oracle unrolls the same 3 iterations in SQL.
+    // 100 TB shape: per iteration one co-partitioned join + one agg shuffle
+    // on an exchange-reused edge frame (ops/PageRank.scala).
+    "g1_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("c"),
+          concat(lit("s"), $"l_suppkey").as("s"))
+        .distinct()
+      val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+        .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+      graft.ops.PageRank.ranks(edges, PrIters, PrScale, PrDamp)
+        .orderBy($"pr".desc, $"node")
+        .limit(PrTopK)
+    }),
+
+    // ---- A15: one-pass column profiling ----------------------------------
+    // All null/distinct/min/max/sum stats for every profiled column in ONE
+    // aggregation over the table (multiple exact count-distincts → one
+    // Expand pass; the approximate path at 10^12 distincts is the a13 HLL
+    // sketch). Long format comes from unioning selects over the 1-row wide
+    // frame — driver-free and constant-cost.
+    "a15_profile" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val aggs = ProfileCols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          count_distinct(col(c)).as(s"${c}_d"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"),
+          (sum(round(col(c) * 100).cast("long")) / 100.0).as(s"${c}_sum"))
+      } :+ count(lit(1)).as("n_rows")
+      val wide = li.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      ProfileCols.map { c =>
+        wide.select(lit(c).as("col_name"),
+          ($"n_rows" - col(s"${c}_n")).as("n_null"),
+          col(s"${c}_d").as("n_distinct"),
+          col(s"${c}_min").as("vmin"), col(s"${c}_max").as("vmax"),
+          col(s"${c}_sum").as("vsum"))
+      }.reduce(_.unionAll(_)).orderBy($"col_name")
+    }),
+
+    // ---- A16: pivot (years × nation revenue) -----------------------------
+    // Explicit pivot values — Spark skips the extra distinct-collection job
+    // a bare pivot() runs, which at 100 TB is a full scan saved. Cents-exact
+    // cell sums.
+    "a16_pivot" -> ((s, dir) => {
+      import s.implicits._
+      val cents = sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount")
+        * 100).cast("long"))
+      val piv = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .withColumn("yr", year($"l_shipdate"))
+        .groupBy($"n_name")
+        .pivot("yr", PivotYears.map(_.toString))
+        .agg((cents / 100.0))
+      PivotYears.foldLeft(piv) { (df, y) =>
+        df.withColumnRenamed(y.toString, s"y$y")
+      }.orderBy($"n_name")
+    }),
+
+    // ---- A17: exact per-group quantiles ----------------------------------
+    // Spark's exact `percentile` (sort-within-group) vs DuckDB
+    // quantile_cont — identical linear-interpolation definition. At 100 TB
+    // the exact form holds one group's values per task; the sketch path is
+    // approx_percentile (t-digest), same call shape.
+    "a17_group_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val qs = QuantilePs.map { case (nm, p) =>
+        round(expr(s"percentile(l_extendedprice, $p)"), 4).as(s"p$nm")
+      }
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(qs.head, qs.tail: _*)
+        .orderBy($"l_returnflag")
+    }),
+
+    // ---- A19: correlation matrix -----------------------------------------
+    // All pairwise Pearson correlations in ONE co-moment aggregation pass,
+    // then unioned to long format off the 1-row frame.
+    "a19_corr" -> ((s, dir) => {
+      import s.implicits._
+      val aggs = CorrPairs.zipWithIndex.map { case ((x, y), i) =>
+        round(corr(col(x), col(y)), 4).as(s"r$i")
+      }
+      val wide = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint()
+      CorrPairs.zipWithIndex.map { case ((x, y), i) =>
+        wide.select(lit(x).as("x"), lit(y).as("y"), col(s"r$i").as("r"))
+      }.reduce(_.unionAll(_)).orderBy($"x", $"y")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "g1_pagerank" -> {
+      val base = s"($PrScale // (SELECT count(*) FROM deg))"
+      val tele = s"((${100L - PrDamp} * $base) // 100)"
+      def iter(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT e.dst AS node,
+           |    $tele + ($PrDamp * sum(p.pr // d.outdeg)) // 100 AS pr
+           |  FROM edges e JOIN $prev p ON e.src = p.node
+           |    JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst)""".stripMargin
+      val iters = (1 to PrIters)
+        .map(i => iter(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
+        .mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |pr0 AS (SELECT src AS node, $base AS pr FROM deg),
+         |$iters
+         |SELECT node, CAST(pr AS BIGINT) AS pr FROM it$PrIters
+         |ORDER BY pr DESC, node LIMIT $PrTopK""".stripMargin
+    },
+
+    "a15_profile" -> ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS vmin, CAST(max($c) AS DOUBLE) AS vmax,
+         |  CAST(sum(CAST(round($c * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         |    AS vsum
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "a16_pivot" -> {
+      val cells = PivotYears.map { y =>
+        s"""  CAST(sum(CASE WHEN year(l_shipdate) = $y THEN
+           |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           |    END) AS DOUBLE) / 100.0 AS y$y""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT n_name,
+         |$cells
+         |FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
+
+    "a17_group_quantiles" -> {
+      val qs = QuantilePs.map { case (nm, p) =>
+        s"round(CAST(quantile_cont(l_extendedprice, $p) AS DOUBLE), 4) AS p$nm"
+      }.mkString(",\n  ")
+      s"""SELECT l_returnflag,
+         |  $qs
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
+    "a19_corr" -> CorrPairs.map { case (x, y) =>
+      s"""SELECT '$x' AS x, '$y' AS y,
+         |  round(corr($x, $y), 4) AS r FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y")
+  )
+}

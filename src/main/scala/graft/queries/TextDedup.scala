@@ -257,6 +257,75 @@ object TextDedup {
         .orderBy($"doc_id")
     }),
 
+    // ---- Z3: the FULL corpus-curation chain as one gated query -----------
+    // quality gate (Gopher rules) → near-dup drop (minhash LSH pairs,
+    // greedy-by-id) → decontamination (eval 8-gram overlap) → token-budget
+    // packing. Mirrors what z1 does for the reference lifecycle: every
+    // individually-green stage is here re-verified THROUGH its seams — a
+    // survivor-set error in any stage shifts every later bin assignment.
+    // 100 TB shape: each stage is the already-audited shape of its
+    // standalone query (broadcast semi-joins for the tiny eval-gram and
+    // drop-id sets, guarded LSH band join, distributed prefix-sum pack).
+    "z3_curate_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      // stage 0: hold out the eval slice (doc_id % 50 == 0); its distinct
+      // 8-grams are the contamination reference
+      val corpus = base.filter($"doc_id" % 50 =!= 0)
+      // stage 1: Gopher quality rules (t7's exact conjunction)
+      val tk = toks($"text")
+      val nw = size(tk).cast("long")
+      val alpha = length(regexp_replace($"text", " ", "")).cast("long")
+      val nHash = (length($"text") -
+        length(regexp_replace($"text", "#", ""))).cast("long")
+      val nStop = TextOps.hitCount(tk, TextOps.langWords.flatMap(_._2))
+        .cast("long")
+      val qual = corpus
+        .select($"doc_id", tk.as("tokens"), nw.as("nw"), alpha.as("alpha"),
+          nHash.as("nhash"), nStop.as("nstop"))
+        .filter($"nw" >= 50L && $"nw" <= 100000L &&
+          $"alpha" >= $"nw" * 3L && $"alpha" <= $"nw" * 10L &&
+          $"nhash" * 10L <= $"nw" && $"nstop" >= 2L)
+        .localCheckpoint() // feeds the pair-restriction semi-joins AND the
+                           // decontamination/pack tail (fan-out rule)
+      // stage 2: near-dup drop — LSH pairs at est ≥ 0.5 restricted to
+      // quality survivors; the non-minimal id of each pair is dropped
+      // (greedy-by-id, the standard pairwise prune; closure-based variant
+      // is d10). Pair generation is per-pair independent, so restricting
+      // the full-corpus pair set ≡ pairing the subset.
+      val dropNd = lshPairs(s, dir).filter($"est_jaccard" >= 0.5)
+        .join(qual.select($"doc_id".as("a_id")), Seq("a_id"), "left_semi")
+        .join(qual.select($"doc_id".as("b_id")), Seq("b_id"), "left_semi")
+        .select($"b_id".as("doc_id")).distinct()
+      val nd = qual.join(dropNd, Seq("doc_id"), "left_anti")
+      // stage 3: decontamination — drop survivors whose distinct-8-gram
+      // overlap with the eval slice exceeds 20% (integer comparison:
+      // 5·hits > grams; no float threshold to disagree on)
+      val evalG = base.filter($"doc_id" % 50 === 0)
+        .select(explode(array_distinct(
+          TextOps.wordNgrams(toks($"text"), 8))).as("g"))
+        .distinct()
+      val contaminated = nd
+        .filter(size($"tokens") >= 8)
+        .select($"doc_id", array_distinct(
+          TextOps.wordNgrams($"tokens", 8)).as("gs"))
+        .select($"doc_id", size($"gs").as("n_gram"), explode($"gs").as("g"))
+        .join(broadcast(evalG), Seq("g"), "left_semi")
+        .groupBy($"doc_id", $"n_gram").agg(count(lit(1)).as("n_hit"))
+        .filter($"n_hit" * 5L > $"n_gram")
+        .select($"doc_id")
+      val keep = nd.join(contaminated, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"nw".as("n_tok"))
+      // stage 4: token-budget packing over the survivors (distributed
+      // prefix sum — never a one-task window)
+      graft.ops.Ranks.globalCumSum(keep, Seq($"doc_id"), $"n_tok", "cum_tok")
+        .select($"doc_id", $"n_tok",
+          expr("(cum_tok - n_tok) div 1000").as("bin"),
+          (($"cum_tok" - $"n_tok") % 1000L).as("bin_offset"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- exact n-gram Jaccard on high-confidence LSH candidates ----------
     // Refinement step of the minhash pipeline: exact verification runs only
     // on pairs whose estimated Jaccard (signature agreement) clears 0.5 —
@@ -511,6 +580,69 @@ object TextDedup {
            |WHERE doc_id NOT IN (
            |  SELECT doc_id FROM comp WHERE doc_id <> component)
            |ORDER BY doc_id""".stripMargin,
+
+      "z3_curate_e2e" -> {
+        val allStop = TextOps.langWords.flatMap(_._2)
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH $lshPairsSql,
+           |corpus AS (
+           |  SELECT doc_id, text, $tokensSqlExpr AS tokens FROM documents
+           |  WHERE doc_id % 50 <> 0),
+           |qual AS (
+           |  SELECT doc_id, tokens, nw
+           |  FROM (
+           |    SELECT doc_id, tokens,
+           |      CAST(len(tokens) AS BIGINT) AS nw,
+           |      CAST(len(replace(text, ' ', '')) AS BIGINT) AS alpha,
+           |      CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+           |        AS nhash,
+           |      CAST(len(list_filter(tokens, x -> x IN ($allStop)))
+           |        AS BIGINT) AS nstop
+           |    FROM corpus)
+           |  WHERE nw >= 50 AND nw <= 100000
+           |    AND alpha >= nw * 3 AND alpha <= nw * 10
+           |    AND nhash * 10 <= nw AND nstop >= 2),
+           |dropnd AS (
+           |  SELECT DISTINCT b_id AS doc_id FROM pairs
+           |  WHERE est_jaccard >= 0.5
+           |    AND a_id IN (SELECT doc_id FROM qual)
+           |    AND b_id IN (SELECT doc_id FROM qual)),
+           |nd AS (
+           |  SELECT doc_id, tokens, nw FROM qual
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM dropnd)),
+           |evalg AS (
+           |  SELECT DISTINCT unnest(gs) AS g FROM (
+           |    SELECT list_distinct(list_transform(
+           |      generate_series(0, greatest(len($tokensSqlExpr) - 8, 0)),
+           |      i -> array_to_string(
+           |        list_slice($tokensSqlExpr, i + 1, i + 8), ' '))) AS gs
+           |    FROM documents
+           |    WHERE doc_id % 50 = 0 AND len($tokensSqlExpr) >= 8)),
+           |contaminated AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, n_gram, count(*) AS n_hit FROM (
+           |      SELECT doc_id, len(gs) AS n_gram, unnest(gs) AS tg FROM (
+           |        SELECT doc_id, list_distinct(list_transform(
+           |          generate_series(0, greatest(len(tokens) - 8, 0)),
+           |          i -> array_to_string(
+           |            list_slice(tokens, i + 1, i + 8), ' '))) AS gs
+           |        FROM nd WHERE len(tokens) >= 8))
+           |    WHERE tg IN (SELECT g FROM evalg)
+           |    GROUP BY doc_id, n_gram)
+           |  WHERE n_hit * 5 > n_gram),
+           |keep AS (
+           |  SELECT doc_id, nw AS n_tok FROM nd
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |packed AS (
+           |  SELECT doc_id, n_tok,
+           |    sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           |      AS cum_tok
+           |  FROM keep)
+           |SELECT doc_id, n_tok,
+           |  CAST((cum_tok - n_tok) // 1000 AS BIGINT) AS bin,
+           |  CAST((cum_tok - n_tok) % 1000 AS BIGINT) AS bin_offset
+           |FROM packed ORDER BY doc_id""".stripMargin
+      },
 
       "d6_ngram_jaccard" ->
         s"""WITH $lshPairsSql,
