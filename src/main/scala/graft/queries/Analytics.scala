@@ -103,12 +103,17 @@ object Analytics {
     // approx_percentile (t-digest), same call shape.
     "a17_group_quantiles" -> ((s, dir) => {
       import s.implicits._
-      val qs = QuantilePs.map { case (nm, p) =>
-        round(expr(s"percentile(l_extendedprice, $p)"), 4).as(s"p$nm")
+      // ONE percentile(col, array(...)) agg — a single per-group sort for
+      // all four quantiles (four separate percentile() calls each pay
+      // their own sort of the group's values)
+      val ps = QuantilePs.map(_._2).mkString("array(", ", ", ")")
+      val qs = QuantilePs.zipWithIndex.map { case ((nm, _), i) =>
+        round(element_at($"__qs", i + 1), 4).as(s"p$nm")
       }
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(qs.head, qs.tail: _*)
+        .agg(expr(s"percentile(l_extendedprice, $ps)").as("__qs"))
+        .select($"l_returnflag" +: qs: _*)
         .orderBy($"l_returnflag")
     }),
 
