@@ -383,6 +383,40 @@ object Pipeline {
             .as("rel_err"))
     }),
 
+    // ---- A20: HLL sketch MERGEABILITY — the property that makes the a13
+    // sketch work on 1000 executors: per-slice sketches (here one per
+    // event_type) union by per-register max, and that merged sketch is
+    // IDENTICAL to the sketch built over the whole corpus in one pass.
+    // Registers are integers, so the gate is exact — no estimator float in
+    // the compared columns (merged_scaled ≡ direct_scaled pins the
+    // register-level identity; n_equal pins it register by register).
+    "a20_hll_merge" -> ((s, dir) => {
+      import s.implicits._
+      def br(df: org.apache.spark.sql.DataFrame) = df
+        .select($"event_type", conv(substring(
+          md5($"user_id".cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+        .select($"event_type", shiftright($"hv", HllRemBits).as("bucket"),
+          $"hv".bitwiseAND(lit((1L << HllRemBits) - 1)).as("rem"))
+        .withColumn("rho", expr(rhoCaseSql("rem")))
+      val e = t(s, dir, "events")
+      // per-slice sketches, then the sketch-union (max per register)
+      val merged = br(e).groupBy($"event_type", $"bucket")
+        .agg(max($"rho").as("m"))
+        .groupBy($"bucket").agg(max($"m").as("m"))
+      // single-pass whole-corpus sketch
+      val direct = br(e).groupBy($"bucket").agg(max($"rho").as("md"))
+      // inner join: both sketches derive from the same register rows, so
+      // their bucket sets are identical by construction
+      val cmp = merged.join(direct, Seq("bucket")).select($"m", $"md")
+      cmp.agg(count(lit(1)).as("n_reg"),
+        sum(when($"m" === $"md", 1L).otherwise(0L)).as("n_equal"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${HllRemBits + 1} - m)"))
+          .as("merged_scaled"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${HllRemBits + 1} - md)"))
+          .as("direct_scaled"))
+    }),
+
     // ---- count-min sketch heavy hitters (Cormode & Muthukrishnan 2005),
     // exact cross-engine: d×w counter grid from md5-slice hashes, point
     // estimate = min over the d counters, top-10 by estimate. Pure integer
@@ -730,6 +764,35 @@ object Pipeline {
            |  round(abs(round($est, 4) - exact_distinct) / exact_distinct, 4)
            |    AS rel_err
            |FROM a, x""".stripMargin
+      },
+
+      "a20_hll_merge" -> {
+        val hexFold = (0 until 15).map(i =>
+          s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * " +
+            s"${1L << (4 * (14 - i))}").mkString(" + ")
+        s"""WITH br AS (
+           |  SELECT event_type,
+           |    CAST($hexFold AS BIGINT) >> $HllRemBits AS bucket,
+           |    CAST($hexFold AS BIGINT) & ${(1L << HllRemBits) - 1} AS rem
+           |  FROM (SELECT event_type,
+           |          substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h
+           |        FROM events)),
+           |rho AS (SELECT event_type, bucket, ${rhoCaseSql("rem")} AS rho
+           |        FROM br),
+           |merged AS (
+           |  SELECT bucket, max(m) AS m FROM (
+           |    SELECT event_type, bucket, max(rho) AS m FROM rho
+           |    GROUP BY event_type, bucket)
+           |  GROUP BY bucket),
+           |direct AS (SELECT bucket, max(rho) AS md FROM rho GROUP BY bucket)
+           |SELECT count(*) AS n_reg,
+           |  CAST(sum(CASE WHEN merged.m = direct.md THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_equal,
+           |  CAST(sum(CAST(1 AS BIGINT) << (${HllRemBits + 1} - merged.m))
+           |    AS BIGINT) AS merged_scaled,
+           |  CAST(sum(CAST(1 AS BIGINT) << (${HllRemBits + 1} - direct.md))
+           |    AS BIGINT) AS direct_scaled
+           |FROM merged JOIN direct USING (bucket)""".stripMargin
       },
 
       "a14_cm_heavy_hitters" -> {

@@ -79,6 +79,29 @@ object StreamJob {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream keyed range join — the streaming twin of the batch
+    * interval join (J3): each left row matches right rows with the same
+    * key whose event time falls in `[l.ts - lookbackSec, l.ts]`.
+    *
+    * Both sides carry watermarks and the join condition bounds BOTH event
+    * times, so Spark derives state-eviction watermarks for each side —
+    * state size is O(key-cardinality × lookback window), not O(stream).
+    * Without the time-range condition the state would grow unboundedly
+    * and Spark (correctly) refuses append mode.
+    *
+    * Left/right frames must have disjoint column names apart from `key`;
+    * the joined frame carries both sides' columns. Inner join: a left row
+    * with no in-window right match is dropped (use the batch J3 for outer
+    * semantics on bounded data). */
+  def rangeJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                       lTs: String, rTs: String, watermark: String,
+                       lookbackSec: Long): DataFrame =
+    left.withWatermark(lTs, watermark).alias("l")
+      .join(right.withWatermark(rTs, watermark).alias("r"),
+        expr(s"l.$key = r.$key AND r.$rTs >= l.$lTs - INTERVAL $lookbackSec SECONDS" +
+          s" AND r.$rTs <= l.$lTs"))
+      .drop(col(s"r.$key"))
+
   /** Streaming sketch maintenance: the count-min counter grid (a14's
     * batch sketch) as an incrementally-maintained aggregation. The
     * grouping key space is bounded BY CONSTRUCTION (d·w counters), so

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(id: Long, ts: Timestamp, v: Double)
+case class L(k: Long, lts: Timestamp, lid: Long)
+case class R(k: Long, rts: Timestamp, rid: Long)
 
 class StreamJobSpec extends SparkSpec {
   import spark.implicits._
@@ -115,6 +117,53 @@ class StreamJobSpec extends SparkSpec {
         s"layout ($chunks, $perTrigger): stream ≠ batch " +
           s"(${streamed.count()} rows)")
       spark.sql(s"DROP TABLE bridge_out_$i")
+    }
+  }
+
+  test("stream-stream range join ≡ batch interval join, across cut " +
+      "layouts incl. bounded disorder") {
+    // left: readings; right: alerts. Each reading matches same-key alerts
+    // in the 30 s lookback window. The batch twin is the J3 interval-join
+    // shape on static frames.
+    val lRows = (0 until 120).map(i => L(i % 5, ts(i), i))
+    val rRows = (0 until 120 by 7).map(i => R(i % 5, ts(i), 1000 + i))
+    val lDf = lRows.toDF(); val rDf = rRows.toDF()
+    val batch = lDf.alias("l").join(rDf.alias("r"),
+        expr("l.k = r.k AND r.rts >= l.lts - INTERVAL 30 SECONDS" +
+          " AND r.rts <= l.lts"))
+      .select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty) // the spec must actually join something
+
+    // layouts: one shot; chronological halves; small chunks with the right
+    // side delivered one chunk late (disorder bounded by the 60 s watermark)
+    def chunked[T](xs: Seq[T], n: Int): Seq[Seq[T]] =
+      xs.grouped(math.max(1, xs.size / n)).toSeq
+    val layouts: Seq[(Seq[Seq[L]], Seq[Seq[R]], Boolean)] = Seq(
+      (Seq(lRows), Seq(rRows), false),
+      (chunked(lRows, 2), chunked(rRows, 2), false),
+      (chunked(lRows, 6), chunked(rRows, 6), true))
+    layouts.zipWithIndex.foreach { case ((lc, rc, delayRight), i) =>
+      implicit val sq = spark.sqlContext
+      val lMem = MemoryStream[L]; val rMem = MemoryStream[R]
+      val joined = StreamJob.rangeJoinStreams(lMem.toDF(), rMem.toDF(),
+        "k", "lts", "rts", watermark = "60 seconds", lookbackSec = 30)
+        .select($"lid", $"rid")
+      val q = joined.writeStream.format("memory").queryName(s"ssj_$i")
+        .outputMode("append").start()
+      val rShifted = if (delayRight) Seq(Seq.empty[R]) ++ rc else rc
+      lc.zipAll(rShifted, Seq.empty[L], Seq.empty[R]).foreach {
+        case (ls, rs) =>
+          if (ls.nonEmpty) lMem.addData(ls: _*)
+          if (rs.nonEmpty) rMem.addData(rs: _*)
+          q.processAllAvailable()
+      }
+      q.processAllAvailable(); q.stop()
+      val got = spark.table(s"ssj_$i").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"layout $i: stream ≠ batch " +
+        s"(${got.size} vs ${batch.size} pairs)")
+      spark.sql(s"DROP VIEW IF EXISTS ssj_$i")
     }
   }
 
