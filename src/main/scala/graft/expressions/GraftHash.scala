@@ -85,4 +85,31 @@ object GraftHash {
     }
     sim
   }
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Word n-grams of a token array, space-joined — semantics identical to
+    * `transform(sequence(0, greatest(size-n, 0)), i ->
+    * array_join(slice(toks, i+1, n), " "))`: size ≥ n gives size−n+1
+    * grams; shorter inputs give ONE partial gram (the whole array joined);
+    * null tokens are skipped by the join (ConcatWs semantics), matching
+    * `array_join` with no null replacement. */
+  def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val size = toks.numElements()
+    val m = math.max(size - n, 0)
+    val out = new Array[Any](m + 1)
+    var i = 0
+    while (i <= m) {
+      val end = math.min(i + n, size)
+      val parts = new Array[UTF8String](end - i)
+      var j = i
+      while (j < end) {
+        parts(j - i) = if (toks.isNullAt(j)) null else toks.getUTF8String(j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(SPACE, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

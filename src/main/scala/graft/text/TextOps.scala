@@ -25,8 +25,16 @@ object TextOps {
     transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k)))
 
-  /** Word n-grams of a token array, joined by single spaces. */
+  /** Word n-grams of a token array, joined by single spaces — the native
+    * codegen'd kernel ([[graft.expressions.WordNgramsExpr]]); semantics
+    * pinned to [[wordNgramsHof]] by WordNgramsSpec. */
   def wordNgrams(tokensCol: Column, n: Int): Column =
+    graft.expressions.WordNgramsExpr.ngrams(tokensCol, n)
+
+  /** The higher-order-function composition [[wordNgrams]] replaces — kept
+    * as the executable semantic contract (and the shape the DuckDB oracles
+    * mirror): interpreted `transform`+`slice`+`array_join` per row. */
+  def wordNgramsHof(tokensCol: Column, n: Int): Column =
     transform(sequence(lit(0), greatest(size(tokensCol) - n, lit(0))),
       i => array_join(slice(tokensCol, i + 1, lit(n)), " "))
 
