@@ -178,6 +178,16 @@ object Demo {
       bits = 4, numFiles = 8)
     assert(zed.count() == evs.count(), "z-order layout preserves rows")
 
+    // graph centrality + the full curation chain (round-4 legs)
+    val pr = SparkEntry.queries("g1_pagerank")(spark, sfDir)
+    val top = pr.head()
+    println(s"pagerank top node: ${top.getString(0)} pr=${top.getLong(1)}")
+    assert(pr.count() == 20, "pagerank top-k")
+    val curated = SparkEntry.queries("z3_curate_e2e")(spark, sfDir)
+    println(s"curation chain survivors: ${curated.count()} " +
+      s"(bins: ${curated.agg(org.apache.spark.sql.functions.max($"bin"))
+        .head.getLong(0) + 1})")
+
     println("DEMO_OK")
     spark.stop()
   }

@@ -47,6 +47,9 @@ object GraftFunctions {
     "graft_frac" -> { exprs => fracExpression(exprs(0), litLong(exprs(1), "seed")) },
     // native codegen'd dot product over array<float>/array<double>
     "graft_dot" -> { exprs => DotExpr(exprs(0), exprs(1)) },
+    // native codegen'd word n-grams over array<string> tokens
+    "graft_word_ngrams" -> { exprs =>
+      WordNgramsExpr(exprs(0), litLong(exprs(1), "ngram n").toInt) },
     // Morton interleave: graft_zorder(bits, rank0, rank1, ...) — ranks must
     // already be 0-based bucket ranks < 2^bits (see graft.ops.ZOrder)
     "graft_zorder" -> { exprs =>

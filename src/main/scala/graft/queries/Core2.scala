@@ -284,7 +284,8 @@ object Core2 {
           |  coalesce(graft_duration_seconds('1h30m'), 0) AS dur_s,
           |  round(graft_dot(array(value, 1.0d), array(2.0d, 3.0d)), 6) AS dot,
           |  graft_simhash64(array(event_type)) AS sh64,
-          |  graft_zorder(8, event_id % 256, user_id % 256) AS zv
+          |  graft_zorder(8, event_id % 256, user_id % 256) AS zv,
+          |  array_join(graft_word_ngrams(array(event_type, 'k'), 1), '|') AS ng
           |FROM __events_sql ORDER BY event_id""".stripMargin)
     }),
 
@@ -509,7 +510,8 @@ object Core2 {
            |  round(value * 2.0 + 3.0, 6) AS dot,
            |  CAST(${graft.expressions.Simhash64Expr.simhash64Sql("[event_type]")}
            |    AS BIGINT) AS sh64,
-           |  CAST($zTerms AS BIGINT) AS zv
+           |  CAST($zTerms AS BIGINT) AS zv,
+           |  event_type || '|k' AS ng
            |FROM b ORDER BY event_id""".stripMargin
       },
 
