@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expression for Σ aᵢ·bᵢ over two numeric arrays —
@@ -126,4 +126,25 @@ object GraftVec {
   def dotBoxed(a: ArrayData, b: ArrayData,
                aFloat: Boolean, bFloat: Boolean): java.lang.Double =
     if (!lengthsAndNullsOk(a, b)) null else dotPrim(a, b, aFloat, bFloat)
+
+  /** Elementwise `a ± b` → array<double> with zip_with's extend-and-null
+    * semantics (see [[VecCombExpr]]). */
+  def combine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean,
+              subtract: Boolean): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.max(na, nb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val aOk = i < na && !a.isNullAt(i)
+      val bOk = i < nb && !b.isNullAt(i)
+      if (aOk && bOk) {
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        out(i) = if (subtract) x - y else x + y
+      } // else stays null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -49,8 +49,8 @@ case class IvfRqIndex(
     val assigned = df.crossJoin(broadcast(cents))
       .withColumn("__r", row_number().over(wCell)).filter(col("__r") === 1)
       .drop("__r")
-      .withColumn("__res", zip_with(col(vecCol), col("__cent"),
-        (v, c) => v.cast("double") - c))
+      .withColumn("__res",
+        graft.expressions.VecCombExpr.sub(col(vecCol), col("__cent")))
     // nearest residual codeword + norm of the reconstruction
     val wCode = Window.partitionBy(col(idCol))
       .orderBy(Vectors.dot(col("__res"), col("__res")) -
@@ -58,7 +58,8 @@ case class IvfRqIndex(
         Vectors.dot(col("__cw"), col("__cw")), col("code"))
     assigned.crossJoin(broadcast(codes))
       .withColumn("__r", row_number().over(wCode)).filter(col("__r") === 1)
-      .withColumn("__rec", zip_with(col("__cent"), col("__cw"), (c, w) => c + w))
+      .withColumn("__rec",
+        graft.expressions.VecCombExpr.add(col("__cent"), col("__cw")))
       .select(col(idCol), col("cell"), col("code"),
         Vectors.norm(col("__rec")).as("recNorm"))
   }
@@ -173,8 +174,8 @@ object IvfRq {
         Vectors.dot(col("__cent"), col("__cent")), col("cell"))
     val residuals = df.crossJoin(broadcast(cdf))
       .withColumn("__r", row_number().over(wCell)).filter(col("__r") === 1)
-      .withColumn("__res", zip_with(col(vecCol), col("__cent"),
-        (v, c) => v.cast("double") - c))
+      .withColumn("__res",
+        graft.expressions.VecCombExpr.sub(col(vecCol), col("__cent")))
       .select(col("__res"))
     val km2 = new KMeans().setK(k2).setSeed(seed + 1)
       .setFeaturesCol("__v").setPredictionCol("code")

@@ -43,6 +43,29 @@ class DotExprSpec extends SparkSpec {
     }
   }
 
+  test("VecCombExpr: bit-identical to the zip_with ± composition, " +
+      "incl. length-mismatch extend-and-null") {
+    def subHof(a: Column, b: Column): Column =
+      zip_with(a, b, (x, y) => x.cast("double") - y.cast("double"))
+    def addHof(a: Column, b: Column): Column =
+      zip_with(a, b, (x, y) => x.cast("double") + y.cast("double"))
+    val got = floats.select(
+      VecCombExpr.sub($"a", $"b").as("ns"), subHof($"a", $"b").as("hs"),
+      VecCombExpr.add($"a", $"b").as("na"), addHof($"a", $"b").as("ha"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+      assert(r.getSeq[Double](2) == r.getSeq[Double](3))
+    }
+    // mismatched lengths + null elements: zip_with extends with nulls
+    val edge = Seq((Seq(Some(1.0f), None), Seq(Some(2.0), Some(3.0), Some(4.0))))
+      .toDF("a", "b")
+    val e = edge.select(VecCombExpr.sub($"a", $"b").as("n"),
+      subHof($"a", $"b").as("h")).head()
+    assert(e.getSeq[Any](0) == e.getSeq[Any](1))
+    assert(e.getSeq[Any](0) == Seq(-1.0, null, null))
+  }
+
   test("null array, null element, and length mismatch all yield NULL " +
       "(matching the composition)") {
     val df = Seq(
