@@ -117,6 +117,41 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- A21: CUBE grouping sets (completes a12's rollup: cross-category
+    // subtotals too — 4 grouping-set combinations in one pass) -------------
+    "a21_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .cube($"event_type", ($"user_id" % 3).as("shard"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round($"value" * 100).cast("long")) / 100.0).as("sum_value"))
+        .select(coalesce($"event_type", lit("(all)")).as("etype"),
+          coalesce($"shard".cast("string"), lit("(all)")).as("shard"),
+          $"cnt", $"sum_value")
+        .orderBy($"etype", $"shard")
+    }),
+
+    // ---- A22: Shannon entropy of a categorical distribution --------------
+    // One count pass + one tiny agg; the lone transcendental (ln) is
+    // rounded to 6dp inside the per-category term on both engines (the
+    // BM25 idf treatment), so the sum is order-proof
+    "a22_entropy" -> ((s, dir) => {
+      import s.implicits._
+      // H = ln n − (Σ c·ln c)/n. Each ln is scaled to an exact 6dp LONG
+      // (the t12 integer-scaling treatment) so the weighted sum is
+      // associativity-proof; the closing arithmetic is a fixed-order
+      // scalar expression, identical in both engines.
+      val counts = t(s, dir, "events")
+        .groupBy($"event_type").agg(count(lit(1)).as("c"))
+      counts.agg(sum($"c").as("n"),
+          sum($"c" * round(log($"c".cast("double")) * 1000000.0)
+            .cast("long")).as("clogc6"))
+        .select(round(
+          round(log($"n".cast("double")) * 1000000.0).cast("long") / 1000000.0
+            - ($"clogc6".cast("double") / 1000000.0) / $"n", 6)
+          .as("entropy_nats"), $"n".as("n_events"))
+    }),
+
     // ---- A19: correlation matrix -----------------------------------------
     // All pairwise Pearson correlations in ONE co-moment aggregation pass,
     // then unioned to long format off the 1-row frame.
@@ -195,6 +230,29 @@ object Analytics {
     "a19_corr" -> CorrPairs.map { case (x, y) =>
       s"""SELECT '$x' AS x, '$y' AS y,
          |  round(corr($x, $y), 4) AS r FROM lineitem""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y")
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y"),
+
+    "a21_cube" ->
+      """SELECT coalesce(event_type, '(all)') AS etype,
+        |  coalesce(CAST(shard AS VARCHAR), '(all)') AS shard, cnt, sum_value
+        |FROM (
+        |  SELECT event_type, user_id % 3 AS shard, count(*) AS cnt,
+        |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |  FROM events GROUP BY CUBE(event_type, user_id % 3))
+        |ORDER BY etype, shard""".stripMargin,
+
+    "a22_entropy" ->
+      """WITH c AS (SELECT event_type, count(*) AS c FROM events
+        |           GROUP BY event_type),
+        |a AS (SELECT sum(c) AS n,
+        |        sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0)
+        |          AS BIGINT)) AS clogc6
+        |      FROM c)
+        |SELECT round(
+        |    CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      / 1000000.0
+        |    - (CAST(clogc6 AS DOUBLE) / 1000000.0) / n, 6) AS entropy_nats,
+        |  CAST(n AS BIGINT) AS n_events
+        |FROM a""".stripMargin
   )
 }
