@@ -152,6 +152,33 @@ object Analytics {
           .as("entropy_nats"), $"n".as("n_events"))
     }),
 
+    // ---- W14: time-series resample with gap fill -------------------------
+    // Hourly buckets over the full span for EVERY series, empty buckets
+    // zero-filled — the regularization step before any fixed-step window
+    // model. The spine is (distinct keys) × explode(sequence(h0, h1)): the
+    // span is a 1-row broadcast, so spine construction is a per-key
+    // projection, never a driver loop; the fill join is one co-partitioned
+    // left join. Cents-exact sums.
+    "w14_resample" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type", graft.functions.Det.epochS($"ts").as("es"),
+          $"value")
+        .withColumn("hr", expr("es div 3600"))
+      val hourly = ev.groupBy($"event_type", $"hr")
+        .agg(count(lit(1)).as("n"),
+          (sum(round($"value" * 100).cast("long")) / 100.0).as("sum_value"))
+      val span = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      val spine = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select($"event_type", explode(sequence($"h0", $"h1")).as("hr"))
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .select($"event_type", $"hr",
+          coalesce($"n", lit(0L)).as("n"),
+          coalesce($"sum_value", lit(0.0)).as("sum_value"))
+        .orderBy($"event_type", $"hr")
+    }),
+
     // ---- A19: correlation matrix -----------------------------------------
     // All pairwise Pearson correlations in ONE co-moment aggregation pass,
     // then unioned to long format off the 1-row frame.
@@ -231,6 +258,26 @@ object Analytics {
       s"""SELECT '$x' AS x, '$y' AS y,
          |  round(corr($x, $y), 4) AS r FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y"),
+
+    "w14_resample" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH ev AS (
+         |  SELECT event_type, $es // 3600 AS hr, value FROM events),
+         |hourly AS (
+         |  SELECT event_type, hr, count(*) AS n,
+         |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+         |  FROM ev GROUP BY event_type, hr),
+         |span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ev),
+         |spine AS (
+         |  SELECT et.event_type, unnest(generate_series(span.h0, span.h1))
+         |    AS hr
+         |  FROM (SELECT DISTINCT event_type FROM ev) et, span)
+         |SELECT s.event_type, s.hr,
+         |  coalesce(h.n, 0) AS n, coalesce(h.sum_value, 0.0) AS sum_value
+         |FROM spine s LEFT JOIN hourly h
+         |  ON s.event_type = h.event_type AND s.hr = h.hr
+         |ORDER BY s.event_type, s.hr""".stripMargin
+    },
 
     "a21_cube" ->
       """SELECT coalesce(event_type, '(all)') AS etype,
