@@ -19,6 +19,18 @@ object Analytics {
   private val PrIters = 3
   private val PrTopK = 20
 
+  /** BFS relaxation rounds / seed selector — embedded verbatim in both
+    * engines (see ops/Bfs.scala). Every 5th supplier is a "trusted" seed. */
+  private val BfsHops = 3
+  private val BfsSeedMod = 5
+
+  /** Bloom runtime-filter geometry + build predicate — embedded verbatim in
+    * both engines. 2 md5-derived hash functions into 8192 bits; build side =
+    * distinct big-spender customer keys. */
+  private val BloomM = 8192L
+  private val BloomK = 2
+  private val BloomMinPrice = 450000.0
+
   private val ProfileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val PivotYears = 1995 to 2001
@@ -48,6 +60,135 @@ object Analytics {
       graft.ops.PageRank.ranks(edges, PrIters, PrScale, PrDamp)
         .orderBy($"pr".desc, $"node")
         .limit(PrTopK)
+    }),
+
+    // ---- G2: multi-source BFS seed distance ------------------------------
+    // TrustRank-style "hops from trusted seeds" over the same trade graph as
+    // g1 — pure integer hop counts, so the iterative min-relaxation is
+    // bit-reproducible and the oracle unrolls the identical rounds in SQL.
+    // 100 TB shape: per round one co-partitioned join against the
+    // once-partitioned edge frame + one min-agg shuffle (ops/Bfs.scala).
+    "g2_bfs_seed_distance" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("c"),
+          concat(lit("s"), $"l_suppkey").as("s"))
+        .distinct()
+      val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+        .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .filter($"s_suppkey" % BfsSeedMod === 0)
+        .select(concat(lit("s"), $"s_suppkey").as("node"))
+      graft.ops.Bfs.seedDistance(edges, seeds, BfsHops).orderBy($"node")
+    }),
+
+    // ---- Q10: outer-join count distribution (TPC-H Q13 shape) ------------
+    // How many customers placed 0, 1, 2… orders — the left-outer join +
+    // two-level aggregation shape. count($"o_orderkey") counts matches only
+    // (null for orderless customers), so the 0-bucket survives. 100 TB
+    // shape: one key shuffle for the join, one tiny distribution agg.
+    "q10_order_count_dist" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select($"c_custkey")
+        .join(t(s, dir, "orders").select($"o_custkey", $"o_orderkey"),
+          $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey").agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // ---- Q11: correlated scalar subquery (TPC-H Q17 shape) ---------------
+    // Revenue from lineitems whose quantity is below half the part's mean —
+    // written as genuine correlated scalar subqueries so Catalyst's
+    // decorrelation (rewrite to aggregate + join, subquery merging) is on
+    // the tested path, not hand-decorrelated. The mean test is integer
+    // cross-multiplied (2·qty·n < Σqty in cents) so no float boundary can
+    // disagree between engines.
+    "q11_small_qty_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q11")
+      s.sql("""
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS DOUBLE) / 100.0 AS revenue,
+               count(*) AS n_rows
+        FROM li_q11 l
+        WHERE 2 * CAST(round(l.l_quantity * 100) AS BIGINT) *
+              (SELECT count(*) FROM li_q11 l2
+               WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT sum(CAST(round(l2.l_quantity * 100) AS BIGINT))
+               FROM li_q11 l2 WHERE l2.l_partkey = l.l_partkey)""")
+    }),
+
+    // ---- Q12: ntile quartiles per nation ---------------------------------
+    // Equal-depth balance quartiles within each nation — deterministic
+    // because the order key (c_acctbal, c_custkey) is unique; aggregated to
+    // (nation, tile) cells with cents-exact balance sums.
+    "q12_ntile_balance" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+      t(s, dir, "customer")
+        .select($"c_nationkey", $"c_custkey",
+          round($"c_acctbal" * 100).cast("long").as("bal_c"),
+          ntile(4).over(w).cast("long").as("tile"))
+        .groupBy($"c_nationkey", $"tile")
+        .agg(count(lit(1)).as("n"),
+          (sum($"bal_c") / 100.0).as("sum_bal"))
+        .orderBy($"c_nationkey", $"tile")
+    }),
+
+    // ---- W15: RANGE-frame time window ------------------------------------
+    // Per-event trailing-1-hour sum over event TIME (peers by value, not by
+    // row count — the frame w1's rowsBetween can't express). Partitioned by
+    // series; at 100 TB the partition key widens to (series, coarse time
+    // block) with tail replication — the Sequencer.blockedByRank recipe.
+    "w15_range_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"es")
+        .rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .select($"event_id", $"event_type",
+          graft.functions.Det.epochS($"ts").as("es"),
+          round($"value" * 100).cast("long").as("vc"))
+        .select($"event_id", $"event_type", $"es",
+          (sum($"vc").over(w) / 100.0).as("sum_1h"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- A23: Bloom runtime filter with false-positive accounting --------
+    // The Bloom-join pruning primitive: build-side distinct keys hashed into
+    // a tiny bit set (mergeable by construction — bits union across
+    // partitions), probe side passes iff all K bits are present. Members
+    // can never fail (no false negatives — n_pass ≥ n_build is structural);
+    // the query counts the false positives the geometry admits. All-integer
+    // output, md5-derived bits identical in both engines. 100 TB shape: the
+    // bit set broadcasts (KB-scale) and the probe side never shuffles — the
+    // semi-join this replaces would shuffle both sides.
+    "a23_bloom_filter" -> ((s, dir) => {
+      import s.implicits._
+      def bit(key: org.apache.spark.sql.Column, j: Int) =
+        conv(substring(md5(concat(lit(j.toString), key.cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long") % BloomM
+      val members = t(s, dir, "orders")
+        .filter($"o_totalprice" > BloomMinPrice)
+        .select($"o_custkey".as("k")).distinct().localCheckpoint()
+      val bits = members
+        .select(explode(array((0 until BloomK).map(j => bit($"k", j)): _*))
+          .as("bit")).distinct().localCheckpoint()
+      val pass = t(s, dir, "customer")
+        .select($"c_custkey",
+          explode(array((0 until BloomK).map(j => bit($"c_custkey", j)): _*))
+            .as("bit"))
+        .join(broadcast(bits), Seq("bit"), "left_semi")
+        .groupBy($"c_custkey").agg(count(lit(1)).as("nb"))
+        .filter($"nb" === BloomK).select($"c_custkey").localCheckpoint()
+      val fp = pass.join(members, $"c_custkey" === $"k", "left_anti")
+      members.agg(count(lit(1)).as("n_build")).crossJoin(
+          bits.agg(count(lit(1)).as("n_bits_set")))
+        .crossJoin(pass.agg(count(lit(1)).as("n_pass")))
+        .crossJoin(fp.agg(count(lit(1)).as("n_false_pos")))
     }),
 
     // ---- A15: one-pass column profiling ----------------------------------
@@ -219,6 +360,98 @@ object Analytics {
          |$iters
          |SELECT node, CAST(pr AS BIGINT) AS pr FROM it$PrIters
          |ORDER BY pr DESC, node LIMIT $PrTopK""".stripMargin
+    },
+
+    "g2_bfs_seed_distance" -> {
+      def round(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |    FROM edges e JOIN $prev p ON e.src = p.node)
+           |  GROUP BY node)""".stripMargin
+      val rounds = (1 to BfsHops)
+        .map(i => round(if (i == 1) "d0" else s"d${i - 1}", s"d$i"))
+        .mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |d0 AS (SELECT DISTINCT 's' || s_suppkey AS node, 0 AS dist
+         |       FROM supplier WHERE s_suppkey % $BfsSeedMod = 0),
+         |$rounds
+         |SELECT node, dist FROM d$BfsHops ORDER BY node""".stripMargin
+    },
+
+    "q10_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q11_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS DOUBLE) / 100.0 AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem l
+        |WHERE 2 * CAST(round(l.l_quantity * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(round(l2.l_quantity * 100) AS BIGINT))
+        |       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q12_ntile_balance" ->
+      """SELECT c_nationkey, tile, count(*) AS n,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS sum_bal
+        |FROM (
+        |  SELECT c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+        |    ntile(4) OVER (PARTITION BY c_nationkey
+        |                   ORDER BY c_acctbal, c_custkey) AS tile
+        |  FROM customer)
+        |GROUP BY c_nationkey, tile ORDER BY c_nationkey, tile""".stripMargin,
+
+    "w15_range_window" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""SELECT event_id, event_type, es,
+         |  CAST(sum(vc) OVER (PARTITION BY event_type ORDER BY es
+         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    / 100.0 AS sum_1h
+         |FROM (SELECT event_id, event_type, $es AS es,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+         |ORDER BY event_id""".stripMargin
+    },
+
+    "a23_bloom_filter" -> {
+      val hexFold = (0 until 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * " +
+          s"${1L << (4 * (14 - i))}").mkString(" + ")
+      def bitsOf(keyExpr: String, src: String) = (0 until BloomK).map { j =>
+        s"""SELECT id, CAST($hexFold AS BIGINT) % $BloomM AS bit FROM (
+           |  SELECT $keyExpr AS id,
+           |    substr(md5('$j' || CAST($keyExpr AS VARCHAR)), 1, 15) AS h
+           |  FROM $src)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH members AS (
+         |  SELECT DISTINCT o_custkey AS k FROM orders
+         |  WHERE o_totalprice > $BloomMinPrice),
+         |bits AS (
+         |  SELECT DISTINCT bit FROM (${bitsOf("k", "members")})),
+         |probebits AS (${bitsOf("c_custkey", "customer")}),
+         |pass AS (
+         |  SELECT id AS c_custkey FROM probebits
+         |  WHERE bit IN (SELECT bit FROM bits)
+         |  GROUP BY id HAVING count(*) = $BloomK)
+         |SELECT
+         |  (SELECT count(*) FROM members) AS n_build,
+         |  (SELECT count(*) FROM bits) AS n_bits_set,
+         |  (SELECT count(*) FROM pass) AS n_pass,
+         |  (SELECT count(*) FROM pass
+         |   WHERE c_custkey NOT IN (SELECT k FROM members)) AS n_false_pos
+         |""".stripMargin
     },
 
     "a15_profile" -> ProfileCols.map { c =>

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class BfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Path graph a-b-c-d-e (symmetric) with seed a: hop counts are exact
+    * integers, so expected distances are hand-checkable. */
+  test("hop distances on a path graph, nodes beyond maxHops absent") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = Bfs.seedDistance(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+  }
+
+  test("multi-source: nearest seed wins; seed distance stays 0") {
+    // a-b-c-d-e, seeds {a, e}: c is 2 from both, b nearer a, d nearer e
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a", "e").toDF("node")
+    val got = Bfs.seedDistance(edges, seeds, maxHops = 4).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 1, "e" -> 0))
+  }
+
+  test("cycle relaxation converges to shortest hops, not walk length") {
+    // triangle a-b-c symmetric, seed a; extra rounds must not inflate dists
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val got = Bfs.seedDistance(edges, Seq("a").toDF("node"), maxHops = 5)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("a" -> 0, "b" -> 1, "c" -> 1))
+  }
+
+  test("partition-count invariance (bit-identical ints)") {
+    val pairs = (1 to 40).map(i => (s"u${i % 7}", s"v${i % 11}"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("u0", "v3").toDF("node")
+    def run(parts: Int): Map[String, Int] = {
+      val s = spark
+      val old = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try Bfs.seedDistance(edges.repartition(parts), seeds, maxHops = 3)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      finally s.conf.set("spark.sql.shuffle.partitions", old)
+    }
+    assert(run(2) === run(5))
+  }
+}
