@@ -157,6 +157,28 @@ object Analytics {
         .orderBy($"event_id")
     }),
 
+    // ---- W16: SCD2 history build -----------------------------------------
+    // Slowly-changing-dimension type-2 table from a change stream: collapse
+    // consecutive identical states per user, then assign validity intervals
+    // [valid_from, valid_to) via lead; open intervals flag is_current. Two
+    // windows over the SAME (user_id → es, event_id) partitioning, so one
+    // shuffle serves both; order key is unique → deterministic.
+    "w16_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"es", $"event_id")
+      val ev = t(s, dir, "events")
+        .select($"user_id", graft.functions.Det.epochS($"ts").as("es"),
+          $"event_id", $"event_type")
+      ev.withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+        .withColumn("valid_to", lead($"es", 1).over(w))
+        .select($"user_id", $"event_type".as("state"),
+          $"es".as("valid_from"), $"valid_to",
+          $"valid_to".isNull.as("is_current"))
+        .orderBy($"user_id", $"valid_from")
+    }),
+
     // ---- A23: Bloom runtime filter with false-positive accounting --------
     // The Bloom-join pruning primitive: build-side distinct keys hashed into
     // a tiny bit set (mergeable by construction — bits union across
@@ -423,6 +445,25 @@ object Analytics {
          |FROM (SELECT event_id, event_type, $es AS es,
          |        CAST(round(value * 100) AS BIGINT) AS vc FROM events)
          |ORDER BY event_id""".stripMargin
+    },
+
+    "w16_scd2_history" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH ev AS (
+         |  SELECT user_id, $es AS es, event_id, event_type FROM events),
+         |ch AS (
+         |  SELECT user_id, es, event_id, event_type FROM (
+         |    SELECT user_id, es, event_id, event_type,
+         |      lag(event_type) OVER
+         |        (PARTITION BY user_id ORDER BY es, event_id) AS prev
+         |    FROM ev)
+         |  WHERE prev IS NULL OR prev <> event_type)
+         |SELECT user_id, event_type AS state, es AS valid_from,
+         |  lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+         |    AS valid_to,
+         |  (lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+         |    IS NULL) AS is_current
+         |FROM ch ORDER BY user_id, valid_from""".stripMargin
     },
 
     "a23_bloom_filter" -> {
