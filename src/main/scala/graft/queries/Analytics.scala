@@ -213,6 +213,37 @@ object Analytics {
         .crossJoin(fp.agg(count(lit(1)).as("n_false_pos")))
     }),
 
+    // ---- A24: MAD robust outlier detection -------------------------------
+    // Median-absolute-deviation z-score — the robust alternative to the a6
+    // percentile threshold (one wild value can't move the fence). Exactness
+    // by construction: values are cents LONGs, so the interpolated medians
+    // are .5-grained and the deviation median .25-grained — all binary64-
+    // exact, so the 3×MAD comparison can't straddle a float boundary
+    // between engines. Two per-group percentile passes + one count agg, all
+    // on the same event_type partitioning.
+    "a24_mad_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type", round($"value" * 100).cast("long").as("vc"))
+        .localCheckpoint()
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(vc, 0.5)").as("med_c"))
+      val dev = ev.join(med, Seq("event_type"))
+        .select($"event_type", $"vc", $"med_c",
+          abs($"vc" - $"med_c").as("dev"))
+      val mad = dev.groupBy($"event_type")
+        .agg(first($"med_c").as("med_c"),
+          expr("percentile(dev, 0.5)").as("mad_c"))
+      dev.select($"event_type", $"vc", $"dev").join(mad, Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(first($"med_c" / 100.0).as("median_v"),
+          first($"mad_c" / 100.0).as("mad_v"),
+          count(lit(1)).as("n"),
+          sum(when($"dev" > $"mad_c" * 3.0, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy($"event_type")
+    }),
+
     // ---- A15: one-pass column profiling ----------------------------------
     // All null/distinct/min/max/sum stats for every profiled column in ONE
     // aggregation over the table (multiple exact count-distincts → one
@@ -494,6 +525,29 @@ object Analytics {
          |   WHERE c_custkey NOT IN (SELECT k FROM members)) AS n_false_pos
          |""".stripMargin
     },
+
+    "a24_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(vc, 0.5) AS med_c
+        |  FROM ev GROUP BY event_type),
+        |dev AS (
+        |  SELECT ev.event_type, vc, med_c, abs(vc - med_c) AS dev
+        |  FROM ev JOIN med ON ev.event_type = med.event_type),
+        |mad AS (
+        |  SELECT event_type, any_value(med_c) AS med_c,
+        |    quantile_cont(dev, 0.5) AS mad_c
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type,
+        |  any_value(m.med_c) / 100.0 AS median_v,
+        |  any_value(m.mad_c) / 100.0 AS mad_v,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN d.dev > m.mad_c * 3.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "a15_profile" -> ProfileCols.map { c =>
       s"""SELECT '$c' AS col_name,

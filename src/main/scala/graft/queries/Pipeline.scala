@@ -28,6 +28,10 @@ object Pipeline {
     * corpus; real pipelines use 10⁴–10⁵ — still broadcastable). */
   private val OovVocabK = 100
   private val Bm25Terms = Seq("join", "vector", "window", "dup")
+  /** Inverted index: keep terms present in ≥1/20 of docs (integer test so
+    * no float boundary), postings capped at the first 100 doc ids. */
+  private val IdxDfDenom = 20L
+  private val IdxPostCap = 100
   /** HLL: 2^6 = 64 registers; a 60-bit md5-derived hash splits into 6
     * bucket bits + 54 register bits. */
   private val HllM = 64
@@ -228,6 +232,33 @@ object Pipeline {
     // lone transcendental (ln in idf) is rounded to 6dp on both engines so
     // libm ULP differences can't surface; everything else is order-fixed
     // IEEE double arithmetic, bit-identical cross-engine.
+    // ---- T16: inverted-index / posting-list build ------------------------
+    // The retrieval-side primitive behind t9's decontamination and t10's
+    // BM25 at scale: term → document-frequency + sorted posting list.
+    // ONE token shuffle (explode of per-doc DISTINCT terms → groupBy tok);
+    // the df floor is an integer test against the corpus size and postings
+    // are capped at a deterministic sorted prefix — at 100 TB a stopword's
+    // full posting list is the thing you must never materialize, so the cap
+    // is the contract, not a shortcut. Postings serialize to a CSV string
+    // (index-row form; also keeps the cross-engine compare list-free).
+    "t16_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      docs.select($"doc_id",
+          explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(
+            slice(sort_array(collect_list($"doc_id")), 1, IdxPostCap),
+            x => x.cast("string")), ",").as("postings"))
+        .crossJoin(broadcast(n))
+        .filter($"df" * IdxDfDenom >= $"n_docs")
+        .select($"tok", $"df", $"postings")
+        .orderBy($"tok")
+    }),
+
     "t10_bm25" -> ((s, dir) => {
       import s.implicits._
       // tokenised frame feeds stats AND scoring → localCheckpoint
@@ -691,6 +722,19 @@ object Pipeline {
            |    AS avg_logprob,
            |  count(*) AS n_bigrams
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t16_inverted_index" ->
+        s"""SELECT tok, df,
+           |  array_to_string(list_slice(list_sort(dids), 1, $IdxPostCap),
+           |    ',') AS postings
+           |FROM (
+           |  SELECT tok, count(*) AS df, list(doc_id) AS dids
+           |  FROM (
+           |    SELECT doc_id, unnest(list_distinct($tokensSqlExpr)) AS tok
+           |    FROM documents)
+           |  GROUP BY tok)
+           |WHERE df * $IdxDfDenom >= (SELECT count(*) FROM documents)
+           |ORDER BY tok""".stripMargin,
 
       "t10_bm25" -> {
         val tfs = Bm25Terms.zipWithIndex.map { case (tm, i) =>
