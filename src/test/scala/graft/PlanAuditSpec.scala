@@ -45,6 +45,27 @@ class PlanAuditSpec extends SparkSpec {
     statWins.foreach(l => assert(l.contains("__blk"), l))
   }
 
+  test("a23: the Bloom bit set broadcasts — the probe side never " +
+      "shuffle-joins") {
+    val p = plan("a23_bloom_filter")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("w16: lag + lead share ONE user_id exchange") {
+    val p = plan("w16_scd2_history")
+    val ex = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(ex == 1, s"expected 1 user_id exchange, got $ex\n${p.take(3000)}")
+  }
+
+  test("q11: correlated scalar subqueries decorrelate to broadcast joins " +
+      "(no per-row re-execution)") {
+    val p = plan("q11_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      p.take(3000))
+    assert(!p.contains("ScalarSubquery"), p.take(3000))
+  }
+
   test("no query plans a cartesian product") {
     // crossJoin of scalar aggs is BroadcastNestedLoopJoin over 1 row —
     // fine; an unconstrained CartesianProduct over data frames is never
