@@ -244,6 +244,52 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // ---- A25: Tukey-fence winsorization ----------------------------------
+    // Clamp each series to [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the standard
+    // outlier-trimming step before feature scaling. Quartiles of cents
+    // LONGs are .25-grained and 1.5·IQR .125-grained — all binary64-exact,
+    // so clamp decisions and the winsorized sum are float-boundary-proof.
+    // One per-group percentile pass broadcast back over one co-partitioned
+    // join.
+    "a25_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type", round($"value" * 100).cast("long").as("vc"))
+      val fences = ev.groupBy($"event_type")
+        .agg(expr("percentile(vc, array(0.25, 0.75))").as("__q"))
+        .select($"event_type",
+          (element_at($"__q", 1) -
+            (element_at($"__q", 2) - element_at($"__q", 1)) * 1.5).as("lo"),
+          (element_at($"__q", 2) +
+            (element_at($"__q", 2) - element_at($"__q", 1)) * 1.5).as("hi"))
+      ev.join(fences, Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"vc" < $"lo", 1L).otherwise(0L)).as("n_clamped_lo"),
+          sum(when($"vc" > $"hi", 1L).otherwise(0L)).as("n_clamped_hi"),
+          (sum(greatest(least($"vc".cast("double"), $"hi"), $"lo")) / 100.0)
+            .as("winsorized_sum"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- A26: equi-width histogram ---------------------------------------
+    // Fixed-bin-count value histogram per series — pure integer bin
+    // arithmetic ((vc−min)·B div (max−min+1)), one stats agg broadcast back
+    // over a map-side projection + one count shuffle.
+    "a26_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type", round($"value" * 100).cast("long").as("vc"))
+      val stats = ev.groupBy($"event_type")
+        .agg(min($"vc").as("lo_c"), max($"vc").as("hi_c"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select($"event_type",
+          expr("(vc - lo_c) * 10 div (hi_c - lo_c + 1)").as("bin"))
+        .groupBy($"event_type", $"bin")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"event_type", $"bin")
+    }),
+
     // ---- A15: one-pass column profiling ----------------------------------
     // All null/distinct/min/max/sum stats for every profiled column in ONE
     // aggregation over the table (multiple exact count-distincts → one
@@ -548,6 +594,42 @@ object Analytics {
         |    AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m ON d.event_type = m.event_type
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "a25_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type,
+        |    quantile_cont(vc, 0.25)
+        |      - (quantile_cont(vc, 0.75) - quantile_cont(vc, 0.25)) * 1.5
+        |      AS lo,
+        |    quantile_cont(vc, 0.75)
+        |      + (quantile_cont(vc, 0.75) - quantile_cont(vc, 0.25)) * 1.5
+        |      AS hi
+        |  FROM ev GROUP BY event_type)
+        |SELECT ev.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN vc < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_lo,
+        |  CAST(sum(CASE WHEN vc > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_hi,
+        |  sum(greatest(least(CAST(vc AS DOUBLE), hi), lo)) / 100.0
+        |    AS winsorized_sum
+        |FROM ev JOIN f ON ev.event_type = f.event_type
+        |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
+
+    "a26_histogram" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |s AS (SELECT event_type, min(vc) AS lo_c, max(vc) AS hi_c
+        |      FROM ev GROUP BY event_type)
+        |SELECT ev.event_type,
+        |  (vc - lo_c) * 10 // (hi_c - lo_c + 1) AS bin,
+        |  count(*) AS cnt
+        |FROM ev JOIN s ON ev.event_type = s.event_type
+        |GROUP BY ev.event_type, bin
+        |ORDER BY ev.event_type, bin""".stripMargin,
 
     "a15_profile" -> ProfileCols.map { c =>
       s"""SELECT '$c' AS col_name,
