@@ -179,6 +179,24 @@ object Analytics {
         .orderBy($"user_id", $"valid_from")
     }),
 
+    // ---- W17: percent_rank / cume_dist -----------------------------------
+    // Relative-rank analytics per series — the normalized-rank features a
+    // training pipeline derives per group. The order key (vc, event_id) is
+    // unique, so rank==row_number and both fractions are single integer
+    // divisions — bit-identical across engines with no rounding.
+    "w17_percent_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"vc", $"event_id")
+      t(s, dir, "events")
+        .select($"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("vc"))
+        .select($"event_id", $"event_type",
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy($"event_id")
+    }),
+
     // ---- A23: Bloom runtime filter with false-positive accounting --------
     // The Bloom-join pruning primitive: build-side distinct keys hashed into
     // a tiny bit set (mergeable by construction — bits union across
@@ -541,6 +559,16 @@ object Analytics {
          |  (lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
          |    IS NULL) AS is_current
          |FROM ch ORDER BY user_id, valid_from""".stripMargin
+    },
+
+    "w17_percent_rank" -> {
+      val es = "CAST(round(value * 100) AS BIGINT)"
+      s"""SELECT event_id, event_type,
+         |  percent_rank() OVER (PARTITION BY event_type
+         |    ORDER BY $es, event_id) AS pr,
+         |  cume_dist() OVER (PARTITION BY event_type
+         |    ORDER BY $es, event_id) AS cd
+         |FROM events ORDER BY event_id""".stripMargin
     },
 
     "a23_bloom_filter" -> {

@@ -326,6 +326,27 @@ object TextDedup {
         .orderBy($"doc_id")
     }),
 
+    // ---- D12: edit-distance verification on LSH candidates ---------------
+    // Fuzzy-match refinement: exact Levenshtein distance (codegen'd
+    // builtin, standard unit-cost DP — identical definition in DuckDB) on
+    // a fixed 120-char prefix, computed ONLY for high-confidence LSH pairs
+    // — the guarded-candidates-then-exact-verify recipe of d6, with edit
+    // distance as the verifier. O(len²) per pair is why the candidate set,
+    // never the corpus², pays it.
+    "d12_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      val txt = t(s, dir, "documents")
+        .select($"doc_id", substring($"text", 1, 120).as("pfx"))
+      lshPairs(s, dir).filter($"est_jaccard" >= 0.5)
+        .join(txt.select($"doc_id".as("a_id"), $"pfx".as("a_pfx")),
+          Seq("a_id"))
+        .join(txt.select($"doc_id".as("b_id"), $"pfx".as("b_pfx")),
+          Seq("b_id"))
+        .select($"a_id", $"b_id",
+          levenshtein($"a_pfx", $"b_pfx").cast("long").as("lev"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // ---- exact n-gram Jaccard on high-confidence LSH candidates ----------
     // Refinement step of the minhash pipeline: exact verification runs only
     // on pairs whose estimated Jaccard (signature agreement) clears 0.5 —
@@ -643,6 +664,18 @@ object TextDedup {
            |  CAST((cum_tok - n_tok) % 1000 AS BIGINT) AS bin_offset
            |FROM packed ORDER BY doc_id""".stripMargin
       },
+
+      "d12_edit_distance" ->
+        s"""WITH $lshPairsSql,
+           |txt AS (SELECT doc_id, substr(text, 1, 120) AS pfx
+           |        FROM documents)
+           |SELECT a_id, b_id,
+           |  CAST(levenshtein(ta.pfx, tb.pfx) AS BIGINT) AS lev
+           |FROM pairs
+           |  JOIN txt ta ON a_id = ta.doc_id
+           |  JOIN txt tb ON b_id = tb.doc_id
+           |WHERE est_jaccard >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
 
       "d6_ngram_jaccard" ->
         s"""WITH $lshPairsSql,
