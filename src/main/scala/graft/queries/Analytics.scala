@@ -179,6 +179,35 @@ object Analytics {
         .orderBy($"user_id", $"valid_from")
     }),
 
+    // ---- U3: snapshot diff (CDC) -----------------------------------------
+    // Change detection between two table snapshots: full-outer join on the
+    // key, payload compared by md5 — added / removed / changed rows only
+    // (the change-data-capture shape behind incremental pipeline reruns).
+    // Snapshot B is derived deterministically from A inside the query
+    // (drops, mutations, inserts by key residue) so both engines diff the
+    // identical pair. One key shuffle; the hash projection is map-side.
+    "u3_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "documents")
+        .select($"doc_id", md5($"text".cast("binary")).as("ha"))
+      val b0 = t(s, dir, "documents")
+      val b = b0.filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 89 === 0,
+            md5(concat($"text", lit("!")).cast("binary")))
+            .otherwise(md5($"text".cast("binary"))).as("hb"))
+        .unionAll(b0.filter($"doc_id" % 83 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            md5($"text".cast("binary")).as("hb")))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"ha".isNull, "added")
+            .when($"hb".isNull, "removed")
+            .when($"ha" =!= $"hb", "changed").as("change_type"))
+        .filter($"change_type".isNotNull)
+        .orderBy($"doc_id")
+    }),
+
     // ---- W17: percent_rank / cume_dist -----------------------------------
     // Relative-rank analytics per series — the normalized-rank features a
     // training pipeline derives per group. The order key (vc, event_id) is
@@ -560,6 +589,26 @@ object Analytics {
          |    IS NULL) AS is_current
          |FROM ch ORDER BY user_id, valid_from""".stripMargin
     },
+
+    "u3_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 89 = 0 THEN md5(text || '!')
+        |         ELSE md5(text) END AS hb
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS hb
+        |  FROM documents WHERE doc_id % 83 = 0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN ha IS NULL THEN 'added'
+        |       WHEN hb IS NULL THEN 'removed'
+        |       WHEN ha <> hb THEN 'changed' END AS change_type
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE (CASE WHEN ha IS NULL THEN 'added'
+        |            WHEN hb IS NULL THEN 'removed'
+        |            WHEN ha <> hb THEN 'changed' END) IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "w17_percent_rank" -> {
       val es = "CAST(round(value * 100) AS BIGINT)"
