@@ -24,6 +24,13 @@ object Analytics {
   private val BfsHops = 3
   private val BfsSeedMod = 5
 
+  /** Triangle-count graph thinning / result size — embedded verbatim in
+    * both engines. Every 3rd part keeps the oracle's canonical 3-way
+    * self-join light while the Spark side exercises the full
+    * degree-ordered wedge machinery (ops/Triangles.scala). */
+  private val TriPartMod = 3
+  private val TriTopK = 20
+
   /** Bloom runtime-filter geometry + build predicate — embedded verbatim in
     * both engines. 2 md5-derived hash functions into 8192 bits; build side =
     * distinct big-spender customer keys. */
@@ -82,6 +89,49 @@ object Analytics {
         .filter($"s_suppkey" % BfsSeedMod === 0)
         .select(concat(lit("s"), $"s_suppkey").as("node"))
       graft.ops.Bfs.seedDistance(edges, seeds, BfsHops).orderBy($"node")
+    }),
+
+    // ---- G3: degree-ordered triangle counting ----------------------------
+    // Co-purchase graph: parts appearing in the same order. Orientation by
+    // (degree, id) bounds wedge fan-out by O(√m) however skewed the raw
+    // degrees — the naive wedge join's hub blowup can't happen
+    // (ops/Triangles.scala; Latapy 2008 / Suri-Vassilvitskii 2011). Pure
+    // integer counts, so the oracle's canonical a<b<c 3-way self-join is
+    // bit-identical.
+    "g3_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .filter($"l_partkey" % TriPartMod === 0)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+        .filter($"pk" < $"pk2")
+        .select($"pk".as("a"), $"pk2".as("b")).distinct()
+      graft.ops.Triangles.perNode(edges)
+        .orderBy($"tri".desc, $"node").limit(TriTopK)
+    }),
+
+    // ---- W18: next-event Markov transition matrix ------------------------
+    // Per-user event sequences (ts, event_id tie-break) → lead() →
+    // (from, to) transition counts + integer-ppm probabilities — the
+    // user-journey / session-path primitive. 100 TB shape: ONE user-keyed
+    // window (sequences are user-local, never a global sort), a
+    // |types|²-row count agg, and a broadcast of the per-from totals;
+    // probabilities are integer division — bit-exact cross-engine.
+    "w18_markov_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val nxt = t(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+      val c = nxt.groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = c.groupBy($"from_type").agg(sum($"n").as("tot"))
+      c.join(broadcast(tot), Seq("from_type"))
+        .select($"from_type", $"to_type", $"n",
+          expr("(n * 1000000L) div tot").as("p_ppm"))
+        .orderBy($"from_type", $"to_type")
     }),
 
     // ---- Q10: outer-join count distribution (TPC-H Q13 shape) ------------
@@ -530,6 +580,42 @@ object Analytics {
          |$rounds
          |SELECT node, dist FROM d$BfsHops ORDER BY node""".stripMargin
     },
+
+    "g3_triangles" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_partkey % $TriPartMod = 0),
+         |edges AS (
+         |  SELECT DISTINCT x.pk AS a, y.pk AS b
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |tris AS (
+         |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.a = e1.b
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT node, count(*) AS tri FROM (
+         |  SELECT a AS node FROM tris
+         |  UNION ALL SELECT b FROM tris
+         |  UNION ALL SELECT c FROM tris)
+         |GROUP BY node
+         |ORDER BY tri DESC, node LIMIT $TriTopK""".stripMargin,
+
+    "w18_markov_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM nxt
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c
+        |  GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  (c.n * 1000000) // t.tot AS p_ppm
+        |FROM c JOIN tot t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
 
     "q10_order_count_dist" ->
       """SELECT c_count, count(*) AS custdist FROM (

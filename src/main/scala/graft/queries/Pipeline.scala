@@ -27,6 +27,12 @@ object Pipeline {
   /** Top-K vocabulary size for the OOV-rate filter (tiny for the synthetic
     * corpus; real pipelines use 10⁴–10⁵ — still broadcastable). */
   private val OovVocabK = 100
+
+  /** Co-occurrence vocabulary cap — pairs are only formed among the top-K
+    * document-frequency tokens, so the per-doc pair fan-out is bounded by
+    * K(K−1)/2 regardless of document length. Embedded verbatim in both
+    * engines. */
+  private val CoocVocabK = 30
   private val Bm25Terms = Seq("join", "vector", "window", "dup")
   /** Inverted index: keep terms present in ≥1/20 of docs (integer test so
     * no float boundary), postings capped at the first 100 doc ids. */
@@ -335,6 +341,37 @@ object Pipeline {
         .select($"doc_id", $"n_tok", $"n_oov",
           round($"n_oov".cast("double") / $"n_tok", 4).as("oov_frac"))
         .orderBy($"doc_id")
+    }),
+
+    // ---- token co-occurrence lift (the PMI-style association signal,
+    // kept integer-exact: lift_ppm = n_ab·N·10⁶ div (df_a·df_b) — the
+    // rational core of PMI without the cross-engine libm log). Pairs are
+    // formed only among the top-K document-frequency tokens, so per-doc
+    // fan-out is ≤ K(K−1)/2 by CONSTRUCTION and vocab membership is a
+    // BROADCAST semi-filter on the exploded distinct-token stream; the
+    // only data-sized shuffles are the df count and the pair count. ------
+    "t17_cooccur_lift" -> ((s, dir) => {
+      import s.implicits._
+      val dt = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(array_distinct(TextOps.tokens($"text")))
+          .as("w"))
+        .localCheckpoint() // feeds the df count AND the pair build
+      val vocab = dt.groupBy($"w").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"w").limit(CoocVocabK)
+      val dv = dt.join(broadcast(vocab), Seq("w")).select($"doc_id", $"w")
+      val pairs = dv.join(dv.withColumnRenamed("w", "w2"), Seq("doc_id"))
+        .filter($"w" < $"w2")
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      pairs.groupBy($"w".as("w1"), $"w2").agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(vocab.select($"w".as("w1"), $"df".as("df1"))),
+          Seq("w1"))
+        .join(broadcast(vocab.select($"w".as("w2"), $"df".as("df2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(nDocs))
+        .select($"w1", $"w2", $"n_ab",
+          expr("(n_ab * n_docs * 1000000L) div (df1 * df2)").as("lift_ppm"))
+        .orderBy($"w1", $"w2")
     }),
 
     // ---- n-gram LM perplexity scoring (the CCNet-style quality filter:
@@ -693,6 +730,25 @@ object Pipeline {
            |  round(CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)
            |      THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 4) AS oov_frac
            |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t17_cooccur_lift" ->
+        s"""WITH dt AS (
+           |  SELECT doc_id, unnest(list_distinct($tokensSqlExpr)) AS w
+           |  FROM documents),
+           |vocab AS (
+           |  SELECT w, df FROM
+           |    (SELECT w, count(*) AS df FROM dt GROUP BY w)
+           |  ORDER BY df DESC, w LIMIT $CoocVocabK),
+           |dv AS (SELECT dt.doc_id, dt.w FROM dt JOIN vocab ON dt.w = vocab.w),
+           |c AS (
+           |  SELECT a.w AS w1, b.w AS w2, count(*) AS n_ab
+           |  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.w < b.w
+           |  GROUP BY a.w, b.w)
+           |SELECT c.w1, c.w2, c.n_ab,
+           |  (c.n_ab * (SELECT count(*) FROM documents) * 1000000)
+           |    // (v1.df * v2.df) AS lift_ppm
+           |FROM c JOIN vocab v1 ON v1.w = c.w1 JOIN vocab v2 ON v2.w = c.w2
+           |ORDER BY c.w1, c.w2""".stripMargin,
 
       "t12_bigram_logprob" ->
         s"""WITH toks AS (
