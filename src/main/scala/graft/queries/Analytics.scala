@@ -31,6 +31,17 @@ object Analytics {
   private val TriPartMod = 3
   private val TriTopK = 20
 
+  /** EWMA lag depth: α = 1/2 over the last [[EwmaLags]]+1 points with
+    * power-of-two integer weights 2^([[EwmaLags]]−k), renormalized at the
+    * sequence head by the weight actually present — the whole smoother is
+    * integer arithmetic, so it is bit-exact cross-engine. */
+  private val EwmaLags = 7
+
+  /** Anomaly-run extraction: flag = value > [[RunThresh]] (≈ the p90),
+    * report maximal consecutive runs of at least [[RunMinLen]] flags. */
+  private val RunThresh = 120.0
+  private val RunMinLen = 2
+
   /** Bloom runtime-filter geometry + build predicate — embedded verbatim in
     * both engines. 2 md5-derived hash functions into 8192 bits; build side =
     * distinct big-spender customer keys. */
@@ -132,6 +143,85 @@ object Analytics {
         .select($"from_type", $"to_type", $"n",
           expr("(n * 1000000L) div tot").as("p_ppm"))
         .orderBy($"from_type", $"to_type")
+    }),
+
+    // ---- W19: integer-exact EWMA smoothing -------------------------------
+    // α=1/2 EWMA truncated to 8 points with power-of-two weights — the
+    // recursive smoother re-expressed as a FINITE lag combination so it is
+    // (a) expressible as one per-series window (no sequential scan), and
+    // (b) pure integer arithmetic, bit-reproducible across partitionings
+    // and engines. 100 TB shape: ONE series-keyed window, everything else
+    // is a projection inside whole-stage codegen.
+    "w19_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"ts", $"event_id")
+      val base = t(s, dir, "events")
+        .select($"event_type", $"event_id", $"ts",
+          round($"value" * 100).cast("long").as("xc"))
+      val lagged = (1 to EwmaLags).foldLeft(base) { (df, k) =>
+        df.withColumn(s"x$k", lag($"xc", k).over(w))
+      }
+      val num = (1 to EwmaLags).foldLeft(
+        $"xc" * (1L << EwmaLags): org.apache.spark.sql.Column) { (acc, k) =>
+        acc + coalesce(col(s"x$k"), lit(0L)) * (1L << (EwmaLags - k))
+      }
+      val den = (1 to EwmaLags).foldLeft(
+        lit(1L << EwmaLags): org.apache.spark.sql.Column) { (acc, k) =>
+        acc + when(col(s"x$k").isNotNull, 1L << (EwmaLags - k)).otherwise(0L)
+      }
+      lagged.withColumn("num", num).withColumn("den", den)
+        .select($"event_type", $"event_id", $"xc",
+          expr("num div den").as("ewma_c"))
+        .orderBy($"event_type", $"event_id")
+    }),
+
+    // ---- W20: seasonal-profile residual ----------------------------------
+    // Hour-of-day profile per series (the daily seasonality baseline), then
+    // each row's deviation from its profile mean — detect-by-deviation with
+    // the seasonal component removed. Integer cents; floor-div mean. 100 TB
+    // shape: the profile is ≤ |types|·24 rows → BROADCAST back over the
+    // stream; the only data-sized shuffle is the profile aggregation.
+    "w20_seasonal_residual" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("es", graft.functions.Det.epochS($"ts"))
+        .select($"event_id", $"event_type",
+          expr("(es div 3600) % 24").as("hod"),
+          round($"value" * 100).cast("long").as("xc"))
+      val prof = ev.groupBy($"event_type", $"hod")
+        .agg(sum($"xc").as("sum_c"), count(lit(1)).as("n"))
+      ev.join(broadcast(prof), Seq("event_type", "hod"))
+        .select($"event_id", $"event_type", $"hod", $"xc",
+          expr("xc - (sum_c div n)").as("resid_c"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- W21: anomaly run extraction (gaps-and-islands) ------------------
+    // Maximal consecutive runs of over-threshold points per series — the
+    // flags→intervals conversion every anomaly post-processor needs. Two
+    // row_numbers whose difference is constant within a run (the classic
+    // islands trick: both windows are series-keyed, so no global sort),
+    // then one group-by over the flagged rows.
+    "w21_anomaly_runs" -> ((s, dir) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select($"event_type", $"event_id",
+          graft.functions.Det.epochS($"ts").as("es"),
+          ($"value" > RunThresh).as("flag"))
+      val numbered = ev
+        .withColumn("rn", row_number().over(
+          W.partitionBy($"event_type").orderBy($"es", $"event_id")))
+        .withColumn("rf", row_number().over(
+          W.partitionBy($"event_type", $"flag").orderBy($"es", $"event_id")))
+      numbered.filter($"flag")
+        .groupBy($"event_type", ($"rn" - $"rf").as("grp"))
+        .agg(min($"es").as("run_start"), max($"es").as("run_end"),
+          count(lit(1)).as("run_len"))
+        .filter($"run_len" >= RunMinLen)
+        .select($"event_type", $"run_start", $"run_end", $"run_len")
+        .orderBy($"event_type", $"run_start")
     }),
 
     // ---- Q10: outer-join count distribution (TPC-H Q13 shape) ------------
@@ -616,6 +706,67 @@ object Analytics {
         |  (c.n * 1000000) // t.tot AS p_ppm
         |FROM c JOIN tot t ON c.from_type = t.from_type
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    "w19_ewma" -> {
+      val lags = (1 to EwmaLags)
+        .map(k => s"lag(xc, $k) OVER w AS x$k").mkString(",\n    ")
+      val num = (s"xc * ${1L << EwmaLags}" +: (1 to EwmaLags)
+        .map(k => s"coalesce(x$k, 0) * ${1L << (EwmaLags - k)}"))
+        .mkString(" + ")
+      val den = (s"${1L << EwmaLags}" +: (1 to EwmaLags)
+        .map(k =>
+          s"CASE WHEN x$k IS NULL THEN 0 ELSE ${1L << (EwmaLags - k)} END"))
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, ts,
+         |    CAST(round(value * 100) AS BIGINT) AS xc
+         |  FROM events),
+         |l AS (
+         |  SELECT event_type, event_id, xc,
+         |    $lags
+         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+         |SELECT event_type, event_id, xc,
+         |  ($num) // ($den) AS ewma_c
+         |FROM l ORDER BY event_type, event_id""".stripMargin
+    },
+
+    "w20_seasonal_residual" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type,
+         |    ($es // 3600) % 24 AS hod,
+         |    CAST(round(value * 100) AS BIGINT) AS xc
+         |  FROM events),
+         |prof AS (
+         |  SELECT event_type, hod, CAST(sum(xc) AS BIGINT) AS sum_c,
+         |    count(*) AS n
+         |  FROM ev GROUP BY event_type, hod)
+         |SELECT ev.event_id, ev.event_type, ev.hod, ev.xc,
+         |  ev.xc - (p.sum_c // p.n) AS resid_c
+         |FROM ev JOIN prof p
+         |  ON ev.event_type = p.event_type AND ev.hod = p.hod
+         |ORDER BY ev.event_id""".stripMargin
+    },
+
+    "w21_anomaly_runs" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id, $es AS es, value > $RunThresh AS flag
+         |  FROM events),
+         |n AS (
+         |  SELECT event_type, es, flag,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY es, event_id) AS rn,
+         |    row_number() OVER (PARTITION BY event_type, flag
+         |      ORDER BY es, event_id) AS rf
+         |  FROM ev)
+         |SELECT event_type, min(es) AS run_start, max(es) AS run_end,
+         |  count(*) AS run_len
+         |FROM n WHERE flag
+         |GROUP BY event_type, rn - rf
+         |HAVING count(*) >= $RunMinLen
+         |ORDER BY event_type, run_start""".stripMargin
+    },
 
     "q10_order_count_dist" ->
       """SELECT c_count, count(*) AS custdist FROM (

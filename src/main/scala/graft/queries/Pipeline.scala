@@ -28,6 +28,15 @@ object Pipeline {
     * corpus; real pipelines use 10⁴–10⁵ — still broadcastable). */
   private val OovVocabK = 100
 
+  /** Consistent-hash split fences over a 256-way md5 bucket: [0,230) →
+    * train (~90%), [230,243) → val (~5%), [243,256) → test. Hashing the
+    * KEY (not a random()) makes the split stable under reprocessing,
+    * shard-order changes, and incremental appends — the property a
+    * training pipeline actually needs from its split. Embedded verbatim
+    * in both engines. */
+  private val SplitTrainHi = 230
+  private val SplitValHi = 243
+
   /** Co-occurrence vocabulary cap — pairs are only formed among the top-K
     * document-frequency tokens, so the per-doc pair fan-out is bounded by
     * K(K−1)/2 regardless of document length. Embedded verbatim in both
@@ -204,6 +213,28 @@ object Pipeline {
         .filter($"rn" <= StratumN)
         .select($"event_type", $"rn", $"event_id")
         .orderBy($"event_type", $"rn")
+    }),
+
+    // ---- deterministic train/val/test split by key hash (the split a
+    // training pipeline can trust: a document lands in the same fence no
+    // matter when or where it is processed, because membership is a pure
+    // function of its id — never a random()). 100 TB shape: a per-row
+    // md5 projection + one tiny summary agg; the per-doc assignment
+    // itself needs NO shuffle at all.
+    "p15_hash_split" -> ((s, dir) => {
+      import s.implicits._
+      val b = conv(substring(md5($"doc_id".cast("string").cast("binary")),
+        1, 2), 16, 10).cast("int")
+      val assigned = t(s, dir, "documents")
+        .select($"doc_id", b.as("bucket"))
+        .withColumn("split",
+          when($"bucket" < SplitTrainHi, "train")
+            .when($"bucket" < SplitValHi, "val").otherwise("test"))
+      val sizes = assigned.groupBy($"split")
+        .agg(count(lit(1)).as("n_split"))
+      assigned.join(broadcast(sizes), Seq("split"))
+        .select($"doc_id", $"bucket", $"split", $"n_split")
+        .orderBy($"doc_id")
     }),
 
     // ---- benchmark decontamination (the GPT-3 appendix-C n-gram overlap
@@ -696,6 +727,25 @@ object Pipeline {
            |     ORDER BY ${Det.fracSql("event_id", 11L)}, event_id) AS rn
            |  FROM events)
            |WHERE rn <= $StratumN ORDER BY event_type, rn""".stripMargin,
+
+      "p15_hash_split" -> {
+        // 8-bit bucket from 2 hex chars (the a13 hexFold pattern; DuckDB
+        // has no conv())
+        val fold = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16" +
+          " + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+        s"""WITH a AS (
+           |  SELECT doc_id, CAST($fold AS INTEGER) AS bucket,
+           |    CASE WHEN $fold < $SplitTrainHi THEN 'train'
+           |         WHEN $fold < $SplitValHi THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+           |          AS h
+           |        FROM documents)),
+           |s AS (SELECT split, count(*) AS n_split FROM a GROUP BY split)
+           |SELECT a.doc_id, a.bucket, a.split, s.n_split
+           |FROM a JOIN s ON a.split = s.split
+           |ORDER BY a.doc_id""".stripMargin
+      },
 
       "t9_decontaminate" ->
         s"""WITH toks AS (
