@@ -64,6 +64,22 @@ object AudioCodec {
       } finally ais.close()
     } catch { case _: Exception => None }
 
+  /** 64-bit perceptual audio hash — the audio analog of
+    * [[ImageCodec.aHash]]: bit b set iff band b's RMS embedding exceeds the
+    * mean over all bands. Near-identical audio (same energy envelope)
+    * lands within small hamming distance. */
+  def aHash(pcm: Pcm, bands: Int = 64): Long = {
+    val e = embedding(pcm, bands)
+    var mean = 0.0
+    var i = 0
+    while (i < e.length) { mean += e(i); i += 1 }
+    mean /= e.length
+    var h = 0L
+    i = 0
+    while (i < e.length && i < 64) { if (e(i) > mean) h |= 1L << i; i += 1 }
+    h
+  }
+
   /** `bands`-dim embedding: per-band RMS energy over equal time slices,
     * mapped to [-1, 1] (2·rms − 1; rms of full-scale PCM is ≤ 1). The audio
     * analog of [[ImageCodec.embedding]]'s grid luminance — deterministic,

@@ -256,13 +256,40 @@ object Media {
     * simhash path uses (pigeonhole: hashes within hamming 7 share ≥ 1 of 8
     * byte chunks), hot-chunk guarded. One shuffle on (chunk, value); never
     * a cross product. */
-  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame =
+    blockedHammingPairs(hashes, maxDist, label = "image_ahash")
+
+  /** Audio perceptual hashing: per-row 64-bit [[AudioCodec.aHash]] over the
+    * decoded PCM band-energy envelope, same batch shape as [[imageHashes]].
+    * Undecodable rows are dropped. */
+  def audioHashes(df: DataFrame, bands: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          AudioCodec.decode(bytes).map(p => (id, AudioCodec.aHash(p, bands)))
+        }
+      }.toDF("media_id", "ahash")
+  }
+
+  /** Audio near-duplicate pairs — identical blocked join to
+    * [[imageNearDupPairs]]; only the hash upstream differs. */
+  def audioNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame =
+    blockedHammingPairs(hashes, maxDist, label = "audio_ahash")
+
+  /** Shared 8-chunk blocked hamming self-join over (media_id, ahash) rows:
+    * pigeonhole recall to hamming 7, hot-chunk guarded, one shuffle on
+    * (chunk, value) — never a cross product. */
+  private def blockedHammingPairs(hashes: DataFrame, maxDist: Int,
+                                  label: String): DataFrame = {
     require(maxDist <= 7, "8-chunk blocking guarantees recall only to hamming 7")
     val chunks = graft.ops.Buckets.capMembers(
       hashes.select(col("media_id"), col("ahash"), posexplode(array(
         (0 until 8).map(c => shiftright(col("ahash"), 8 * c).bitwiseAND(255)): _*))
         .as(Seq("chunk", "cv"))),
-      Seq(col("chunk"), col("cv")), label = "image_ahash")
+      Seq(col("chunk"), col("cv")), label = label)
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.media_id") < col("y.media_id"))

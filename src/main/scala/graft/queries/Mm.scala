@@ -26,6 +26,12 @@ import graft.multimodal.{ImageCodec, Media}
   * self-join (pigeonhole recall to hamming 7, hot-chunk guarded), never a
   * cross product; the oracle may use the naive quadratic form because
   * blocking is exact at hamming ≤ 6.
+  *
+  * The AUDIO twin (`m2`) plays the same trick through the other real JDK
+  * codec: each doc becomes a 16-bit PCM WAV whose 64-slice energy envelope
+  * encodes an independent seed (different LCG key), and
+  * [[graft.multimodal.AudioCodec.aHash]]'s band-RMS mean threshold
+  * reproduces it exactly — see [[wavOf]] for the dyadic-exactness argument.
   */
 object Mm {
 
@@ -33,14 +39,18 @@ object Mm {
   /** Flip-bit position per group member (0 = unflipped base). */
   private val FlipBit = Map(1 -> 13, 2 -> 26, 3 -> 39, 4 -> 52)
   private val MaxDist = 6
+  /** Distinct LCG keys so the image and audio fixtures draw independent
+    * seed patterns from the same doc_ids. */
+  private val ImageKey = 7L
+  private val AudioKey = 11L
 
   /** Deterministic 62-bit seed column from doc_id: 8 LCG-derived bytes
     * (top byte capped to 6 bits — no BIGINT overflow on the shift, and the
     * image can never be all-white), one flipped bit per group member. */
-  private def seedCol = {
+  private def seedCol(key: Long) = {
     val g = floor(col("doc_id") / GroupSize).cast("long")
     val bytes = (0 until 8).map { j =>
-      val b = floor(Det.frac(g * 8 + j, 7L) * 256).cast("long")
+      val b = floor(Det.frac(g * 8 + j, key) * 256).cast("long")
       shiftleft(if (j == 7) b % 64 else b, 8 * j)
     }
     val base = bytes.reduce(_ + _) // disjoint bit lanes: + is OR
@@ -51,17 +61,18 @@ object Mm {
     base.bitwiseXOR(flip)
   }
 
-  /** doc_id → real PNG bytes whose pixel grid encodes the seed (bit i of
-    * the seed = pixel (i%8, i/8), white = set). */
-  private def pngFrame(s: SparkSession, dir: String): DataFrame = {
+  /** doc_id → seeded synthetic media bytes via `enc`, the codec batch
+    * shape shared by the PNG and WAV fixtures. */
+  private def mediaFrame(s: SparkSession, dir: String, key: Long)
+                        (enc: Long => Array[Byte]): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", seedCol.as("seed"))
+      .select($"doc_id", seedCol(key).as("seed"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, seed) => (id, pngOf(seed)) }
+        it.map { case (id, seed) => (id, enc(seed)) }
       }.toDF("media_id", "content")
   }
 
@@ -79,46 +90,92 @@ object Mm {
     ImageCodec.encodePng(img)
   }
 
+  /** Real 16-bit PCM mono WAV whose band-energy envelope encodes `seed`:
+    * 64 time slices × 32 samples, slice i at constant amplitude 16384/32768
+    * (= 0.5, bit set) or 4096/32768 (= 0.125, clear). Every value in the
+    * RMS chain is an exact power-of-two dyadic (counts are powers of two),
+    * so [[AudioCodec.embedding]] yields exactly 0.0 / −0.75 per band and
+    * [[AudioCodec.aHash]]'s mean threshold separates them exactly:
+    * `aHash(wav(seed)) == seed`, the audio twin of the PNG round-trip. */
+  private[graft] def wavOf(seed: Long): Array[Byte] = {
+    val perSlice = 32
+    val n = 64 * perSlice
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v: Int = if (((seed >> (i / perSlice)) & 1L) == 1L) 16384 else 4096
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    // canonical 44-byte RIFF/WAVE header: PCM, mono, 8 kHz, 16-bit LE
+    val out = new java.io.ByteArrayOutputStream(44 + data.length)
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16); le16(1); le16(1)
+    le32(8000); le32(16000); le16(2); le16(16)
+    out.write("data".getBytes("US-ASCII")); le32(data.length); out.write(data)
+    out.toByteArray
+  }
+
   /** Host-side twin of [[seedCol]] (specs verify the query against it). */
-  private[graft] def seedHost(docId: Long): Long = {
+  private[graft] def seedHost(docId: Long, key: Long = ImageKey): Long = {
     val g = docId / GroupSize
     val raw = (0 until 8).map { j =>
-      val b = math.floor(Det.fracHost(g * 8 + j, 7L) * 256).toLong
+      val b = math.floor(Det.fracHost(g * 8 + j, key) * 256).toLong
       (if (j == 7) b % 64 else b) << (8 * j)
     }.sum
     raw ^ FlipBit.get((docId % GroupSize).toInt).map(1L << _).getOrElse(0L)
   }
+  private[graft] def audioSeedHost(docId: Long): Long = seedHost(docId, AudioKey)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- image near-dup: PNG encode → ImageIO decode → aHash → 8-chunk
     // blocked hamming self-join (the full multimodal dedup chain) ---------
     "m1_image_neardup" -> ((s, dir) => {
-      val hashes = Media.imageHashes(pngFrame(s, dir)).localCheckpoint()
+      val hashes = Media.imageHashes(mediaFrame(s, dir, ImageKey)(pngOf))
+        .localCheckpoint()
       Media.imageNearDupPairs(hashes, MaxDist)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    // ---- audio near-dup: WAV encode → javax.sound decode → band-RMS
+    // aHash → the same blocked hamming self-join -------------------------
+    "m2_audio_neardup" -> ((s, dir) => {
+      val hashes = Media.audioHashes(mediaFrame(s, dir, AudioKey)(wavOf))
+        .localCheckpoint()
+      Media.audioNearDupPairs(hashes, MaxDist)
         .orderBy(col("a_id"), col("b_id"))
     }))
 
-  def oracles: Map[String, String] = {
+  /** Arithmetic DuckDB twin of the full codec chain for one seed key: the
+    * oracle never decodes media — the fixtures guarantee `hash == seed`, so
+    * pairs reduce to INT64 arithmetic the LCG shares across engines. */
+  private def pairOracleSql(key: Long): String = {
     val byteTerms = (0 until 8).map { j =>
-      val b = s"CAST(floor(${Det.fracSql(s"(g * 8 + $j)", 7L)} * 256) AS BIGINT)"
+      val b = s"CAST(floor(${Det.fracSql(s"(g * 8 + $j)", key)} * 256) AS BIGINT)"
       val capped = if (j == 7) s"($b % 64)" else b
       if (j == 0) capped else s"($capped << ${8 * j})"
     }.mkString(" + ")
     val flip = FlipBit.toSeq.sortBy(_._1)
       .map { case (m, bit) => s"WHEN $m THEN ${1L << bit}" }
       .mkString("CASE m ", " ", " ELSE 0 END")
-    Map(
-      "m1_image_neardup" ->
-        s"""WITH ids AS (
-           |  SELECT doc_id, doc_id // $GroupSize AS g,
-           |    doc_id % $GroupSize AS m
-           |  FROM documents),
-           |seeds AS (
-           |  SELECT doc_id, xor($byteTerms, $flip) AS seed FROM ids)
-           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           |  CAST(bit_count(xor(a.seed, b.seed)) AS INTEGER) AS hamming
-           |FROM seeds a JOIN seeds b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.seed, b.seed)) <= $MaxDist
-           |ORDER BY a_id, b_id""".stripMargin)
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id // $GroupSize AS g,
+       |    doc_id % $GroupSize AS m
+       |  FROM documents),
+       |seeds AS (
+       |  SELECT doc_id, xor($byteTerms, $flip) AS seed FROM ids)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.seed, b.seed)) AS INTEGER) AS hamming
+       |FROM seeds a JOIN seeds b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.seed, b.seed)) <= $MaxDist
+       |ORDER BY a_id, b_id""".stripMargin
   }
+
+  def oracles: Map[String, String] = Map(
+    "m1_image_neardup" -> pairOracleSql(ImageKey),
+    "m2_audio_neardup" -> pairOracleSql(AudioKey))
 }

@@ -290,4 +290,31 @@ class MediaSpec extends SparkSpec {
       s"got ${got.size} pairs, expected ${expected.size}")
     assert(expected.size > ids.length / 2, s"fixture too sparse: ${expected.size}")
   }
+
+  test("m2 fixture: audio aHash round-trips the seed through the real WAV " +
+      "codec, and the query matches the host-side arithmetic oracle") {
+    import graft.queries.Mm
+    // codec gate: WAV encode → javax.sound decode → band-RMS aHash
+    // reproduces the seed exactly (every RMS value is an exact dyadic)
+    for (id <- Seq(0L, 1L, 7L, 23L, 123L, 499L)) {
+      val s = Mm.audioSeedHost(id)
+      val pcm = graft.multimodal.AudioCodec.decode(Mm.wavOf(s)).get
+      assert(pcm.sampleRate == 8000 && pcm.samples.length == 2048, s"doc $id")
+      assert(graft.multimodal.AudioCodec.aHash(pcm) == s, s"doc $id")
+    }
+    // full chain vs an exact host-side all-pairs oracle at sf0.001
+    val dir = "/root/testdata/sf0.001"
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id").as[Long].collect().sorted
+    val seeds = ids.map(id => id -> Mm.audioSeedHost(id))
+    val expected = (for {
+      (a, sa) <- seeds; (b, sb) <- seeds if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (a, b, h)).toSet
+    val got = graft.SparkEntry.queries("m2_audio_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"got ${got.size} pairs, expected ${expected.size}")
+    assert(expected.size > ids.length / 2, s"fixture too sparse: ${expected.size}")
+  }
 }
