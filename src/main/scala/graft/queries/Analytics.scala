@@ -58,6 +58,21 @@ object Analytics {
     ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
     ("l_extendedprice", "l_discount"), ("l_extendedprice", "l_tax"))
 
+  /** Sequential-pattern window: a 'view' matched by the same user's next
+    * 'purchase' within this many seconds. */
+  private val SeqWindowS = 3600L
+
+  /** k-core peel parameters over the g1/g2 trade graph — embedded verbatim
+    * in both engines (see ops/KCore.scala for the fixed-round contract). */
+  private val KcoreK = 10
+  private val KcoreRounds = 3
+
+  /** KS drift split (epoch s, 2024-01-16): early vs late event halves.
+    * [[KsPack]] = 2^31 packs both prefix sums into one long for the single
+    * [[graft.ops.Ranks.globalCumSum]] pass (counts < 2^31 — no carries). */
+  private val KsSplitEs = 1705363200L
+  private val KsPack = 2147483648L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- G1: PageRank over the customer↔supplier trade graph -------------
     // Edge list from one equi-join, made symmetric (an undirected random
@@ -619,6 +634,100 @@ object Analytics {
       CorrPairs.zipWithIndex.map { case ((x, y), i) =>
         wide.select(lit(x).as("x"), lit(y).as("y"), col(s"r$i").as("r"))
       }.reduce(_.unionAll(_)).orderBy($"x", $"y")
+    }),
+
+    // ---- Q13: sequential pattern match (view → purchase within 1 h) ------
+    // The behavioral-funnel primitive: for every 'view', the same user's
+    // NEXT 'purchase' found with one reversed-frame keyed window (min of
+    // purchase-times over following rows) — no self-join, no range-join
+    // candidate blowup. 100 TB shape: one user-keyed window + one user agg,
+    // both co-partitioned on the same key.
+    "q13_event_sequence" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"es", $"event_id")
+        .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          graft.functions.Det.epochS($"ts").as("es"))
+        .withColumn("np_es",
+          min(when($"event_type" === "purchase", $"es")).over(w))
+        .filter($"event_type" === "view" &&
+          $"np_es".isNotNull && $"np_es" - $"es" <= SeqWindowS)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).cast("long").as("n_seq"))
+        .orderBy($"user_id")
+    }),
+
+    // ---- U4: CDC latest-per-key compaction (SCD1 upsert) -----------------
+    // The snapshot-compaction half of the CDC pair (u3 diffs snapshots;
+    // u4 collapses a change stream to its latest state): keep the newest
+    // row per (user_id, event_type) by (es, event_id) — unique tiebreak,
+    // so the winner is total-order deterministic. 100 TB shape: one keyed
+    // window (row_number then rn=1), no global sort before the final
+    // presentation ORDER BY.
+    "u4_upsert_latest" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"event_type")
+        .orderBy($"es".desc, $"event_id".desc)
+      t(s, dir, "events")
+        .select($"user_id", $"event_type", $"event_id",
+          graft.functions.Det.epochS($"ts").as("es"),
+          round($"value" * 100).cast("long").as("vc"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"es".as("last_es"),
+          $"vc".as("last_vc"))
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // ---- G4: k-core peeling ----------------------------------------------
+    // Dense-kernel extraction over the g1/g2 trade graph: fixed-round
+    // low-degree peeling (ops/KCore.scala), integer degrees, oracle unrolls
+    // the identical rounds. KCoreSpec proves the multi-round cascade on a
+    // crafted path graph (this uniform synthetic graph converges in one).
+    "g4_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("c"),
+          concat(lit("s"), $"l_suppkey").as("s"))
+        .distinct()
+      val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+        .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+      graft.ops.KCore.peel(edges, KcoreK, KcoreRounds)
+        .orderBy($"node")
+    }),
+
+    // ---- A27: two-sample KS drift test -----------------------------------
+    // Distribution-drift detection between the early and late event halves:
+    // the KS statistic D = max |F1 − F2| kept EXACT by integer cross-
+    // multiplication (max |c1·n2 − c2·n1| over the merged support; D itself
+    // reported as ppm floor-division). Both prefix sums ride ONE
+    // distributed two-pass cumsum by packing (c1, c2) into disjoint bit
+    // lanes of a single long. 100 TB shape: one value-cents agg collapses
+    // the data to its distinct support, then the packed Ranks.globalCumSum
+    // two-pass; nothing unpartitioned ever sees row-scale data.
+    "a27_ks_drift" -> ((s, dir) => {
+      import s.implicits._
+      val pts = t(s, dir, "events")
+        .select(round($"value" * 100).cast("long").as("vc"),
+          when(graft.functions.Det.epochS($"ts") < KsSplitEs, 1L)
+            .otherwise(0L).as("in1"))
+        .groupBy($"vc")
+        .agg(sum($"in1").as("c1"), (count(lit(1)) - sum($"in1")).as("c2"))
+      val tot = pts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      graft.ops.Ranks.globalCumSum(pts, Seq(col("vc")),
+          col("c1") * KsPack + col("c2"), "cum")
+        .crossJoin(broadcast(tot))
+        .select($"n1", $"n2",
+          abs(expr(s"(cum div ${KsPack}L)") * $"n2" -
+            ($"cum" % KsPack) * $"n1").as("dn"))
+        .groupBy($"n1", $"n2").agg(max($"dn").as("d_num"))
+        .select($"n1", $"n2", $"d_num",
+          expr("(d_num * 1000000L) div (n1 * n2)").as("d_ppm"))
     })
   )
 
@@ -1024,6 +1133,78 @@ object Analytics {
         |      / 1000000.0
         |    - (CAST(clogc6 AS DOUBLE) / 1000000.0) / n, 6) AS entropy_nats,
         |  CAST(n AS BIGINT) AS n_events
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q13_event_sequence" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, $es AS es FROM events),
+         |np AS (
+         |  SELECT user_id, event_type, es,
+         |    min(CASE WHEN event_type = 'purchase' THEN es END) OVER (
+         |      PARTITION BY user_id ORDER BY es, event_id
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np_es
+         |  FROM ev)
+         |SELECT user_id, count(*) AS n_seq FROM np
+         |WHERE event_type = 'view' AND np_es IS NOT NULL
+         |  AND np_es - es <= $SeqWindowS
+         |GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "u4_upsert_latest" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH r AS (
+         |  SELECT user_id, event_type, $es AS es,
+         |    CAST(round(value * 100) AS BIGINT) AS vc,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY $es DESC, event_id DESC) AS rn
+         |  FROM events)
+         |SELECT user_id, event_type, es AS last_es, vc AS last_vc
+         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+    },
+
+    "g4_kcore" -> {
+      def round(prev: String, out: String) =
+        s"""alive$out AS (
+           |  SELECT src AS node FROM $prev GROUP BY src
+           |  HAVING count(*) >= $KcoreK),
+           |e$out AS (
+           |  SELECT e.src, e.dst FROM $prev e
+           |  JOIN alive$out a ON e.src = a.node
+           |  JOIN alive$out b ON e.dst = b.node)""".stripMargin
+      val rounds = (1 to KcoreRounds)
+        .map(i => round(if (i == 1) "edges" else s"e${i - 1}", s"$i"))
+        .mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |$rounds
+         |SELECT src AS node, count(*) AS deg FROM e$KcoreRounds
+         |GROUP BY src ORDER BY node""".stripMargin
+    },
+
+    "a27_ks_drift" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH pts AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+         |    CAST(sum(CASE WHEN $es < $KsSplitEs THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN $es < $KsSplitEs THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS c2
+         |  FROM events GROUP BY 1),
+         |cum AS (
+         |  SELECT sum(c1) OVER (ORDER BY vc) AS cum1,
+         |    sum(c2) OVER (ORDER BY vc) AS cum2
+         |  FROM pts),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |               CAST(sum(c2) AS BIGINT) AS n2 FROM pts)
+         |SELECT n1, n2,
+         |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+         |  (CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) * 1000000)
+         |    // (n1 * n2) AS d_ppm
+         |FROM cum, tot GROUP BY n1, n2""".stripMargin
+    }
   )
 }
