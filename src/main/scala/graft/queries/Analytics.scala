@@ -73,6 +73,11 @@ object Analytics {
   private val KsSplitEs = 1705363200L
   private val KsPack = 2147483648L
 
+  /** Benford expected first-digit frequencies, ppm: round(log10(1+1/d)·1e6)
+    * computed ONCE host-side and embedded verbatim in both engines. */
+  private val BenfordPpm: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000.0))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- G1: PageRank over the customer↔supplier trade graph -------------
     // Edge list from one equi-join, made symmetric (an undirected random
@@ -728,6 +733,54 @@ object Analytics {
         .groupBy($"n1", $"n2").agg(max($"dn").as("d_num"))
         .select($"n1", $"n2", $"d_num",
           expr("(d_num * 1000000L) div (n1 * n2)").as("d_ppm"))
+    }),
+
+    // ---- A28: Gini concentration (Lorenz) --------------------------------
+    // Revenue-concentration measure over customers with orders, kept EXACT:
+    // with ascending unique rank i and cents r_i, G = (2·Σ i·r_i −
+    // (n+1)·Σ r_i) / (n·Σ r_i) — numerator and denominator are pure
+    // integers; the ppm report divides by a pre-shrunk denominator
+    // (g_den div 1e6) because g_num·1e6 would overflow int64 at scale.
+    // 100 TB shape: one custkey agg, the two-pass distributed rank
+    // (Ranks.globalRowNumber — no unpartitioned window), one scalar agg.
+    "a28_gini" -> ((s, dir) => {
+      import s.implicits._
+      val rev = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("r"))
+      graft.ops.Ranks.globalRowNumber(rev,
+          Seq(col("r"), col("o_custkey")), "i")
+        .agg(count(lit(1)).as("n"), sum($"r").as("s"),
+          sum($"i" * $"r").as("rs"))
+        .select($"n", $"s",
+          (lit(2L) * $"rs" - ($"n" + 1L) * $"s").as("g_num"),
+          ($"n" * $"s").as("g_den"))
+        .select($"n", $"s", $"g_num", $"g_den",
+          expr("g_num div (g_den div 1000000L)").as("gini_ppm"))
+    }),
+
+    // ---- A29: Benford first-digit audit ----------------------------------
+    // The classic data-quality / fraud screen: first significant digit of
+    // the price in integer CENTS via string head (no float log10 boundary
+    // risk), observed vs expected ppm with expected constants embedded
+    // verbatim in both engines. 100 TB shape: map-side projection + one
+    // 9-group agg + broadcast total.
+    "a29_benford" -> ((s, dir) => {
+      import s.implicits._
+      val digitExpected = BenfordPpm.foldLeft(lit(0L)) {
+        case (acc, (d, ppm)) => when($"digit" === d, lit(ppm)).otherwise(acc)
+      }
+      val counts = t(s, dir, "lineitem")
+        .select(substring(round($"l_extendedprice" * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum($"n").as("total"))
+      counts.crossJoin(broadcast(tot))
+        .select($"digit", $"n",
+          expr("(n * 1000000L) div total").as("obs_ppm"),
+          digitExpected.as("exp_ppm"))
+        .withColumn("dev_ppm", $"obs_ppm" - $"exp_ppm")
+        .orderBy($"digit")
     })
   )
 
@@ -1205,6 +1258,39 @@ object Analytics {
          |  (CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) * 1000000)
          |    // (n1 * n2) AS d_ppm
          |FROM cum, tot GROUP BY n1, n2""".stripMargin
+    },
+
+    "a28_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100)
+        |    AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (
+        |  SELECT r, CAST(row_number() OVER (ORDER BY r, o_custkey)
+        |    AS BIGINT) AS i
+        |  FROM rev),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS s,
+        |    CAST(sum(i * r) AS BIGINT) AS rs
+        |  FROM rk)
+        |SELECT n, s, 2 * rs - (n + 1) * s AS g_num, n * s AS g_den,
+        |  (2 * rs - (n + 1) * s) // ((n * s) // 1000000) AS gini_ppm
+        |FROM a""".stripMargin,
+
+    "a29_benford" -> {
+      val expCase = BenfordPpm
+        .map { case (d, ppm) => s"WHEN $d THEN $ppm" }
+        .mkString("CASE digit ", " ", " ELSE 0 END")
+      s"""WITH c AS (
+         |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         |    count(*) AS n
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         |SELECT digit, n, (n * 1000000) // total AS obs_ppm,
+         |  CAST($expCase AS BIGINT) AS exp_ppm,
+         |  (n * 1000000) // total - ($expCase) AS dev_ppm
+         |FROM c, t ORDER BY digit""".stripMargin
     }
   )
 }

@@ -378,6 +378,39 @@ object TextDedup {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // ---- exact n-gram CONTAINMENT on LSH candidates ----------------------
+    // The doc-in-doc dedup signal Jaccard misses: C(A,B) = |A∩B| / |A| is
+    // high when A's grams sit inside a larger B even though the union term
+    // crushes their Jaccard. Reported both directions as integer ppm (no
+    // float division). Candidates come from the same minhash LSH bands —
+    // pairs below one shared band are out of recall by design (documented
+    // LSH contract); threshold est ≥ 0.25 admits the asymmetric pairs d6's
+    // 0.5 gate drops. 100 TB shape identical to d6: checkpointed gram
+    // frame, band-blocked candidates, per-pair projections only.
+    "d13_containment" -> ((s, dir) => {
+      import s.implicits._
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N)).as("g"))
+        .localCheckpoint()
+      val sized = lshPairs(s, dir)
+        .filter($"est_jaccard" >= 0.25)
+        .join(grams.as("ga"), col("a_id") === col("ga.doc_id"))
+        .join(grams.as("gb"), col("b_id") === col("gb.doc_id"))
+        .select($"a_id", $"b_id",
+          size(array_intersect(col("ga.g"), col("gb.g"))).cast("long").as("__i"),
+          size(col("ga.g")).cast("long").as("__na"),
+          size(col("gb.g")).cast("long").as("__nb"))
+        .localCheckpoint()
+      sized
+        .filter($"__na" > 0 && $"__nb" > 0)
+        .select($"a_id", $"b_id",
+          expr("(__i * 1000000L) div __na").as("c_ab_ppm"),
+          expr("(__i * 1000000L) div __nb").as("c_ba_ppm"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // ---- corpus-internal exact substring duplication (Lee et al. 2021,
     // "Deduplicating Training Data Makes Language Models Better": flag
     // text spans that occur verbatim in MORE THAN ONE document). Spark
@@ -692,6 +725,24 @@ object TextDedup {
            |FROM pairs JOIN grams ga ON a_id = ga.doc_id
            |           JOIN grams gb ON b_id = gb.doc_id
            |WHERE est_jaccard >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "d13_containment" ->
+        s"""WITH $lshPairsSql,
+           |grams AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(0, greatest(len(tokens) - $NGRAM_N, 0)),
+           |    i -> array_to_string(list_slice(tokens, i + 1, i + $NGRAM_N), ' ')))
+           |    AS g
+           |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents))
+           |SELECT a_id, b_id,
+           |  (CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) * 1000000)
+           |    // len(ga.g) AS c_ab_ppm,
+           |  (CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) * 1000000)
+           |    // len(gb.g) AS c_ba_ppm
+           |FROM pairs JOIN grams ga ON a_id = ga.doc_id
+           |           JOIN grams gb ON b_id = gb.doc_id
+           |WHERE est_jaccard >= 0.25 AND len(ga.g) > 0 AND len(gb.g) > 0
            |ORDER BY a_id, b_id""".stripMargin,
 
       "d11_substring_dup" ->
