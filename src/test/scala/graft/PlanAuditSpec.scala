@@ -66,6 +66,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("ScalarSubquery"), p.take(3000))
   }
 
+  test("q13: the user agg reuses the window's user_id exchange") {
+    val p = plan("q13_event_sequence")
+    val ex = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(ex == 1, s"expected 1 user_id exchange, got $ex\n${p.take(3000)}")
+  }
+
+  test("u4: rn=1 compiles to a map-side WindowGroupLimit below the one " +
+      "keyed exchange (top-1 never shuffles the losers)") {
+    val p = plan("u4_upsert_latest")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    val ex = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(ex == 1, s"expected 1 keyed exchange, got $ex\n${p.take(3000)}")
+  }
+
   test("no query plans a cartesian product") {
     // crossJoin of scalar aggs is BroadcastNestedLoopJoin over 1 row —
     // fine; an unconstrained CartesianProduct over data frames is never
