@@ -781,6 +781,29 @@ object Analytics {
           digitExpected.as("exp_ppm"))
         .withColumn("dev_ppm", $"obs_ppm" - $"exp_ppm")
         .orderBy($"digit")
+    }),
+
+    // ---- W22: LOCF forward fill ------------------------------------------
+    // The last-observation-carried-forward imputation time-series pipelines
+    // reach for before any model-based impute (a2): 'error' events carry no
+    // measurement (value nulled), each user's gap takes the latest prior
+    // reading. One keyed window with an ignore-nulls running last — rows
+    // before a user's first reading stay null by design. 100 TB shape: a
+    // single user-keyed window, integer cents.
+    "w22_ffill" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"es", $"event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events")
+        .select($"user_id", $"event_id",
+          graft.functions.Det.epochS($"ts").as("es"),
+          when($"event_type" =!= "error",
+            round($"value" * 100).cast("long")).as("vc"))
+        .withColumn("filled_vc", last($"vc", ignoreNulls = true).over(w))
+        .select($"user_id", $"event_id", $"vc", $"filled_vc")
+        .orderBy($"user_id", $"event_id")
     })
   )
 
@@ -1291,6 +1314,20 @@ object Analytics {
          |  CAST($expCase AS BIGINT) AS exp_ppm,
          |  (n * 1000000) // total - ($expCase) AS dev_ppm
          |FROM c, t ORDER BY digit""".stripMargin
+    },
+
+    "w22_ffill" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, $es AS es,
+         |    CASE WHEN event_type <> 'error'
+         |      THEN CAST(round(value * 100) AS BIGINT) END AS vc
+         |  FROM events)
+         |SELECT user_id, event_id, vc,
+         |  last_value(vc IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY es, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_vc
+         |FROM ev ORDER BY user_id, event_id""".stripMargin
     }
   )
 }

@@ -32,6 +32,9 @@ object Embed {
   private val CODEWORD_IDS = Seq(40L, 100L, 160L, 220L, 280L, 340L, 400L, 460L)
   /** e7's in-cell near-duplicate cosine threshold (see the query's note). */
   private val SEMDEDUP_COS = 0.4
+  /** e8's recall@k depth: approximate (LSH) top-k scored against the
+    * exact brute-force top-k. */
+  private val RECALL_K = 5
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -183,6 +186,45 @@ object Embed {
         .filter($"node" =!= $"component")
         .select($"node".as("vec_id"), $"component".as("kept_id"))
         .orderBy($"vec_id")
+    }),
+
+    // ---- ANN recall@k evaluation -----------------------------------------
+    // The quality gate for the index itself: per query, |LSH top-k ∩ exact
+    // top-k| as integer ppm — the recall curve an operator watches when
+    // tuning NBITS/bands. Both sides run in-engine off ONE checkpointed
+    // bucket frame (brute side broadcasts only the tiny query set; LSH side
+    // is the e3 bucket equi-join); the hit count is a left join on
+    // (q_id, c_id) over two k·|Q|-row frames — negligible next to scoring.
+    "e8_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val withB = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"embedding",
+          Vectors.lshBucket($"embedding", DIM, NBITS, SEED).as("bucket"))
+        .localCheckpoint()
+      val q = withB.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket".as("qb"))
+      val c = withB
+        .select($"vec_id".as("c_id"), $"embedding".as("cv"), $"bucket".as("cb"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+      val exact = c.crossJoin(broadcast(q.select($"q_id", $"qv")))
+        .filter($"q_id" =!= $"c_id")
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= RECALL_K)
+        .select($"q_id", $"c_id")
+      val approx = c.join(broadcast(q), $"qb" === $"cb" && $"q_id" =!= $"c_id")
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= RECALL_K)
+        .select($"q_id".as("a_qid"), $"c_id".as("a_cid"))
+      exact.join(approx,
+          $"q_id" === $"a_qid" && $"c_id" === $"a_cid", "left")
+        .groupBy($"q_id")
+        .agg(count($"a_cid").as("n_hit"))
+        .select($"q_id", $"n_hit",
+          expr(s"(n_hit * 1000000L) div ${RECALL_K}L").as("recall_ppm"))
+        .orderBy($"q_id")
     }))
 
   def oracles: Map[String, String] = {
@@ -240,6 +282,32 @@ object Embed {
            |      FROM sc)
            |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id, round(cos, 6) AS cos_sim
            |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+      "e8_ann_recall" ->
+        s"""WITH wb AS (SELECT vec_id, embedding, $bucketSql AS bucket
+           |            FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS qb
+           |      FROM wb WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, embedding AS cv, bucket AS cb FROM wb),
+           |ex AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+           |    FROM (SELECT q_id, c_id, $cosQC AS cos
+           |          FROM q, c WHERE q_id != c_id))
+           |  WHERE rnk <= $RECALL_K),
+           |ap AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+           |    FROM (SELECT q_id, c_id, $cosQC AS cos
+           |          FROM c JOIN q ON qb = cb AND q_id != c_id))
+           |  WHERE rnk <= $RECALL_K)
+           |SELECT e.q_id, CAST(count(a.c_id) AS BIGINT) AS n_hit,
+           |  (CAST(count(a.c_id) AS BIGINT) * 1000000) // $RECALL_K
+           |    AS recall_ppm
+           |FROM ex e LEFT JOIN ap a ON e.q_id = a.q_id AND e.c_id = a.c_id
+           |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
 
       "e5_ivf_ann" ->
         s"""WITH cent AS (
