@@ -116,6 +116,38 @@ object StreamJob {
         .as(Seq("j", "slot")))
       .groupBy(col("j"), col("slot")).agg(count(lit(1)).as("c"))
 
+  /** Streaming CDC upsert view — the u4 latest-per-key compaction
+    * maintained incrementally: each micro-batch re-ranks (state ∪ batch)
+    * per key and keeps the top-1, so `outTable` always equals the batch
+    * compaction over every row seen so far. State is one row per key (the
+    * upsert contract) and each trigger costs O(state + batch) with a
+    * map-side WindowGroupLimit, never a rescan of the stream. `orderCols`
+    * must be a TOTAL order per key (unique tiebreak) — that is what makes
+    * the result micro-batch-cut-layout invariant (StreamJobSpec proves
+    * stream ≡ u4 across layouts). The localCheckpoint materializes the
+    * merge before the overwrite reads-then-replaces the same table (the
+    * [[graft.ops.Merge]] staging contract). */
+  def upsertLatestSink(stream: DataFrame, keyCols: Seq[String],
+                      orderCols: Seq[String], outTable: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val cur =
+          if (sp.catalog.tableExists(outTable)) sp.table(outTable)
+          else batch.limit(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(orderCols.map(col(_).desc): _*)
+        cur.unionByName(batch)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint()
+          .write.mode("overwrite").format("parquet").saveAsTable(outTable)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** T2: per-row streaming injection for a list of settings (stats from the
     * static pre-pass). */
   def injectStream(stream: DataFrame, staticDf: DataFrame, idCol: String,

@@ -120,6 +120,38 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC upsert view ≡ u4 batch compaction, across 3 " +
+      "micro-batch cut layouts") {
+    // u4_upsert_latest is oracle-green: its batch result is cross-engine
+    // verified. The streaming sink must converge to EXACTLY that table
+    // whatever the cut layout — the total-order tiebreak (es, event_id)
+    // is what makes per-batch top-1 merging associative.
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("u4_upsert_latest")(spark, dir)
+      .collect().map(_.toString).sorted.mkString("|")
+    val frame = graft.Tables.t(spark, dir, "events")
+      .select($"ts".as("timestamp"), $"user_id", $"event_type", $"event_id",
+        graft.functions.Det.epochS($"ts").as("es"),
+        round($"value" * 100).cast("long").as("vc"))
+      .localCheckpoint()
+    val layouts = Seq((1, 1), (5, 2), (16, 3)) // (nChunks, filesPerTrigger)
+    layouts.zipWithIndex.foreach { case ((chunks, perTrigger), i) =>
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft_upsert_$i").toString
+      val stream = StreamJob.stageAndReplay(spark, frame, stage,
+        nChunks = chunks, filesPerTrigger = perTrigger)
+      val q = StreamJob.upsertLatestSink(stream,
+        Seq("user_id", "event_type"), Seq("es", "event_id"), s"upsert_out_$i")
+      q.awaitTermination(60000)
+      val got = spark.table(s"upsert_out_$i")
+        .select($"user_id", $"event_type", $"es".as("last_es"),
+          $"vc".as("last_vc"))
+        .collect().map(_.toString).sorted.mkString("|")
+      assert(got == batch, s"layout ($chunks, $perTrigger): stream ≠ batch")
+      spark.sql(s"DROP TABLE upsert_out_$i")
+    }
+  }
+
   test("stream-stream range join ≡ batch interval join, across cut " +
       "layouts incl. bounded disorder") {
     // left: readings; right: alerts. Each reading matches same-key alerts
