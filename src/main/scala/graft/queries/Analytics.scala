@@ -783,6 +783,42 @@ object Analytics {
         .orderBy($"digit")
     }),
 
+    // ---- A30: Population Stability Index ---------------------------------
+    // The bin-based drift monitor ML production runs next to KS (a27):
+    // PSI = Σ (pa − pe)·ln(pa/pe) over fixed equi-width cents bins (a26's
+    // binning — quantile bins would make the bin EDGES data-dependent
+    // floats). Per-bin report with every intermediate pinned: the
+    // proportion gap as round-ppm and the log-ratio via the a22 rounded-ln
+    // treatment (ln(pa/pe) = ln(ca·ne) − ln(ce·na) on INTEGER args, each
+    // ln rounded to 6dp before differencing), so term_e12 is a pure
+    // integer product. Bins empty on either side are skipped (the
+    // documented alternative to epsilon-padding). 100 TB shape: one stats
+    // broadcast, one 10-group agg, broadcast totals.
+    "a30_psi" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(round($"value" * 100).cast("long").as("vc"),
+          when(graft.functions.Det.epochS($"ts") < KsSplitEs, 1L)
+            .otherwise(0L).as("early"))
+      val span = ev.agg(min($"vc").as("lo_c"), max($"vc").as("hi_c"))
+      val counts = ev.crossJoin(broadcast(span))
+        .select(expr("(vc - lo_c) * 10 div (hi_c - lo_c + 1)").as("bin"),
+          $"early")
+        .groupBy($"bin")
+        .agg(sum($"early").as("ce"), (count(lit(1)) - sum($"early")).as("ca"))
+      val tot = counts.agg(sum($"ce").as("ne"), sum($"ca").as("na"))
+      counts.crossJoin(broadcast(tot))
+        .filter($"ce" > 0 && $"ca" > 0)
+        .select($"bin", $"ce", $"ca",
+          round(($"ca" * $"ne" - $"ce" * $"na").cast("double") * 1000000.0 /
+            ($"na" * $"ne").cast("double")).cast("long").as("d_ppm"),
+          (round(log(($"ca" * $"ne").cast("double")) * 1000000.0).cast("long")
+            - round(log(($"ce" * $"na").cast("double")) * 1000000.0)
+              .cast("long")).as("lnr6"))
+        .withColumn("term_e12", $"d_ppm" * $"lnr6")
+        .orderBy($"bin")
+    }),
+
     // ---- W22: LOCF forward fill ------------------------------------------
     // The last-observation-carried-forward imputation time-series pipelines
     // reach for before any model-based impute (a2): 'error' events carry no
@@ -1314,6 +1350,30 @@ object Analytics {
          |  CAST($expCase AS BIGINT) AS exp_ppm,
          |  (n * 1000000) // total - ($expCase) AS dev_ppm
          |FROM c, t ORDER BY digit""".stripMargin
+    },
+
+    "a30_psi" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      val dppm = "CAST(round(CAST(ca * ne - ce * na AS DOUBLE) * 1000000.0" +
+        " / CAST(na * ne AS DOUBLE)) AS BIGINT)"
+      val lnr6 = "(CAST(round(ln(CAST(ca * ne AS DOUBLE)) * 1000000.0)" +
+        " AS BIGINT) - CAST(round(ln(CAST(ce * na AS DOUBLE)) * 1000000.0)" +
+        " AS BIGINT))"
+      s"""WITH ev AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+         |    CASE WHEN $es < $KsSplitEs THEN 1 ELSE 0 END AS early
+         |  FROM events),
+         |span AS (SELECT min(vc) AS lo_c, max(vc) AS hi_c FROM ev),
+         |c AS (
+         |  SELECT (vc - lo_c) * 10 // (hi_c - lo_c + 1) AS bin,
+         |    CAST(sum(early) AS BIGINT) AS ce,
+         |    CAST(count(*) - sum(early) AS BIGINT) AS ca
+         |  FROM ev, span GROUP BY 1),
+         |t AS (SELECT CAST(sum(ce) AS BIGINT) AS ne,
+         |             CAST(sum(ca) AS BIGINT) AS na FROM c)
+         |SELECT bin, ce, ca, $dppm AS d_ppm, $lnr6 AS lnr6,
+         |  $dppm * $lnr6 AS term_e12
+         |FROM c, t WHERE ce > 0 AND ca > 0 ORDER BY bin""".stripMargin
     },
 
     "w22_ffill" -> {
