@@ -819,6 +819,37 @@ object Analytics {
         .orderBy($"bin")
     }),
 
+    // ---- A31: chi-square association / Cramér's V ------------------------
+    // Categorical-association audit between event type and user shard
+    // (the "is my label correlated with my partition" check): each cell's
+    // (O−E)²/E term written as (o·n − r·c)²/(n·r·c) so the only float ops
+    // are one fixed-shape double product+division rounded to ppm, then
+    // chi² is an INTEGER sum of per-cell ppm terms (association-proof);
+    // V = sqrt(chi²/(n·min(r−1,c−1))) closes in one fixed-order scalar.
+    // 100 TB shape: one 15-cell contingency agg; margins broadcast.
+    "a31_cramers_v" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "events")
+        .select($"event_type".as("et"), ($"user_id" % 3).as("shard"))
+        .groupBy($"et", $"shard").agg(count(lit(1)).as("o"))
+      val rm = o.groupBy($"et").agg(sum($"o").as("r"))
+      val cm = o.groupBy($"shard").agg(sum($"o").as("c"))
+      val nt = o.agg(sum($"o").as("n"))
+      // min(r−1, c−1) = min(5−1, 3−1): 5 event types × 3 shards
+      val minDof = 2.0
+      o.join(broadcast(rm), Seq("et")).join(broadcast(cm), Seq("shard"))
+        .crossJoin(broadcast(nt))
+        .select($"n", expr(
+          "CAST(round((CAST(o * n - r * c AS DOUBLE) * " +
+            "CAST(o * n - r * c AS DOUBLE)) * 1000000.0 / " +
+            "CAST(n * r * c AS DOUBLE)) AS BIGINT)").as("term_ppm"))
+        .groupBy($"n").agg(sum($"term_ppm").as("chi2_e6"))
+        .select($"n", $"chi2_e6", expr(
+          "CAST(round(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0) / " +
+            s"(CAST(n AS DOUBLE) * $minDof)) * 1000000.0) AS BIGINT)")
+          .as("v_ppm"))
+    }),
+
     // ---- W22: LOCF forward fill ------------------------------------------
     // The last-observation-carried-forward imputation time-series pipelines
     // reach for before any model-based impute (a2): 'error' events carry no
@@ -1375,6 +1406,26 @@ object Analytics {
          |  $dppm * $lnr6 AS term_e12
          |FROM c, t WHERE ce > 0 AND ca > 0 ORDER BY bin""".stripMargin
     },
+
+    "a31_cramers_v" ->
+      """WITH o AS (
+        |  SELECT event_type AS et, user_id % 3 AS shard, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT et, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY et),
+        |cm AS (SELECT shard, CAST(sum(o) AS BIGINT) AS c FROM o
+        |       GROUP BY shard),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |cells AS (
+        |  SELECT n, CAST(round((CAST(o * n - r * c AS DOUBLE) *
+        |      CAST(o * n - r * c AS DOUBLE)) * 1000000.0 /
+        |      CAST(n * r * c AS DOUBLE)) AS BIGINT) AS term_ppm
+        |  FROM o JOIN rm USING (et) JOIN cm USING (shard), nt),
+        |s AS (SELECT n, CAST(sum(term_ppm) AS BIGINT) AS chi2_e6
+        |      FROM cells GROUP BY n)
+        |SELECT n, chi2_e6,
+        |  CAST(round(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0) /
+        |    (CAST(n AS DOUBLE) * 2.0)) * 1000000.0) AS BIGINT) AS v_ppm
+        |FROM s""".stripMargin,
 
     "w22_ffill" -> {
       val es = graft.functions.Det.epochSSql("ts")

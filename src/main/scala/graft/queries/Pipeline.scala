@@ -28,6 +28,9 @@ object Pipeline {
     * corpus; real pipelines use 10⁴–10⁵ — still broadcastable). */
   private val OovVocabK = 100
 
+  /** Keywords kept per document by the TF-IDF extractor. */
+  private val TfidfTopK = 3
+
   /** Consistent-hash split fences over a 256-way md5 bucket: [0,230) →
     * train (~90%), [230,243) → val (~5%), [243,256) → test. Hashing the
     * KEY (not a random()) makes the split stable under reprocessing,
@@ -278,6 +281,33 @@ object Pipeline {
     // full posting list is the thing you must never materialize, so the cap
     // is the contract, not a shortcut. Postings serialize to a CSV string
     // (index-row form; also keeps the cross-engine compare list-free).
+    // ---- T14: TF-IDF keyword extraction ----------------------------------
+    // Per-doc top-k salient terms — the keyword-metadata stage curation
+    // pipelines attach before routing/mixing. idf is the a22 rounded-ln
+    // (6dp integer) so score = tf·idf6 is a pure integer and the top-k
+    // order has no float boundary. 100 TB shape: tf and df are one
+    // token-keyed shuffle each, their join is co-partitioned on tok
+    // (vocab-sized, NOT broadcast), top-k is a doc-keyed WindowGroupLimit.
+    "t14_tfidf_terms" -> ((s, dir) => {
+      import s.implicits._
+      val tf = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score_e6".desc, $"tok")
+      tf.join(df, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score_e6", $"tf" *
+          round(log($"n_docs".cast("double") / $"df".cast("double"))
+            * 1000000.0).cast("long"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= TfidfTopK)
+        .select($"doc_id", $"rnk", $"tok", $"score_e6")
+        .orderBy($"doc_id", $"rnk")
+    }),
+
     "t16_inverted_index" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -828,6 +858,25 @@ object Pipeline {
            |    AS avg_logprob,
            |  count(*) AS n_bigrams
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t14_tfidf_terms" ->
+        s"""WITH tf AS (
+           |  SELECT doc_id, tok, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest($tokensSqlExpr) AS tok FROM documents)
+           |  GROUP BY doc_id, tok),
+           |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |sc AS (
+           |  SELECT doc_id, tok,
+           |    CAST(tf AS BIGINT) * CAST(round(ln(CAST(n_docs AS DOUBLE)
+           |      / CAST(df AS DOUBLE)) * 1000000.0) AS BIGINT) AS score_e6
+           |  FROM tf JOIN df USING (tok), n)
+           |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, tok, score_e6
+           |FROM (
+           |  SELECT doc_id, tok, score_e6, row_number() OVER
+           |    (PARTITION BY doc_id ORDER BY score_e6 DESC, tok) AS rnk
+           |  FROM sc)
+           |WHERE rnk <= $TfidfTopK ORDER BY doc_id, rnk""".stripMargin,
 
       "t16_inverted_index" ->
         s"""SELECT tok, df,
