@@ -35,6 +35,14 @@ object Embed {
   /** e8's recall@k depth: approximate (LSH) top-k scored against the
     * exact brute-force top-k. */
   private val RECALL_K = 5
+  /** e9 hybrid-RRF constants: query count, per-leg depth, the standard RRF
+    * smoothing constant k0=60 (Cormack et al. 2009), fused output depth,
+    * and the lexical leg's word-n-gram width (matches d6's NGRAM_N). */
+  private val RRF_Q = 5
+  private val RRF_LEG_K = 20
+  private val RRF_K0 = 60
+  private val RRF_OUT_K = 10
+  private val RRF_NGRAM = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -225,6 +233,65 @@ object Embed {
         .select($"q_id", $"n_hit",
           expr(s"(n_hit * 1000000L) div ${RECALL_K}L").as("recall_ppm"))
         .orderBy($"q_id")
+    }),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of lexical + semantic --
+    // The standard hybrid-search combiner (Cormack et al. 2009): each leg
+    // ranks candidates independently — a lexical 3-gram-Jaccard ranking over
+    // `documents` and a semantic cosine ranking over `embeddings` (the two
+    // tables share the 0..N-1 id space) — and RRF fuses them as
+    // Σ 1/(k0 + rank), so no score normalization across legs is needed.
+    // 100 TB shape: each leg is already a bounded top-k per query (the e3 /
+    // t10 bucketed recipes at scale); fusion then touches only Q·k rows — a
+    // tiny full-outer join on (q_id, c_id), broadcastable, never data-scale.
+    // Ranks are integers and the RRF sum is two exact double divisions, so
+    // scores and orderings are bit-identical cross-engine.
+    "e9_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < RRF_Q)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      val c = emb.select($"vec_id".as("c_id"), $"embedding".as("cv"))
+      val wSem = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+      val sem = c.crossJoin(broadcast(q))
+        .filter($"q_id" =!= $"c_id")
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+        .withColumn("sem_rnk", row_number().over(wSem))
+        .filter($"sem_rnk" <= RRF_LEG_K)
+        .select($"q_id", $"c_id", $"sem_rnk")
+      // lexical leg: distinct word 3-grams, Jaccard against the Q query
+      // docs (broadcast). localCheckpoint: grams feeds both sides (the
+      // d6 fan-out rule, PLANS.md).
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          array_distinct(
+            graft.text.TextOps.wordNgrams(
+              graft.text.TextOps.tokens($"text"), RRF_NGRAM)).as("g"))
+        .localCheckpoint()
+      val qg = grams.filter($"doc_id" < RRF_Q)
+        .select($"doc_id".as("q_id"), $"g".as("qg"))
+      val cg = grams.select($"doc_id".as("c_id"), $"g".as("cg"))
+      val wLex = Window.partitionBy($"q_id").orderBy($"jac".desc, $"c_id")
+      val lex = cg.crossJoin(broadcast(qg))
+        .filter($"q_id" =!= $"c_id")
+        .select($"q_id", $"c_id",
+          size(array_intersect($"qg", $"cg")).cast("double").as("__i"),
+          size($"qg").cast("double").as("__na"),
+          size($"cg").cast("double").as("__nb"))
+        .withColumn("jac", $"__i" / ($"__na" + $"__nb" - $"__i"))
+        .withColumn("lex_rnk", row_number().over(wLex))
+        .filter($"lex_rnk" <= RRF_LEG_K)
+        .select($"q_id", $"c_id", $"lex_rnk")
+      val wR = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"c_id")
+      sem.join(lex, Seq("q_id", "c_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RRF_K0) + $"sem_rnk"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RRF_K0) + $"lex_rnk"), lit(0.0)))
+        .withColumn("rnk", row_number().over(wR))
+        .filter($"rnk" <= RRF_OUT_K)
+        .select($"q_id", $"rnk", $"c_id", round($"rrf", 6).as("rrf_score"))
+        .orderBy($"q_id", $"rnk")
     }))
 
   def oracles: Map[String, String] = {
@@ -308,6 +375,55 @@ object Embed {
            |    AS recall_ppm
            |FROM ex e LEFT JOIN ap a ON e.q_id = a.q_id AND e.c_id = a.c_id
            |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
+
+      "e9_hybrid_rrf" ->
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < $RRF_Q),
+           |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+           |semr AS (
+           |  SELECT q_id, c_id, sem_rnk FROM (
+           |    SELECT q_id, c_id, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY cos DESC, c_id) AS sem_rnk
+           |    FROM (SELECT q_id, c_id, $cosQC AS cos
+           |          FROM q, c WHERE q_id != c_id))
+           |  WHERE sem_rnk <= $RRF_LEG_K),
+           |grams AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(0, greatest(len(tokens) - $RRF_NGRAM, 0)),
+           |    i -> array_to_string(list_slice(tokens, i + 1, i + $RRF_NGRAM),
+           |         ' '))) AS g
+           |  FROM (SELECT doc_id,
+           |          list_filter(string_split(text, ' '), x -> len(x) > 0)
+           |          AS tokens FROM documents)),
+           |lex0 AS (
+           |  SELECT qg.doc_id AS q_id, cg.doc_id AS c_id,
+           |    CAST(len(list_intersect(qg.g, cg.g)) AS DOUBLE) AS i,
+           |    CAST(len(qg.g) AS DOUBLE) AS na,
+           |    CAST(len(cg.g) AS DOUBLE) AS nb
+           |  FROM (SELECT * FROM grams WHERE doc_id < $RRF_Q) qg, grams cg
+           |  WHERE qg.doc_id != cg.doc_id),
+           |lexr AS (
+           |  SELECT q_id, c_id, lex_rnk FROM (
+           |    SELECT q_id, c_id, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY (i / (na + nb - i)) DESC, c_id)
+           |      AS lex_rnk
+           |    FROM lex0)
+           |  WHERE lex_rnk <= $RRF_LEG_K),
+           |f AS (
+           |  SELECT coalesce(s.q_id, l.q_id) AS q_id,
+           |    coalesce(s.c_id, l.c_id) AS c_id,
+           |    coalesce(CAST(1.0 AS DOUBLE) / ($RRF_K0 + s.sem_rnk), 0.0) +
+           |    coalesce(CAST(1.0 AS DOUBLE) / ($RRF_K0 + l.lex_rnk), 0.0)
+           |      AS rrf
+           |  FROM semr s FULL OUTER JOIN lexr l
+           |    ON s.q_id = l.q_id AND s.c_id = l.c_id),
+           |r AS (
+           |  SELECT q_id, c_id, rrf, row_number() OVER
+           |    (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rnk
+           |  FROM f)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id,
+           |  round(rrf, 6) AS rrf_score
+           |FROM r WHERE rnk <= $RRF_OUT_K ORDER BY q_id, rnk""".stripMargin,
 
       "e5_ivf_ann" ->
         s"""WITH cent AS (
