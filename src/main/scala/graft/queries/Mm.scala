@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.Det
-import graft.multimodal.{ImageCodec, Media}
+import graft.multimodal.{ImageCodec, Media, VideoCodec}
 
 /** Multimodal oracle queries — the codec → perceptual-hash → blocked pair
   * join chain under the same cross-engine gate as text dedup.
@@ -39,10 +39,15 @@ object Mm {
   /** Flip-bit position per group member (0 = unflipped base). */
   private val FlipBit = Map(1 -> 13, 2 -> 26, 3 -> 39, 4 -> 52)
   private val MaxDist = 6
-  /** Distinct LCG keys so the image and audio fixtures draw independent
-    * seed patterns from the same doc_ids. */
+  /** Distinct LCG keys so the image, audio and video fixtures draw
+    * independent seed patterns from the same doc_ids. */
   private val ImageKey = 7L
   private val AudioKey = 11L
+  private val VideoKey = 13L
+  /** Frames per synthetic MJPEG-AVI; the video signature XORs all of them,
+    * so the oracle (and recall) depend on every frame being parsed. */
+  private val VideoNFrames = 4
+  private val VideoFps = 4
 
   /** Deterministic 62-bit seed column from doc_id: 8 LCG-derived bytes
     * (top byte capped to 6 bits — no BIGINT overflow on the shift, and the
@@ -121,6 +126,70 @@ object Mm {
     out.toByteArray
   }
 
+  /** Per-frame seed column for the VIDEO fixture: frame `f` of group `g`
+    * draws its 8 bytes at LCG indices `g*32 + f*8 + j` (disjoint from the
+    * image/audio streams by key). The member flip lands on frame 0 only, so
+    * the XOR-of-frames video signature differs within a group by exactly
+    * the one flipped bit — same pair geometry as m1/m2. */
+  private def videoSeedCol(f: Int) = {
+    val g = floor(col("doc_id") / GroupSize).cast("long")
+    val bytes = (0 until 8).map { j =>
+      val b = floor(Det.frac(g * 32 + (f * 8 + j), VideoKey) * 256).cast("long")
+      shiftleft(if (j == 7) b % 64 else b, 8 * j)
+    }
+    val base = bytes.reduce(_ + _)
+    if (f > 0) base
+    else {
+      val m = (col("doc_id") % GroupSize).cast("int")
+      val flip = FlipBit.foldLeft(lit(0L)) { case (acc, (mm, bit)) =>
+        when(m === mm, lit(1L << bit)).otherwise(acc)
+      }
+      base.bitwiseXOR(flip)
+    }
+  }
+
+  /** doc_id → seeded synthetic MJPEG-AVI bytes ([[aviOf]] over the per-frame
+    * seeds), the video twin of [[mediaFrame]]. */
+  private def videoMediaFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id",
+        array((0 until VideoNFrames).map(videoSeedCol): _*).as("seeds"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, seeds) => (id, aviOf(seeds)) }
+      }.toDF("media_id", "content")
+  }
+
+  /** 64×64 frame whose 8×8-pixel cells encode `seed` (cell i = bit i, white
+    * = set). Cells align exactly with JPEG's 8×8 DCT blocks, so every block
+    * is uniform (DC-only) and survives the LOSSY encode within a few counts
+    * of 0/255 — [[ImageCodec.aHash]]'s 8×8 grid over the decoded frame is
+    * the cell grid and its mean threshold still separates the two classes
+    * exactly: `aHash(jpegRoundTrip(frameOf(seed))) == seed`. */
+  private[graft] def frameOf(seed: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val gfx = img.createGraphics()
+    var c = 0
+    while (c < 64) {
+      gfx.setColor(if (((seed >> c) & 1L) == 1L) java.awt.Color.WHITE
+        else java.awt.Color.BLACK)
+      gfx.fillRect((c % 8) * 8, (c / 8) * 8, 8, 8)
+      c += 1
+    }
+    gfx.dispose()
+    img
+  }
+
+  /** Real MJPEG-AVI (RIFF container, one JPEG per frame) over the per-frame
+    * seed grids — [[VideoCodec.parse]]'s writer dual produces it, so the
+    * query decodes actual container + codec bytes. */
+  private[graft] def aviOf(seeds: Seq[Long]): Array[Byte] =
+    VideoCodec.encodeAvi(seeds.map(frameOf), VideoFps)
+
   /** Host-side twin of [[seedCol]] (specs verify the query against it). */
   private[graft] def seedHost(docId: Long, key: Long = ImageKey): Long = {
     val g = docId / GroupSize
@@ -131,6 +200,21 @@ object Mm {
     raw ^ FlipBit.get((docId % GroupSize).toInt).map(1L << _).getOrElse(0L)
   }
   private[graft] def audioSeedHost(docId: Long): Long = seedHost(docId, AudioKey)
+
+  /** Host-side twin of [[videoSeedCol]]. */
+  private[graft] def videoSeedHost(docId: Long, f: Int): Long = {
+    val g = docId / GroupSize
+    val raw = (0 until 8).map { j =>
+      val b = math.floor(
+        Det.fracHost(g * 32 + (f * 8 + j), VideoKey) * 256).toLong
+      (if (j == 7) b % 64 else b) << (8 * j)
+    }.sum
+    if (f > 0) raw
+    else raw ^ FlipBit.get((docId % GroupSize).toInt).map(1L << _).getOrElse(0L)
+  }
+  /** XOR-of-frame-hashes video signature the query must reproduce. */
+  private[graft] def videoSigHost(docId: Long): Long =
+    (0 until VideoNFrames).map(videoSeedHost(docId, _)).reduce(_ ^ _)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- image near-dup: PNG encode → ImageIO decode → aHash → 8-chunk
@@ -148,34 +232,72 @@ object Mm {
         .localCheckpoint()
       Media.audioNearDupPairs(hashes, MaxDist)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+    // ---- video near-dup: MJPEG-AVI encode → RIFF parse + per-frame JPEG
+    // decode → per-frame aHash → XOR-of-frames signature → the same
+    // blocked hamming self-join (the full video dedup chain: container,
+    // LOSSY codec, frame sampling, frame→video aggregation) --------------
+    "m3_video_neardup" -> ((s, dir) => {
+      val frames = Media.videoFrames(videoMediaFrame(s, dir), VideoFps.toDouble)
+      val frameHashes = Media.imageHashes(
+        frames.select(col("media_id"), col("frame_content").as("content")))
+      val sigs = frameHashes.groupBy("media_id")
+        .agg(expr("bit_xor(ahash)").as("ahash"))
+        .localCheckpoint()
+      Media.imageNearDupPairs(sigs, MaxDist)
+        .orderBy(col("a_id"), col("b_id"))
     }))
 
   /** Arithmetic DuckDB twin of the full codec chain for one seed key: the
     * oracle never decodes media — the fixtures guarantee `hash == seed`, so
     * pairs reduce to INT64 arithmetic the LCG shares across engines. */
-  private def pairOracleSql(key: Long): String = {
-    val byteTerms = (0 until 8).map { j =>
-      val b = s"CAST(floor(${Det.fracSql(s"(g * 8 + $j)", key)} * 256) AS BIGINT)"
+  /** 8 LCG bytes at indices `idxExpr(j)` composed into a 62-bit seed —
+    * the SQL twin of [[seedCol]]/[[videoSeedCol]]'s byte lanes. */
+  private def seedBytesSql(key: Long, idxExpr: Int => String): String =
+    (0 until 8).map { j =>
+      val b = s"CAST(floor(${Det.fracSql(idxExpr(j), key)} * 256) AS BIGINT)"
       val capped = if (j == 7) s"($b % 64)" else b
       if (j == 0) capped else s"($capped << ${8 * j})"
     }.mkString(" + ")
-    val flip = FlipBit.toSeq.sortBy(_._1)
-      .map { case (m, bit) => s"WHEN $m THEN ${1L << bit}" }
-      .mkString("CASE m ", " ", " ELSE 0 END")
+
+  private def flipSql: String = FlipBit.toSeq.sortBy(_._1)
+    .map { case (m, bit) => s"WHEN $m THEN ${1L << bit}" }
+    .mkString("CASE m ", " ", " ELSE 0 END")
+
+  /** Hamming-pair query over a per-doc `seed` expression in (g, m) — the
+    * shared outer shape of all three media oracles. The oracle may use the
+    * naive quadratic join because 8-chunk blocking is exact at hamming ≤ 6. */
+  private def pairsOverSeedSql(seedExpr: String): String =
     s"""WITH ids AS (
        |  SELECT doc_id, doc_id // $GroupSize AS g,
        |    doc_id % $GroupSize AS m
        |  FROM documents),
        |seeds AS (
-       |  SELECT doc_id, xor($byteTerms, $flip) AS seed FROM ids)
+       |  SELECT doc_id, $seedExpr AS seed FROM ids)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(bit_count(xor(a.seed, b.seed)) AS INTEGER) AS hamming
        |FROM seeds a JOIN seeds b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.seed, b.seed)) <= $MaxDist
        |ORDER BY a_id, b_id""".stripMargin
+
+  private def pairOracleSql(key: Long): String =
+    pairsOverSeedSql(
+      s"xor(${seedBytesSql(key, j => s"(g * 8 + $j)")}, $flipSql)")
+
+  /** Video twin: signature = XOR over the [[VideoNFrames]] per-frame seeds
+    * (flip on frame 0 only) — pure INT64 arithmetic standing in for the
+    * container parse + per-frame JPEG decode + hash + XOR the Spark side
+    * must execute for real. */
+  private def videoPairOracleSql: String = {
+    val frameSeeds = (0 until VideoNFrames).map { f =>
+      val bytes = seedBytesSql(VideoKey, j => s"(g * 32 + ${f * 8 + j})")
+      if (f > 0) s"($bytes)" else s"xor($bytes, $flipSql)"
+    }
+    pairsOverSeedSql(frameSeeds.reduce((a, b) => s"xor($a, $b)"))
   }
 
   def oracles: Map[String, String] = Map(
     "m1_image_neardup" -> pairOracleSql(ImageKey),
-    "m2_audio_neardup" -> pairOracleSql(AudioKey))
+    "m2_audio_neardup" -> pairOracleSql(AudioKey),
+    "m3_video_neardup" -> videoPairOracleSql)
 }

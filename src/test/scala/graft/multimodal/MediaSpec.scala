@@ -317,4 +317,38 @@ class MediaSpec extends SparkSpec {
       s"got ${got.size} pairs, expected ${expected.size}")
     assert(expected.size > ids.length / 2, s"fixture too sparse: ${expected.size}")
   }
+
+  test("m3 fixture: XOR-of-frame aHashes round-trips the signature through " +
+      "the real MJPEG-AVI codec (lossy JPEG), and the query matches the " +
+      "host-side arithmetic oracle") {
+    import graft.queries.Mm
+    // codec gate: AVI encode → RIFF parse → per-frame JPEG decode → aHash
+    // per frame → XOR reproduces the arithmetic signature EXACTLY, through
+    // a lossy codec (8×8 cells align with JPEG DCT blocks, so every block
+    // is DC-only and the hash threshold survives quantization)
+    for (id <- Seq(0L, 1L, 7L, 23L, 123L, 499L)) {
+      val sig = Mm.videoSigHost(id)
+      val seeds = (0 until 4).map(Mm.videoSeedHost(id, _))
+      val parsed = VideoCodec.parse(Mm.aviOf(seeds)).get
+      assert(parsed.frames.length == 4, s"doc $id")
+      val got = parsed.frames
+        .map(f => graft.multimodal.ImageCodec.aHash(VideoCodec.decodeFrame(f).get))
+        .reduce(_ ^ _)
+      assert(got == sig, s"doc $id: got ${got.toHexString}, want ${sig.toHexString}")
+    }
+    // full chain vs an exact host-side all-pairs oracle at sf0.001
+    val dir = "/root/testdata/sf0.001"
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id").as[Long].collect().sorted
+    val sigs = ids.map(id => id -> Mm.videoSigHost(id))
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (a, b, h)).toSet
+    val got = graft.SparkEntry.queries("m3_video_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"got ${got.size} pairs, expected ${expected.size}")
+    assert(expected.size > ids.length / 2, s"fixture too sparse: ${expected.size}")
+  }
 }
