@@ -49,6 +49,14 @@ object Analytics {
   private val BloomK = 2
   private val BloomMinPrice = 450000.0
 
+  /** Basket-rule min pair support / result cap — embedded verbatim in both
+    * engines. */
+  private val BasketMinSup = 3
+  private val BasketTopK = 50
+
+  /** Interval-union span: every event opens a [ts, ts+300 s) interval. */
+  private val IntervalSpanS = 300L
+
   private val ProfileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val PivotYears = 1995 to 2001
@@ -871,6 +879,109 @@ object Analytics {
         .withColumn("filled_vc", last($"vc", ignoreNulls = true).over(w))
         .select($"user_id", $"event_id", $"vc", $"filled_vc")
         .orderBy($"user_id", $"event_id")
+    }),
+
+    // ---- Q14: market-basket association rules (Agrawal & Srikant 1994
+    // support/confidence/lift, the 1-pass pair form): parts co-ordered
+    // within an order, min-support pruned, metrics as integer ppm.
+    // 100 TB shape: the pair generator is a SELF-JOIN CO-PARTITIONED on
+    // order key (baskets are bounded — pair fan-out is per-order
+    // quadratic in basket size, not corpus size), item counts join back
+    // broadcast (dimension-sized), the order total rides a broadcast
+    // 1-row frame. No driver-side counting.
+    "q14_basket_rules" -> ((s, dir) => {
+      import s.implicits._
+      val items = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        .distinct()
+        .localCheckpoint() // feeds both self-join sides + two aggs
+      val nOrders = items.select(countDistinct($"ok").as("n"))
+      val itemCnt = items.groupBy($"pk").agg(count(lit(1)).as("c"))
+      val pairCnt = items.as("a").join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("cp"))
+        .filter($"cp" >= BasketMinSup)
+      pairCnt
+        .join(broadcast(itemCnt.select($"pk".as("pa"), $"c".as("ca"))), Seq("pa"))
+        .join(broadcast(itemCnt.select($"pk".as("pb"), $"c".as("cb"))), Seq("pb"))
+        .crossJoin(broadcast(nOrders))
+        .select($"pa", $"pb", $"cp",
+          expr("(cp * 1000000) div n").as("support_ppm"),
+          expr("(cp * 1000000) div ca").as("conf_ab_ppm"),
+          expr("(cp * 1000000) div cb").as("conf_ba_ppm"),
+          expr("(cp * n * 1000000) div (ca * cb)").as("lift_ppm"))
+        .orderBy($"cp".desc, $"pa", $"pb")
+        .limit(BasketTopK)
+    }),
+
+    // ---- A32: exact weighted median ---------------------------------------
+    // Quantity-weighted median price per return flag: the first price whose
+    // running weight reaches half the total. Exact and integer throughout
+    // (cents values, long weights). 100 TB shape: weights first collapse
+    // with a keyed groupBy onto DISTINCT (flag, cents) rows, so the
+    // per-flag cumulative window runs over the price-domain frame (bounded
+    // by distinct prices), never over raw rows.
+    "a32_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      val win = org.apache.spark.sql.expressions.Window
+      val g = t(s, dir, "lineitem")
+        .select($"l_returnflag".as("flag"),
+          round($"l_extendedprice" * 100).cast("long").as("cents"),
+          $"l_quantity".cast("long").as("wt"))
+        .groupBy($"flag", $"cents").agg(sum($"wt").as("wt"))
+      g.withColumn("cum",
+          sum($"wt").over(win.partitionBy($"flag").orderBy($"cents")))
+        .withColumn("tot", sum($"wt").over(win.partitionBy($"flag")))
+        .filter($"cum" * 2 >= $"tot")
+        .groupBy($"flag").agg(min($"cents").as("wmedian_cents"))
+        .orderBy($"flag")
+    }),
+
+    // ---- U5: schema-evolution union (unionByName) -------------------------
+    // The ingest-time union every long-lived 100 TB table needs: an old
+    // extract without `event_type` unions a new one that carries it, by
+    // COLUMN NAME with missing columns null-filled (positional union — u1 —
+    // would silently misalign). DuckDB's `UNION ALL BY NAME` is the oracle
+    // twin.
+    "u5_union_by_name" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id",
+          round($"value" * 100).cast("long").as("cents"), $"event_type")
+      val legacy = ev.filter($"event_id" % 2 === 0)
+        .select($"event_id", $"user_id", $"cents")
+      val modern = ev.filter($"event_id" % 2 === 1)
+      legacy.unionByName(modern, allowMissingColumns = true)
+        .orderBy($"event_id")
+    }),
+
+    // ---- W23: interval union (coalesce overlapping spans) -----------------
+    // Classic gaps-and-islands interval merge: each event opens a fixed
+    // 300 s span; overlapping spans per user coalesce into islands
+    // (island starts where a span's start clears the running max of prior
+    // ends), reported as per-user interval count + total covered seconds.
+    // The coverage primitive behind session stitching and SLA accounting.
+    // 100 TB shape: one user-keyed window over integer epoch seconds; ties
+    // are identical rows, so the ROWS-frame running max is
+    // order-insensitive.
+    "w23_interval_union" -> ((s, dir) => {
+      import s.implicits._
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"s", $"e")
+      val iv = t(s, dir, "events")
+        .select($"user_id", graft.functions.Det.epochS($"ts").as("s"))
+        .withColumn("e", $"s" + IntervalSpanS)
+      iv.withColumn("pmax", max($"e").over(win.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .withColumn("ni", when($"s" > $"pmax", 1L).otherwise(0L))
+        .withColumn("isl", sum($"ni").over(win))
+        .groupBy($"user_id", $"isl")
+        .agg(min($"s").as("s0"), max($"e").as("e1"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"e1" - $"s0").cast("long").as("covered_s"))
+        .orderBy($"user_id")
     })
   )
 
@@ -1439,6 +1550,83 @@ object Analytics {
          |    PARTITION BY user_id ORDER BY es, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_vc
          |FROM ev ORDER BY user_id, event_id""".stripMargin
+    },
+
+    "q14_basket_rules" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |n_orders AS (SELECT count(DISTINCT ok) AS n FROM items),
+         |item_cnt AS (SELECT pk, count(*) AS c FROM items GROUP BY pk),
+         |pair_cnt AS (
+         |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS cp
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY a.pk, b.pk),
+         |rules AS (
+         |  SELECT pa, pb, CAST(cp AS BIGINT) AS cp,
+         |    CAST(ca.c AS BIGINT) AS ca, CAST(cb.c AS BIGINT) AS cb,
+         |    CAST(n_orders.n AS BIGINT) AS n
+         |  FROM pair_cnt
+         |  JOIN item_cnt ca ON pa = ca.pk
+         |  JOIN item_cnt cb ON pb = cb.pk
+         |  CROSS JOIN n_orders
+         |  WHERE cp >= $BasketMinSup)
+         |SELECT pa, pb, cp,
+         |  (cp * 1000000) // n AS support_ppm,
+         |  (cp * 1000000) // ca AS conf_ab_ppm,
+         |  (cp * 1000000) // cb AS conf_ba_ppm,
+         |  (cp * n * 1000000) // (ca * cb) AS lift_ppm
+         |FROM rules
+         |ORDER BY cp DESC, pa, pb LIMIT $BasketTopK""".stripMargin,
+
+    "a32_weighted_median" ->
+      """WITH w AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS wt
+        |  FROM lineitem),
+        |g AS (SELECT flag, cents, CAST(sum(wt) AS BIGINT) AS wt
+        |      FROM w GROUP BY flag, cents),
+        |c AS (
+        |  SELECT flag, cents,
+        |    CAST(sum(wt) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(wt) OVER (PARTITION BY flag) AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT flag, min(cents) AS wmedian_cents
+        |FROM c WHERE 2 * cum >= tot GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "u5_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT event_id, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_type
+        |  FROM events WHERE event_id % 2 = 1)
+        |ORDER BY event_id""".stripMargin,
+
+    "w23_interval_union" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH iv AS (
+         |  SELECT user_id, $es AS s, $es + $IntervalSpanS AS e
+         |  FROM events),
+         |marked AS (
+         |  SELECT user_id, s, e,
+         |    CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      THEN 1 ELSE 0 END AS ni
+         |  FROM iv),
+         |islands AS (
+         |  SELECT user_id, s, e,
+         |    sum(ni) OVER (PARTITION BY user_id ORDER BY s, e) AS isl
+         |  FROM marked),
+         |merged AS (
+         |  SELECT user_id, isl, min(s) AS s0, max(e) AS e1
+         |  FROM islands GROUP BY user_id, isl)
+         |SELECT user_id, count(*) AS n_intervals,
+         |  CAST(sum(e1 - s0) AS BIGINT) AS covered_s
+         |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
     }
   )
 }

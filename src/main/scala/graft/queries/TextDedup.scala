@@ -22,6 +22,16 @@ object TextDedup {
   private val SHINGLE_K = 5
   private val NGRAM_N = 3
 
+  /** Sorted-neighborhood window (ranks) and edit-distance accept gate. */
+  private val SNM_W = 10
+  private val SNM_MAX_LEV = 20
+  /** Prefix-filter Jaccard threshold τ = [[PFJ_NUM]]/[[PFJ_DEN]] — kept as
+    * an integer rational so the prefix length (`n - ceil(τ·n) + 1` =
+    * `n - (6n+9) div 10 + 1`) and the verify gate (`10·inter ≥ 6·union`)
+    * are float-free in BOTH engines. */
+  private val PFJ_NUM = 6
+  private val PFJ_DEN = 10
+
   private def toks(c: Column) = TextOps.tokens(c)
 
   /** Signature frame: doc_id + 8 minhash slices s0..s7, via the native
@@ -411,6 +421,93 @@ object TextDedup {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // ---- sorted-neighborhood blocking (Hernández & Stolfo 1995, the
+    // merge/purge method): sort by a normalized key, slide a fixed window
+    // of W ranks, verify neighbors — the classic third blocking paradigm
+    // next to LSH bands (d3) and hash chunks (d5/d9), and the one that
+    // catches prefix-anchored near-dups LSH can miss at low similarity.
+    // Distributed shape: the global sort order comes from the two-pass
+    // Ranks primitive (no single-task window), and the window-of-W pairing
+    // is an EQUI-join on adjacent rank blocks (block = (rnk-1) div W; any
+    // pair within W ranks shares a block or sits in adjacent ones — each
+    // unordered pair matches exactly once) — never a range join.
+    // Verification is the d12 edit-distance gate on 120-char prefixes. ----
+    "d14_sorted_neighborhood" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          substring(lower(regexp_replace($"text", "[^a-zA-Z0-9]", "")), 1, 24)
+            .as("k"),
+          substring($"text", 1, 120).as("pfx"))
+      // feeds both join sides → checkpoint once
+      val ranked = graft.ops.Ranks
+        .globalRowNumber(keyed, Seq($"k", $"doc_id"), "rnk")
+        .select($"doc_id", $"rnk", $"pfx",
+          expr(s"(rnk - 1) div $SNM_W").as("blk"))
+        .localCheckpoint()
+      val right = ranked.select($"doc_id".as("b_doc"), $"rnk".as("b_rnk"),
+        $"pfx".as("b_pfx"), explode(array($"blk", $"blk" - 1)).as("blk"))
+      ranked.join(right, Seq("blk"))
+        .filter(($"b_rnk" - $"rnk").between(1, SNM_W))
+        .select(least($"doc_id", $"b_doc").as("a_id"),
+          greatest($"doc_id", $"b_doc").as("b_id"),
+          ($"b_rnk" - $"rnk").as("gap"),
+          levenshtein($"pfx", $"b_pfx").cast("long").as("lev"))
+        .filter($"lev" <= SNM_MAX_LEV)
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- exact set-similarity self-join via PREFIX FILTERING (the
+    // AllPairs/PPJoin family, Bayardo/Ma/Srikant 2007): any pair with
+    // Jaccard ≥ τ must share at least one of each side's
+    // (n − ceil(τ·n) + 1) globally-RAREST grams, so candidates reduce to
+    // an equi-join on prefix grams — the canonical EXACT similarity join
+    // at scale (zero false negatives, unlike LSH recall contracts).
+    // 100 TB shape: gram document-frequency is ONE keyed shuffle (the
+    // vocabulary is never broadcast or collected), prefix selection is a
+    // per-doc window over the exploded gram frame, the candidate join
+    // keys on rarest grams (fan-out bounded by construction — rare means
+    // few carriers), and exact verification runs only on candidates. ------
+    "d15_prefix_filter_join" -> ((s, dir) => {
+      import s.implicits._
+      val win = org.apache.spark.sql.expressions.Window
+      // distinct gram sets feed the df agg, the prefix explode and both
+      // verify sides → checkpoint once
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N)).as("g"))
+        .localCheckpoint()
+      val exploded = grams.select($"doc_id", size($"g").cast("long").as("n"),
+        explode($"g").as("t"))
+      val dfc = exploded.groupBy($"t").agg(count(lit(1)).as("dfc"))
+      val prefix = exploded.join(dfc, Seq("t"))
+        .withColumn("rn", row_number().over(
+          win.partitionBy($"doc_id").orderBy($"dfc", $"t")))
+        .filter($"rn" <=
+          $"n" - expr(s"($PFJ_NUM * n + ${PFJ_DEN - 1}) div $PFJ_DEN") + 1)
+        .select($"doc_id", $"t")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      // one projection computes the intersection, then a scalar-only
+      // checkpoint (CollapseProject re-inlining guard — see d6)
+      val sized = cand
+        .join(grams.select($"doc_id".as("a_id"), $"g".as("ga")), Seq("a_id"))
+        .join(grams.select($"doc_id".as("b_id"), $"g".as("gb")), Seq("b_id"))
+        .select($"a_id", $"b_id",
+          size(array_intersect($"ga", $"gb")).cast("long").as("inter"),
+          (size($"ga") + size($"gb")).cast("long").as("__sum"))
+        .localCheckpoint()
+      sized.withColumn("uni", $"__sum" - $"inter")
+        .filter($"inter" * PFJ_DEN >= $"uni" * PFJ_NUM)
+        .select($"a_id", $"b_id", $"inter", $"uni",
+          expr("(inter * 1000000) div uni").as("jac_ppm"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // ---- corpus-internal exact substring duplication (Lee et al. 2021,
     // "Deduplicating Training Data Makes Language Models Better": flag
     // text spans that occur verbatim in MORE THAN ONE document). Spark
@@ -768,6 +865,62 @@ object TextDedup {
            |FROM documents
            |WHERE ${Det.fracSql("doc_id", 99L)} < $q
            |ORDER BY doc_id""".stripMargin
-      })
+      },
+
+      "d14_sorted_neighborhood" ->
+        s"""WITH keyed AS (
+           |  SELECT doc_id,
+           |    substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+           |      1, 24) AS k,
+           |    substr(text, 1, 120) AS pfx
+           |  FROM documents),
+           |ranked AS (
+           |  SELECT doc_id, pfx,
+           |    row_number() OVER (ORDER BY k, doc_id) AS rnk
+           |  FROM keyed)
+           |SELECT least(a.doc_id, b.doc_id) AS a_id,
+           |  greatest(a.doc_id, b.doc_id) AS b_id,
+           |  b.rnk - a.rnk AS gap,
+           |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+           |FROM ranked a JOIN ranked b
+           |  ON b.rnk - a.rnk BETWEEN 1 AND $SNM_W
+           |WHERE levenshtein(a.pfx, b.pfx) <= $SNM_MAX_LEV
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "d15_prefix_filter_join" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(0, greatest(len(tokens) - $NGRAM_N, 0)),
+           |    i -> array_to_string(list_slice(tokens, i + 1, i + $NGRAM_N),
+           |      ' '))) AS ts
+           |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
+           |df AS (
+           |  SELECT t AS tok, count(*) AS dfc
+           |  FROM (SELECT unnest(ts) AS t, doc_id FROM tok) GROUP BY t),
+           |ordered AS (
+           |  SELECT doc_id, array_agg(t ORDER BY dfc, t) AS sorted_ts,
+           |    count(*) AS n
+           |  FROM (SELECT doc_id, unnest(ts) AS t FROM tok) u
+           |  JOIN df ON u.t = df.tok
+           |  GROUP BY doc_id),
+           |pfx AS (
+           |  SELECT doc_id, list_slice(sorted_ts, 1,
+           |    n - (($PFJ_NUM * n + ${PFJ_DEN - 1}) // $PFJ_DEN) + 1) AS p
+           |  FROM ordered),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM (SELECT doc_id, unnest(p) AS t FROM pfx) a
+           |  JOIN (SELECT doc_id, unnest(p) AS t FROM pfx) b
+           |    ON a.t = b.t AND a.doc_id < b.doc_id),
+           |verified AS (
+           |  SELECT a_id, b_id,
+           |    CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS inter,
+           |    CAST(len(ta.ts) + len(tb.ts)
+           |      - len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS uni
+           |  FROM cand JOIN tok ta ON a_id = ta.doc_id
+           |            JOIN tok tb ON b_id = tb.doc_id)
+           |SELECT a_id, b_id, inter, uni, (inter * 1000000) // uni AS jac_ppm
+           |FROM verified WHERE inter * $PFJ_DEN >= uni * $PFJ_NUM
+           |ORDER BY a_id, b_id""".stripMargin)
   }
 }
