@@ -57,6 +57,9 @@ object Analytics {
   /** Interval-union span: every event opens a [ts, ts+300 s) interval. */
   private val IntervalSpanS = 300L
 
+  /** Rolling-median frame: current row + 9 predecessors. */
+  private val MedPrec = 9
+
   private val ProfileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val PivotYears = 1995 to 2001
@@ -982,6 +985,31 @@ object Analytics {
         .agg(count(lit(1)).as("n_intervals"),
           sum($"e1" - $"s0").cast("long").as("covered_s"))
         .orderBy($"user_id")
+    }),
+
+    // ---- W24: exact rolling median ----------------------------------------
+    // Per-user rolling LOWER median of the last 10 event amounts — the
+    // robust running center (outlier-proof where w19's EWMA is not). Exact
+    // and integer: cents values, lower-median element sorted[(n+1) div 2],
+    // so even-width frames need no float averaging and the oracle compare
+    // is hash-exact. 100 TB shape: ONE user-keyed shuffle; the ROWS frame
+    // is bounded (10 elements) so per-row work is O(W log W) constant and
+    // window state never exceeds the frame — no global sort, no unbounded
+    // accumulation.
+    "w24_rolling_median" -> ((s, dir) => {
+      import s.implicits._
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"es", $"event_id")
+        .rowsBetween(-MedPrec, org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events")
+        .select($"user_id", $"event_id",
+          graft.functions.Det.epochS($"ts").as("es"),
+          round($"value" * 100).cast("long").as("cents"))
+        .withColumn("cl", collect_list($"cents").over(win))
+        .withColumn("med10_cents",
+          expr("element_at(array_sort(cl), cast((size(cl) + 1) div 2 as int))"))
+        .select($"user_id", $"event_id", $"cents", $"med10_cents")
+        .orderBy($"user_id", $"event_id")
     })
   )
 
@@ -1627,6 +1655,22 @@ object Analytics {
          |SELECT user_id, count(*) AS n_intervals,
          |  CAST(sum(e1 - s0) AS BIGINT) AS covered_s
          |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "w24_rolling_median" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, $es AS es,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |fr AS (
+         |  SELECT user_id, event_id, cents,
+         |    list(cents) OVER (PARTITION BY user_id ORDER BY es, event_id
+         |      ROWS BETWEEN $MedPrec PRECEDING AND CURRENT ROW) AS cl
+         |  FROM ev)
+         |SELECT user_id, event_id, cents,
+         |  (list_sort(cl))[(len(cl) + 1) // 2] AS med10_cents
+         |FROM fr ORDER BY user_id, event_id""".stripMargin
     }
   )
 }

@@ -43,6 +43,12 @@ object Embed {
   private val RRF_K0 = 60
   private val RRF_OUT_K = 10
   private val RRF_NGRAM = 3
+  /** e10 MMR constants: query count, candidate-pool depth, selections, and
+    * the relevance/diversity balance λ — written as the literal doubles
+    * 0.7/0.3 in BOTH engines so scores are bit-identical. */
+  private val MMR_Q = 3
+  private val MMR_POOL = 12
+  private val MMR_K = 5
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -292,6 +298,63 @@ object Embed {
         .filter($"rnk" <= RRF_OUT_K)
         .select($"q_id", $"rnk", $"c_id", round($"rrf", 6).as("rrf_score"))
         .orderBy($"q_id", $"rnk")
+    }),
+
+    // ---- MMR diversified re-ranking (Carbonell & Goldstein 1998): greedy
+    // top-K maximizing λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s) — the standard
+    // diversity pass between retrieval and a training batch / RAG context.
+    // Greedy selection is inherently sequential in K, but K is a small
+    // constant: each round is ONE distributed pass (anti-join the picked
+    // docs → max-sim agg against the selected set → per-query argmax
+    // window), everything keyed by q_id. 100 TB shape: the pool is the
+    // bounded per-query top-N (from any ANN leg — e3/e5 at scale), so each
+    // round touches Q·N rows; pairwise pool sims are computed ONCE (Q·N²,
+    // bounded) and reused each round via localCheckpoint. Scores are exact
+    // shared-fold double arithmetic, so ranking needs no tolerance.
+    "e10_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < MMR_Q)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      val c = emb.select($"vec_id".as("c_id"), $"embedding".as("cv"))
+      val wPool = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+      val pool = c.crossJoin(broadcast(q))
+        .filter($"q_id" =!= $"c_id")
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+        .withColumn("prnk", row_number().over(wPool))
+        .filter($"prnk" <= MMR_POOL)
+        .select($"q_id", $"c_id", $"cv", $"cos")
+        .localCheckpoint() // feeds sims (both sides) + every greedy round
+      val sims = pool.select($"q_id", $"c_id".as("sa"), $"cv".as("va"))
+        .join(pool.select($"q_id", $"c_id".as("sb"), $"cv".as("vb")),
+          Seq("q_id"))
+        .filter($"sa" =!= $"sb")
+        .select($"q_id", $"sa", $"sb", Vectors.cosine($"va", $"vb").as("sim"))
+        .localCheckpoint()
+      val wPick = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
+      // round 1: empty selected set → the diversity term is absent
+      var sel = pool
+        .withColumn("score", lit(0.7) * $"cos")
+        .withColumn("rnk", row_number().over(wPick))
+        .filter($"rnk" === 1)
+        .select($"q_id", $"c_id", lit(1).as("step"), $"score")
+        .localCheckpoint()
+      for (k <- 2 to MMR_K) {
+        val next = pool
+          .join(sel.select($"q_id", $"c_id"), Seq("q_id", "c_id"), "left_anti")
+          .join(sims.join(sel.select($"q_id", $"c_id".as("sa")),
+              Seq("q_id", "sa"))
+            .select($"q_id", $"sb".as("c_id"), $"sim"), Seq("q_id", "c_id"))
+          .groupBy($"q_id", $"c_id", $"cos")
+          .agg(max($"sim").as("maxsim"))
+          .withColumn("score", lit(0.7) * $"cos" - lit(0.3) * $"maxsim")
+          .withColumn("rnk", row_number().over(wPick))
+          .filter($"rnk" === 1)
+          .select($"q_id", $"c_id", lit(k).as("step"), $"score")
+        sel = sel.unionByName(next).localCheckpoint()
+      }
+      sel.select($"q_id", $"step", $"c_id", round($"score", 6).as("mmr_score"))
+        .orderBy($"q_id", $"step")
     }))
 
   def oracles: Map[String, String] = {
@@ -554,6 +617,54 @@ object Embed {
            |  UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
            |SELECT src AS vec_id, min(dst) AS kept_id
            |FROM reach GROUP BY src HAVING src <> min(dst)
-           |ORDER BY vec_id""".stripMargin)
+           |ORDER BY vec_id""".stripMargin,
+
+      "e10_mmr_rerank" -> {
+        val cosAB = Vectors.cosineSql("a.cv", "b.cv", DIM)
+        // unrolled greedy: one (step, running-selected-set) CTE pair per
+        // round — the same K passes the engine runs, in pure SQL
+        val steps = (2 to MMR_K).map { k =>
+          s"""s$k AS (
+             |  SELECT q_id, c_id, $k AS step, score FROM (
+             |    SELECT q_id, c_id, score, row_number() OVER
+             |      (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+             |    FROM (
+             |      SELECT p.q_id, p.c_id,
+             |        0.7 * p.cos - 0.3 * max(m.sim) AS score
+             |      FROM pool p
+             |      JOIN sims m ON m.q_id = p.q_id AND m.sb = p.c_id
+             |      JOIN sel${k - 1} s ON m.q_id = s.q_id AND m.sa = s.c_id
+             |      WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} z
+             |        WHERE z.q_id = p.q_id AND z.c_id = p.c_id)
+             |      GROUP BY p.q_id, p.c_id, p.cos))
+             |  WHERE rnk = 1),
+             |sel$k AS (SELECT q_id, c_id, step, score FROM sel${k - 1}
+             |  UNION ALL SELECT q_id, c_id, step, score FROM s$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < $MMR_Q),
+           |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+           |pool AS (
+           |  SELECT q_id, c_id, cv, cos FROM (
+           |    SELECT q_id, c_id, cv, cos, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY cos DESC, c_id) AS prnk
+           |    FROM (SELECT q_id, c_id, cv, $cosQC AS cos
+           |          FROM q, c WHERE q_id != c_id))
+           |  WHERE prnk <= $MMR_POOL),
+           |sims AS (
+           |  SELECT a.q_id, a.c_id AS sa, b.c_id AS sb, $cosAB AS sim
+           |  FROM pool a JOIN pool b
+           |    ON a.q_id = b.q_id AND a.c_id != b.c_id),
+           |sel1 AS (
+           |  SELECT q_id, c_id, 1 AS step, score FROM (
+           |    SELECT q_id, c_id, 0.7 * cos AS score, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY 0.7 * cos DESC, c_id) AS rnk
+           |    FROM pool)
+           |  WHERE rnk = 1),
+           |$steps
+           |SELECT q_id, CAST(step AS INTEGER) AS step, c_id,
+           |  round(score, 6) AS mmr_score
+           |FROM sel$MMR_K ORDER BY q_id, step""".stripMargin
+      })
   }
 }

@@ -31,6 +31,10 @@ object TextDedup {
     * are float-free in BOTH engines. */
   private val PFJ_NUM = 6
   private val PFJ_DEN = 10
+  /** Incremental-dedup split: incoming delta = doc_id ≡ 0 (mod 10); the
+    * other 90 % is the already-indexed corpus. Verify gate τ = 1/2
+    * (integer form 2·inter ≥ union). */
+  private val INC_MOD = 10
 
   private def toks(c: Column) = TextOps.tokens(c)
 
@@ -508,6 +512,66 @@ object TextDedup {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // ---- incremental corpus dedup: the PRODUCTION ingestion shape — a
+    // small incoming delta is checked against the already-indexed corpus
+    // WITHOUT ever self-joining the corpus. Band signatures of the delta
+    // join the corpus band index (delta side broadcast — it's the daily
+    // batch, not the warehouse), candidates verify with exact n-gram
+    // Jaccard, and each incoming doc gets its keep/drop verdict: candidate
+    // count, verified-dup count, best match. 100 TB shape: cost is one
+    // scan of the corpus bands + bounded candidate verification; the
+    // hot-band cap bounds degenerate bands exactly as in d3. --------------
+    "d16_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val win = org.apache.spark.sql.expressions.Window
+      val sig = sigDF(s, dir).localCheckpoint()
+      val bands0 = sig.select($"doc_id", posexplode(array((0 until 4).map(b =>
+        concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*))
+        .as(Seq("band", "bv")))
+      val bands = graft.ops.Buckets.capMembers(bands0,
+        Seq(col("band"), col("bv")), label = "incremental_dedup")
+      val newBands = bands.filter($"doc_id" % INC_MOD === 0)
+        .select($"doc_id".as("new_id"), $"band", $"bv")
+      val oldBands = bands.filter($"doc_id" % INC_MOD =!= 0)
+        .select($"doc_id".as("old_id"), $"band", $"bv")
+      val cand = oldBands.join(broadcast(newBands), Seq("band", "bv"))
+        .select($"new_id", $"old_id").distinct()
+        .localCheckpoint() // feeds the verify join + the candidate count
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N)).as("g"))
+        .localCheckpoint() // both verify sides
+      // scalar-only checkpoint between the array intersection and its
+      // consumers (CollapseProject re-inlining guard — see d6)
+      val sized = cand
+        .join(grams.select($"doc_id".as("new_id"), $"g".as("gn")), Seq("new_id"))
+        .join(grams.select($"doc_id".as("old_id"), $"g".as("go")), Seq("old_id"))
+        .select($"new_id", $"old_id",
+          size(array_intersect($"gn", $"go")).cast("long").as("inter"),
+          (size($"gn") + size($"go")).cast("long").as("__sum"))
+        .localCheckpoint()
+      val dups = sized.withColumn("uni", $"__sum" - $"inter")
+        .filter($"inter" * 2 >= $"uni")
+        .select($"new_id", $"old_id", expr("(inter * 1000000) div uni").as("jac_ppm"))
+      val candCnt = cand.groupBy($"new_id").agg(count(lit(1)).as("n_cand"))
+      val dupCnt = dups.groupBy($"new_id").agg(count(lit(1)).as("n_dup"))
+      val best = dups.withColumn("rnk", row_number().over(
+          win.partitionBy($"new_id").orderBy($"jac_ppm".desc, $"old_id")))
+        .filter($"rnk" === 1)
+        .select($"new_id", $"old_id".as("best_old"),
+          $"jac_ppm".as("best_jac_ppm"))
+      t(s, dir, "documents").filter($"doc_id" % INC_MOD === 0)
+        .select($"doc_id".as("new_id"))
+        .join(candCnt, Seq("new_id"), "left")
+        .join(dupCnt, Seq("new_id"), "left")
+        .join(best, Seq("new_id"), "left")
+        .select($"new_id", coalesce($"n_cand", lit(0L)).as("n_cand"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"), $"best_old",
+          $"best_jac_ppm")
+        .orderBy($"new_id")
+    }),
+
     // ---- corpus-internal exact substring duplication (Lee et al. 2021,
     // "Deduplicating Training Data Makes Language Models Better": flag
     // text spans that occur verbatim in MORE THAN ONE document). Spark
@@ -921,6 +985,52 @@ object TextDedup {
            |            JOIN tok tb ON b_id = tb.doc_id)
            |SELECT a_id, b_id, inter, uni, (inter * 1000000) // uni AS jac_ppm
            |FROM verified WHERE inter * $PFJ_DEN >= uni * $PFJ_NUM
-           |ORDER BY a_id, b_id""".stripMargin)
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "d16_incremental_dedup" ->
+        s"""WITH $sigSql,
+           |bands AS (
+           |  SELECT doc_id, b AS band,
+           |    CASE b WHEN 0 THEN s0 || s1 WHEN 1 THEN s2 || s3
+           |           WHEN 2 THEN s4 || s5 ELSE s6 || s7 END AS bv
+           |  FROM sig, (VALUES (0), (1), (2), (3)) t(b)),
+           |cand AS (
+           |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+           |  FROM bands n JOIN bands o ON n.band = o.band AND n.bv = o.bv
+           |  WHERE n.doc_id % $INC_MOD = 0 AND o.doc_id % $INC_MOD != 0),
+           |tok AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(0, greatest(len(tokens) - $NGRAM_N, 0)),
+           |    i -> array_to_string(list_slice(tokens, i + 1, i + $NGRAM_N),
+           |      ' '))) AS ts
+           |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
+           |ver AS (
+           |  SELECT new_id, old_id,
+           |    CAST(len(list_intersect(tn.ts, tb.ts)) AS BIGINT) AS inter,
+           |    CAST(len(tn.ts) + len(tb.ts)
+           |      - len(list_intersect(tn.ts, tb.ts)) AS BIGINT) AS uni
+           |  FROM cand JOIN tok tn ON new_id = tn.doc_id
+           |            JOIN tok tb ON old_id = tb.doc_id),
+           |dups AS (
+           |  SELECT new_id, old_id, (inter * 1000000) // uni AS jac_ppm
+           |  FROM ver WHERE 2 * inter >= uni),
+           |cc AS (SELECT new_id, count(*) AS n_cand FROM cand GROUP BY new_id),
+           |dc AS (SELECT new_id, count(*) AS n_dup FROM dups GROUP BY new_id),
+           |best AS (
+           |  SELECT new_id, old_id AS best_old, jac_ppm AS best_jac_ppm FROM (
+           |    SELECT new_id, old_id, jac_ppm, row_number() OVER
+           |      (PARTITION BY new_id ORDER BY jac_ppm DESC, old_id) AS rnk
+           |    FROM dups)
+           |  WHERE rnk = 1)
+           |SELECT d.doc_id AS new_id,
+           |  CAST(coalesce(cc.n_cand, 0) AS BIGINT) AS n_cand,
+           |  CAST(coalesce(dc.n_dup, 0) AS BIGINT) AS n_dup,
+           |  best.best_old, best.best_jac_ppm
+           |FROM documents d
+           |LEFT JOIN cc ON d.doc_id = cc.new_id
+           |LEFT JOIN dc ON d.doc_id = dc.new_id
+           |LEFT JOIN best ON d.doc_id = best.new_id
+           |WHERE d.doc_id % $INC_MOD = 0
+           |ORDER BY new_id""".stripMargin)
   }
 }
