@@ -60,6 +60,9 @@ object Analytics {
   /** Rolling-median frame: current row + 9 predecessors. */
   private val MedPrec = 9
 
+  /** Calibration reliability diagram: decile bins over the proba order. */
+  private val CalBins = 10
+
   private val ProfileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val PivotYears = 1995 to 2001
@@ -1010,6 +1013,59 @@ object Analytics {
           expr("element_at(array_sort(cl), cast((size(cl) + 1) div 2 as int))"))
         .select($"user_id", $"event_id", $"cents", $"med10_cents")
         .orderBy($"user_id", $"event_id")
+    }),
+
+    // ---- A33: unpivot (wide → long reshape) -------------------------------
+    // The inverse of a16's pivot: melt the four lineitem measure columns
+    // into (metric, cents) rows, then profile each metric. 100 TB shape:
+    // unpivot is a PER-ROW expansion (no shuffle, 4× rows that immediately
+    // partial-aggregate map-side into 4 groups), so the reshape never
+    // materializes the long form.
+    "a33_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          round($"l_quantity" * 100).cast("long").as("qty_c"),
+          round($"l_extendedprice" * 100).cast("long").as("price_c"),
+          round($"l_discount" * 100).cast("long").as("disc_c"),
+          round($"l_tax" * 100).cast("long").as("tax_c"))
+        .unpivot(Array($"l_orderkey", $"l_linenumber"),
+          Array($"qty_c", $"price_c", $"disc_c", $"tax_c"), "metric", "cents")
+        .groupBy($"metric")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+          min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+        .orderBy($"metric")
+    }),
+
+    // ---- A34: calibration reliability diagram -----------------------------
+    // The standard probabilistic-classifier diagnostic: rank rows by
+    // predicted probability, cut into deciles, and compare each bin's mean
+    // predicted proba against its observed positive rate. Proba is f7's
+    // sigmoid pseudo-score; label is the 'error' event type. All reported
+    // figures are integer ppm (per-row rounded proba summed then
+    // floor-divided), so the compare is hash-exact. 100 TB shape: the
+    // global proba order uses the two-pass Ranks primitive (never a
+    // single-task window), binning is integer rank arithmetic, and the
+    // final agg is 10 groups. Ordering keys on the RAW (value, event_id) —
+    // sigmoid is monotone in value, so the rank order is float-safe even
+    // if exp() differs in the last ulp cross-engine.
+    "a34_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"value",
+          when($"event_type" === "error", 1L).otherwise(0L).as("pos"),
+          round(graft.functions.Coerce.sigmoidProba($"value", 100.0)
+            * 1000000).cast("long").as("ppm"))
+      graft.ops.Ranks
+        .globalRowNumberWithTotal(ev, Seq($"value", $"event_id"), "rn", "n")
+        .withColumn("bin", expr(s"((rn - 1) * $CalBins) div n"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_bin"), sum($"ppm").as("__sp"),
+          sum($"pos").as("__pos"))
+        .select($"bin", $"n_bin",
+          expr("__sp div n_bin").as("mean_proba_ppm"),
+          expr("(__pos * 1000000) div n_bin").as("frac_pos_ppm"))
+        .orderBy($"bin")
     })
   )
 
@@ -1671,6 +1727,40 @@ object Analytics {
          |SELECT user_id, event_id, cents,
          |  (list_sort(cl))[(len(cl) + 1) // 2] AS med10_cents
          |FROM fr ORDER BY user_id, event_id""".stripMargin
+    },
+
+    "a33_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+        |  FROM lineitem),
+        |long AS (
+        |  SELECT 'qty_c' AS metric, qty_c AS cents FROM wide
+        |  UNION ALL SELECT 'price_c', price_c FROM wide
+        |  UNION ALL SELECT 'disc_c', disc_c FROM wide
+        |  UNION ALL SELECT 'tax_c', tax_c FROM wide)
+        |SELECT metric, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
+
+    "a34_calibration" -> {
+      val sig = graft.functions.Coerce.sigmoidProbaSql("value", 100.0)
+      s"""WITH ev AS (
+         |  SELECT event_id, value,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos,
+         |    CAST(round($sig * 1000000) AS BIGINT) AS ppm
+         |  FROM events),
+         |r AS (
+         |  SELECT pos, ppm,
+         |    row_number() OVER (ORDER BY value, event_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM ev)
+         |SELECT ((rn - 1) * $CalBins) // n AS bin, count(*) AS n_bin,
+         |  CAST(sum(ppm) AS BIGINT) // count(*) AS mean_proba_ppm,
+         |  (CAST(sum(pos) AS BIGINT) * 1000000) // count(*) AS frac_pos_ppm
+         |FROM r GROUP BY bin ORDER BY bin""".stripMargin
     }
   )
 }
