@@ -63,6 +63,9 @@ object Analytics {
   /** Calibration reliability diagram: decile bins over the proba order. */
   private val CalBins = 10
 
+  /** Label-propagation rounds (fixed, synchronous — see ops.Lpa). */
+  private val LpaRounds = 3
+
   private val ProfileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val PivotYears = 1995 to 2001
@@ -1066,6 +1069,85 @@ object Analytics {
           expr("__sp div n_bin").as("mean_proba_ppm"),
           expr("(__pos * 1000000) div n_bin").as("frac_pos_ppm"))
         .orderBy($"bin")
+    }),
+
+    // ---- G5: label-propagation communities --------------------------------
+    // Fixed-round synchronous LPA over the customer↔supplier trade graph
+    // (the g4 edge frame): the near-linear community detector, made
+    // deterministic by the ops.Lpa contract (synchronous rounds,
+    // count-desc/label-asc argmax). Oracle unrolls the identical rounds.
+    // 100 TB shape: per round one co-partitioned edge⋈label join + one
+    // count agg + one node-partitioned argmax window.
+    "g5_label_propagation" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("c"),
+          concat(lit("s"), $"l_suppkey").as("s"))
+        .distinct()
+      val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+        .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+      graft.ops.Lpa.propagate(edges, LpaRounds)
+        .orderBy($"node")
+    }),
+
+    // ---- A35: two-proportion A/B z-test -----------------------------------
+    // The experimentation primitive: md5-hash cohorts (p15's assignment —
+    // stable under any partitioning), error rate per arm, pooled
+    // two-proportion z. Counts are exact integers; z is derived from them
+    // through the IDENTICAL double expression in both engines (IEEE ops on
+    // equal inputs), reported at 6 dp. 100 TB shape: one map-side
+    // projection + a 1-row aggregate; nothing shuffles but 2 groups.
+    "a35_ab_test" -> ((s, dir) => {
+      import s.implicits._
+      val arm = conv(substring(md5($"event_id".cast("string").cast("binary")),
+        1, 2), 16, 10).cast("int") % 2
+      t(s, dir, "events")
+        .select(arm.as("arm"),
+          when($"event_type" === "error", 1L).otherwise(0L).as("x"))
+        .groupBy()
+        .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"arm" === 0, $"x").otherwise(0L)).as("x_a"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when($"arm" === 1, $"x").otherwise(0L)).as("x_b"))
+        .withColumn("pa", $"x_a".cast("double") / $"n_a".cast("double"))
+        .withColumn("pb", $"x_b".cast("double") / $"n_b".cast("double"))
+        .withColumn("pp", ($"x_a" + $"x_b").cast("double") /
+          ($"n_a" + $"n_b").cast("double"))
+        .select($"n_a", $"x_a", $"n_b", $"x_b",
+          round(($"pa" - $"pb") /
+            sqrt($"pp" * (lit(1.0) - $"pp") *
+              (lit(1.0) / $"n_a".cast("double") +
+                lit(1.0) / $"n_b".cast("double"))), 6).as("z"))
+    }),
+
+    // ---- W26: time-weighted average (TWAP) --------------------------------
+    // Per-user time-weighted mean of the event value: each observation
+    // holds until the next one (step interpolation), weight = the holding
+    // interval in seconds; the last observation has no interval and drops.
+    // The volume-independent price/metric average every monitoring and
+    // finance pipeline needs where w19's EWMA is event-weighted. Exact:
+    // integer cents × integer seconds, floor-divided at the end.
+    // 100 TB shape: ONE user-keyed window (lead) + per-user agg on the
+    // same shuffle.
+    "w26_twap" -> ((s, dir) => {
+      import s.implicits._
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"es", $"event_id")
+      t(s, dir, "events")
+        .select($"user_id", $"event_id",
+          graft.functions.Det.epochS($"ts").as("es"),
+          round($"value" * 100).cast("long").as("cents"))
+        .withColumn("dt", lead($"es", 1).over(win) - $"es")
+        .filter($"dt".isNotNull)
+        .groupBy($"user_id")
+        .agg(sum($"dt").as("span_s"),
+          sum($"cents" * $"dt").as("__wsum"))
+        .filter($"span_s" > 0) // all-ties user has no holding time
+        .select($"user_id", $"span_s",
+          expr("__wsum div span_s").as("twap_cents"))
+        .orderBy($"user_id")
     })
   )
 
@@ -1761,6 +1843,80 @@ object Analytics {
          |  CAST(sum(ppm) AS BIGINT) // count(*) AS mean_proba_ppm,
          |  (CAST(sum(pos) AS BIGINT) * 1000000) // count(*) AS frac_pos_ppm
          |FROM r GROUP BY bin ORDER BY bin""".stripMargin
+    },
+
+    "g5_label_propagation" -> {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""c$r AS (
+           |  SELECT e.src AS node, l.lbl, count(*) AS c
+           |  FROM edges e JOIN l${r - 1} l ON e.dst = l.node
+           |  GROUP BY e.src, l.lbl),
+           |l$r AS (
+           |  SELECT node, lbl FROM (
+           |    SELECT node, lbl, row_number() OVER
+           |      (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+           |    FROM c$r)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT c AS src, s AS dst FROM pairs
+         |  UNION ALL SELECT s, c FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         |$rounds
+         |SELECT node, lbl FROM l$LpaRounds ORDER BY node""".stripMargin
+    },
+
+    "a35_ab_test" -> {
+      // 8-bit bucket from 2 hex chars (the p15 hexFold pattern)
+      val fold = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16" +
+        " + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+      s"""WITH a AS (
+         |  SELECT CAST($fold AS INTEGER) % 2 AS arm,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS x
+         |  FROM (SELECT substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS h,
+         |          event_type
+         |        FROM events)),
+         |g AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS x_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS x_b
+         |  FROM a),
+         |p AS (
+         |  SELECT n_a, x_a, n_b, x_b,
+         |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+         |  FROM g)
+         |SELECT n_a, x_a, n_b, x_b,
+         |  round((pa - pb) / sqrt(pp * (1.0 - pp) *
+         |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+         |    AS z
+         |FROM p""".stripMargin
+    },
+
+    "w26_twap" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, $es AS es,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |d AS (
+         |  SELECT user_id, cents,
+         |    lead(es, 1) OVER (PARTITION BY user_id ORDER BY es, event_id)
+         |      - es AS dt
+         |  FROM ev),
+         |g AS (
+         |  SELECT user_id, CAST(sum(dt) AS BIGINT) AS span_s,
+         |    CAST(sum(cents * dt) AS BIGINT) AS wsum
+         |  FROM d WHERE dt IS NOT NULL GROUP BY user_id)
+         |SELECT user_id, span_s, wsum // span_s AS twap_cents
+         |FROM g WHERE span_s > 0 ORDER BY user_id""".stripMargin
     }
   )
 }
