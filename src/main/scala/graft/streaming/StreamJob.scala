@@ -148,6 +148,81 @@ object StreamJob {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** T5-streaming: bounded-state incremental sessionization — the streaming
+    * twin of the oracle-green `w11_sessionize`. State is ONE open-session
+    * row per ACTIVE user (never event-scale): each trigger re-runs the
+    * gaps-and-islands split over (open-state intervals ∪ batch events) —
+    * the batch algorithm applied to aggregates — closes every chain
+    * element but the last, and carries the last forward with the user's
+    * emitted-session count. Requires per-user event-time-ordered arrival
+    * across triggers (the [[stageAndReplay]] range-chunk contract; within
+    * a trigger order is free). [[sessionizeFlush]] closes residual opens
+    * at end-of-stream. */
+  def sessionizeSink(stream: DataFrame, userCol: String, tsCol: String,
+                     gapS: Long, outTable: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val openT = s"${outTable}__open"
+        val open =
+          if (sp.catalog.tableExists(openT)) sp.table(openT)
+          else batch.limit(0).select(col(userCol).as("user_id"),
+            lit(0L).as("s0"), lit(0L).as("e1"), lit(0L).as("n"),
+            lit(0L).as("emitted"))
+        val ev = batch.select(col(userCol).as("user_id"),
+            graft.functions.Det.epochS(col(tsCol)).as("s0"))
+          .withColumn("e1", col("s0")).withColumn("n", lit(1L))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("s0"), col("e1"))
+        val sess = open.select(col("user_id"), col("s0"), col("e1"), col("n"))
+          .unionByName(ev)
+          .withColumn("gap", col("s0") - lag(col("e1"), 1).over(wOrd))
+          .withColumn("ns",
+            when(col("gap").isNull || col("gap") > gapS, 1L).otherwise(0L))
+          .withColumn("slot", sum(col("ns")).over(wOrd.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("slot"))
+          .agg(sum(col("n")).as("n"), min(col("s0")).as("s0"),
+            max(col("e1")).as("e1"))
+        // checkpoint BEFORE touching the state table: both writes below
+        // must read materialized data, not the table being overwritten
+        val sess2 = sess
+          .join(sess.groupBy(col("user_id")).agg(max(col("slot")).as("mslot")),
+            Seq("user_id"))
+          .join(open.select(col("user_id"), col("emitted")),
+            Seq("user_id"), "left")
+          .na.fill(0L, Seq("emitted"))
+          .localCheckpoint()
+        sess2.filter(col("slot") < col("mslot"))
+          .select(col("user_id"), (col("emitted") + col("slot")).as("sess_id"),
+            col("n").as("n_events"), col("s0").as("sess_start"),
+            col("e1").as("sess_end"))
+          .write.mode("append").format("parquet").saveAsTable(outTable)
+        sess2.filter(col("slot") === col("mslot"))
+          .select(col("user_id"), col("s0"), col("e1"), col("n"),
+            (col("emitted") + col("mslot") - 1).as("emitted"))
+          .write.mode("overwrite").format("parquet").saveAsTable(openT)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Close the sessions still open when a finite replay drains (the
+    * end-of-stream flush every sessionizer needs; a live stream would
+    * instead close them by watermark). */
+  def sessionizeFlush(sp: SparkSession, outTable: String): Unit = {
+    val openT = s"${outTable}__open"
+    if (sp.catalog.tableExists(openT)) {
+      sp.table(openT)
+        .select(col("user_id"), (col("emitted") + 1).as("sess_id"),
+          col("n").as("n_events"), col("s0").as("sess_start"),
+          col("e1").as("sess_end"))
+        .localCheckpoint()
+        .write.mode("append").format("parquet").saveAsTable(outTable)
+      sp.sql(s"DROP TABLE $openT")
+    }
+  }
+
   /** T2: per-row streaming injection for a list of settings (stats from the
     * static pre-pass). */
   def injectStream(stream: DataFrame, staticDf: DataFrame, idCol: String,

@@ -152,6 +152,36 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming sessionization ≡ w11 batch sessionize (oracle-anchored), " +
+      "across 3 micro-batch cut layouts") {
+    // w11_sessionize is oracle-green: its batch result is cross-engine
+    // verified. The bounded-state sink (one open-session row per active
+    // user) must converge to EXACTLY that table whatever the cut layout,
+    // including cuts that land mid-session — the open-interval carry is
+    // what makes per-batch gaps-and-islands associative.
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("w11_sessionize")(spark, dir)
+      .collect().map(_.toString).sorted.mkString("|")
+    val frame = graft.Tables.t(spark, dir, "events")
+      .select($"ts".as("timestamp"), $"user_id")
+      .localCheckpoint()
+    val layouts = Seq((1, 1), (5, 2), (16, 3)) // (nChunks, filesPerTrigger)
+    layouts.zipWithIndex.foreach { case ((chunks, perTrigger), i) =>
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft_sess_$i").toString
+      val stream = StreamJob.stageAndReplay(spark, frame, stage,
+        nChunks = chunks, filesPerTrigger = perTrigger)
+      val q = StreamJob.sessionizeSink(stream, "user_id", "timestamp",
+        gapS = 1800L, outTable = s"sess_out_$i")
+      q.awaitTermination(60000)
+      StreamJob.sessionizeFlush(spark, s"sess_out_$i")
+      val got = spark.table(s"sess_out_$i")
+        .collect().map(_.toString).sorted.mkString("|")
+      assert(got == batch, s"layout ($chunks, $perTrigger): stream ≠ batch")
+      spark.sql(s"DROP TABLE sess_out_$i")
+    }
+  }
+
   test("stream-stream range join ≡ batch interval join, across cut " +
       "layouts incl. bounded disorder") {
     // left: readings; right: alerts. Each reading matches same-key alerts
