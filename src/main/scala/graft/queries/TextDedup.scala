@@ -454,11 +454,15 @@ object TextDedup {
         $"pfx".as("b_pfx"), explode(array($"blk", $"blk" - 1)).as("blk"))
       ranked.join(right, Seq("blk"))
         .filter(($"b_rnk" - $"rnk").between(1, SNM_W))
+        // threshold form = BANDED DP (O(len·k) not O(len²), early-exit on
+        // length mismatch): pairs beyond the gate return -1 and drop;
+        // survivors carry the exact full distance, so the oracle (full
+        // Levenshtein + filter) is unchanged
         .select(least($"doc_id", $"b_doc").as("a_id"),
           greatest($"doc_id", $"b_doc").as("b_id"),
           ($"b_rnk" - $"rnk").as("gap"),
-          levenshtein($"pfx", $"b_pfx").cast("long").as("lev"))
-        .filter($"lev" <= SNM_MAX_LEV)
+          levenshtein($"pfx", $"b_pfx", SNM_MAX_LEV).cast("long").as("lev"))
+        .filter($"lev" >= 0)
         .orderBy($"a_id", $"b_id")
     }),
 
