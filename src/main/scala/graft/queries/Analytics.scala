@@ -1122,6 +1122,49 @@ object Analytics {
                 lit(1.0) / $"n_b".cast("double"))), 6).as("z"))
     }),
 
+    // ---- W27: the ranking-function family on ties --------------------------
+    // rank / dense_rank / row_number side by side over a tie-rich order
+    // (cents per user) — the three contracts differ exactly on ties
+    // (gapped, dense, arbitrary-but-total), and none was oracle-gated yet
+    // (w9/u4 use row_number, w17 the fraction forms). One keyed shuffle,
+    // all three functions share the same window sort.
+    "w27_rank_family" -> ((s, dir) => {
+      import s.implicits._
+      val byCents = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"cents".desc)
+      val total = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"cents".desc, $"event_id")
+      t(s, dir, "events")
+        .select($"user_id", $"event_id",
+          round($"value" * 100).cast("long").as("cents"))
+        .withColumn("rnk", rank().over(byCents).cast("long"))
+        .withColumn("drnk", dense_rank().over(byCents).cast("long"))
+        .withColumn("rn", row_number().over(total).cast("long"))
+        .orderBy($"user_id", $"rn")
+    }),
+
+    // ---- A36: explicit GROUPING SETS --------------------------------------
+    // The general form a12's rollup and a21's cube are special cases of:
+    // exactly the requested subtotal combinations — here (type, shard),
+    // (type), (shard) — skipping the grand total a cube would also pay
+    // for. Dataset API has rollup/cube only, so this goes through the SQL
+    // surface (same Expand operator underneath; one shuffle).
+    "a36_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type", ($"user_id" % 3).as("shard"),
+          round($"value" * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("__gs_events")
+      s.sql(
+        """SELECT coalesce(event_type, '(all)') AS etype,
+          |  coalesce(cast(shard AS string), '(all)') AS shard,
+          |  count(1) AS cnt, sum(cents) AS sum_cents
+          |FROM __gs_events
+          |GROUP BY GROUPING SETS ((event_type, shard), (event_type),
+          |  (shard))
+          |ORDER BY etype, shard""".stripMargin)
+    }),
+
     // ---- W26: time-weighted average (TWAP) --------------------------------
     // Per-user time-weighted mean of the event value: each observation
     // holds until the next one (step interpolation), weight = the holding
@@ -1899,6 +1942,33 @@ object Analytics {
          |    AS z
          |FROM p""".stripMargin
     },
+
+    "w27_rank_family" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, event_id, cents,
+        |  CAST(rank() OVER (PARTITION BY user_id ORDER BY cents DESC)
+        |    AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY cents DESC)
+        |    AS BIGINT) AS drnk,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY user_id ORDER BY cents DESC, event_id)
+        |    AS BIGINT) AS rn
+        |FROM ev ORDER BY user_id, rn""".stripMargin,
+
+    "a36_grouping_sets" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id % 3 AS shard,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT coalesce(event_type, '(all)') AS etype,
+        |  coalesce(CAST(shard AS VARCHAR), '(all)') AS shard,
+        |  count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM ev
+        |GROUP BY GROUPING SETS ((event_type, shard), (event_type), (shard))
+        |ORDER BY etype, shard""".stripMargin,
 
     "w26_twap" -> {
       val es = graft.functions.Det.epochSSql("ts")
