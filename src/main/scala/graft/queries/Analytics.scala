@@ -1165,6 +1165,37 @@ object Analytics {
           |ORDER BY etype, shard""".stripMargin)
     }),
 
+    // ---- A37: per-group OLS trend line ------------------------------------
+    // Least-squares slope/intercept of value over time per event type —
+    // the trend primitive behind drift dashboards and forecast baselines.
+    // The five sufficient statistics (n, Σx, Σy, Σx², Σxy) are EXACT
+    // integer sums (x = seconds from the fixed origin, y = cents; all
+    // bounded well inside long range at any per-group cardinality the
+    // group-by key admits); the closing slope/intercept arithmetic runs in
+    // doubles through the IDENTICAL expression in both engines (the a35
+    // recipe), reported at 6 dp. 100 TB shape: one map-side projection +
+    // one tiny per-group agg; nothing else moves.
+    "a37_ols_trend" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type",
+          (graft.functions.Det.epochS($"ts") - lit(1704067200L)).as("x"),
+          round($"value" * 100).cast("long").as("y"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        .withColumn("slope",
+          ($"n".cast("double") * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+          ($"n".cast("double") * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")))
+        .select($"event_type", $"n",
+          round($"slope" * 86400.0, 6).as("slope_cents_per_day"),
+          round(($"sy".cast("double") - $"slope" * $"sx".cast("double")) /
+            $"n".cast("double"), 6).as("intercept_cents"))
+        .orderBy($"event_type")
+    }),
+
     // ---- W26: time-weighted average (TWAP) --------------------------------
     // Per-user time-weighted mean of the event value: each observation
     // holds until the next one (step interpolation), weight = the holding
@@ -1969,6 +2000,33 @@ object Analytics {
         |FROM ev
         |GROUP BY GROUPING SETS ((event_type, shard), (event_type), (shard))
         |ORDER BY etype, shard""".stripMargin,
+
+    "a37_ols_trend" -> {
+      val es = graft.functions.Det.epochSSql("ts")
+      s"""WITH ev AS (
+         |  SELECT event_type, $es - 1704067200 AS x,
+         |    CAST(round(value * 100) AS BIGINT) AS y
+         |  FROM events),
+         |g AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM ev GROUP BY event_type),
+         |sl AS (
+         |  SELECT event_type, n,
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         |    sx, sy
+         |  FROM g)
+         |SELECT event_type, n,
+         |  round(slope * 86400.0, 6) AS slope_cents_per_day,
+         |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE), 6) AS intercept_cents
+         |FROM sl ORDER BY event_type""".stripMargin
+    },
 
     "w26_twap" -> {
       val es = graft.functions.Det.epochSSql("ts")
