@@ -31,11 +31,18 @@ object Core {
     // ---- S9: time-range scan (predicate reaches the parquet scan) --------
     "s9_time_range_scan" -> ((s, dir) => {
       import s.implicits._
-      // filter on the raw ns column so the range predicate reaches the
-      // parquet scan (PushedFilters + row-group pruning at scale)
-      t(s, dir, "events")
-        .filter($"ts_ns" >= 1704412800L * 1000000000L &&
-          $"ts_ns" < 1704499200L * 1000000000L)
+      // filter on the RAW physical column so the range predicate reaches
+      // the parquet scan (PushedFilters + row-group pruning at scale):
+      // `ts_ntz` under the µs layout, `ts_ns` under the legacy ns layout
+      // (graft.Tables.t) — predicates on the derived `ts` cannot push
+      val ev = t(s, dir, "events")
+      val pushable =
+        if (ev.columns.contains("ts_ntz"))
+          $"ts_ntz" >= expr("TIMESTAMP_NTZ '2024-01-05 00:00:00'") &&
+            $"ts_ntz" < expr("TIMESTAMP_NTZ '2024-01-06 00:00:00'")
+        else $"ts_ns" >= 1704412800L * 1000000000L &&
+          $"ts_ns" < 1704499200L * 1000000000L
+      ev.filter(pushable)
         .select($"event_id", Det.epochS($"ts").as("epoch_s"), $"event_type",
           $"value")
         .orderBy($"epoch_s", $"event_id")

@@ -351,14 +351,19 @@ object TextDedup {
       import s.implicits._
       val txt = t(s, dir, "documents")
         .select($"doc_id", substring($"text", 1, 120).as("pfx"))
+      // sort BEFORE projecting the O(len²) verifier: a sort's range-
+      // partitioning sampling job re-executes its child plan, so a
+      // projection under the sort runs TWICE (measured 2× on this stage —
+      // PLANS.md round-5). Column pruning still pushes only the prefix
+      // columns through the exchange; the DP runs once, post-shuffle.
       lshPairs(s, dir).filter($"est_jaccard" >= 0.5)
         .join(txt.select($"doc_id".as("a_id"), $"pfx".as("a_pfx")),
           Seq("a_id"))
         .join(txt.select($"doc_id".as("b_id"), $"pfx".as("b_pfx")),
           Seq("b_id"))
+        .orderBy($"a_id", $"b_id")
         .select($"a_id", $"b_id",
           levenshtein($"a_pfx", $"b_pfx").cast("long").as("lev"))
-        .orderBy($"a_id", $"b_id")
     }),
 
     // ---- exact n-gram Jaccard on high-confidence LSH candidates ----------

@@ -14,6 +14,10 @@ class PlanAuditSpec extends SparkSpec {
   test("s9: the time-range predicate reaches the parquet scan") {
     val p = plan("s9_time_range_scan")
     assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+    // the RANGE itself must push (both physical ts layouts), not just
+    // the null check — row-group min/max pruning needs the bounds
+    assert(p.contains("GreaterThanOrEqual(ts"), p.take(2000))
+    assert(p.contains("LessThan(ts"), p.take(2000))
   }
 
   test("q5: dimension joins broadcast (no shuffle on the fact side)") {
