@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Backward as-of join — the time-series join Spark has no native operator
-  * for (each left row picks the single right row with the greatest right
-  * timestamp ≤ its own, per key). The classic use: align each event with
-  * the most recent prior marker (deploy, error, config change).
+/** As-of joins (backward and forward) — the time-series join Spark has no
+  * native operator for (each left row picks the single right row with the
+  * greatest right timestamp ≤ its own — or, forward, the smallest ≥ —
+  * per key). The classic uses: align each event with the most recent
+  * prior marker (deploy, error, config change), or with the next
+  * following outcome (conversion, fill, ack).
   *
   * Implementation is the union-and-carry form, not a join: tag both sides,
   * union them, and run ONE keyed window pass carrying the last non-null
@@ -27,7 +29,23 @@ object AsOf {
   /** Left-outer backward as-of join: every left row, plus `asof_<p>`
     * columns from the matched right row (null when no prior right row). */
   def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   tsCol: String, payload: Seq[String]): DataFrame = {
+                   tsCol: String, payload: Seq[String]): DataFrame =
+    carry(left, right, keys, tsCol, payload, forward = false)
+
+  /** Left-outer FORWARD as-of join: each left row picks the single right
+    * row with the SMALLEST right timestamp ≥ its own, per key (null when
+    * no later right row). Same union-and-carry shape as
+    * [[joinBackward]] — the only difference is the carry direction: the
+    * keyed window sorts descending, so "last right payload seen" means
+    * "next right row at or after me". Identical cost: one keyed shuffle +
+    * one sorted pass. */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  tsCol: String, payload: Seq[String]): DataFrame =
+    carry(left, right, keys, tsCol, payload, forward = true)
+
+  private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    tsCol: String, payload: Seq[String],
+                    forward: Boolean): DataFrame = {
     val keyCols = keys.map(col)
     val carry = struct(payload.map(col): _*)
     val carryType = right.select(carry.as("__c")).schema("__c").dataType
@@ -46,8 +64,15 @@ object AsOf {
       .withColumn("__carry", lit(null).cast(carryType))
       .withColumn("__side", lit(1))
 
+    // backward: ascending ts, right rows (side 0) before left at equal ts
+    // → "last right seen" = greatest right ts ≤ mine, inclusive.
+    // forward: descending ts with the same side order → "last right seen"
+    // = smallest right ts ≥ mine, inclusive.
+    val ord =
+      if (forward) Seq(col(tsCol).desc, col("__side"))
+      else Seq(col(tsCol), col("__side"))
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val asofCols = payload.map(p => col(s"__match.$p").as(s"asof_$p"))
     l2.unionByName(r2.select(l2.columns.map(col): _*))

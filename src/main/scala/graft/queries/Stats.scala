@@ -1,0 +1,568 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.functions.Det
+import graft.text.TextOps
+
+/** Round-5 pack: time-series statistics (ACF, CUSUM changepoint, Welch's
+  * t-test), forward as-of join, co-occurrence graph similarity, the full
+  * Gopher repetition battery, and integer fixed-point Lloyd k-means —
+  * each with an exact DuckDB oracle.
+  *
+  * Exactness recipe throughout (the a37/PageRank pattern): quantize
+  * doubles to integer milli-/micro-units once, carry every aggregate as
+  * an exact integer, and evaluate the final float formula from the same
+  * exact integers with the same expression shape in both engines — IEEE
+  * ops on identical inputs are identical, so `round(…, 6)` is stable.
+  */
+object Stats {
+
+  /** Value quantization: milli-units (|value| ≤ ~561 ⇒ q ≤ 5.7e5; all
+    * sums of q and q² stay far inside int64). */
+  private val MilliScale = 1000.0
+
+  /** ACF lag depth. */
+  private val AcfMaxLag = 3
+
+  /** CUSUM report size. */
+  private val CusumTopK = 20
+
+  /** Welch's t-test arms. */
+  private val TtA = "click"
+  private val TtB = "view"
+
+  /** Gopher repetition n-gram orders (Rae et al. 2021 §A1.1 run 2..4 for
+    * the top-gram fraction; the duplicate-gram fraction reuses the same
+    * orders here — our synthetic docs are short). */
+  private val RepNs = 2 to 4
+
+  /** k-means geometry: k = 10 (the embeddings table's generative label
+    * count), 2 full Lloyd steps, micro-unit quantization. */
+  private val KmK = 10
+  private val KmIters = 2
+  private val KmScale = 1000000.0
+  private val KmDim = 64
+
+  /** z5 curation chain: in-cluster near-dup threshold τ = 0.4 (τ² below —
+    * calibrated to this synthetic table like e7; max pairwise cosine is
+    * 0.60), keyed-LCG seed and per-cluster sample size. */
+  private val Z5TauSq = 0.16
+  private val Z5Seed = 17L
+  private val Z5SampleN = 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A38: autocorrelation function --------------------------------
+    // Global-series ACF at lags 1..3: Pearson correlation of (x_t,
+    // x_{t+l}) pairs over the (ts, event_id) total order. 100 TB shape:
+    // the total order comes from the two-pass distributed rank (never a
+    // one-task window), lag pairing is ONE equi-join on the shifted
+    // position (all lags ride the same join via a 3-row explode), and
+    // the sufficient statistics are six integer sums per lag.
+    "a38_acf" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(Det.epochS($"ts").as("es"), $"event_id",
+          round($"value" * MilliScale).cast("long").as("q"))
+      // ranked frame feeds both join sides → localCheckpoint (fan-out rule)
+      val ranked = graft.ops.Ranks
+        .globalRowNumber(ev, Seq($"es", $"event_id"), "pos")
+        .select($"pos", $"q").localCheckpoint()
+      val x = ranked
+        .select($"pos", $"q", explode(
+          array((1 to AcfMaxLag).map(lit): _*)).as("lag"))
+        .select($"lag", ($"pos" + $"lag").as("jpos"), $"q".as("xq"))
+      val pairs = x.join(ranked.select($"pos".as("jpos"), $"q".as("yq")),
+        Seq("jpos"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      pairs.groupBy($"lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"xq").as("sx"), sum($"yq").as("sy"),
+          sum($"xq" * $"yq").as("sxy"),
+          sum($"xq" * $"xq").as("sxx"), sum($"yq" * $"yq").as("syy"))
+        .select($"lag", $"n_pairs",
+          round((d($"n_pairs") * d($"sxy") - d($"sx") * d($"sy")) /
+            sqrt((d($"n_pairs") * d($"sxx") - d($"sx") * d($"sx")) *
+              (d($"n_pairs") * d($"syy") - d($"sy") * d($"sy"))), 6)
+            .as("acf"))
+        .orderBy($"lag")
+    }),
+
+    // ---- W28: CUSUM changepoint score per user ------------------------
+    // Classic mean-shift detector: S_i = Σ_{j≤i} (x_j − x̄); the score is
+    // max|S_i| and the changepoint its (earliest) argmax time. Integer
+    // form: D_i = n·(Σ_{j≤i} q_j) − i·(Σ q_j) = n·1000·S_i — exact, no
+    // float until the final report. 100 TB shape: the per-user mean join,
+    // the running-sum window and the argmax agg all share ONE user_id
+    // shuffle; per-user partitions are bounded by a user's history.
+    "w28_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
+          round($"value" * MilliScale).cast("long").as("q"))
+      val st = ev.groupBy($"user_id")
+        .agg(sum($"q").as("sq"), count(lit(1)).as("n_events"))
+      val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+      ev.join(st, Seq("user_id"))
+        .withColumn("dabs", abs($"n_events" * sum($"q").over(w) -
+          row_number().over(w) * $"sq"))
+        .groupBy($"user_id", $"n_events")
+        // max over (|D|, −es): largest score, ties → earliest time
+        .agg(max(struct($"dabs", (-$"es").as("nes"))).as("m"))
+        .select($"user_id", $"n_events",
+          round($"m.dabs".cast("double") /
+            ($"n_events".cast("double") * MilliScale), 6).as("score"),
+          (-$"m.nes").as("cp_es"))
+        .orderBy($"score".desc, $"user_id")
+        .limit(CusumTopK)
+    }),
+
+    // ---- A39: Welch's unequal-variance t-test -------------------------
+    // Two-arm mean comparison (click vs view event values) with the
+    // Welch–Satterthwaite df. One conditional-aggregation pass; the six
+    // sufficient statistics are exact integers.
+    "a39_welch_ttest" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .filter($"event_type".isin(TtA, TtB))
+        .select($"event_type",
+          round($"value" * MilliScale).cast("long").as("q"))
+      val isA = $"event_type" === TtA
+      val agg = ev.agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n1"),
+        sum(when(isA, $"q").otherwise(0L)).as("s1"),
+        sum(when(isA, $"q" * $"q").otherwise(0L)).as("ss1"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n2"),
+        sum(when(!isA, $"q").otherwise(0L)).as("s2"),
+        sum(when(!isA, $"q" * $"q").otherwise(0L)).as("ss2"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      agg
+        .withColumn("m1", d($"s1") / d($"n1"))
+        .withColumn("m2", d($"s2") / d($"n2"))
+        .withColumn("v1",
+          (d($"ss1") - d($"s1") * d($"s1") / d($"n1")) / (d($"n1") - 1.0))
+        .withColumn("v2",
+          (d($"ss2") - d($"s2") * d($"s2") / d($"n2")) / (d($"n2") - 1.0))
+        .withColumn("se1", $"v1" / d($"n1"))
+        .withColumn("se2", $"v2" / d($"n2"))
+        .select($"n1", $"n2",
+          round(($"m1" - $"m2") / MilliScale, 6).as("mean_diff"),
+          round(($"m1" - $"m2") / sqrt($"se1" + $"se2"), 6).as("t_stat"),
+          round(($"se1" + $"se2") * ($"se1" + $"se2") /
+            ($"se1" * $"se1" / (d($"n1") - 1.0) +
+              $"se2" * $"se2" / (d($"n2") - 1.0)), 6).as("df"))
+    }),
+
+    // ---- Z4: forward as-of join ---------------------------------------
+    // Each click matched to the same user's NEXT purchase (smallest
+    // purchase ts ≥ click ts) — conversion attribution. Same
+    // union-and-carry shape as z2 (ops/AsOf.scala), reversed carry
+    // direction: one user_id shuffle + one sorted pass, never a
+    // range-join candidate blowup.
+    "z4_asof_forward" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"))
+      // as-of contract: right unique per (key, ts) — keep max event_id
+      val wD = Window.partitionBy($"user_id", $"es").orderBy($"p_id".desc)
+      val purch = ev.filter($"event_type" === "purchase")
+        .select($"user_id", Det.epochS($"ts").as("es"),
+          $"event_id".as("p_id"),
+          round($"value" * 100).cast("long").as("p_cents"))
+        .withColumn("__rn", row_number().over(wD)).filter($"__rn" === 1)
+        .drop("__rn")
+      graft.ops.AsOf.joinForward(clicks, purch, Seq("user_id"), "es",
+          Seq("p_id", "p_cents"))
+        .select($"event_id", $"user_id", $"es",
+          $"asof_p_id", $"asof_p_cents")
+        .orderBy($"event_id")
+    }),
+
+    // ---- G6: co-purchase supplier similarity --------------------------
+    // Common-neighbor Jaccard between suppliers sharing customers — the
+    // item-item collaborative-similarity primitive. 100 TB shape: ONE
+    // customer-keyed self-join of the distinct bipartite edge list
+    // (per-customer fan-out is bounded by a customer's supplier count),
+    // degree join per side, integer counts until the final ratio.
+    "g6_supplier_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      // edge list feeds the self-join twice + degrees → localCheckpoint
+      val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("sk"))
+        .distinct().localCheckpoint()
+      val deg = pairs.groupBy($"sk").agg(count(lit(1)).as("d"))
+      pairs.as("x").join(pairs.as("y"),
+          col("x.c") === col("y.c") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("s1"), col("y.sk").as("s2"))
+        .agg(count(lit(1)).as("common"))
+        .join(deg.select($"sk".as("s1"), $"d".as("d1")), Seq("s1"))
+        .join(deg.select($"sk".as("s2"), $"d".as("d2")), Seq("s2"))
+        .select($"s1", $"s2", $"common", $"d1", $"d2",
+          round($"common".cast("double") /
+            ($"d1" + $"d2" - $"common").cast("double"), 6).as("jaccard"))
+        .orderBy($"common".desc, $"s1", $"s2")
+        .limit(CusumTopK)
+    }),
+
+    // ---- T18: full Gopher repetition battery --------------------------
+    // For n = 2..4 per document: fraction of n-gram occurrences whose
+    // gram repeats (dup_frac) and of the single most frequent gram
+    // (top_frac) — the t8 top-token rule extended to the n-gram battery
+    // of Rae et al. 2021. Linear shape per order: explode → count → two
+    // per-doc aggregates; one doc_id shuffle per n, no quadratic fold.
+    "t18_gopher_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .localCheckpoint() // feeds all three n-gram branches
+      RepNs.map { n =>
+        base.filter(size($"toks") >= n)
+          .select($"doc_id",
+            explode(TextOps.wordNgrams($"toks", n)).as("g"))
+          .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("total_ngrams"),
+            sum(when($"c" >= 2, $"c").otherwise(0L)).as("dup"),
+            max($"c").as("top"))
+          .select($"doc_id", lit(n).as("n"), $"total_ngrams",
+            round($"dup".cast("double") /
+              $"total_ngrams".cast("double"), 6).as("dup_frac"),
+            round($"top".cast("double") /
+              $"total_ngrams".cast("double"), 6).as("top_frac"))
+      }.reduce(_ unionByName _)
+        .orderBy($"doc_id", $"n")
+    }),
+
+    // ---- Z5: embedding-side curation chain, one gated query -----------
+    // k-means clustering → in-cluster near-dup drop (greedy-by-id at
+    // cosine ≥ τ, the SemDeDup within-cell shape) → cluster-balanced
+    // keyed-LCG sample. The z3 treatment for the embedding leg: e11, e7
+    // and p12 are individually green — this gates their SEAMS (a cluster
+    // or survivor error anywhere reshuffles every later sample rank).
+    // Cosine test is float-boundary-safe: dot² ≥ τ²·|a|²·|b|² evaluated
+    // from exact-integer doubles with the identical expression shape in
+    // both engines.
+    "z5_embed_curate_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = t(s, dir, "embeddings")
+        .select($"vec_id",
+          graft.similarity.KMeansQ.quantize($"embedding", KmScale).as("q"))
+        .localCheckpoint()
+      val init: Array[Array[Long]] = vecs.filter($"vec_id" < KmK)
+        .orderBy($"vec_id").select($"q").collect()
+        .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      val (assigned, _) = graft.similarity.KMeansQ.lloyd(
+        vecs, "vec_id", "q", KmK, KmIters, init)
+      // clustered frame feeds both self-join sides + the survivor
+      // anti-join → localCheckpoint (fan-out rule)
+      val side = vecs.join(assigned, Seq("vec_id"))
+        .withColumn("qq", graft.expressions.DotExpr.dot($"q", $"q"))
+        .localCheckpoint()
+      val drops = side.as("x").join(side.as("y"),
+          col("x.cluster") === col("y.cluster") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .withColumn("dot",
+          graft.expressions.DotExpr.dot(col("x.q"), col("y.q")))
+        .filter($"dot" > 0.0 &&
+          $"dot" * $"dot" >= lit(Z5TauSq) * col("x.qq") * col("y.qq"))
+        .select(col("y.vec_id").as("vec_id")).distinct()
+      val w = Window.partitionBy($"cluster")
+        .orderBy(Det.frac($"vec_id", Z5Seed), $"vec_id")
+      side.join(drops, Seq("vec_id"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= Z5SampleN)
+        .select($"cluster", $"rn", $"vec_id")
+        .orderBy($"cluster", $"rn")
+    }),
+
+    // ---- E11: integer fixed-point Lloyd k-means -----------------------
+    // k = 10 clusters over the embeddings table, 2 full Lloyd steps from
+    // the first-k-vectors seed — bit-reproducible (see
+    // similarity/KMeansQ.scala for the exactness + 100 TB contract), so
+    // the oracle unrolls the identical iterations in SQL. Output: final
+    // cluster sizes + integer centroid checksums.
+    "e11_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      // quantized column feeds k+1 kernel reads per row per pass →
+      // localCheckpoint (a real deployment stores quantized vectors)
+      val vecs = t(s, dir, "embeddings")
+        .select($"vec_id",
+          graft.similarity.KMeansQ.quantize($"embedding", KmScale).as("q"))
+        .localCheckpoint()
+      val init: Array[Array[Long]] = vecs.filter($"vec_id" < KmK)
+        .orderBy($"vec_id").select($"q").collect()
+        .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      val (assigned, cents) = graft.similarity.KMeansQ.lloyd(
+        vecs, "vec_id", "q", KmK, KmIters, init)
+      val csums = s.createDataFrame(
+        (0 until KmK).map(j => (j, cents(j).sum)))
+        .toDF("cluster", "centroid_sum")
+      assigned.groupBy($"cluster").agg(count(lit(1)).as("n"))
+        .join(broadcast(csums), Seq("cluster"), "right")
+        .select($"cluster", coalesce($"n", lit(0L)).as("n"),
+          $"centroid_sum")
+        .orderBy($"cluster")
+    }))
+
+  // ---------------------------------------------------------------------
+  // oracles
+  // ---------------------------------------------------------------------
+
+  private def qMilli(col: String) =
+    s"CAST(round($col * 1000) AS BIGINT)"
+
+  private val toksSql =
+    "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** One unrolled Lloyd step in SQL: assignment from `cin`, update into
+    * `cout` (with empty-cluster fallback to `cin`). Distances are exact
+    * BIGINT folds; the floor-divided mean matches `Math.floorDiv` for
+    * |sum| < 2^53 (KMeansQ.scala). */
+  private def kmStep(step: Int, cin: String, aOut: String,
+                     cout: String): String = {
+    val dist = s"list_reduce(list_transform(generate_series(1, $KmDim), " +
+      s"i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), (a, b) -> a + b)"
+    s"""d$step AS (
+       |  SELECT q.vec_id, c.j, $dist AS dist FROM q, $cin c),
+       |$aOut AS (
+       |  SELECT vec_id, j AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d$step)
+       |  WHERE rn = 1),
+       |u$step AS (
+       |  SELECT a.cluster AS j, t.i,
+       |    CAST(floor(CAST(sum(q.qv[t.i]) AS DOUBLE) / count(*)) AS BIGINT)
+       |      AS v
+       |  FROM q JOIN $aOut a USING (vec_id), generate_series(1, $KmDim) t(i)
+       |  GROUP BY 1, 2),
+       |$cout AS (
+       |  SELECT cin.j, coalesce(g.cv, cin.cv) AS cv
+       |  FROM $cin cin LEFT JOIN
+       |    (SELECT j, list(v ORDER BY i) AS cv FROM u$step GROUP BY j) g
+       |    ON cin.j = g.j)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "a38_acf" -> {
+      val lags = (1 to AcfMaxLag).map(l => s"($l)").mkString(", ")
+      s"""WITH o AS (
+         |  SELECT ${qMilli("value")} AS q,
+         |    row_number() OVER (ORDER BY ts, event_id) AS pos
+         |  FROM events),
+         |p AS (
+         |  SELECT l.lag, x.q AS xq, y.q AS yq
+         |  FROM (VALUES $lags) l(lag)
+         |  JOIN o x ON true
+         |  JOIN o y ON y.pos = x.pos + l.lag),
+         |st AS (
+         |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         |    CAST(sum(xq * xq) AS BIGINT) AS sxx,
+         |    CAST(sum(yq * yq) AS BIGINT) AS syy
+         |  FROM p GROUP BY lag)
+         |SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+         |  round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+         |FROM st ORDER BY lag""".stripMargin
+    },
+
+    "w28_cusum" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    ${qMilli("value")} AS q
+         |  FROM events),
+         |st AS (
+         |  SELECT user_id, CAST(sum(q) AS BIGINT) AS sq,
+         |    CAST(count(*) AS BIGINT) AS n_events
+         |  FROM ev GROUP BY user_id),
+         |dev AS (
+         |  SELECT ev.user_id, st.n_events, ev.es,
+         |    abs(st.n_events * sum(ev.q) OVER
+         |        (PARTITION BY ev.user_id ORDER BY ev.es, ev.event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - (row_number() OVER
+         |          (PARTITION BY ev.user_id ORDER BY ev.es, ev.event_id))
+         |        * st.sq) AS dabs
+         |  FROM ev JOIN st USING (user_id)),
+         |m AS (
+         |  SELECT user_id, n_events, dabs, es FROM (
+         |    SELECT user_id, n_events, dabs, es, row_number() OVER
+         |      (PARTITION BY user_id ORDER BY dabs DESC, es) AS rn
+         |    FROM dev)
+         |  WHERE rn = 1)
+         |SELECT user_id, n_events,
+         |  round(CAST(dabs AS DOUBLE) / (CAST(n_events AS DOUBLE) * 1000),
+         |    6) AS score,
+         |  es AS cp_es
+         |FROM m ORDER BY score DESC, user_id LIMIT $CusumTopK""".stripMargin,
+
+    "a39_welch_ttest" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, ${qMilli("value")} AS q FROM events
+         |  WHERE event_type IN ('$TtA', '$TtB')),
+         |agg AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN event_type = '$TtA' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN event_type = '$TtA' THEN q ELSE 0 END)
+         |      AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN event_type = '$TtA' THEN q * q ELSE 0 END)
+         |      AS BIGINT) AS ss1,
+         |    CAST(sum(CASE WHEN event_type = '$TtB' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN event_type = '$TtB' THEN q ELSE 0 END)
+         |      AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN event_type = '$TtB' THEN q * q ELSE 0 END)
+         |      AS BIGINT) AS ss2
+         |  FROM ev),
+         |w AS (
+         |  SELECT n1, n2,
+         |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+         |    (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+         |      / CAST(n1 AS DOUBLE) AS se1,
+         |    (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+         |      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)
+         |      / CAST(n2 AS DOUBLE) AS se2
+         |  FROM agg)
+         |SELECT n1, n2,
+         |  round((m1 - m2) / 1000, 6) AS mean_diff,
+         |  round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+         |  round((se1 + se2) * (se1 + se2)
+         |    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+         |      + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
+         |FROM w""".stripMargin,
+
+    "z4_asof_forward" ->
+      s"""WITH c AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es
+         |  FROM events WHERE event_type = 'click'),
+         |p0 AS (
+         |  SELECT user_id, ${Det.epochSSql("ts")} AS es,
+         |    event_id AS p_id, CAST(round(value * 100) AS BIGINT) AS p_cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |p AS (
+         |  SELECT user_id, es, p_id, p_cents FROM (
+         |    SELECT p0.*, row_number() OVER
+         |      (PARTITION BY user_id, es ORDER BY p_id DESC) AS rn FROM p0)
+         |  WHERE rn = 1),
+         |j AS (
+         |  SELECT c.event_id, c.user_id, c.es, p.p_id, p.p_cents,
+         |    row_number() OVER
+         |      (PARTITION BY c.event_id ORDER BY p.es, p.p_id) AS rn
+         |  FROM c LEFT JOIN p
+         |    ON p.user_id = c.user_id AND p.es >= c.es)
+         |SELECT event_id, user_id, es, p_id AS asof_p_id,
+         |  p_cents AS asof_p_cents
+         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "g6_supplier_jaccard" ->
+      s"""WITH pr AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |deg AS (SELECT sk, CAST(count(*) AS BIGINT) AS d
+         |        FROM pr GROUP BY sk),
+         |co AS (
+         |  SELECT x.sk AS s1, y.sk AS s2, CAST(count(*) AS BIGINT) AS common
+         |  FROM pr x JOIN pr y ON x.c = y.c AND x.sk < y.sk
+         |  GROUP BY 1, 2)
+         |SELECT co.s1, co.s2, co.common, d1.d AS d1, d2.d AS d2,
+         |  round(CAST(co.common AS DOUBLE)
+         |    / CAST(d1.d + d2.d - co.common AS DOUBLE), 6) AS jaccard
+         |FROM co JOIN deg d1 ON co.s1 = d1.sk
+         |  JOIN deg d2 ON co.s2 = d2.sk
+         |ORDER BY co.common DESC, co.s1, co.s2
+         |LIMIT $CusumTopK""".stripMargin,
+
+    "t18_gopher_repetition" -> {
+      val arms = RepNs.map { n =>
+        s"""SELECT doc_id, $n AS n,
+           |  CAST(sum(c) AS BIGINT) AS total_ngrams,
+           |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           |    AS dup,
+           |  CAST(max(c) AS BIGINT) AS top
+           |FROM (
+           |  SELECT doc_id, g, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      generate_series(1, len(tk) - $n + 1),
+           |      i -> array_to_string(list_slice(tk, i, i + $n - 1), ' ')))
+           |      AS g
+           |    FROM toks WHERE len(tk) >= $n)
+           |  GROUP BY doc_id, g)
+           |GROUP BY doc_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |arms AS (
+         |$arms)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n, total_ngrams,
+         |  round(CAST(dup AS DOUBLE) / CAST(total_ngrams AS DOUBLE), 6)
+         |    AS dup_frac,
+         |  round(CAST(top AS DOUBLE) / CAST(total_ngrams AS DOUBLE), 6)
+         |    AS top_frac
+         |FROM arms ORDER BY doc_id, n""".stripMargin
+    },
+
+    "z5_embed_curate_e2e" -> {
+      def fold(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, $KmDim), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+          "(u, v) -> u + v)"
+      val dot = fold("x.qv", "y.qv")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS j, qv AS cv FROM q WHERE vec_id < $KmK),
+         |${kmStep(1, "c0", "a1", "c1")},
+         |${kmStep(2, "c1", "a2", "c2")},
+         |m AS (
+         |  SELECT q.vec_id, q.qv, a2.cluster,
+         |    ${fold("q.qv", "q.qv")} AS qq
+         |  FROM q JOIN a2 USING (vec_id)),
+         |dr AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM m x JOIN m y
+         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE $dot > 0
+         |    AND $dot * $dot >= CAST($Z5TauSq AS DOUBLE) * x.qq * y.qq),
+         |s AS (
+         |  SELECT m.cluster, m.vec_id, row_number() OVER
+         |    (PARTITION BY m.cluster
+         |     ORDER BY ${Det.fracSql("m.vec_id", Z5Seed)}, m.vec_id) AS rn
+         |  FROM m WHERE NOT EXISTS
+         |    (SELECT 1 FROM dr WHERE dr.vec_id = m.vec_id))
+         |SELECT CAST(cluster AS INTEGER) AS cluster, CAST(rn AS INTEGER)
+         |    AS rn, vec_id
+         |FROM s WHERE rn <= $Z5SampleN ORDER BY cluster, rn""".stripMargin
+    },
+
+    "e11_kmeans" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS j, qv AS cv FROM q WHERE vec_id < $KmK),
+         |${kmStep(1, "c0", "a1", "c1")},
+         |${kmStep(2, "c1", "a2", "c2")},
+         |cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n
+         |        FROM a2 GROUP BY cluster)
+         |SELECT CAST(c2.j AS INTEGER) AS cluster,
+         |  coalesce(cnt.n, 0) AS n,
+         |  CAST(list_reduce(c2.cv, (a, b) -> a + b) AS BIGINT)
+         |    AS centroid_sum
+         |FROM c2 LEFT JOIN cnt ON c2.j = cnt.cluster
+         |ORDER BY cluster""".stripMargin)
+}

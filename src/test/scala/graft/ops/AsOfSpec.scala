@@ -32,4 +32,37 @@ class AsOfSpec extends SparkSpec {
     assert(out.count() == 5)
     assert(out.columns.toSeq == Seq("k", "ts", "id", "asof_v"))
   }
+
+  test("forward as-of: smallest right ts >= left ts, per key, inclusive") {
+    val out = AsOf.joinForward(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(
+      1L -> Some("a@10"), // next following, not just any following
+      2L -> Some("a@10"), // inclusive: equal ts matches
+      3L -> None,         // after the last right row
+      4L -> Some("b@25"),
+      5L -> None))        // per-key isolation (c@1 never leaks)
+  }
+
+  test("forward as-of agrees with a brute-force range join") {
+    // randomized-ish (deterministic LCG) dense case across 3 keys
+    val ls = (0 until 60).map { i =>
+      (s"k${i % 3}", ((i * 37) % 50).toLong, i.toLong) }
+    val rs = (0 until 20).map { i =>
+      (s"k${i % 3}", ((i * 13) % 50).toLong, s"p$i") }
+    // contract: right unique per (key, ts) — keep the max payload id
+    val rdd = rs.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+    val l = ls.toDF("k", "ts", "id")
+    val r = rdd.toDF("k", "ts", "v")
+    val got = AsOf.joinForward(l, r, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[String])]
+      .collect().toMap
+    val want = ls.map { case (k, ts, id) =>
+      val cand = rdd.filter(r => r._1 == k && r._2 >= ts)
+      id -> (if (cand.isEmpty) None
+             else Some(cand.minBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(got == want)
+  }
 }
