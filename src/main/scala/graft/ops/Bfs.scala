@@ -41,4 +41,30 @@ object Bfs {
     }
     dist
   }
+
+  /** Weighted twin of [[seedDistance]]: fixed-round Bellman–Ford. Each
+    * round relaxes every edge once (cost = min over src of cost[src] +
+    * w), so after `rounds` rounds every node whose cheapest seed path
+    * uses ≤ `rounds` edges carries its exact minimum cost — integer
+    * weights keep it bit-reproducible and SQL-unrollable. Same per-round
+    * shape as the hop version: one co-partitioned join against the
+    * checkpointed edge frame + one min-agg shuffle.
+    *
+    * @param edges three columns `src`, `dst`, `w` (LongType, ≥ 0)
+    * @return (node, cost: Long) for nodes reachable within `rounds` edges */
+  def seedCost(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src")).localCheckpoint()
+    var cost = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("cost")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(cost, e("src") === cost("node"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      cost = cost.unionAll(relaxed)
+        .groupBy("node").agg(min("cost").as("cost"))
+        .localCheckpoint()
+    }
+    cost
+  }
 }

@@ -53,6 +53,17 @@ object Stats {
   private val Z5Seed = 17L
   private val Z5SampleN = 5
 
+  /** g7 geometry (the g2 seed rule, weighted). */
+  private val G7SeedMod = 5
+  private val G7Rounds = 3
+
+  /** SAX symbolization: segment length and dyadic breakpoints (±0.75, 0 —
+    * snapped to exactly-representable doubles so the symbol boundaries
+    * cannot disagree across engines; textbook N(0,1) quartile breakpoints
+    * ±0.6745 are not exact binary fractions). */
+  private val SaxSegLen = 8
+  private val SaxBp = 0.75
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A38: autocorrelation function --------------------------------
     // Global-series ACF at lags 1..3: Pearson correlation of (x_t,
@@ -237,6 +248,99 @@ object Stats {
               $"total_ngrams".cast("double"), 6).as("top_frac"))
       }.reduce(_ unionByName _)
         .orderBy($"doc_id", $"n")
+    }),
+
+    // ---- A40: Mann–Whitney U rank-sum test ----------------------------
+    // The nonparametric twin of a39 (distribution-free mean-shift test):
+    // tie-averaged ranks over the combined sample, U from the rank sum,
+    // z with the tie-corrected variance. Ranks come from value-group
+    // counts + the distributed prefix sum — DOUBLED average ranks keep
+    // every rank statistic an exact integer (ties average to halves).
+    // 100 TB shape: one value groupBy + the two-pass cumsum over the
+    // (much smaller) distinct-value frame + one scalar agg.
+    "a40_mannwhitney" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .filter($"event_type".isin(TtA, TtB))
+        .select(($"event_type" === TtA).cast("long").as("a"),
+          round($"value" * MilliScale).cast("long").as("q"))
+      val byV = ev.groupBy($"q")
+        .agg(count(lit(1)).as("cnt"), sum($"a").as("n1v"))
+      val cum = graft.ops.Ranks.globalCumSum(byV, Seq($"q"), $"cnt", "cum")
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      cum
+        .select($"cnt", $"n1v",
+          // doubled tie-averaged rank of the value group
+          (lit(2L) * ($"cum" - $"cnt") + $"cnt" + 1L).as("r2"))
+        .agg(sum($"n1v" * $"r2").as("r2sum1"), sum($"n1v").as("n1"),
+          sum($"cnt" - $"n1v").as("n2"),
+          sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tie3"))
+        .withColumn("u1",
+          (d($"r2sum1") - d($"n1") * (d($"n1") + 1.0)) / 2.0)
+        .withColumn("nn", d($"n1") + d($"n2"))
+        .select($"n1", $"n2", round($"u1", 2).as("u1"),
+          round(($"u1" - d($"n1") * d($"n2") / 2.0) /
+            sqrt(d($"n1") * d($"n2") / 12.0 *
+              (($"nn" + 1.0) - d($"tie3") / ($"nn" * ($"nn" - 1.0)))), 6)
+            .as("z_stat"))
+    }),
+
+    // ---- G7: weighted seed cost (fixed-round Bellman–Ford) ------------
+    // The weighted companion to g2: cheapest trade-path cost from the
+    // trusted-supplier seeds, edge weight = cheapest linking order in
+    // cents. Pure integer costs; the oracle unrolls the same 3
+    // relaxation rounds (ops/Bfs.seedCost).
+    "g7_weighted_seed_cost" -> ((s, dir) => {
+      import s.implicits._
+      val ew = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("c"),
+          concat(lit("s"), $"l_suppkey").as("sk"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .groupBy($"c", $"sk").agg(min($"cents").as("w"))
+      val edges = ew.select($"c".as("src"), $"sk".as("dst"), $"w")
+        .unionAll(ew.select($"sk".as("src"), $"c".as("dst"), $"w"))
+      val seeds = t(s, dir, "supplier")
+        .filter($"s_suppkey" % G7SeedMod === 0)
+        .select(concat(lit("s"), $"s_suppkey").as("node"))
+      graft.ops.Bfs.seedCost(edges, seeds, G7Rounds).orderBy($"node")
+    }),
+
+    // ---- W29: SAX symbolization (Lin et al. 2003) ---------------------
+    // Per-user z-normalized piecewise-aggregate segments mapped to a
+    // 4-letter alphabet — the time-series indexing/motif primitive.
+    // Segment membership is pure integer arithmetic off the per-user
+    // rank; z and the breakpoint comparisons evaluate from exact integer
+    // sufficient statistics with dyadic breakpoints (see SaxBp).
+    // 100 TB shape: ONE user_id shuffle shared by the rank window, the
+    // segment agg and the stats join.
+    "w29_sax" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
+          round($"value" * MilliScale).cast("long").as("q"))
+      val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+      val segs = ev.withColumn("i", row_number().over(w))
+        .withColumn("seg", expr(s"(i - 1) div $SaxSegLen"))
+        .groupBy($"user_id", $"seg")
+        .agg(sum($"q").as("ssum"), count(lit(1)).as("scnt"))
+      val st = ev.groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"q").as("s"),
+          sum($"q" * $"q").as("ss"))
+        .filter($"n" >= 2)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      segs.join(st, Seq("user_id"))
+        .withColumn("sd", sqrt((d($"ss") - d($"s") * d($"s") / d($"n")) /
+          (d($"n") - 1.0)))
+        .filter($"sd" > 0.0)
+        .withColumn("z",
+          (d($"ssum") / d($"scnt") - d($"s") / d($"n")) / $"sd")
+        .select($"user_id", $"seg", $"scnt",
+          when($"z" < -SaxBp, 0).when($"z" < 0.0, 1)
+            .when($"z" < SaxBp, 2).otherwise(3).as("sym"))
+        .orderBy($"user_id", $"seg")
     }),
 
     // ---- Z5: embedding-side curation chain, one gated query -----------
@@ -514,6 +618,99 @@ object Stats {
          |    AS top_frac
          |FROM arms ORDER BY doc_id, n""".stripMargin
     },
+
+    "a40_mannwhitney" ->
+      s"""WITH ev AS (
+         |  SELECT CASE WHEN event_type = '$TtA' THEN 1 ELSE 0 END AS a,
+         |    ${qMilli("value")} AS q
+         |  FROM events WHERE event_type IN ('$TtA', '$TtB')),
+         |byv AS (
+         |  SELECT q, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(a) AS BIGINT) AS n1v
+         |  FROM ev GROUP BY q),
+         |cum AS (
+         |  SELECT cnt, n1v, 2 * (sum(cnt) OVER (ORDER BY q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+         |    + cnt + 1 AS r2
+         |  FROM byv),
+         |agg AS (
+         |  SELECT CAST(sum(n1v * r2) AS BIGINT) AS r2sum1,
+         |    CAST(sum(n1v) AS BIGINT) AS n1,
+         |    CAST(sum(cnt - n1v) AS BIGINT) AS n2,
+         |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+         |  FROM cum),
+         |w AS (
+         |  SELECT n1, n2, tie3,
+         |    (CAST(r2sum1 AS DOUBLE) - CAST(n1 AS DOUBLE)
+         |      * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u1,
+         |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn
+         |  FROM agg)
+         |SELECT n1, n2, round(u1, 2) AS u1,
+         |  round((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+         |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+         |      * ((nn + 1.0) - CAST(tie3 AS DOUBLE) / (nn * (nn - 1.0)))),
+         |    6) AS z_stat
+         |FROM w""".stripMargin,
+
+    "g7_weighted_seed_cost" -> {
+      def relax(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT node, min(cost) AS cost FROM (
+           |    SELECT node, cost FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.cost + e.w AS cost
+           |    FROM edges e JOIN $prev d ON e.src = d.node)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH ew AS (
+         |  SELECT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS sk,
+         |    min(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS w
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT c AS src, sk AS dst, w FROM ew
+         |  UNION ALL SELECT sk AS src, c AS dst, w FROM ew),
+         |d0 AS (
+         |  SELECT DISTINCT 's' || s_suppkey AS node, CAST(0 AS BIGINT)
+         |      AS cost
+         |  FROM supplier WHERE s_suppkey % $G7SeedMod = 0),
+         |${relax("d0", "d1")},
+         |${relax("d1", "d2")},
+         |${relax("d2", "d3")}
+         |SELECT node, cost FROM d3 ORDER BY node""".stripMargin
+    },
+
+    "w29_sax" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    ${qMilli("value")} AS q
+         |  FROM events),
+         |segs AS (
+         |  SELECT user_id, (i - 1) // $SaxSegLen AS seg,
+         |    CAST(sum(q) AS BIGINT) AS ssum,
+         |    CAST(count(*) AS BIGINT) AS scnt
+         |  FROM (SELECT user_id, q, row_number() OVER
+         |          (PARTITION BY user_id ORDER BY es, event_id) AS i
+         |        FROM ev)
+         |  GROUP BY 1, 2),
+         |st AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss
+         |  FROM ev GROUP BY user_id HAVING count(*) >= 2),
+         |z AS (
+         |  SELECT segs.user_id, segs.seg, segs.scnt,
+         |    (CAST(ssum AS DOUBLE) / CAST(scnt AS DOUBLE)
+         |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+         |        * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0)) AS zv,
+         |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+         |        * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0)) AS sd
+         |  FROM segs JOIN st ON segs.user_id = st.user_id)
+         |SELECT user_id, seg, scnt,
+         |  CASE WHEN zv < -$SaxBp THEN 0 WHEN zv < 0.0 THEN 1
+         |       WHEN zv < $SaxBp THEN 2 ELSE 3 END AS sym
+         |FROM z WHERE sd > 0.0 ORDER BY user_id, seg""".stripMargin,
 
     "z5_embed_curate_e2e" -> {
       def fold(a: String, b: String) =

@@ -430,6 +430,47 @@ object TextDedup {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // ---- MinHash estimator calibration ----------------------------------
+    // The index-quality gate for the dedup index itself (the e8 treatment
+    // for minhash): per 8-slice match count k, how does the estimated
+    // Jaccard k/8 track the exact n-gram Jaccard of the candidates it
+    // admits? Reports per-k pair count, mean exact ppm and mean absolute
+    // estimator error — the table an operator reads before moving the
+    // band/threshold knobs. Same 100 TB shape as d6: checkpointed gram
+    // frame, band-blocked candidates, per-pair projections only.
+    "d17_minhash_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N)).as("g"))
+        .localCheckpoint()
+      val sized = lshPairs(s, dir)
+        .join(grams.as("ga"), col("a_id") === col("ga.doc_id"))
+        .join(grams.as("gb"), col("b_id") === col("gb.doc_id"))
+        .select(
+          // slice-match count back from the exact-eighths estimate
+          round($"est_jaccard" * 8).cast("long").as("k"),
+          size(array_intersect(col("ga.g"), col("gb.g"))).cast("long")
+            .as("__i"),
+          size(col("ga.g")).cast("long").as("__na"),
+          size(col("gb.g")).cast("long").as("__nb"))
+        .localCheckpoint()
+      sized.filter($"__na" + $"__nb" - $"__i" > 0)
+        .select($"k",
+          expr("(__i * 1000000L) div (__na + __nb - __i)").as("jp"),
+          ($"k" * 125000L).as("ep"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"jp").as("__sj"), sum(abs($"ep" - $"jp")).as("__sa"))
+        .select($"k", ($"k" * 125000L).as("est_ppm"), $"n_pairs",
+          round($"__sj".cast("double") / $"n_pairs".cast("double"), 2)
+            .as("mean_jac_ppm"),
+          round($"__sa".cast("double") / $"n_pairs".cast("double"), 2)
+            .as("mae_ppm"))
+        .orderBy($"k")
+    }),
+
     // ---- sorted-neighborhood blocking (Hernández & Stolfo 1995, the
     // merge/purge method): sort by a normalized key, slide a fixed window
     // of W ranks, verify neighbors — the classic third blocking paradigm
@@ -914,6 +955,31 @@ object TextDedup {
            |           JOIN grams gb ON b_id = gb.doc_id
            |WHERE est_jaccard >= 0.25 AND len(ga.g) > 0 AND len(gb.g) > 0
            |ORDER BY a_id, b_id""".stripMargin,
+
+      "d17_minhash_calibration" ->
+        s"""WITH $lshPairsSql,
+           |grams AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(0, greatest(len(tokens) - $NGRAM_N, 0)),
+           |    i -> array_to_string(list_slice(tokens, i + 1, i + $NGRAM_N), ' ')))
+           |    AS g
+           |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
+           |pp AS (
+           |  SELECT CAST(round(est_jaccard * 8) AS BIGINT) AS k,
+           |    (CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) * 1000000)
+           |      // (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
+           |      AS jp
+           |  FROM pairs JOIN grams ga ON a_id = ga.doc_id
+           |             JOIN grams gb ON b_id = gb.doc_id
+           |  WHERE len(ga.g) + len(gb.g)
+           |      - len(list_intersect(ga.g, gb.g)) > 0)
+           |SELECT k, k * 125000 AS est_ppm,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  round(CAST(sum(jp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2)
+           |    AS mean_jac_ppm,
+           |  round(CAST(sum(abs(k * 125000 - jp)) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE), 2) AS mae_ppm
+           |FROM pp GROUP BY k ORDER BY k""".stripMargin,
 
       "d11_substring_dup" ->
         s"""WITH toks AS (

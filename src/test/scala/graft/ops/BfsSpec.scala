@@ -49,4 +49,18 @@ class BfsSpec extends SparkSpec {
     }
     assert(run(2) === run(5))
   }
+
+  test("weighted seedCost: cheaper long path beats pricier short path") {
+    // a→b→c costs 1+1=2 over two edges; direct a→c costs 5. With 1 round
+    // only the direct edge is reachable (5); with 2 the relay wins (2).
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 5L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    def run(r: Int) = Bfs.seedCost(edges, seeds, r).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(run(1) === Map("a" -> 0L, "b" -> 1L, "c" -> 5L))
+    assert(run(2) === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // extra rounds must not change converged costs
+    assert(run(4) === run(2))
+  }
 }
