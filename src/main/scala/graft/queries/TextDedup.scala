@@ -187,6 +187,10 @@ object TextDedup {
     }),
 
     // ---- minhash signatures ----------------------------------------------
+    // NOTE: the d12 project-above-sort rule does NOT pay here — AQE
+    // coalesces the small post-sort partitions, serializing the kernel;
+    // the repartitioned pre-sort projection wins despite the sampling
+    // double-compute (measured 1.9 s vs 2.3 s warm, PLANS.md round-5).
     "d2_minhash_sig" -> ((s, dir) => {
       import s.implicits._
       sigDF(s, dir).orderBy($"doc_id")
