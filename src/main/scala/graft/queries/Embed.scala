@@ -49,6 +49,15 @@ object Embed {
   private val MMR_Q = 3
   private val MMR_POOL = 12
   private val MMR_K = 5
+  /** e12 product-quantization geometry: 8 subspaces × 8 dims, 16 codes
+    * per subspace from fixed corpus rows (disjoint from the q_id<10
+    * query set), refine window 4·topK. Vectors quantize to integer
+    * micro-units first (the KMeansQ recipe) so every encode/ADC distance
+    * is an exact integer — bit-reproducible and SQL-unrollable. */
+  private val PQ_M = 8
+  private val PQ_CB_IDS: Seq[Long] = (0 until 16).map(c => 20L + 5L * c)
+  private val PQ_TOPK = 5
+  private val PQ_REFINE = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -166,6 +175,52 @@ object Embed {
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
           round($"cos", 6).as("cos_sim"))
         .orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- product-quantization ANN (Jégou et al. 2011) --------------------
+    // The m-codebook compressed index completing the quantization family
+    // (e5 IVF, e6 IVF-RQ): index rows carry 8 code ids, search is ADC
+    // (query-side integer LUT broadcast to the exploded code lists) with
+    // exact top-refine·k re-ranking — see similarity/Pq.scala for the
+    // exactness + 100 TB contract.
+    "e12_pq_ann" -> ((s, dir) => {
+      import s.implicits._
+      // quantized frame feeds codebook collect + encode + LUT + refine →
+      // localCheckpoint (fan-out rule)
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id",
+          graft.similarity.KMeansQ.quantize($"embedding", 1000000.0).as("q"),
+          $"embedding")
+        .localCheckpoint()
+      val cbRows: Array[Array[Long]] = emb
+        .filter($"vec_id".isin(PQ_CB_IDS: _*))
+        .orderBy($"vec_id").select($"q").collect()
+        .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      val idx = graft.similarity.Pq.fixedIndex(cbRows, PQ_M)
+      val encoded = idx.encode(emb.select($"vec_id".as("c_id"), $"q"), "q")
+        .select($"c_id", posexplode($"codes").as(Seq("b", "c")))
+      val lut = idx.lut(
+        emb.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"q"),
+        "q_id", "q")
+      val adc = encoded.join(broadcast(lut), Seq("b", "c"))
+        .filter($"q_id" =!= $"c_id")
+        .groupBy($"q_id", $"c_id").agg(sum($"ld").as("adist"))
+      val wA = Window.partitionBy($"q_id").orderBy($"adist", $"c_id")
+      val cand = adc.withColumn("arnk", row_number().over(wA))
+        .filter($"arnk" <= PQ_TOPK * PQ_REFINE)
+      val qe = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      val wC = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+      cand
+        .join(emb.select($"vec_id".as("c_id"), $"embedding".as("cv")),
+          Seq("c_id"))
+        .join(broadcast(qe), Seq("q_id"))
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+        .withColumn("rnk", row_number().over(wC))
+        .filter($"rnk" <= PQ_TOPK)
+        .select($"q_id", $"rnk", $"c_id", round($"cos", 6).as("cos_sim"))
+        .orderBy($"q_id", $"rnk")
     }),
 
     // ---- SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
@@ -513,6 +568,62 @@ object Embed {
            |      FROM sc)
            |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id, round(cos, 6) AS cos_sim
            |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      "e12_pq_ann" -> {
+        // exact-integer squared distance between two 8-element BIGINT
+        // sub-vector lists, folded in doubles like the DotExpr kernels
+        def dist8(a: String, b: String) =
+          s"list_reduce(list_transform(generate_series(1, 8), " +
+            s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), " +
+            "(u, v) -> u + v)"
+        s"""WITH q AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |cbsrc AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv
+           |  FROM q WHERE vec_id IN (${PQ_CB_IDS.mkString(", ")})),
+           |cb AS (
+           |  SELECT t.b, s.c,
+           |    list_slice(s.qv, t.b * 8 + 1, t.b * 8 + 8) AS cw
+           |  FROM cbsrc s, generate_series(0, ${PQ_M - 1}) t(b)),
+           |enc AS (
+           |  SELECT vec_id AS c_id, b, c FROM (
+           |    SELECT v.vec_id, cb.b, cb.c, row_number() OVER
+           |      (PARTITION BY v.vec_id, cb.b ORDER BY
+           |       ${dist8("list_slice(v.qv, cb.b * 8 + 1, cb.b * 8 + 8)",
+                            "cb.cw")}, cb.c) AS rn
+           |    FROM q v, cb)
+           |  WHERE rn = 1),
+           |lut AS (
+           |  SELECT qq.vec_id AS q_id, cb.b, cb.c,
+           |    ${dist8("list_slice(qq.qv, cb.b * 8 + 1, cb.b * 8 + 8)",
+                         "cb.cw")} AS ld
+           |  FROM q qq, cb WHERE qq.vec_id < 10),
+           |adc AS (
+           |  SELECT l.q_id, e.c_id, sum(l.ld) AS adist
+           |  FROM enc e JOIN lut l ON e.b = l.b AND e.c = l.c
+           |  WHERE l.q_id != e.c_id GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY adist, c_id) AS arnk FROM adc)
+           |  WHERE arnk <= ${PQ_TOPK * PQ_REFINE}),
+           |sc AS (
+           |  SELECT cand.q_id, cand.c_id, $cosQC AS cos
+           |  FROM cand
+           |    JOIN (SELECT vec_id AS q_id, embedding AS qv FROM embeddings)
+           |      USING (q_id)
+           |    JOIN (SELECT vec_id AS c_id, embedding AS cv FROM embeddings)
+           |      USING (c_id)),
+           |r AS (
+           |  SELECT q_id, c_id, cos, row_number() OVER
+           |    (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM sc)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id,
+           |  round(cos, 6) AS cos_sim
+           |FROM r WHERE rnk <= $PQ_TOPK ORDER BY q_id, rnk""".stripMargin
+      },
 
       "e6_ivfrq_ann" ->
         s"""WITH cent AS (

@@ -159,6 +159,20 @@ object TextDedup {
         .orderBy($"doc_id")
     }),
 
+    // ---- language-ID evaluation: confusion matrix vs ground truth --------
+    // The classifier-quality gate for t1 (the e8/d17 treatment for the
+    // lang-ID stage): predicted × labeled language counts — the table
+    // that tells an operator which languages the stopword heuristic
+    // confuses before routing corpora by it. One groupBy, integer counts.
+    "t19_langid_eval" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"lang", TextOps.langId(toks($"text")).as("lang_pred"))
+        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"lang_pred")
+    }),
+
     // ---- PII-style redaction (training-data scrub stage) -----------------
     // Synthesized contact strings (derived from doc_id, identical in both
     // engines) prove the regex semantics exactly; the patterns are chosen
@@ -735,6 +749,12 @@ object TextDedup {
         s"""SELECT doc_id, $langCase AS lang_pred
            |FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
            |ORDER BY doc_id""".stripMargin,
+
+      "t19_langid_eval" ->
+        s"""SELECT lang, $langCase AS lang_pred,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM (SELECT lang, $tokensSqlExpr AS tokens FROM documents)
+           |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
 
       "t2_quality_score" ->
         s"""SELECT doc_id,
