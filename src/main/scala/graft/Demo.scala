@@ -188,6 +188,17 @@ object Demo {
       s"(bins: ${curated.agg(org.apache.spark.sql.functions.max($"bin"))
         .head.getLong(0) + 1})")
 
+    // round-5 legs: clustering, compressed ANN, forward as-of
+    val km = SparkEntry.queries("e11_kmeans")(spark, sfDir)
+    println(s"kmeans clusters: ${km.count()} " +
+      s"(largest n=${km.agg(org.apache.spark.sql.functions.max($"n"))
+        .head.getLong(0)})")
+    val pq = SparkEntry.queries("e12_pq_ann")(spark, sfDir)
+    assert(pq.count() == 50, "pq top-5 for 10 queries")
+    val conv = SparkEntry.queries("z4_asof_forward")(spark, sfDir)
+    println(s"click->next-purchase attributions: " +
+      s"${conv.filter($"asof_p_id".isNotNull).count()}/${conv.count()}")
+
     println("DEMO_OK")
     spark.stop()
   }

@@ -198,7 +198,12 @@ object Embed {
         .orderBy($"vec_id").select($"q").collect()
         .map(_.getSeq[Double](0).map(_.toLong).toArray)
       val idx = graft.similarity.Pq.fixedIndex(cbRows, PQ_M)
+      // checkpoint the 9-column encoded frame: fusing the m·k'-kernel
+      // encode projection into the downstream hashAgg stage blows the
+      // 64 KB generated-method limit and drops the WHOLE stage out of
+      // codegen; split, each stage compiles (PLANS.md round-5)
       val encoded = idx.encode(emb.select($"vec_id".as("c_id"), $"q"), "q")
+        .select($"c_id", $"codes").localCheckpoint()
         .select($"c_id", posexplode($"codes").as(Seq("b", "c")))
       val lut = idx.lut(
         emb.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"q"),
