@@ -343,6 +343,53 @@ object Stats {
         .orderBy($"user_id", $"seg")
     }),
 
+    // ---- E13: cluster-quality gate for e11 ----------------------------
+    // Per-cluster separation statistics against the FINAL centroids: mean
+    // own-centroid distance vs mean nearest-other-centroid distance (the
+    // Davies–Bouldin-style compactness/separation read an operator checks
+    // before trusting cluster-balanced sampling). Per-vector distances
+    // are exact integers, so per-cluster SUMS are order-free; only the
+    // two reported ratios divide. Map-only per row (k+1 native kernels
+    // against broadcast literal centroids) + one cluster agg.
+    "e13_cluster_quality" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = t(s, dir, "embeddings")
+        .select($"vec_id",
+          graft.similarity.KMeansQ.quantize($"embedding", KmScale).as("q"))
+        .localCheckpoint()
+      val init: Array[Array[Long]] = vecs.filter($"vec_id" < KmK)
+        .orderBy($"vec_id").select($"q").collect()
+        .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      val (_, cents) = graft.similarity.KMeansQ.lloyd(
+        vecs, "vec_id", "q", KmK, KmIters, init)
+      val qq = graft.expressions.DotExpr.dot($"q", $"q")
+      val dists = cents.zipWithIndex.map { case (c, j) =>
+        val cc = c.map(v => v.toDouble * v.toDouble).sum
+        (qq - lit(2.0) * graft.expressions.DotExpr.dot($"q",
+          lit(c.map(_.toDouble))) + lit(cc)).as(s"d$j")
+      }
+      val withD = vecs.select(($"vec_id" +: dists): _*)
+      val own = least((0 until KmK).map(j =>
+        struct(col(s"d$j").as("d"), lit(j).as("j"))): _*)
+      // cast the exact-integer double distances to LONG before summing:
+      // per-cluster sums can pass 2^53 (where double addition would
+      // round order-dependently) but never 2^63
+      val scored = withD
+        .withColumn("cluster", own("j"))
+        .withColumn("a", own("d").cast("long"))
+        .withColumn("b", least((0 until KmK).map(j =>
+          when($"cluster" === j, lit(Double.MaxValue))
+            .otherwise(col(s"d$j"))): _*).cast("long"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      scored.groupBy($"cluster")
+        .agg(count(lit(1)).as("n"), sum($"a").as("sa"), sum($"b").as("sb"))
+        .select($"cluster", $"n",
+          round(d($"sa") / d($"n"), 2).as("mean_own_d2"),
+          round(d($"sb") / d($"n"), 2).as("mean_other_d2"),
+          round(d($"sb") / d($"sa"), 6).as("separation"))
+        .orderBy($"cluster")
+    }),
+
     // ---- Z5: embedding-side curation chain, one gated query -----------
     // k-means clustering → in-cluster near-dup drop (greedy-by-id at
     // cosine ≥ τ, the SemDeDup within-cell shape) → cluster-balanced
@@ -711,6 +758,39 @@ object Stats {
          |  CASE WHEN zv < -$SaxBp THEN 0 WHEN zv < 0.0 THEN 1
          |       WHEN zv < $SaxBp THEN 2 ELSE 3 END AS sym
          |FROM z WHERE sd > 0.0 ORDER BY user_id, seg""".stripMargin,
+
+    "e13_cluster_quality" -> {
+      val fold = s"list_reduce(list_transform(generate_series(1, $KmDim), " +
+        "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), (a, b) -> a + b)"
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS j, qv AS cv FROM q WHERE vec_id < $KmK),
+         |${kmStep(1, "c0", "a1", "c1")},
+         |${kmStep(2, "c1", "a2", "c2")},
+         |dd AS (SELECT q.vec_id, c.j, $fold AS dist FROM q, c2 c),
+         |asg AS (
+         |  SELECT vec_id, j AS cluster, dist AS a FROM (
+         |    SELECT vec_id, j, dist, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM dd)
+         |  WHERE rn = 1),
+         |o AS (
+         |  SELECT dd.vec_id, min(dd.dist) AS b
+         |  FROM dd JOIN asg ON dd.vec_id = asg.vec_id AND dd.j != asg.cluster
+         |  GROUP BY dd.vec_id),
+         |g AS (
+         |  SELECT asg.cluster, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(asg.a) AS BIGINT) AS sa,
+         |    CAST(sum(o.b) AS BIGINT) AS sb
+         |  FROM asg JOIN o USING (vec_id) GROUP BY 1)
+         |SELECT CAST(cluster AS INTEGER) AS cluster, n,
+         |  round(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_own_d2,
+         |  round(CAST(sb AS DOUBLE) / CAST(n AS DOUBLE), 2)
+         |    AS mean_other_d2,
+         |  round(CAST(sb AS DOUBLE) / CAST(sa AS DOUBLE), 6) AS separation
+         |FROM g ORDER BY cluster""".stripMargin
+    },
 
     "z5_embed_curate_e2e" -> {
       def fold(a: String, b: String) =
