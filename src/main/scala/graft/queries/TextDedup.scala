@@ -173,6 +173,35 @@ object TextDedup {
         .orderBy($"lang", $"lang_pred")
     }),
 
+    // ---- per-source corpus report card -----------------------------------
+    // The curation dashboard a corpus operator reads per ingest source:
+    // doc count, exact-dup incidence, mean token length, mean quality —
+    // t2/t3/d1 rolled up per source in ONE pass (quality summed in its
+    // exact ×10⁴ integer form so the corpus mean is associativity-proof).
+    // 100 TB shape: a text-hash groupBy for dup groups joined back on the
+    // hash, then one source-keyed agg.
+    "t20_corpus_report" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"source", $"text", toks($"text").as("tk"),
+          md5($"text".cast("binary")).as("h"))
+        .localCheckpoint() // feeds the hash agg AND the join back
+      val hc = base.groupBy($"h").agg(count(lit(1)).as("hc"))
+      base.join(hc, Seq("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"hc" >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(size($"tk").cast("long")).as("__st"),
+          sum(TextOps.qualityScore10k($"text", $"tk")).as("__sq"))
+        .select($"source", $"n_docs", $"n_dup_docs",
+          round($"__st".cast("double") / $"n_docs".cast("double"), 2)
+            .as("mean_tokens"),
+          round($"__sq".cast("double") /
+            ($"n_docs".cast("double") * 10000.0), 6).as("mean_quality"))
+        .orderBy($"source")
+    }),
+
     // ---- PII-style redaction (training-data scrub stage) -----------------
     // Synthesized contact strings (derived from doc_id, identical in both
     // engines) prove the regex semantics exactly; the patterns are chosen
@@ -760,6 +789,22 @@ object TextDedup {
         s"""SELECT doc_id,
            |  ${TextOps.qualityScoreSql("text", tokensSqlExpr, allStop)} AS quality
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "t20_corpus_report" ->
+        s"""WITH d AS (
+           |  SELECT source, text, $tokensSqlExpr AS tokens, md5(text) AS h
+           |  FROM documents),
+           |hc AS (SELECT h, count(*) AS hc FROM d GROUP BY h)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN hc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup_docs,
+           |  round(CAST(sum(len(tokens)) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE), 2) AS mean_tokens,
+           |  round(CAST(sum(${TextOps.qualityScore10kSql("text", "tokens",
+                 allStop)}) AS DOUBLE)
+           |    / (CAST(count(*) AS DOUBLE) * 10000.0), 6) AS mean_quality
+           |FROM d JOIN hc USING (h) GROUP BY source
+           |ORDER BY source""".stripMargin,
 
       "t3_token_counts" ->
         s"""SELECT doc_id, CAST(len($tokensSqlExpr) AS INTEGER) AS n_ws_tokens,

@@ -131,7 +131,12 @@ object TextOps {
     * engines. The only non-integer term, round(3000·hits/nt), uses
     * ⌊(2·3000·hits + nt)/(2·nt)⌋ via double division of exact ints < 2^53
     * (correctly rounded ⇒ exact for quotients this far from integers). */
-  def qualityScore(text: Column, tokensCol: Column): Column = {
+  def qualityScore(text: Column, tokensCol: Column): Column =
+    qualityScore10k(text, tokensCol).cast("double") / lit(10000.0)
+
+  /** Integer (×10⁴) form of [[qualityScore]] — exact LONG, so corpus-level
+    * SUMS of the score are associativity-proof (t20's report card). */
+  def qualityScore10k(text: Column, tokensCol: Column): Column = {
     val nt = size(tokensCol).cast("long")
     val nc = length(text).cast("long")
     val sh = hitCount(tokensCol, langWords.flatMap(_._2)).cast("long")
@@ -140,20 +145,25 @@ object TextOps {
       ((lit(6000L) * sh + nt) / (nt * 2L)).cast("long")).otherwise(0L)
     val atlOk = nt > 0 && nc - nt + 1L >= nt * 3L && nc - nt + 1L <= nt * 8L
     val atlPart = when(atlOk, 3000L).otherwise(1500L)
-    (lenPart + stopPart + atlPart).cast("double") / lit(10000.0)
+    lenPart + stopPart + atlPart
   }
 
   /** DuckDB twin of [[qualityScore]] (`tokens` = token-list expression). */
-  def qualityScoreSql(text: String, tokens: String, allStop: String): String = {
+  def qualityScoreSql(text: String, tokens: String, allStop: String): String =
+    s"(CAST(${qualityScore10kSql(text, tokens, allStop)} AS DOUBLE) / 10000.0)"
+
+  /** DuckDB twin of [[qualityScore10k]] (BIGINT). */
+  def qualityScore10kSql(text: String, tokens: String,
+                         allStop: String): String = {
     val nt = s"CAST(len($tokens) AS BIGINT)"
     val nc = s"CAST(len($text) AS BIGINT)"
     val sh = s"CAST(len(list_filter($tokens, x -> x IN ($allStop))) AS BIGINT)"
-    s"""(CAST(40 * least($nt, 100)
+    s"""(40 * least($nt, 100)
        | + (CASE WHEN $nt > 0
        |      THEN (6000 * $sh + $nt) // ($nt * 2) ELSE 0 END)
        | + (CASE WHEN $nt > 0 AND $nc - $nt + 1 >= $nt * 3
        |          AND $nc - $nt + 1 <= $nt * 8
-       |      THEN 3000 ELSE 1500 END) AS DOUBLE) / 10000.0)"""
+       |      THEN 3000 ELSE 1500 END))"""
       .stripMargin.replaceAll("\n", "")
   }
 
