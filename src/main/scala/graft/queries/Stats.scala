@@ -57,6 +57,9 @@ object Stats {
   private val G7SeedMod = 5
   private val G7Rounds = 3
 
+  /** a41's RNG-gate seed (arbitrary; any seed must pass). */
+  private val RngSeed = 23L
+
   /** SAX symbolization: segment length and dyadic breakpoints (±0.75, 0 —
     * snapped to exactly-representable doubles so the symbol boundaries
     * cannot disagree across engines; textbook N(0,1) quartile breakpoints
@@ -341,6 +344,32 @@ object Stats {
           when($"z" < -SaxBp, 0).when($"z" < 0.0, 1)
             .when($"z" < SaxBp, 2).otherwise(3).as("sym"))
         .orderBy($"user_id", $"seg")
+    }),
+
+    // ---- A41: KS uniformity gate for the keyed-LCG RNG ----------------
+    // Every seeded selection in the engine (p8/p12/p14, z5's sampler)
+    // trusts Det.frac to be uniform — this gates it: one-sample
+    // Kolmogorov–Smirnov D against U[0,1), kept EXACT by integer
+    // cross-multiplication (frac = r2/2^31 with r2 integral, so
+    // n·M·D⁺ = max(i·M − n·r2_(i)) is pure int64 — the a27 recipe
+    // against a theoretical CDF). Order comes from the two-pass rank.
+    "a41_rng_uniformity" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.functions.Det.M
+      val r2 = (Det.frac($"event_id", RngSeed) * M).cast("long")
+      val ev = t(s, dir, "events").select($"event_id", r2.as("r2"))
+      val ranked = graft.ops.Ranks.globalRowNumberWithTotal(
+        ev, Seq($"r2", $"event_id"), "i", "n")
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      ranked
+        .select($"n", ($"i" * M - $"n" * $"r2").as("up"),
+          ($"n" * $"r2" - ($"i" - 1L) * M).as("dn"))
+        .groupBy($"n")
+        .agg(greatest(max($"up"), max($"dn")).as("nmd"))
+        .select($"n",
+          round(d($"nmd") / (d($"n") * M.toDouble), 6).as("d_stat"),
+          round(d($"nmd") / (d($"n") * M.toDouble) * sqrt(d($"n")), 4)
+            .as("d_sqrt_n"))
     }),
 
     // ---- E13: cluster-quality gate for e11 ----------------------------
@@ -758,6 +787,27 @@ object Stats {
          |  CASE WHEN zv < -$SaxBp THEN 0 WHEN zv < 0.0 THEN 1
          |       WHEN zv < $SaxBp THEN 2 ELSE 3 END AS sym
          |FROM z WHERE sd > 0.0 ORDER BY user_id, seg""".stripMargin,
+
+    "a41_rng_uniformity" -> {
+      val m = graft.functions.Det.M
+      s"""WITH r AS (
+         |  SELECT event_id,
+         |    CAST(${Det.fracSql("event_id", RngSeed)} * $m AS BIGINT) AS r2
+         |  FROM events),
+         |o AS (
+         |  SELECT r2, row_number() OVER (ORDER BY r2, event_id) AS i,
+         |    count(*) OVER () AS n
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round(CAST(greatest(max(i * $m - n * r2),
+         |      max(n * r2 - (i - 1) * $m)) AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * $m.0), 6) AS d_stat,
+         |  round(CAST(greatest(max(i * $m - n * r2),
+         |      max(n * r2 - (i - 1) * $m)) AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * $m.0) * sqrt(CAST(n AS DOUBLE)), 4)
+         |    AS d_sqrt_n
+         |FROM o GROUP BY n""".stripMargin
+    },
 
     "e13_cluster_quality" -> {
       val fold = s"list_reduce(list_transform(generate_series(1, $KmDim), " +
