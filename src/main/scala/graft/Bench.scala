@@ -27,25 +27,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def r3(v: Double): String = f"$v%.3f"
+    // A rep that throws must NOT contribute its time-to-throw to the min —
+    // a crashed query is fast, and a swallowed failure reads as a speedup
+    // (r4's z1 "0.055 s" was exactly this). Failed reps are excluded; a
+    // query with zero successful reps reports null and counts as a failure.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { rep =>
+      val times = (1 to reps).flatMap { rep =>
         spark.catalog.clearCache() // drop per-query cached frames between runs
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name rep$rep failed: ${e.getMessage}")
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name rep$rep FAILED: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
+      val min = if (times.isEmpty) None else Some(times.min)
       System.err.println(
-        s"[bench] $name reps=[${times.map(r3).mkString(",")}] min=${r3(times.min)} s")
-      name -> times.min
+        s"[bench] $name ok=${times.size}/$reps reps=[${times.map(r3).mkString(",")}]" +
+          s" min=${min.map(r3).getOrElse("FAILED")} s")
+      name -> min
     }
-    val total = results.map(_._2).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => k }
+    val total = results.flatMap(_._2).sum
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(r3).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"failures":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
@@ -55,7 +66,7 @@ object Bench {
     System.err.println(detail)
     spark.stop()
     // SHORT final stdout line only — must survive the driver's ~2 KB tail cap
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"failures":${failed.size},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -22,7 +22,10 @@ import org.apache.spark.sql.expressions.Window
   * Contract: `right` must be unique per (keys, tsCol) — dedupe first (e.g.
   * keep the max-id row per key+ts) or the carried payload is the last one
   * in nondeterministic order. Timestamp columns must be the same type on
-  * both sides.
+  * both sides. Null timestamps: right rows with a null timestamp are
+  * EXCLUDED (an as-of join can never match a row with no time); left rows
+  * with a null timestamp are KEPT but get no match in EITHER direction
+  * (they order before all timestamped rows in both passes).
   */
 object AsOf {
 
@@ -68,8 +71,12 @@ object AsOf {
     // → "last right seen" = greatest right ts ≤ mine, inclusive.
     // forward: descending ts with the same side order → "last right seen"
     // = smallest right ts ≥ mine, inclusive.
+    // Null LEFT timestamps sort FIRST in both directions (asc default /
+    // desc_nulls_first) so a left row with no timestamp gets no match
+    // either way — under plain `desc` (nulls LAST) a null-ts left row
+    // would sit after every right row and silently match the earliest one.
     val ord =
-      if (forward) Seq(col(tsCol).desc, col("__side"))
+      if (forward) Seq(col(tsCol).desc_nulls_first, col("__side"))
       else Seq(col(tsCol), col("__side"))
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(ord: _*)

@@ -260,7 +260,11 @@ object Stats {
     // counts + the distributed prefix sum — DOUBLED average ranks keep
     // every rank statistic an exact integer (ties average to halves).
     // 100 TB shape: one value groupBy + the two-pass cumsum over the
-    // (much smaller) distinct-value frame + one scalar agg.
+    // (much smaller) distinct-value frame + one scalar agg. The tie
+    // correction cnt³−cnt accumulates in DECIMAL(38,0) (int64 would
+    // overflow once any single tied value group exceeds ~2.1M rows —
+    // easily hit by milli-quantized values at scale); it only ever feeds
+    // the final double z, so the widening is free.
     "a40_mannwhitney" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
@@ -277,7 +281,8 @@ object Stats {
           (lit(2L) * ($"cum" - $"cnt") + $"cnt" + 1L).as("r2"))
         .agg(sum($"n1v" * $"r2").as("r2sum1"), sum($"n1v").as("n1"),
           sum($"cnt" - $"n1v").as("n2"),
-          sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tie3"))
+          sum($"cnt".cast("decimal(38,0)") * $"cnt" * $"cnt" - $"cnt")
+            .as("tie3"))
         .withColumn("u1",
           (d($"r2sum1") - d($"n1") * (d($"n1") + 1.0)) / 2.0)
         .withColumn("nn", d($"n1") + d($"n2"))
@@ -502,8 +507,10 @@ object Stats {
 
   /** One unrolled Lloyd step in SQL: assignment from `cin`, update into
     * `cout` (with empty-cluster fallback to `cin`). Distances are exact
-    * BIGINT folds; the floor-divided mean matches `Math.floorDiv` for
-    * |sum| < 2^53 (KMeansQ.scala). */
+    * BIGINT folds; the centroid mean is exact BIGINT floor division
+    * (`//` + negative-remainder correction — DuckDB's `//` truncates
+    * toward zero) so it matches `Math.floorDiv` identically, with no
+    * reliance on double-quotient rounding (KMeansQ.scala). */
   private def kmStep(step: Int, cin: String, aOut: String,
                      cout: String): String = {
     val dist = s"list_reduce(list_transform(generate_series(1, $KmDim), " +
@@ -516,11 +523,14 @@ object Stats {
        |      (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d$step)
        |  WHERE rn = 1),
        |u$step AS (
-       |  SELECT a.cluster AS j, t.i,
-       |    CAST(floor(CAST(sum(q.qv[t.i]) AS DOUBLE) / count(*)) AS BIGINT)
-       |      AS v
-       |  FROM q JOIN $aOut a USING (vec_id), generate_series(1, $KmDim) t(i)
-       |  GROUP BY 1, 2),
+       |  SELECT j, i,
+       |    (s // n) - CASE WHEN s < 0 AND s % n <> 0 THEN 1 ELSE 0 END AS v
+       |  FROM (
+       |    SELECT a.cluster AS j, t.i, CAST(sum(q.qv[t.i]) AS BIGINT) AS s,
+       |      count(*) AS n
+       |    FROM q JOIN $aOut a USING (vec_id),
+       |      generate_series(1, $KmDim) t(i)
+       |    GROUP BY 1, 2)),
        |$cout AS (
        |  SELECT cin.j, coalesce(g.cv, cin.cv) AS cv
        |  FROM $cin cin LEFT JOIN
@@ -533,7 +543,8 @@ object Stats {
       val lags = (1 to AcfMaxLag).map(l => s"($l)").mkString(", ")
       s"""WITH o AS (
          |  SELECT ${qMilli("value")} AS q,
-         |    row_number() OVER (ORDER BY ts, event_id) AS pos
+         |    row_number() OVER (ORDER BY ${Det.epochSSql("ts")}, event_id)
+         |      AS pos
          |  FROM events),
          |p AS (
          |  SELECT l.lag, x.q AS xq, y.q AS yq
@@ -713,7 +724,7 @@ object Stats {
          |  SELECT CAST(sum(n1v * r2) AS BIGINT) AS r2sum1,
          |    CAST(sum(n1v) AS BIGINT) AS n1,
          |    CAST(sum(cnt - n1v) AS BIGINT) AS n2,
-         |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+         |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3
          |  FROM cum),
          |w AS (
          |  SELECT n1, n2, tie3,

@@ -83,8 +83,10 @@ object KMeansQ {
     val next = prev.map(_.clone())
     rows.foreach { r =>
       // the double sum is an exact integer (< 2^53 by the header bound);
-      // floorDiv == floor(s / n) there (the quotient's ulp error cannot
-      // cross an integer boundary) — the DuckDB twin uses floor(s / n)
+      // the DuckDB twin uses the SAME exact BIGINT floor division
+      // (`s // n` with a negative-remainder correction — DuckDB's `//`
+      // truncates toward zero while floorDiv floors), so the two engines
+      // agree bit-for-bit with no reliance on double-quotient rounding
       next(r.getInt(0))(r.getInt(1)) =
         Math.floorDiv(r.getDouble(2).toLong, r.getLong(3))
     }
