@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.TextDedup.queries ++ graft.queries.Embed.queries ++
       graft.queries.Core2.queries ++ graft.queries.Lifecycle.queries ++
       graft.queries.Pipeline.queries ++ graft.queries.Mm.queries ++
-      graft.queries.Analytics.queries ++ graft.queries.Stats.queries
+      graft.queries.Analytics.queries ++ graft.queries.Stats.queries ++
+      graft.queries.Curate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       graft.queries.TextDedup.oracles ++ graft.queries.Embed.oracles ++
       graft.queries.Core2.oracles ++ graft.queries.Lifecycle.oracles ++
       graft.queries.Pipeline.oracles ++ graft.queries.Mm.oracles ++
-      graft.queries.Analytics.oracles ++ graft.queries.Stats.oracles
+      graft.queries.Analytics.oracles ++ graft.queries.Stats.oracles ++
+      graft.queries.Curate.oracles
 }

@@ -76,4 +76,16 @@ object Det {
     * parquet ns-vs-us timestamp precision difference between engines. */
   def epochS(ts: Column): Column = ts.cast("long")
   def epochSSql(ts: String): String = s"CAST(floor(epoch($ts)) AS BIGINT)"
+
+  /** Exact BIGINT floor division (`Math.floorDiv` semantics) for both
+    * engines: Spark's `div` and DuckDB's `//` BOTH truncate toward zero,
+    * so a negative quotient with a remainder needs the −1 correction.
+    * Using this instead of `floor(CAST(s AS DOUBLE)/n)` keeps integer
+    * pipelines exact with no reliance on double-quotient rounding. */
+  def floorDivSparkSql(s: String, n: String): String =
+    s"(CASE WHEN ($s) >= 0 OR ($s) % ($n) = 0 THEN ($s) div ($n) " +
+      s"ELSE (($s) div ($n)) - 1 END)"
+  def floorDivDuckSql(s: String, n: String): String =
+    s"((($s) // ($n)) - (CASE WHEN ($s) < 0 AND ($s) % ($n) <> 0 " +
+      s"THEN 1 ELSE 0 END))"
 }

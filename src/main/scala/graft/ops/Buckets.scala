@@ -81,4 +81,22 @@ object Buckets {
     members.groupBy(bucketCols: _*)
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > cap)
+
+  /** Drop accounting as a QUERYABLE one-row frame — the data twin of
+    * [[capMembers]]' observed metrics, so a 100 TB run can gate/alert on
+    * candidate-recall loss (`dropped_rows / member_rows`) in the same
+    * engine instead of scraping logs. `dropped_rows` counts membership
+    * rows in over-cap buckets, exactly what [[capMembers]] would drop.
+    * Cost: one groupBy on the bucket key + a scalar agg over the (much
+    * smaller) bucket-size frame. Oracle-gated by `d18_cap_report`. */
+  def capReport(members: DataFrame, bucketCols: Seq[Column],
+                cap: Int = DefaultCap): DataFrame =
+    members.groupBy(bucketCols: _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("__bsz") > cap, 1L).otherwise(0L)).as("over_cap_buckets"),
+        sum(col("__bsz")).as("member_rows"),
+        sum(when(col("__bsz") > cap, col("__bsz")).otherwise(0L))
+          .as("dropped_rows"),
+        coalesce(max(col("__bsz")), lit(0L)).as("max_bucket"))
 }

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.functions.Det
+import graft.text.UrlOps
+
+/** Round-6 pack: domain-level curation (source-mix reweighting, URL
+  * canonicalize + per-domain dedup) and the windowed-PCA residual gate —
+  * the per-SOURCE composition controls that sit between t7's per-doc
+  * filtering and t6's packing in a real crawl pipeline (t20's report card
+  * computes the per-source stats these consume), plus an oracle gate over
+  * [[graft.ml.WindowPcaDetector]]'s score-pipeline seams.
+  *
+  * Exactness recipe: integers until the final formula, the keyed LCG
+  * ([[Det.frac]]) for all sampling, and dyadic-rational projection
+  * coefficients so even the float math is exact (see w30). */
+object Curate {
+
+  /** t21 keyed-LCG seed. */
+  private val MixSeed = 29L
+
+  /** t22 per-domain keep cap. */
+  private val DomainCap = 3
+
+  /** w30 geometry: window length L=4 over the quantized value, k=2
+    * projection = first two columns of the 4×4 Walsh–Hadamard matrix
+    * scaled by 1/2 (orthonormal, entries ±0.5 — dyadic, so projection /
+    * reconstruction / residual arithmetic is EXACT in doubles), 20%
+    * calibration tail, p95 threshold as an exact order statistic. */
+  private val WpL = 4
+  private val WpTailFrac = 0.2
+  private val WpQ = 0.95
+  private val MilliScale = 1000.0
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- T21: domain-mix reweighting ----------------------------------
+    // Composition control: target share of source s ∝ w_s (here w_s =
+    // 1 + source index, parsed from the name — deliberately non-uniform
+    // over the uniform synthetic mix). The most over-represented source
+    // relative to its target binds the budget: cap = min_s(n_s / w_s),
+    // keep-probability p_s = cap·w_s / n_s ≤ 1, enforced per doc by the
+    // keyed LCG (partition-invariant — the p14 recipe grouped by source).
+    // 100 TB shape: one source-count agg (tiny) broadcast back over the
+    // corpus scan; no shuffle of the documents themselves.
+    "t21_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"source")
+      val counts = docs.groupBy($"source").agg(count(lit(1)).as("__n"))
+        .withColumn("__w", substring($"source", 4, 8).cast("long") + 1L)
+      val cap = counts.agg(
+        min($"__n".cast("double") / $"__w".cast("double")).as("__cap"))
+      val probs = counts.crossJoin(broadcast(cap))
+        .select($"source",
+          ($"__cap" * $"__w".cast("double") / $"__n".cast("double")).as("__p"))
+      docs.join(broadcast(probs), Seq("source"))
+        .filter(Det.frac($"doc_id", MixSeed) < $"__p")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // ---- T22: URL canonicalize + per-domain dedup ---------------------
+    // Raw URLs are synthesized deterministically from doc fields (scheme
+    // and host case vary, www. comes and goes, utm_* params and trailing
+    // slashes appear — identical construction in both engines), then:
+    // (1) canonical-URL dedup keeps the min doc_id per canonical form
+    // (collapsing every variant of one page), (2) a per-domain cap keeps
+    // the DomainCap best docs per registered host (quality order:
+    // n_chars desc). 100 TB shape: both passes are WindowGroupLimit
+    // top-k on a hash shuffle of the canonical/domain key — no sort of
+    // the corpus, no driver state.
+    "t22_url_domain_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val id10 = expr("doc_id div 20")
+      val raw = t(s, dir, "documents")
+        .select($"doc_id", $"n_chars",
+          concat(
+            when($"doc_id" % 2 === 0, "https://").otherwise("HTTP://"),
+            when($"doc_id" % 3 === 0, "www.")
+              .otherwise(when($"doc_id" % 3 === 1, "WWW.").otherwise("")),
+            when($"doc_id" % 2 === 0, upper($"source")).otherwise($"source"),
+            lit(".Example.COM"),
+            concat(lit("/item/"), (id10 % 7).cast("string"),
+              when($"doc_id" % 5 === 0, "/").otherwise("")),
+            when($"doc_id" % 4 === 0,
+                concat(lit("?utm_source=rss&id="), (id10 % 5).cast("string")))
+              .when($"doc_id" % 4 === 1,
+                concat(lit("?id="), (id10 % 5).cast("string")))
+              .when($"doc_id" % 4 === 2,
+                concat(lit("?id="), (id10 % 5).cast("string"),
+                  lit("&utm_medium=email")))
+              .otherwise(lit("?utm_campaign=x"))).as("url"))
+      val canon = raw
+        .withColumn("canon_url", UrlOps.canonicalize($"url"))
+        .withColumn("domain", UrlOps.canonicalHost($"url"))
+      val dedup = canon
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy($"canon_url").orderBy($"doc_id")))
+        .filter($"__rn" === 1).drop("__rn")
+      dedup
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy($"domain")
+            .orderBy($"n_chars".desc, $"doc_id")))
+        .filter($"__rk" <= DomainCap)
+        .select($"domain", $"doc_id", $"canon_url")
+        .orderBy($"domain", $"doc_id")
+    }),
+
+    // ---- W30: windowed-PCA residual gate ------------------------------
+    // Oracle gate over [[graft.ml.WindowPcaDetector]]'s score-pipeline
+    // seams with a DETERMINISTIC dyadic projection standing in for the
+    // fitted PCA basis (MLlib's SVD is float-order-dependent and not
+    // SQL-expressible; the seams are what need gating): the same
+    // Sequencer.flattenWindows lag cells the detector scores, exact
+    // integer per-cell centering (floor-divided means — the scaler),
+    // project → reconstruct → squared residual (exact: ±0.5 entries keep
+    // every product dyadic), per-series calibration tail (the w13
+    // recipe), one global threshold as an exact order statistic (rank
+    // ⌈q·m⌉ via the two-pass distributed rank — no interpolation, so the
+    // `err > thr` flag has no float-boundary risk), and the warm-up
+    // null-score/false-flag contract (W6). 100 TB shape: one user_id
+    // shuffle shared by the lag window and the tail rank, a 1-row stats
+    // broadcast, and the bounded two-pass rank over the tail.
+    "w30_window_pca_score" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
+          round($"value" * MilliScale).cast("long").as("q"))
+      val flat = graft.window.Sequencer.flattenWindows(
+        ev, Some("user_id"), "es", Seq("q"), WpL,
+        orderTiebreak = Seq($"event_id"), keepIncomplete = true)
+      val aggCols = count(lit(1)).as("__n") +:
+        (0 until WpL).map(i => sum(col(s"q_tm$i")).as(s"__s$i"))
+      val stats = flat.filter($"window_complete")
+        .agg(aggCols.head, aggCols.tail: _*)
+      // exact integer centering; lag cells of warm-up rows are null so
+      // x_i / err propagate null — the null-score contract falls out
+      val centered = flat.crossJoin(broadcast(stats))
+        .select(($"user_id" +: $"event_id" +: $"es" +: $"window_complete" +:
+          (0 until WpL).map(i => (col(s"q_tm$i") -
+            expr(Det.floorDivSparkSql(s"__s$i", "__n")))
+            .cast("double").as(s"x$i"))): _*)
+      val half = lit(0.5)
+      val z0 = $"x0" * half + $"x1" * half + $"x2" * half + $"x3" * half
+      val z1 = $"x0" * half - $"x1" * half + $"x2" * half - $"x3" * half
+      val scored = centered
+        .withColumn("__z0", z0).withColumn("__z1", z1)
+        .withColumn("__r0", $"x0" - ($"__z0" * half + $"__z1" * half))
+        .withColumn("__r1", $"x1" - ($"__z0" * half - $"__z1" * half))
+        .withColumn("__r2", $"x2" - ($"__z0" * half + $"__z1" * half))
+        .withColumn("__r3", $"x3" - ($"__z0" * half - $"__z1" * half))
+        .withColumn("err", $"__r0" * $"__r0" + $"__r1" * $"__r1" +
+          $"__r2" * $"__r2" + $"__r3" * $"__r3")
+      val tail = scored.filter($"window_complete")
+        .withColumn("__pr", percent_rank().over(
+          Window.partitionBy($"user_id").orderBy($"es", $"event_id")))
+        .filter($"__pr" >= 1.0 - WpTailFrac)
+        .select($"err", $"user_id", $"event_id")
+      val thr = graft.ops.Ranks
+        .globalRowNumberWithTotal(tail,
+          Seq($"err", $"user_id", $"event_id"), "__rn", "__m")
+        .filter($"__rn" ===
+          greatest(ceil(lit(WpQ) * $"__m".cast("double")), lit(1L)))
+        .select($"err".as("__thr"))
+      scored.crossJoin(broadcast(thr))
+        .select($"user_id", $"event_id",
+          when($"window_complete", $"err").as("score"),
+          coalesce($"err" > $"__thr", lit(false)).as("is_anomaly"))
+        .orderBy($"user_id", $"event_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "t21_domain_mix" ->
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         |c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(substr(source, 4) AS BIGINT) + 1 AS w
+         |  FROM d GROUP BY source),
+         |cap AS (
+         |  SELECT min(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)) AS cap FROM c),
+         |p AS (
+         |  SELECT source,
+         |    cap.cap * CAST(w AS DOUBLE) / CAST(n AS DOUBLE) AS p
+         |  FROM c, cap)
+         |SELECT d.doc_id, d.source
+         |FROM d JOIN p USING (source)
+         |WHERE ${Det.fracSql("d.doc_id", 29L)} < p.p
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "t22_url_domain_dedup" -> {
+      val url =
+        """((CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+          |   (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+          |         WHEN doc_id % 3 = 1 THEN 'WWW.' ELSE '' END) ||
+          |   (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) ||
+          |   '.Example.COM' ||
+          |   '/item/' || CAST((doc_id // 20) % 7 AS VARCHAR) ||
+          |   (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+          |   (CASE WHEN doc_id % 4 = 0
+          |           THEN '?utm_source=rss&id=' || CAST((doc_id // 20) % 5 AS VARCHAR)
+          |         WHEN doc_id % 4 = 1
+          |           THEN '?id=' || CAST((doc_id // 20) % 5 AS VARCHAR)
+          |         WHEN doc_id % 4 = 2
+          |           THEN '?id=' || CAST((doc_id // 20) % 5 AS VARCHAR) || '&utm_medium=email'
+          |         ELSE '?utm_campaign=x' END))""".stripMargin
+      s"""WITH raw AS (
+         |  SELECT doc_id, n_chars, $url AS url FROM documents),
+         |canon AS (
+         |  SELECT doc_id, n_chars,
+         |    ${UrlOps.canonicalizeSql("url")} AS canon_url,
+         |    ${UrlOps.canonicalHostSql("url")} AS domain
+         |  FROM raw),
+         |dedup AS (
+         |  SELECT domain, doc_id, canon_url, n_chars FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY canon_url ORDER BY doc_id) AS rn
+         |    FROM canon)
+         |  WHERE rn = 1)
+         |SELECT domain, doc_id, canon_url FROM (
+         |  SELECT domain, doc_id, canon_url, row_number() OVER
+         |    (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM dedup)
+         |WHERE rk <= $DomainCap
+         |ORDER BY domain, doc_id""".stripMargin
+    },
+
+    "w30_window_pca_score" -> {
+      val lagCells = (0 until WpL).map { i =>
+        if (i == 0) "q AS q_tm0"
+        else s"lag(q, $i) OVER w AS q_tm$i"
+      }.mkString(", ")
+      val xs = (0 until WpL).map(i =>
+        s"CAST(q_tm$i - ${Det.floorDivDuckSql(s"s$i", "n")} AS DOUBLE) AS x$i")
+        .mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    CAST(round(value * 1000) AS BIGINT) AS q
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, es, $lagCells,
+         |    (row_number() OVER w) >= $WpL AS window_complete
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${(0 until WpL).map(i =>
+               s"CAST(sum(q_tm$i) AS BIGINT) AS s$i").mkString(", ")}
+         |  FROM f WHERE window_complete),
+         |x AS (
+         |  SELECT user_id, event_id, es, window_complete, $xs
+         |  FROM f, st),
+         |z AS (
+         |  SELECT user_id, event_id, es, window_complete, x0, x1, x2, x3,
+         |    x0 * 0.5 + x1 * 0.5 + x2 * 0.5 + x3 * 0.5 AS z0,
+         |    x0 * 0.5 - x1 * 0.5 + x2 * 0.5 - x3 * 0.5 AS z1
+         |  FROM x),
+         |e AS (
+         |  SELECT user_id, event_id, es, window_complete,
+         |    (x0 - (z0 * 0.5 + z1 * 0.5)) * (x0 - (z0 * 0.5 + z1 * 0.5)) +
+         |    (x1 - (z0 * 0.5 - z1 * 0.5)) * (x1 - (z0 * 0.5 - z1 * 0.5)) +
+         |    (x2 - (z0 * 0.5 + z1 * 0.5)) * (x2 - (z0 * 0.5 + z1 * 0.5)) +
+         |    (x3 - (z0 * 0.5 - z1 * 0.5)) * (x3 - (z0 * 0.5 - z1 * 0.5))
+         |      AS err
+         |  FROM z),
+         |tail AS (
+         |  SELECT err, user_id, event_id FROM (
+         |    SELECT err, user_id, event_id, percent_rank() OVER
+         |      (PARTITION BY user_id ORDER BY es, event_id) AS pr
+         |    FROM e WHERE window_complete)
+         |  WHERE pr >= ${1.0 - WpTailFrac}),
+         |thr AS (
+         |  SELECT err AS thr FROM (
+         |    SELECT err, row_number() OVER
+         |      (ORDER BY err, user_id, event_id) AS rn,
+         |      count(*) OVER () AS m
+         |    FROM tail)
+         |  WHERE rn = greatest(
+         |    CAST(ceil($WpQ * CAST(m AS DOUBLE)) AS BIGINT), 1))
+         |SELECT user_id, event_id,
+         |  CASE WHEN window_complete THEN err END AS score,
+         |  coalesce(err > thr.thr, false) AS is_anomaly
+         |FROM e, thr
+         |ORDER BY user_id, event_id""".stripMargin
+    })
+}

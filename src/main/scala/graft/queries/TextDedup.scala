@@ -36,6 +36,11 @@ object TextDedup {
     * (integer form 2·inter ≥ union). */
   private val INC_MOD = 10
 
+  /** d18's deliberately low bucket cap — small enough that real band
+    * buckets exceed it at every test SF, so the drop accounting is
+    * exercised with non-zero numbers. */
+  private val CapReportCap = 8
+
   private def toks(c: Column) = TextOps.tokens(c)
 
   /** Signature frame: doc_id + 8 minhash slices s0..s7, via the native
@@ -243,6 +248,21 @@ object TextDedup {
     "d3_minhash_lsh_pairs" -> ((s, dir) => {
       import s.implicits._
       lshPairs(s, dir).orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- hot-bucket cap accounting as data -------------------------------
+    // The d3 band-membership frame through Buckets.capReport with a
+    // deliberately low cap, so the drop accounting (the metrics
+    // capMembers logs) is itself an oracle-gated one-row frame — the
+    // alertable recall-loss signal a 100 TB dedup run monitors.
+    "d18_cap_report" -> ((s, dir) => {
+      import s.implicits._
+      val bands = sigDF(s, dir).select($"doc_id",
+        posexplode(array((0 until 4).map(b =>
+          concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*))
+          .as(Seq("band", "bv")))
+      graft.ops.Buckets.capReport(bands, Seq(col("band"), col("bv")),
+        cap = CapReportCap)
     }),
 
     // ---- simhash fingerprints --------------------------------------------
@@ -841,6 +861,25 @@ object TextDedup {
         s"""WITH $lshPairsSql
            |SELECT a_id, b_id, est_jaccard FROM pairs
            |ORDER BY a_id, b_id""".stripMargin,
+
+      "d18_cap_report" ->
+        s"""WITH $sigSql,
+           |bands AS (
+           |  SELECT doc_id, b AS band,
+           |    CASE b WHEN 0 THEN s0 || s1 WHEN 1 THEN s2 || s3
+           |           WHEN 2 THEN s4 || s5 ELSE s6 || s7 END AS bv
+           |  FROM sig, (VALUES (0), (1), (2), (3)) t(b)),
+           |bs AS (
+           |  SELECT band, bv, CAST(count(*) AS BIGINT) AS bsz
+           |  FROM bands GROUP BY band, bv)
+           |SELECT count(*) AS n_buckets,
+           |  CAST(sum(CASE WHEN bsz > $CapReportCap THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS over_cap_buckets,
+           |  CAST(sum(bsz) AS BIGINT) AS member_rows,
+           |  CAST(sum(CASE WHEN bsz > $CapReportCap THEN bsz ELSE 0 END)
+           |    AS BIGINT) AS dropped_rows,
+           |  max(bsz) AS max_bucket
+           |FROM bs""".stripMargin,
 
       "d4_simhash" -> {
         val bits = (1 to 16).map { j =>

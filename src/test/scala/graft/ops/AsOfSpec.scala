@@ -45,6 +45,20 @@ class AsOfSpec extends SparkSpec {
       5L -> None))        // per-key isolation (c@1 never leaks)
   }
 
+  test("null timestamps: left rows match nothing BOTH ways; right rows excluded") {
+    val l = Seq(("a", Some(10L), 1L), ("a", None, 2L))
+      .toDF("k", "ts", "id")
+    val r = Seq(("a", Some(5L), "a@5"), ("a", Some(15L), "a@15"),
+      ("a", None, "a@null")).toDF("k", "ts", "v")
+    val back = AsOf.joinBackward(l, r, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[String])].collect().toMap
+    val fwd = AsOf.joinForward(l, r, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[String])].collect().toMap
+    assert(back == Map(1L -> Some("a@5"), 2L -> None))
+    // pre-fix, desc (nulls LAST) silently matched id=2 to a@5's carry chain
+    assert(fwd == Map(1L -> Some("a@15"), 2L -> None))
+  }
+
   test("forward as-of agrees with a brute-force range join") {
     // randomized-ish (deterministic LCG) dense case across 3 keys
     val ls = (0 until 60).map { i =>

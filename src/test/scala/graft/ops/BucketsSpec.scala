@@ -66,4 +66,23 @@ class BucketsSpec extends SparkSpec {
     val capped = Buckets.capMembers(fixture, Seq($"bv"), cap = 5000, label = "t3")
     assert(capped.count() == fixture.count())
   }
+
+  test("capReport accounting matches what capMembers actually drops") {
+    val rep = Buckets.capReport(fixture, Seq($"bv"), cap = 10).head()
+    assert(rep.getAs[Long]("n_buckets") == 6L)       // deadbeef + b0..b4
+    assert(rep.getAs[Long]("over_cap_buckets") == 1L)
+    assert(rep.getAs[Long]("member_rows") == 220L)
+    assert(rep.getAs[Long]("max_bucket") == 200L)
+    val dropped = rep.getAs[Long]("dropped_rows")
+    val kept = Buckets.capMembers(fixture, Seq($"bv"), cap = 10, label = "t4")
+      .count()
+    assert(dropped == fixture.count() - kept) // 200 = 220 - 20
+  }
+
+  test("capReport on an empty frame is a zero row, not an error") {
+    val rep = Buckets.capReport(fixture.limit(0), Seq($"bv"), cap = 10).head()
+    assert(rep.getAs[Long]("n_buckets") == 0L)
+    assert(rep.getAs[Long]("dropped_rows") == 0L)
+    assert(rep.getAs[Long]("max_bucket") == 0L)
+  }
 }
