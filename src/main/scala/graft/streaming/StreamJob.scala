@@ -207,6 +207,53 @@ object StreamJob {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming backward as-of join with O(keys) state — the streaming twin
+    * of the oracle-green `z2_asof_join` batch operator
+    * ([[graft.ops.AsOf.joinBackward]]): every micro-batch left row matches
+    * the most recent right row at-or-before its event time, where the
+    * right side is derived from the same stream by `rightFrom` (e.g. the
+    * error-event subset). State is ONE carried right row per key
+    * (`outTable__asof_state`) — never event-scale: under event-time-
+    * ordered arrival, only the latest right row per key can still match a
+    * future left row. Each trigger runs the EXACT batch operator over
+    * (state ∪ batch-right), so within-trigger order needs no assumption,
+    * and [[graft.ops.AsOf]]'s null-timestamp rules carry over unchanged.
+    *
+    * Contract: `rightFrom(batch)` returns `keys ++ tsCol ++ payload` rows
+    * unique per (keys, tsCol) within the batch, and `tsCol` ties never
+    * cross micro-batch cuts — stage the replay chunks ON THE JOIN
+    * TIMESTAMP (e.g. `timestamp_seconds` of a truncated epoch, the
+    * [[stageAndReplay]] range-chunk recipe) so equal-ts rows always
+    * arrive together. StreamJobSpec proves stream ≡ z2 across 3 cut
+    * layouts. No end-of-stream flush is needed: every left row is emitted
+    * in its own trigger. */
+  def asofBackwardSink(stream: DataFrame, keys: Seq[String], tsCol: String,
+                       payload: Seq[String],
+                       rightFrom: DataFrame => DataFrame,
+                       outTable: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val stateT = s"${outTable}__asof_state"
+        val sel = ((keys :+ tsCol) ++ payload).map(col)
+        val rb = rightFrom(batch).select(sel: _*)
+        // checkpoint: feeds the join AND the state overwrite, and the
+        // overwrite must not read the table it is replacing
+        val rightAll = (if (sp.catalog.tableExists(stateT))
+            sp.table(stateT).unionByName(rb)
+          else rb).localCheckpoint()
+        graft.ops.AsOf.joinBackward(batch, rightAll, keys, tsCol, payload)
+          .write.mode("append").format("parquet").saveAsTable(outTable)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(tsCol).desc)
+        rightAll.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .write.mode("overwrite").format("parquet").saveAsTable(stateT)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Close the sessions still open when a finite replay drains (the
     * end-of-stream flush every sessionizer needs; a live stream would
     * instead close them by watermark). */

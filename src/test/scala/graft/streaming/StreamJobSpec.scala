@@ -182,6 +182,51 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of join ≡ z2 batch as-of (oracle-anchored), across 3 " +
+      "micro-batch cut layouts") {
+    // z2_asof_join is oracle-green: its batch result is cross-engine
+    // verified. The O(keys)-state sink (one carried right row per user)
+    // must converge to EXACTLY that table whatever the cut layout,
+    // including cuts between an error and the events that match it.
+    // Staging chunks on timestamp_seconds(es) keeps equal-es rows in one
+    // trigger (the sink's tie contract).
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("z2_asof_join")(spark, dir)
+      .collect().map(_.toString).sorted.mkString("|")
+    val frame = graft.Tables.t(spark, dir, "events")
+      .select(timestamp_seconds(graft.functions.Det.epochS($"ts"))
+          .as("timestamp"),
+        $"event_id", $"user_id", graft.functions.Det.epochS($"ts").as("es"),
+        $"value", $"event_type")
+      .localCheckpoint()
+    def rightFrom(b: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"es").orderBy($"err_id".desc)
+      b.filter($"event_type" === "error")
+        .select($"user_id", $"es", $"event_id".as("err_id"),
+          $"value".as("err_value"))
+        .withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+    }
+    val layouts = Seq((1, 1), (5, 2), (16, 3)) // (nChunks, filesPerTrigger)
+    layouts.zipWithIndex.foreach { case ((chunks, perTrigger), i) =>
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft_asof_$i").toString
+      val stream = StreamJob.stageAndReplay(spark, frame, stage,
+        nChunks = chunks, filesPerTrigger = perTrigger)
+      val q = StreamJob.asofBackwardSink(stream, Seq("user_id"), "es",
+        Seq("err_id", "err_value"), rightFrom, s"asof_out_$i")
+      q.awaitTermination(60000)
+      val got = spark.table(s"asof_out_$i")
+        .select($"event_id", $"asof_err_id".as("prior_error_id"),
+          round($"asof_err_value", 4).as("prior_error_value"))
+        .collect().map(_.toString).sorted.mkString("|")
+      assert(got == batch, s"layout ($chunks, $perTrigger): stream ≠ batch")
+      spark.sql(s"DROP TABLE asof_out_$i")
+      spark.sql(s"DROP TABLE IF EXISTS asof_out_${i}__asof_state")
+    }
+  }
+
   test("stream-stream range join ≡ batch interval join, across cut " +
       "layouts incl. bounded disorder") {
     // left: readings; right: alerts. Each reading matches same-key alerts
