@@ -86,6 +86,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(ex == 1, s"expected 1 keyed exchange, got $ex\n${p.take(3000)}")
   }
 
+  test("t21: the keep-probability table broadcasts — the corpus never " +
+      "shuffle-joins") {
+    val p = plan("t21_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("t22: both dedup passes compile to map-side WindowGroupLimit " +
+      "(top-k never shuffles the losers)") {
+    val p = plan("t22_url_domain_dedup")
+    val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    // rn=1 per canon_url and rk<=cap per domain, each with a partial
+    // (map-side) and final limit below/above its exchange
+    assert(n >= 2, s"expected >=2 WindowGroupLimit, got $n\n${p.take(3000)}")
+  }
+
+  test("w30: every data window carries a partition spec (tail rank rides " +
+      "the two-pass Ranks, not a global window)") {
+    val p = plan("w30_window_pca_score")
+    val wins = p.linesIterator.filter(_.contains("percent_rank")).toSeq
+    assert(wins.nonEmpty, p.take(2000))
+    wins.foreach(l => assert(l.contains("user_id"), l))
+    // the threshold selection must not introduce a single-partition sort
+    // of the events-scale frame: the only windowspecs are the per-user
+    // lag/percent_rank frames and Ranks' internals — bucket-partitioned
+    // row_numbers plus offset windows over the __gr_ bucket-COUNT frame,
+    // which is bounded by the partition count (Ranks.scala contract)
+    val bare = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("user_id") && !l.contains("__b") &&
+        !l.contains("__gr_")).toSeq
+    assert(bare.isEmpty, bare.mkString("\n"))
+  }
+
   test("no query plans a cartesian product") {
     // crossJoin of scalar aggs is BroadcastNestedLoopJoin over 1 row —
     // fine; an unconstrained CartesianProduct over data frames is never
