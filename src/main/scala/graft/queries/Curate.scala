@@ -128,6 +128,12 @@ object Curate {
       val ev = t(s, dir, "events")
         .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
           round($"value" * MilliScale).cast("long").as("q"))
+      // NOTE: the flattened frame fans out to three consumers (stats agg,
+      // calibration tail, final projection) but checkpointing it does not
+      // pay at this width (re-timed both ways at sf0.1, no win beyond
+      // noise): one keyed window pass recomputes cheaper than 100k wide
+      // rows materialize and re-read — the d2 counter-case to the
+      // fan-out rule
       val flat = graft.window.Sequencer.flattenWindows(
         ev, Some("user_id"), "es", Seq("q"), WpL,
         orderTiebreak = Seq($"event_id"), keepIncomplete = true)
