@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
 import graft.functions.Det
-import graft.text.UrlOps
+import graft.text.{TextOps, UrlOps}
 
 /** Round-6 pack: domain-level curation (source-mix reweighting, URL
   * canonicalize + per-domain dedup) and the windowed-PCA residual gate —
@@ -24,6 +24,9 @@ object Curate {
 
   /** t22 per-domain keep cap. */
   private val DomainCap = 3
+
+  /** t23 chunk width (tokens per dedup unit). */
+  private val ChunkW = 6
 
   /** w30 geometry: window length L=4 over the quantized value, k=2
     * projection = first two columns of the 4×4 Walsh–Hadamard matrix
@@ -106,6 +109,41 @@ object Curate {
         .filter($"__rk" <= DomainCap)
         .select($"domain", $"doc_id", $"canon_url")
         .orderBy($"domain", $"doc_id")
+    }),
+
+    // ---- T23: exact chunk dedup REWRITE -------------------------------
+    // The corpus-modifying form of exact substring dedup (Lee et al.
+    // 2021; C4/RefinedWeb line dedup) at fixed token-chunk granularity —
+    // d11 MEASURES duplication, this REMOVES it: every non-overlapping
+    // W-token chunk keeps only its globally-first occurrence (canonical
+    // order doc_id, pos — partition-invariant) and each doc's text is
+    // rebuilt from its surviving chunks. 100 TB shape: one chunk
+    // explode, first-occurrence as rn=1 over the fixed-width md5 chunk
+    // key (map-side WindowGroupLimit), one doc_id rebuild agg — linear,
+    // no self-join, no corpus-sized broadcast.
+    "t23_chunk_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val segs = t(s, dir, "documents")
+        .select($"doc_id", TextOps.tokens($"text").as("tk"))
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(0, (size(tk) - 1) div $ChunkW), " +
+            s"i -> array_join(slice(tk, i * $ChunkW + 1, $ChunkW), ' '))"))
+          .as(Seq("pos", "chunk")))
+      val firstW = Window.partitionBy(md5($"chunk"))
+        .orderBy($"doc_id", $"pos")
+      val kept = segs.withColumn("__rn", row_number().over(firstW))
+        .filter($"__rn" === 1)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct($"pos", $"chunk"))),
+            x => x("chunk")), " ").as("text_dedup"))
+      segs.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chunks",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"text_dedup", lit("")).as("text_dedup"))
+        .orderBy($"doc_id")
     }),
 
     // ---- W30: windowed-PCA residual gate ------------------------------
@@ -231,6 +269,38 @@ object Curate {
          |WHERE rk <= $DomainCap
          |ORDER BY domain, doc_id""".stripMargin
     },
+
+    "t23_chunk_dedup" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(0, (len(tk) - 1) // $ChunkW + 1)) AS pos
+         |  FROM tk),
+         |segs AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(
+         |      tk[(pos * $ChunkW + 1):(pos * $ChunkW + $ChunkW)], ' ')
+         |      AS chunk
+         |  FROM pos),
+         |kept AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+         |  FROM (
+         |    SELECT doc_id, pos, chunk, row_number() OVER
+         |      (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+         |    FROM segs)
+         |  WHERE rn = 1 GROUP BY doc_id),
+         |n AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+         |  FROM segs GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_chunks,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  coalesce(k.text_dedup, '') AS text_dedup
+         |FROM n LEFT JOIN kept k ON n.doc_id = k.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
 
     "w30_window_pca_score" -> {
       val lagCells = (0 until WpL).map { i =>
