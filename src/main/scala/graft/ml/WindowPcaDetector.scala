@@ -30,6 +30,15 @@ import graft.window.Sequencer
   * d×k principal matrix and is per-row (`PcaDetector.scoreFrame`). The
   * calibration tail uses [[graft.ops.Ranks]]' two-pass rank, not an
   * unpartitioned `percent_rank`.
+  *
+  * Oracle gate: `w30_window_pca_score` (queries/Curate.scala) runs this
+  * detector's score-pipeline seams — the same `flattenWindows` lag
+  * cells, centering, project→reconstruct→residual formula (the
+  * [[PcaDetector.scoreFrame]] arithmetic), calibration-tail
+  * thresholding, and the warm-up null-score contract — against a DuckDB
+  * twin, with a deterministic dyadic projection standing in for the
+  * MLlib-fitted basis (SVD is float-order-dependent and not
+  * SQL-expressible; every seam around it is exactly gated).
   */
 case class WindowPcaDetector(
     features: Seq[String],
