@@ -34,6 +34,12 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("https://wwwx.org/p") == Seq("wwwx.org/p"))
   }
 
+  test("fragments strip; scheme-less URLs parse as host+path") {
+    assert(canon("https://x.org/p?id=1#section-2") == Seq("x.org/p?id=1"))
+    assert(canon("https://x.org/p#frag") == Seq("x.org/p"))
+    assert(canon("www.X.org/p/?utm_s=1") == Seq("x.org/p"))
+  }
+
   test("canonicalHost matches the host part of canonicalize") {
     val url = "HTTPS://WWW.Host.Example.ORG/deep/path?utm_x=1&k=v"
     val (h, c) = Seq(url).toDF("url")
