@@ -254,6 +254,65 @@ object StreamJob {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming FORWARD as-of join — the conversion-attribution twin of
+    * the oracle-green `z4_asof_forward` batch operator
+    * ([[graft.ops.AsOf.joinForward]]): each left row matches the first
+    * right row at-or-after its event time, per key. A forward match can
+    * live in the future, so state carries the UNMATCHED left rows
+    * per key (the analogue of a real stream's watermark state — bounded
+    * by the key's right-event gap, not by the stream); each trigger runs
+    * the exact batch operator over (pending ∪ batch-left) × batch-right.
+    * Under event-time-ordered arrival, the first right row a key sees
+    * after a pending left IS its globally-earliest at-or-after match, so
+    * per-trigger matching is exact. Matched lefts emit in the trigger
+    * that completes them; [[asofForwardFlush]] emits the rest with their
+    * typed-null payload when a finite replay drains (a live stream would
+    * close them by watermark instead). Same tie contract as
+    * [[asofBackwardSink]]: stage replay chunks on the join timestamp. */
+  def asofForwardSink(stream: DataFrame, keys: Seq[String], tsCol: String,
+                      payload: Seq[String],
+                      leftFrom: DataFrame => DataFrame,
+                      rightFrom: DataFrame => DataFrame,
+                      outTable: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val pendT = s"${outTable}__asof_pending"
+        val lb = leftFrom(batch)
+        val rb = rightFrom(batch)
+          .select(((keys :+ tsCol) ++ payload).map(col): _*)
+          // the match marker: payload columns may be legitimately null,
+          // a carried `true` is not
+          .withColumn("__m", lit(true))
+        val cand = (if (sp.catalog.tableExists(pendT))
+            sp.table(pendT).select(lb.columns.map(col): _*).unionByName(lb)
+          else lb).localCheckpoint()
+        val joined = graft.ops.AsOf
+          .joinForward(cand, rb, keys, tsCol, payload :+ "__m")
+          .localCheckpoint() // feeds out-append AND the pending overwrite
+        joined.filter(col("asof___m")).drop("asof___m")
+          .write.mode("append").format("parquet").saveAsTable(outTable)
+        // pending rows keep their typed-null asof_ columns so the flush
+        // can append them without knowing the payload types
+        joined.filter(col("asof___m").isNull).drop("asof___m")
+          .write.mode("overwrite").format("parquet").saveAsTable(pendT)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Emit the left rows still unmatched when a finite replay drains —
+    * their forward match does not exist, so they carry null payload
+    * (exactly the batch left-outer semantics). */
+  def asofForwardFlush(sp: SparkSession, outTable: String): Unit = {
+    val pendT = s"${outTable}__asof_pending"
+    if (sp.catalog.tableExists(pendT)) {
+      sp.table(pendT).localCheckpoint()
+        .write.mode("append").format("parquet").saveAsTable(outTable)
+      sp.sql(s"DROP TABLE $pendT")
+    }
+  }
+
   /** Close the sessions still open when a finite replay drains (the
     * end-of-stream flush every sessionizer needs; a live stream would
     * instead close them by watermark). */

@@ -227,6 +227,52 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming FORWARD as-of ≡ z4 batch as-of (oracle-anchored), " +
+      "across 3 micro-batch cut layouts") {
+    // z4_asof_forward is oracle-green. The pending-left state sink must
+    // converge to EXACTLY that table whatever the cut layout — including
+    // cuts that land between a click and the purchase that converts it
+    // (the match then completes in a LATER trigger), and clicks after the
+    // last purchase (flushed with null payload at end-of-stream).
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("z4_asof_forward")(spark, dir)
+      .collect().map(_.toString).sorted.mkString("|")
+    val frame = graft.Tables.t(spark, dir, "events")
+      .select(timestamp_seconds(graft.functions.Det.epochS($"ts"))
+          .as("timestamp"),
+        $"event_id", $"user_id", graft.functions.Det.epochS($"ts").as("es"),
+        $"value", $"event_type")
+      .localCheckpoint()
+    def leftFrom(b: org.apache.spark.sql.DataFrame) =
+      b.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"es")
+    def rightFrom(b: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"es").orderBy($"p_id".desc)
+      b.filter($"event_type" === "purchase")
+        .select($"user_id", $"es", $"event_id".as("p_id"),
+          round($"value" * 100).cast("long").as("p_cents"))
+        .withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+    }
+    val layouts = Seq((1, 1), (5, 2), (16, 3)) // (nChunks, filesPerTrigger)
+    layouts.zipWithIndex.foreach { case ((chunks, perTrigger), i) =>
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft_asoff_$i").toString
+      val stream = StreamJob.stageAndReplay(spark, frame, stage,
+        nChunks = chunks, filesPerTrigger = perTrigger)
+      val q = StreamJob.asofForwardSink(stream, Seq("user_id"), "es",
+        Seq("p_id", "p_cents"), leftFrom, rightFrom, s"asoff_out_$i")
+      q.awaitTermination(60000)
+      StreamJob.asofForwardFlush(spark, s"asoff_out_$i")
+      val got = spark.table(s"asoff_out_$i")
+        .select($"event_id", $"user_id", $"es", $"asof_p_id", $"asof_p_cents")
+        .collect().map(_.toString).sorted.mkString("|")
+      assert(got == batch, s"layout ($chunks, $perTrigger): stream ≠ batch")
+      spark.sql(s"DROP TABLE asoff_out_$i")
+    }
+  }
+
   test("stream-stream range join ≡ batch interval join, across cut " +
       "layouts incl. bounded disorder") {
     // left: readings; right: alerts. Each reading matches same-key alerts
