@@ -760,6 +760,10 @@ object Analytics {
     // (g_den div 1e6) because g_num·1e6 would overflow int64 at scale.
     // 100 TB shape: one custkey agg, the two-pass distributed rank
     // (Ranks.globalRowNumber — no unpartitioned window), one scalar agg.
+    // Exactness bound: Σi·r and g_den ≈ n²·r̄ stay in int64 while
+    // n²·r̄ < 2^63 (n ≲ 3e5 groups at r̄ = 1e8 cents); past that, widen
+    // rs/g_num/g_den to DECIMAL(38,0) (the a40 tie3 pattern — only
+    // gini_ppm needs to stay BIGINT) or compute per-shard Ginis.
     "a28_gini" -> ((s, dir) => {
       import s.implicits._
       val rev = t(s, dir, "orders")

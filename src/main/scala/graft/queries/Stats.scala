@@ -21,7 +21,17 @@ import graft.text.TextOps
 object Stats {
 
   /** Value quantization: milli-units (|value| ≤ ~561 ⇒ q ≤ 5.7e5; all
-    * sums of q and q² stay far inside int64). */
+    * sums of q and q² stay far inside int64 at every test SF).
+    *
+    * 100 TB bound for the whole sufficient-statistics family (a38 ACF,
+    * a39 Welch, a40 U, w28 CUSUM, a37 OLS, a19 corr): a BIGINT Σq² is
+    * exact while n·q_max² < 2^63 — at q ≤ 5.7e5 that is n ≲ 2.8e13 rows
+    * PER AGGREGATE GROUP for q² terms, and n ≲ 3e6 per user for w28's
+    * n·cum product. Beyond those, widen the offending sum to
+    * DECIMAL(38,0) exactly as a40's tie3 does (the only term that
+    * crosses the bound at our synthetic value range) — the pattern is
+    * established there and costs nothing when the term only feeds a
+    * final double. */
   private val MilliScale = 1000.0
 
   /** ACF lag depth. */
