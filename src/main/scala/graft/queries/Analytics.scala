@@ -1300,7 +1300,8 @@ object Analytics {
     "w18_markov_transitions" ->
       """WITH nxt AS (
         |  SELECT event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id)
         |      AS to_type
         |  FROM events),
         |c AS (
@@ -1331,7 +1332,8 @@ object Analytics {
          |l AS (
          |  SELECT event_type, event_id, xc,
          |    $lags
-         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+         |  FROM e WINDOW w AS (PARTITION BY event_type
+         |    ORDER BY epoch_us(ts), event_id))
          |SELECT event_type, event_id, xc,
          |  ($num) // ($den) AS ewma_c
          |FROM l ORDER BY event_type, event_id""".stripMargin

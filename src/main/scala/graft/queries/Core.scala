@@ -361,7 +361,7 @@ object Core {
     "j1_pred_alignment" ->
       """WITH base AS (
         |  SELECT event_id, value,
-        |         row_number() OVER (ORDER BY ts, event_id) AS rn
+        |         row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events),
         |preds AS (
         |  SELECT rn AS prn, (value > 150.0) AS pred FROM base WHERE rn >= 10)
@@ -454,7 +454,7 @@ object Core {
       s"""WITH g AS (
          |  SELECT event_type,
          |    $epochSql - lag($epochSql) OVER
-         |      (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+         |      (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS gap
          |  FROM events)
          |SELECT event_type,
          |  round(CAST(sum(gap) AS DOUBLE) / count(gap), 4) AS mean_gap_s
@@ -499,7 +499,7 @@ object Core {
     "w3_temporal_split" ->
       """WITH s AS (
         |  SELECT value,
-        |    CASE WHEN row_number() OVER (ORDER BY ts, event_id)
+        |    CASE WHEN row_number() OVER (ORDER BY epoch_us(ts), event_id)
         |         <= floor(count(*) OVER () * 0.85)
         |      THEN 'train' ELSE 'test' END AS split
         |  FROM events)
@@ -522,7 +522,7 @@ object Core {
         |  FROM cnt),
         |rn AS (
         |  SELECT event_id, label, row_number() OVER (PARTITION BY label
-        |    ORDER BY ts DESC, event_id DESC) AS r
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS r
         |  FROM lab)
         |SELECT event_id, label FROM rn, q
         |WHERE (label = 1 AND r <= ta) OR (label = 0 AND r <= tn)

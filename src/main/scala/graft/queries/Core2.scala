@@ -348,7 +348,7 @@ object Core2 {
       "p10_last_n_anomalies" ->
         """SELECT event_id FROM (
           |  SELECT event_id FROM events WHERE event_type = 'error'
-          |  ORDER BY ts DESC, event_id DESC LIMIT 20)
+          |  ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 20)
           |ORDER BY event_id""".stripMargin,
 
       "p11_half_n_half" ->
@@ -479,7 +479,7 @@ object Core2 {
         s"""WITH g AS (
            |  SELECT user_id, ts, event_id, $es AS e,
            |    $es - lag($es) OVER
-           |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
            |  FROM events),
            |n AS (
            |  SELECT user_id, ts, event_id, e,
@@ -487,7 +487,8 @@ object Core2 {
            |  FROM g),
            |sess AS (
            |  SELECT user_id, e,
-           |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+           |      event_id
            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
            |  FROM n)
            |SELECT user_id, sess_id, count(*) AS n_events,
@@ -539,7 +540,7 @@ object Core2 {
       "p9_first_n_anomalies" ->
         s"""SELECT event_id FROM (
            |  SELECT event_id FROM events WHERE event_type = 'error'
-           |  ORDER BY ts, event_id LIMIT 20)
+           |  ORDER BY epoch_us(ts), event_id LIMIT 20)
            |ORDER BY event_id""".stripMargin)
   }
 }
