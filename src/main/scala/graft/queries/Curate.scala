@@ -111,6 +111,37 @@ object Curate {
         .orderBy($"domain", $"doc_id")
     }),
 
+    // ---- T24: temperature-scaled mix sampling -------------------------
+    // The α-sampling recipe of multilingual LLM data mixing (Conneau &
+    // Lample 2019, α = 1/2): target share of source s ∝ n_s^α — smaller
+    // sources are up-weighted relative to their natural share. α = 1/2
+    // keeps the float math exact-by-construction: sqrt of an integer is
+    // correctly rounded IEEE (identical in both engines), quantized to
+    // integer micro-units so the cross-source SUM is associativity-proof
+    // (a double Σ over groups has no deterministic order on a cluster);
+    // keep-prob = budget·w_s/(W·n_s) evaluates from the same exact
+    // integers in both engines. Same 100 TB shape as t21: one tiny
+    // source agg broadcast back over the scan.
+    "t24_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      // keyed by LANGUAGE: the canonical α-sampling axis, and genuinely
+      // non-uniform in this corpus (en ≈ 3× fr) so the up-weighting of
+      // small groups is visible in the gate
+      val docs = t(s, dir, "documents").select($"doc_id", $"lang")
+      val counts = docs.groupBy($"lang").agg(count(lit(1)).as("__n"))
+        .withColumn("__w",
+          round(sqrt($"__n".cast("double")) * 1000000.0).cast("long"))
+      val tot = counts.agg(sum($"__w").as("__tw"), sum($"__n").as("__nn"))
+      val probs = counts.crossJoin(broadcast(tot))
+        .select($"lang", least(lit(1.0),
+          ($"__nn".cast("double") / 2.0) * $"__w".cast("double") /
+            ($"__tw".cast("double") * $"__n".cast("double"))).as("__p"))
+      docs.join(broadcast(probs), Seq("lang"))
+        .filter(Det.frac($"doc_id", MixSeed + 1L) < $"__p")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
     // ---- T23: exact chunk dedup REWRITE -------------------------------
     // The corpus-modifying form of exact substring dedup (Lee et al.
     // 2021; C4/RefinedWeb line dedup) at fixed token-chunk granularity —
@@ -269,6 +300,27 @@ object Curate {
          |WHERE rk <= $DomainCap
          |ORDER BY domain, doc_id""".stripMargin
     },
+
+    "t24_temperature_mix" ->
+      s"""WITH d AS (SELECT doc_id, lang FROM documents),
+         |c AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000)
+         |      AS BIGINT) AS w
+         |  FROM d GROUP BY lang),
+         |tot AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS tw,
+         |    CAST(sum(n) AS BIGINT) AS nn
+         |  FROM c),
+         |p AS (
+         |  SELECT lang, least(1.0,
+         |    (CAST(nn AS DOUBLE) / 2.0) * CAST(w AS DOUBLE) /
+         |      (CAST(tw AS DOUBLE) * CAST(n AS DOUBLE))) AS p
+         |  FROM c, tot)
+         |SELECT d.doc_id, d.lang
+         |FROM d JOIN p USING (lang)
+         |WHERE ${Det.fracSql("d.doc_id", 30L)} < p.p
+         |ORDER BY d.doc_id""".stripMargin,
 
     "t23_chunk_dedup" ->
       s"""WITH tk AS (
