@@ -323,6 +323,29 @@ object TextDedup {
         .orderBy($"doc_id")
     }),
 
+    // ---- quality-aware canonical selection -------------------------------
+    // What production dedup actually keeps: the BEST doc per near-dup
+    // cluster (max quality, min-id tiebreak), not the arbitrary min-id
+    // representative d10 uses — near-dups often differ in boilerplate and
+    // truncation, and the pipeline wants the cleanest copy. One join of
+    // the component frame against the integer quality scores + a per-
+    // component WindowGroupLimit top-1.
+    "d19_best_of_cluster" -> ((s, dir) => {
+      import s.implicits._
+      val comps = graft.ops.Components.connectedComponents(
+        sim64Pairs(s, dir), "a_id", "b_id")
+      val q = t(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.qualityScore10k($"text", toks($"text")).as("q10k"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"component").orderBy($"q10k".desc, $"doc_id")
+      comps.join(q, comps("node") === q("doc_id"))
+        .withColumn("__rk", row_number().over(win))
+        .filter($"__rk" === 1)
+        .select($"component", $"doc_id".as("keep_id"), $"q10k".as("keep_q10k"))
+        .orderBy($"component")
+    }),
+
     // ---- the actual dedup: keep one canonical doc per cluster ------------
     // Survivors = docs outside any near-dup cluster + each cluster's
     // representative (min doc_id). This is the operator a training-data
@@ -936,6 +959,35 @@ object TextDedup {
            |  UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
            |SELECT src AS doc_id, min(dst) AS component
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      "d19_best_of_cluster" -> {
+        val allStop = TextOps.langWords.flatMap(_._2)
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH RECURSIVE $sim64PairsCte,
+           |sym AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs64
+           |  UNION SELECT b_id, a_id FROM pairs64),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM sym
+           |  UNION SELECT src, src FROM sym
+           |  UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+           |comp AS (
+           |  SELECT src AS doc_id, min(dst) AS component
+           |  FROM reach GROUP BY src),
+           |q AS (
+           |  SELECT doc_id,
+           |    CAST(${TextOps.qualityScore10kSql("text", "tokens", "__ALLSTOP__")}
+           |      AS BIGINT) AS q10k
+           |  FROM (SELECT doc_id, text, $tokensSqlExpr AS tokens
+           |        FROM documents))
+           |SELECT component, doc_id AS keep_id, q10k AS keep_q10k FROM (
+           |  SELECT c.component, c.doc_id, q.q10k, row_number() OVER
+           |    (PARTITION BY c.component ORDER BY q.q10k DESC, c.doc_id)
+           |    AS rk
+           |  FROM comp c JOIN q ON c.doc_id = q.doc_id)
+           |WHERE rk = 1 ORDER BY component""".stripMargin
+          .replace("__ALLSTOP__", allStop)
+      },
 
       "d10_canonical_docs" ->
         s"""WITH RECURSIVE $sim64PairsCte,
