@@ -38,6 +38,17 @@ object Curate {
   private val WpQ = 0.95
   private val MilliScale = 1000.0
 
+  /** t25: DSIR target domain and keyed-LCG sampling seed. */
+  private val DsirTarget = "src0"
+  private val DsirSeed = 31L
+
+  /** a42: χ² terms kept per class. */
+  private val ChiTopK = 10
+
+  /** DuckDB twin of [[TextOps.tokens]] (the Pipeline-pack expression). */
+  private val tokensSqlExpr =
+    "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T21: domain-mix reweighting ----------------------------------
     // Composition control: target share of source s ∝ w_s (here w_s =
@@ -244,6 +255,99 @@ object Curate {
           when($"window_complete", $"err").as("score"),
           coalesce($"err" > $"__thr", lit(false)).as("is_anomaly"))
         .orderBy($"user_id", $"event_id")
+    }),
+
+    // ---- T25: DSIR importance reweighting -----------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023),
+    // unigram-bag form: per-word add-one-smoothed probabilities under a
+    // TARGET domain model (docs from DsirTarget) and the RAW corpus
+    // model, per-doc importance weight = mean log p_tgt/p_raw over the
+    // doc's tokens, and a sampled keep decision with probability
+    // σ(weight) drawn from the keyed LCG (partition-invariant — never a
+    // global sort/top-k of the corpus). Exactness: per-token log-ratios
+    // quantized to integer micro-units (the t12 recipe) so the per-doc
+    // SUM is associativity-proof; the σ/compare runs on the 4dp-rounded
+    // weight so both engines see identical doubles. 100 TB shape: two
+    // token-count tables (vocabulary-sized, JOINED to the token frame —
+    // never broadcast, never collected), one 1-row totals broadcast, one
+    // doc_id agg; everything else is a linear scan.
+    "t25_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      val dt = t(s, dir, "documents")
+        .select($"doc_id", $"source", TextOps.tokens($"text").as("tk"))
+        .filter(size($"tk") >= 1)
+        .select($"doc_id", $"source", explode($"tk").as("w"))
+      // NOT checkpointed: dt is corpus-sized and its recompute is a scan +
+      // tokenize + explode — the a14 rule (re-reading parquet beats
+      // materializing the whole token frame); only the vocabulary-sized
+      // count table below is pinned
+      val rawCnt = dt.groupBy($"w").agg(count(lit(1)).as("cr"))
+        .localCheckpoint() // feeds totals AND the scoring join
+      val tgtCnt = dt.filter($"source" === DsirTarget)
+        .groupBy($"w").agg(count(lit(1)).as("ct"))
+      val tots = rawCnt
+        .agg(sum($"cr").as("nr"), count(lit(1)).as("v"))
+        .crossJoin(tgtCnt.agg(coalesce(sum($"ct"), lit(0L)).as("nt")))
+      dt.join(rawCnt, Seq("w"))
+        .join(tgtCnt, Seq("w"), "left")
+        .crossJoin(broadcast(tots))
+        .withColumn("lpi", round(
+          (log((coalesce($"ct", lit(0L)) + 1.0) /
+              ($"nt".cast("double") + $"v".cast("double"))) -
+            log(($"cr" + 1.0) /
+              ($"nr".cast("double") + $"v".cast("double")))) * 1e6)
+          .cast("long"))
+        .groupBy($"doc_id", $"source")
+        .agg(round(sum($"lpi").cast("double") / 1e6 / count(lit(1)), 4)
+            .as("dsir_w"),
+          count(lit(1)).as("n_toks"))
+        .withColumn("keep",
+          Det.frac($"doc_id", DsirSeed) < lit(1.0) / (lit(1.0) + exp(-$"dsir_w")))
+        .select($"doc_id", $"source", $"dsir_w", $"n_toks", $"keep")
+        .orderBy($"doc_id")
+    }),
+
+    // ---- A42: χ² term-class association -------------------------------
+    // Feature selection for text classifiers (Yang & Pedersen 1997): for
+    // each (class = source, term) with the term PRESENT in the class, the
+    // 2×2 document-frequency contingency χ² = N(AD−BC)²/((A+B)(C+D)(A+C)
+    // (B+D)); top-K terms per class. Margins stay exact integers; the χ²
+    // itself is evaluated in doubles with the identical expression shape
+    // in both engines (A·D−B·C in BIGINT would overflow near N ≈ 3e9
+    // docs — the a40 bound note applies; the double path is deterministic
+    // at any scale, merely rounded). 100 TB shape: distinct doc-term
+    // explode → one (source, term) agg → term-total agg joined back
+    // (vocabulary-sized, not broadcast), one tiny class-count broadcast,
+    // and a WindowGroupLimit top-K per class — no corpus self-join.
+    "a42_chi2_terms" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val dt = docs
+        .select($"doc_id", $"source",
+          explode(array_distinct(TextOps.tokens($"text"))).as("w"))
+      val aF = dt.groupBy($"source", $"w").agg(count(lit(1)).as("a"))
+        .localCheckpoint() // feeds the term-total agg AND the χ² join
+      val tp = aF.groupBy($"w").agg(sum($"a").as("tp"))
+      val nc = docs.groupBy($"source").agg(count(lit(1)).as("ncnt"))
+      val nTot = docs.agg(count(lit(1)).as("n"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      aF.join(tp, Seq("w"))
+        .join(broadcast(nc), Seq("source"))
+        .crossJoin(broadcast(nTot))
+        .filter($"tp" < $"n") // a term in every doc has zero denominator
+        .withColumn("__adbc",
+          d($"a") * d($"n" - $"ncnt" - ($"tp" - $"a")) -
+            d($"tp" - $"a") * d($"ncnt" - $"a"))
+        .withColumn("chi2", round(
+          d($"n") * $"__adbc" * $"__adbc" /
+            (d($"tp") * d($"n" - $"tp") * d($"ncnt") * d($"n" - $"ncnt")),
+          4))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"source").orderBy($"chi2".desc, $"w")))
+        .filter($"rank" <= ChiTopK)
+        .select($"source", $"w".as("term"), $"chi2", $"a".as("df_class"),
+          $"rank")
+        .orderBy($"source", $"rank")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -411,5 +515,72 @@ object Curate {
          |  coalesce(err > thr.thr, false) AS is_anomaly
          |FROM e, thr
          |ORDER BY user_id, event_id""".stripMargin
-    })
+    },
+
+    "t25_dsir_select" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, source, unnest(tk) AS w FROM
+         |    (SELECT doc_id, source, $tokensSqlExpr AS tk FROM documents)
+         |  WHERE len(tk) >= 1),
+         |rc AS (SELECT w, count(*) AS cr FROM dt GROUP BY w),
+         |tc AS (SELECT w, count(*) AS ct FROM dt
+         |       WHERE source = '$DsirTarget' GROUP BY w),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS nr,
+         |         (SELECT count(*) FROM rc) AS v,
+         |         (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc)
+         |           AS nt),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    CAST(round((ln((coalesce(ct, 0) + 1.0) /
+         |        (CAST(nt AS DOUBLE) + CAST(v AS DOUBLE))) -
+         |      ln((cr + 1.0) /
+         |        (CAST(nr AS DOUBLE) + CAST(v AS DOUBLE)))) * 1000000)
+         |      AS BIGINT) AS lpi
+         |  FROM dt JOIN rc USING (w) LEFT JOIN tc USING (w) CROSS JOIN tot),
+         |pd AS (
+         |  SELECT doc_id, source,
+         |    round(CAST(sum(lpi) AS DOUBLE) / 1000000 / count(*), 4)
+         |      AS dsir_w,
+         |    count(*) AS n_toks
+         |  FROM sc GROUP BY doc_id, source)
+         |SELECT doc_id, source, dsir_w, n_toks,
+         |  (${Det.fracSql("doc_id", DsirSeed)} < 1.0 / (1.0 + exp(-dsir_w)))
+         |    AS keep
+         |FROM pd ORDER BY doc_id""".stripMargin,
+
+    "a42_chi2_terms" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, source, w FROM
+         |    (SELECT doc_id, source, unnest($tokensSqlExpr) AS w
+         |     FROM documents)),
+         |af AS (SELECT source, w, count(*) AS a FROM dt GROUP BY source, w),
+         |tpf AS (SELECT w, CAST(sum(a) AS BIGINT) AS tp FROM af GROUP BY w),
+         |ncf AS (SELECT source, count(*) AS ncnt FROM documents
+         |        GROUP BY source),
+         |nf AS (SELECT count(*) AS n FROM documents),
+         |x AS (
+         |  SELECT af.source, af.w, af.a,
+         |    CAST(af.a AS DOUBLE)
+         |        * CAST(n - ncnt - (tp - af.a) AS DOUBLE)
+         |      - CAST(tp - af.a AS DOUBLE) * CAST(ncnt - af.a AS DOUBLE)
+         |      AS adbc,
+         |    tp, ncnt, n
+         |  FROM af JOIN tpf USING (w) JOIN ncf USING (source) CROSS JOIN nf
+         |  WHERE tp < n),
+         |c2 AS (
+         |  SELECT source, w, a,
+         |    round(CAST(n AS DOUBLE) * adbc * adbc /
+         |      (CAST(tp AS DOUBLE) * CAST(n - tp AS DOUBLE)
+         |        * CAST(ncnt AS DOUBLE) * CAST(n - ncnt AS DOUBLE)), 4)
+         |      AS chi2
+         |  FROM x),
+         |rk AS (
+         |  SELECT source, w, a, chi2, row_number() OVER
+         |    (PARTITION BY source ORDER BY chi2 DESC, w) AS rank
+         |  FROM c2)
+         |SELECT source, w AS term, chi2, a AS df_class,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM rk WHERE rank <= $ChiTopK
+         |ORDER BY source, rank""".stripMargin)
 }

@@ -415,6 +415,46 @@ object Embed {
       }
       sel.select($"q_id", $"step", $"c_id", round($"score", 6).as("mmr_score"))
         .orderBy($"q_id", $"step")
+    }),
+
+    // ---- E14: per-label centroid drift matrix ----------------------------
+    // Corpus-composition diagnostic: the centroid of each label's
+    // embeddings and the pairwise cosine between centroids — the "are my
+    // sources/domains drifting apart in embedding space" report a curation
+    // pipeline runs per snapshot. Exactness: the KMeansQ recipe — vectors
+    // quantized once to integer micro-units, per-(label,dim) sums exact
+    // BIGINTs, centroid mean an exact BIGINT floor division, the pairwise
+    // dot/norm sums exact BIGINTs (< 2^53, so the final double division
+    // is deterministic). 100 TB shape: ONE map-side-combined agg collapses
+    // the corpus to labels·d rows; the pairwise join runs on that tiny
+    // centroid frame — no corpus self-join, no driver collect.
+    "e14_centroid_drift" -> ((s, dir) => {
+      import s.implicits._
+      val comp = t(s, dir, "embeddings")
+        .select($"label",
+          posexplode(graft.similarity.KMeansQ.quantize($"embedding", 1e6))
+            .as(Seq("dim", "v")))
+        .groupBy($"label", $"dim")
+        .agg(sum($"v".cast("long")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("m",
+          expr(graft.functions.Det.floorDivSparkSql("sv", "n")))
+        .select($"label", $"dim", $"m", $"n")
+      val a = comp.select($"label".as("label_a"), $"dim",
+        $"m".as("ma"), $"n".as("na"))
+      val b = comp.select($"label".as("label_b"), $"dim",
+        $"m".as("mb"), $"n".as("nb"))
+      a.join(b, Seq("dim"))
+        .filter($"label_a" < $"label_b")
+        .groupBy($"label_a", $"label_b")
+        .agg(sum($"ma" * $"mb").as("dot"),
+          sum($"ma" * $"ma").as("aa"), sum($"mb" * $"mb").as("bb"),
+          max($"na").as("n_a"), max($"nb").as("n_b"))
+        .select($"label_a", $"label_b", $"n_a", $"n_b",
+          when($"aa" === 0L || $"bb" === 0L, 0.0)
+            .otherwise(round($"dot".cast("double") /
+              (sqrt($"aa".cast("double")) * sqrt($"bb".cast("double"))), 6))
+            .as("cos_sim"))
+        .orderBy($"label_a", $"label_b")
     }))
 
   def oracles: Map[String, String] = {
@@ -781,6 +821,34 @@ object Embed {
            |SELECT q_id, CAST(step AS INTEGER) AS step, c_id,
            |  round(score, 6) AS mmr_score
            |FROM sel$MMR_K ORDER BY q_id, step""".stripMargin
-      })
+      },
+
+      "e14_centroid_drift" ->
+        s"""WITH dims AS (SELECT unnest(generate_series(1, $DIM)) AS i),
+           |qv AS (
+           |  SELECT label, i - 1 AS dim,
+           |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+           |      AS BIGINT) AS v
+           |  FROM embeddings CROSS JOIN dims),
+           |c AS (
+           |  SELECT label, dim,
+           |    ${graft.functions.Det.floorDivDuckSql(
+                  "CAST(sum(v) AS BIGINT)", "count(*)")} AS m,
+           |    count(*) AS n
+           |  FROM qv GROUP BY label, dim),
+           |p AS (
+           |  SELECT a.label AS label_a, b.label AS label_b,
+           |    CAST(sum(a.m * b.m) AS BIGINT) AS dot,
+           |    CAST(sum(a.m * a.m) AS BIGINT) AS aa,
+           |    CAST(sum(b.m * b.m) AS BIGINT) AS bb,
+           |    max(a.n) AS n_a, max(b.n) AS n_b
+           |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+           |  GROUP BY a.label, b.label)
+           |SELECT label_a, label_b, n_a, n_b,
+           |  CASE WHEN aa = 0 OR bb = 0 THEN 0.0
+           |       ELSE round(CAST(dot AS DOUBLE) /
+           |         (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6)
+           |  END AS cos_sim
+           |FROM p ORDER BY label_a, label_b""".stripMargin)
   }
 }

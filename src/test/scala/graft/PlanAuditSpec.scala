@@ -120,6 +120,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(bare.isEmpty, bare.mkString("\n"))
   }
 
+  test("a42: per-class top-k compiles to a partial+final WindowGroupLimit " +
+      "(never a full sort of the vocabulary-sized term frame)") {
+    val p = plan("a42_chi2_terms")
+    val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(n >= 2, s"expected >=2 WindowGroupLimit, got $n\n${p.take(3000)}")
+  }
+
+  test("e14: the corpus collapses in ONE map-side-combined agg (partial " +
+      "aggregate below the label/dim exchange) and the pairwise join " +
+      "runs on the centroid frame, not the corpus") {
+    val p = plan("e14_centroid_drift")
+    assert(p.contains("partial_sum"), p.take(3000))
+    // exactly one exchange keyed on the (label, dim) agg feeding the
+    // centroid frame; the pair join inputs are that bounded frame
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("no query plans a cartesian product") {
     // crossJoin of scalar aggs is BroadcastNestedLoopJoin over 1 row —
     // fine; an unconstrained CartesianProduct over data frames is never
