@@ -49,6 +49,19 @@ object Curate {
   private val tokensSqlExpr =
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
+  /** t26: overlap n-gram width (the t9 decontamination convention) and
+    * the boilerplate guard — grams present in more sources than this are
+    * dropped before the pair join (navigation/license boilerplate at web
+    * scale, and the S-per-gram fan-out bound of the join). Non-binding
+    * on this corpus (max observed df = 3 sources), stated so. */
+  private val OverlapN = 8
+  private val MaxGramDf = 16
+
+  /** p16: stratification bucket count and per-bucket keep budget. */
+  private val StratBuckets = 4
+  private val StratKeep = 100L
+  private val StratSeed = 37L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T21: domain-mix reweighting ----------------------------------
     // Composition control: target share of source s ∝ w_s (here w_s =
@@ -348,6 +361,77 @@ object Curate {
         .select($"source", $"w".as("term"), $"chi2", $"a".as("df_class"),
           $"rank")
         .orderBy($"source", $"rank")
+    }),
+
+    // ---- T26: cross-source contamination matrix -----------------------
+    // The inter-source analogue of t9's train/eval decontamination: for
+    // every source pair, how many distinct 8-grams they share, and the
+    // Jaccard of their distinct-gram sets — the "which crawls duplicate
+    // each other" report that decides merge order in a multi-crawl
+    // pipeline. Exact integers until the final Jaccard. 100 TB shape:
+    // one distinct (source, gram) agg; the pair join is keyed on gram
+    // with fan-out ≤ MaxGramDf per side (boilerplate grams above the cap
+    // are dropped — they are noise AND the S²-per-gram blowup); the pair
+    // agg collapses map-side to ≤ S² rows; per-source totals are a tiny
+    // broadcast. Docs shorter than the gram width are excluded on both
+    // engines (the t9 convention — Spark's wordNgrams would emit a
+    // truncated gram for them).
+    "t26_cross_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val tk = TextOps.tokens($"text")
+      val g = t(s, dir, "documents")
+        .filter(size(tk) >= OverlapN)
+        .select($"source",
+          explode(TextOps.wordNgrams(tk, OverlapN)).as("gram"))
+        .distinct()
+      val keep = g.groupBy($"gram").agg(count(lit(1)).as("__df"))
+        .filter($"__df" <= MaxGramDf)
+      val gf = g.join(keep, Seq("gram")).select($"source", $"gram")
+        .localCheckpoint() // feeds per-source totals AND both join sides
+      val per = gf.groupBy($"source").agg(count(lit(1)).as("ng"))
+      gf.select($"source".as("source_a"), $"gram")
+        .join(gf.select($"source".as("source_b"), $"gram"), Seq("gram"))
+        .filter($"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(per.select($"source".as("source_a"),
+          $"ng".as("na"))), Seq("source_a"))
+        .join(broadcast(per.select($"source".as("source_b"),
+          $"ng".as("nb"))), Seq("source_b"))
+        .select($"source_a", $"source_b", $"shared", $"na", $"nb",
+          round($"shared".cast("double") /
+            ($"na" + $"nb" - $"shared").cast("double"), 6).as("jaccard"))
+        .orderBy($"source_a", $"source_b")
+    }),
+
+    // ---- P16: score-stratified sampling -------------------------------
+    // Quality-stratified selection (the DataComp/DCLM recipe shape):
+    // equal-mass buckets over the exact integer quality score via the
+    // two-pass distributed rank (bucket = ((rn−1)·B) div n + 1 — pure
+    // integer arithmetic, no quantile interpolation, no float boundary),
+    // then an equal per-bucket keep budget enforced by the keyed LCG —
+    // p12 stratifies by a CATEGORICAL column, this stratifies by a
+    // DERIVED order statistic of a continuous score. 100 TB shape: the
+    // two-pass rank (bucket histogram + broadcast offsets), a 4-row
+    // bucket-count broadcast, no global single-task window anywhere.
+    "p16_score_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val scored = t(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.qualityScore10k($"text", TextOps.tokens($"text"))
+            .as("q10k"))
+      val ranked = graft.ops.Ranks.globalRowNumberWithTotal(
+        scored, Seq($"q10k", $"doc_id"), "__rn", "__n")
+        // `div` (integer), not `/` (Spark's `/` on BIGINTs is double
+        // division); all operands positive so truncation == floor
+        .withColumn("bucket",
+          expr(s"CAST(((__rn - 1) * $StratBuckets) div __n + 1 AS INT)"))
+      val sizes = ranked.groupBy($"bucket").agg(count(lit(1)).as("__nb"))
+      ranked.join(broadcast(sizes), Seq("bucket"))
+        .withColumn("keep", Det.frac($"doc_id", StratSeed) <
+          least(lit(1.0), lit(StratKeep.toDouble) / $"__nb".cast("double")))
+        .select($"doc_id", $"q10k", $"bucket", $"keep")
+        .orderBy($"doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -582,5 +666,59 @@ object Curate {
          |SELECT source, w AS term, chi2, a AS df_class,
          |  CAST(rank AS INTEGER) AS rank
          |FROM rk WHERE rank <= $ChiTopK
-         |ORDER BY source, rank""".stripMargin)
+         |ORDER BY source, rank""".stripMargin,
+
+    "t26_cross_source_overlap" ->
+      s"""WITH g AS (
+         |  SELECT DISTINCT source, gram FROM (
+         |    SELECT source, unnest(list_transform(
+         |      generate_series(0, greatest(len(tk) - $OverlapN, 0)),
+         |      i -> array_to_string(list_slice(tk, i + 1, i + $OverlapN),
+         |        ' '))) AS gram
+         |    FROM (SELECT source, $tokensSqlExpr AS tk FROM documents)
+         |    WHERE len(tk) >= $OverlapN)),
+         |keep AS (
+         |  SELECT gram FROM
+         |    (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         |  WHERE df <= $MaxGramDf),
+         |gf AS (SELECT source, gram FROM g JOIN keep USING (gram)),
+         |per AS (SELECT source, count(*) AS ng FROM gf GROUP BY source),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS shared
+         |  FROM gf a JOIN gf b ON a.gram = b.gram AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, shared, na.ng AS na, nb.ng AS nb,
+         |  round(CAST(shared AS DOUBLE) /
+         |    CAST(na.ng + nb.ng - shared AS DOUBLE), 6) AS jaccard
+         |FROM p JOIN per na ON p.source_a = na.source
+         |  JOIN per nb ON p.source_b = nb.source
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    "p16_score_stratified" -> {
+      val allStop = TextOps.langWords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(${TextOps.qualityScore10kSql("text", "tokens",
+                "__ALLSTOP__")} AS BIGINT) AS q10k
+         |  FROM (SELECT doc_id, text, $tokensSqlExpr AS tokens
+         |        FROM documents)),
+         |r AS (
+         |  SELECT doc_id, q10k,
+         |    row_number() OVER (ORDER BY q10k, doc_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM sc),
+         |b AS (
+         |  SELECT doc_id, q10k,
+         |    CAST(((rn - 1) * $StratBuckets) // n + 1 AS INTEGER) AS bucket
+         |  FROM r),
+         |sz AS (SELECT bucket, count(*) AS nb FROM b GROUP BY bucket)
+         |SELECT doc_id, q10k, bucket,
+         |  (${Det.fracSql("doc_id", StratSeed)} <
+         |    least(1.0, CAST($StratKeep AS DOUBLE) / CAST(nb AS DOUBLE)))
+         |    AS keep
+         |FROM b JOIN sz USING (bucket) ORDER BY doc_id""".stripMargin
+        .replace("__ALLSTOP__", allStop)
+    })
 }
