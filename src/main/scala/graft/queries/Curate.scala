@@ -62,6 +62,10 @@ object Curate {
   private val StratKeep = 100L
   private val StratSeed = 37L
 
+  /** p17: curriculum phase count and training-shard count. */
+  private val CurrPhases = 3
+  private val CurrShards = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T21: domain-mix reweighting ----------------------------------
     // Composition control: target share of source s ∝ w_s (here w_s =
@@ -432,6 +436,33 @@ object Curate {
           least(lit(1.0), lit(StratKeep.toDouble) / $"__nb".cast("double")))
         .select($"doc_id", $"q10k", $"bucket", $"keep")
         .orderBy($"doc_id")
+    }),
+
+    // ---- P17: curriculum phases + balanced shard assignment -----------
+    // Training-layout prep: rank the corpus by DESCENDING quality (easy/
+    // clean first — curriculum learning), cut into CurrPhases contiguous
+    // equal-mass phases (the p16 integer bucket formula on the inverted
+    // rank), and round-robin the rank into CurrShards training shards so
+    // every shard sees the same quality spread (mod, not div — contiguous
+    // shards would make shard 0 all-easy). The descending rank is the
+    // ascending two-pass rank inverted (n − rn + 1) — exact, and avoids
+    // teaching Ranks' bucket proxy about descending keys. 100 TB shape:
+    // the two-pass rank's bounded machinery only; both assignments are
+    // per-row integer arithmetic on top.
+    "p17_curriculum_shards" -> ((s, dir) => {
+      import s.implicits._
+      val scored = t(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.qualityScore10k($"text", TextOps.tokens($"text"))
+            .as("q10k"))
+      graft.ops.Ranks.globalRowNumberWithTotal(
+        scored, Seq($"q10k", $"doc_id"), "__rn", "__n")
+        .withColumn("__rd", $"__n" - $"__rn" + 1L)
+        .select($"doc_id", $"q10k",
+          expr(s"CAST(((__rd - 1) * $CurrPhases) div __n + 1 AS INT)")
+            .as("phase"),
+          (($"__rd" - 1L) % CurrShards).cast("int").as("shard"))
+        .orderBy($"doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -719,6 +750,28 @@ object Curate {
          |    least(1.0, CAST($StratKeep AS DOUBLE) / CAST(nb AS DOUBLE)))
          |    AS keep
          |FROM b JOIN sz USING (bucket) ORDER BY doc_id""".stripMargin
+        .replace("__ALLSTOP__", allStop)
+    },
+
+    "p17_curriculum_shards" -> {
+      val allStop = TextOps.langWords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(${TextOps.qualityScore10kSql("text", "tokens",
+                "__ALLSTOP__")} AS BIGINT) AS q10k
+         |  FROM (SELECT doc_id, text, $tokensSqlExpr AS tokens
+         |        FROM documents)),
+         |r AS (
+         |  SELECT doc_id, q10k,
+         |    row_number() OVER (ORDER BY q10k, doc_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM sc),
+         |d AS (SELECT doc_id, q10k, n - rn + 1 AS rd, n FROM r)
+         |SELECT doc_id, q10k,
+         |  CAST(((rd - 1) * $CurrPhases) // n + 1 AS INTEGER) AS phase,
+         |  CAST((rd - 1) % $CurrShards AS INTEGER) AS shard
+         |FROM d ORDER BY doc_id""".stripMargin
         .replace("__ALLSTOP__", allStop)
     })
 }

@@ -58,6 +58,11 @@ object Embed {
   private val PQ_CB_IDS: Seq[Long] = (0 until 16).map(c => 20L + 5L * c)
   private val PQ_TOPK = 5
   private val PQ_REFINE = 4
+  /** e15 negative-sampling geometry: candidates drawn per anchor and the
+    * keyed-LCG seed (draw id = vec_id·(K+1)+k keeps draws distinct per
+    * anchor AND per slot). */
+  private val NEG_K = 4
+  private val NEG_SEED = 41L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -415,6 +420,42 @@ object Embed {
       }
       sel.select($"q_id", $"step", $"c_id", round($"score", 6).as("mmr_score"))
         .orderBy($"q_id", $"step")
+    }),
+
+    // ---- E15: negative-pair sampling for contrastive training -----------
+    // Each anchor draws NEG_K pseudo-random candidate partners from the
+    // dense id space via the keyed LCG (partition-invariant, resumable),
+    // bumps a self-draw to the next id, rejects same-label candidates
+    // (false negatives under the label supervision), and annotates the
+    // survivors with their cosine — the overdraw-and-reject recipe of
+    // in-batch-negative training prep, with hardness riding along for
+    // curriculum use. 100 TB shape: one 1-row count broadcast, a NEG_K
+    // explode (linear), ONE id-keyed equi-join to fetch partner
+    // vector+label, codegen'd DotExpr cosines — no pairwise blowup, no
+    // driver-side randomness.
+    "e15_negative_sampling" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val nTot = emb.agg(count(lit(1)).as("__N"))
+      val cands = emb
+        .select($"vec_id", $"label".as("label_a"), $"embedding".as("va"))
+        .crossJoin(broadcast(nTot))
+        .select($"vec_id", $"label_a", $"va", $"__N",
+          explode(sequence(lit(1), lit(NEG_K))).as("k"))
+        .withColumn("__cand", floor(
+          graft.functions.Det.frac(
+            $"vec_id" * lit(NEG_K.toLong + 1L) + $"k", NEG_SEED) *
+            $"__N".cast("double")).cast("long"))
+        .withColumn("neg_id",
+          when($"__cand" === $"vec_id", ($"__cand" + 1L) % $"__N")
+            .otherwise($"__cand"))
+      cands
+        .join(emb.select($"vec_id".as("neg_id"), $"label".as("label_n"),
+          $"embedding".as("vn")), Seq("neg_id"))
+        .filter($"label_a" =!= $"label_n")
+        .select($"vec_id", $"k", $"neg_id", $"label_n",
+          round(Vectors.cosine($"va", $"vn"), 6).as("cos_sim"))
+        .orderBy($"vec_id", $"k")
     }),
 
     // ---- E14: per-label centroid drift matrix ----------------------------
@@ -849,6 +890,28 @@ object Embed {
            |       ELSE round(CAST(dot AS DOUBLE) /
            |         (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6)
            |  END AS cos_sim
-           |FROM p ORDER BY label_a, label_b""".stripMargin)
+           |FROM p ORDER BY label_a, label_b""".stripMargin,
+
+      "e15_negative_sampling" ->
+        s"""WITH n AS (SELECT count(*) AS nn FROM embeddings),
+           |ks AS (SELECT CAST(unnest(range(1, ${NEG_K + 1})) AS INTEGER)
+           |         AS k),
+           |c AS (
+           |  SELECT vec_id, label AS label_a, embedding AS va, k, nn,
+           |    CAST(floor(${graft.functions.Det.fracSql(
+                  s"(vec_id * ${NEG_K + 1} + k)", NEG_SEED)}
+           |      * CAST(nn AS DOUBLE)) AS BIGINT) AS cand
+           |  FROM embeddings CROSS JOIN ks CROSS JOIN n),
+           |d AS (
+           |  SELECT vec_id, label_a, va, k,
+           |    CASE WHEN cand = vec_id THEN (cand + 1) % nn ELSE cand END
+           |      AS neg_id
+           |  FROM c)
+           |SELECT d.vec_id, d.k, d.neg_id, e.label AS label_n,
+           |  round(${Vectors.cosineSql("d.va", "e.embedding", DIM)}, 6)
+           |    AS cos_sim
+           |FROM d JOIN embeddings e ON e.vec_id = d.neg_id
+           |WHERE e.label <> d.label_a
+           |ORDER BY d.vec_id, d.k""".stripMargin)
   }
 }

@@ -18,6 +18,8 @@ object Pipeline {
   private val tokensSqlExpr =
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
   private val PackBudget = 1000L
+  /** z6 as-of tolerance (seconds) — binds on ~half the z2 matches. */
+  private val AsofTolS = 86400L
   private val StratumN = 30
   /** Decontamination n-gram size (8 on this short-doc synthetic corpus; the
     * published convention is 13-grams on real web text). */
@@ -93,6 +95,36 @@ object Pipeline {
           Seq("err_id", "err_value"))
         .select($"event_id", $"asof_err_id".as("prior_error_id"),
           round($"asof_err_value", 4).as("prior_error_value"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- as-of with tolerance (pandas merge_asof `tolerance`) ----------
+    // z2's backward as-of, but a match older than AsofTolS seconds is
+    // discarded (stale context is worse than none — the standard
+    // merge_asof knob). Same union-and-carry cost; the tolerance is a
+    // pure post-projection on the carried right timestamp, NOT a second
+    // join. Tolerance chosen to BIND on this data (~half the z2 matches
+    // age out), so the gate exercises both branches.
+    "z6_asof_tolerance" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id", Det.epochS($"ts").as("es"), $"value")
+      val dedupW = Window.partitionBy($"user_id", $"es")
+        .orderBy($"err_id".desc)
+      val errs = t(s, dir, "events")
+        .filter($"event_type" === "error")
+        .select($"user_id", Det.epochS($"ts").as("es"),
+          $"event_id".as("err_id"), $"value".as("err_value"))
+        .withColumn("err_es", $"es")
+        .withColumn("__rn", row_number().over(dedupW))
+        .filter($"__rn" === 1).drop("__rn")
+      val tolOk = ($"es" - $"asof_err_es") <= AsofTolS
+      graft.ops.AsOf.joinBackward(ev, errs, Seq("user_id"), "es",
+          Seq("err_id", "err_value", "err_es"))
+        .select($"event_id",
+          when(tolOk, $"asof_err_id").as("prior_error_id"),
+          when(tolOk, round($"asof_err_value", 4)).as("prior_error_value"),
+          when(tolOk, $"es" - $"asof_err_es").as("gap_s"))
         .orderBy($"event_id")
     }),
 
@@ -663,6 +695,26 @@ object Pipeline {
            |l AS (SELECT event_id, user_id, $es AS es FROM events)
            |SELECT l.event_id, e.err_id AS prior_error_id,
            |       round(e.err_value, 4) AS prior_error_value
+           |FROM l ASOF LEFT JOIN errs e
+           |  ON l.user_id = e.user_id AND l.es >= e.es
+           |ORDER BY l.event_id""".stripMargin,
+
+      "z6_asof_tolerance" ->
+        s"""WITH errs AS (
+           |  SELECT user_id, es, event_id AS err_id, value AS err_value
+           |  FROM (SELECT user_id, $es AS es, event_id, value,
+           |          row_number() OVER (PARTITION BY user_id, $es
+           |            ORDER BY event_id DESC) AS rn
+           |        FROM events WHERE event_type = 'error')
+           |  WHERE rn = 1),
+           |l AS (SELECT event_id, user_id, $es AS es FROM events)
+           |SELECT l.event_id,
+           |  CASE WHEN l.es - e.es <= $AsofTolS THEN e.err_id END
+           |    AS prior_error_id,
+           |  CASE WHEN l.es - e.es <= $AsofTolS THEN round(e.err_value, 4)
+           |    END AS prior_error_value,
+           |  CASE WHEN l.es - e.es <= $AsofTolS THEN l.es - e.es END
+           |    AS gap_s
            |FROM l ASOF LEFT JOIN errs e
            |  ON l.user_id = e.user_id AND l.es >= e.es
            |ORDER BY l.event_id""".stripMargin,
