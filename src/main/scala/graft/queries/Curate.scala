@@ -66,6 +66,11 @@ object Curate {
   private val CurrPhases = 3
   private val CurrShards = 8
 
+  /** z7: fresh seeds for the chained DSIR / stratified-keep draws (the
+    * chain must not reuse t25/p16's exact draw sequences). */
+  private val Z7DsirSeed = 43L
+  private val Z7StratSeed = 47L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T21: domain-mix reweighting ----------------------------------
     // Composition control: target share of source s ∝ w_s (here w_s =
@@ -463,6 +468,87 @@ object Curate {
             .as("phase"),
           (($"__rd" - 1L) % CurrShards).cast("int").as("shard"))
         .orderBy($"doc_id")
+    }),
+
+    // ---- Z7: composition-control chain e2e ----------------------------
+    // The z3/z5 treatment for the composition pack: ONE hash-gated query
+    // running domain-mix rebalance (t21) → DSIR reweighting computed ON
+    // THE SURVIVORS (the seam — both count tables shift with the mix
+    // filter) → quality-stratified keep (p16's order-statistic buckets,
+    // boundaries again recomputed on survivors) → curriculum phase +
+    // balanced shard assignment (p17) on the final corpus. Fresh LCG
+    // seeds per stage. The two rank passes run on CHECKPOINTED survivor
+    // frames: Ranks' internal quantile probe is an action, and without
+    // the pin each pass would re-execute the whole upstream chain (the
+    // e4 checkpoint rule — expensive synthesized frames feeding multi-
+    // action consumers). 100 TB shape: each stage keeps the shape its
+    // standalone query audited; nothing new shuffles.
+    "z7_compose_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"source", $"text")
+      // stage 1: domain mix (t21)
+      val counts = docs.groupBy($"source").agg(count(lit(1)).as("__n"))
+        .withColumn("__w", substring($"source", 4, 8).cast("long") + 1L)
+      val cap = counts.agg(
+        min($"__n".cast("double") / $"__w".cast("double")).as("__cap"))
+      val probs = counts.crossJoin(broadcast(cap))
+        .select($"source",
+          ($"__cap" * $"__w".cast("double") / $"__n".cast("double"))
+            .as("__p"))
+      val mix = docs.join(broadcast(probs), Seq("source"))
+        .filter(Det.frac($"doc_id", MixSeed) < $"__p")
+        .select($"doc_id", $"source", $"text")
+      // stage 2: DSIR on the mix survivors (t25, fresh seed)
+      val dt = mix
+        .select($"doc_id", $"source", TextOps.tokens($"text").as("tk"))
+        .filter(size($"tk") >= 1)
+        .select($"doc_id", $"source", explode($"tk").as("w"))
+      val rawCnt = dt.groupBy($"w").agg(count(lit(1)).as("cr"))
+        .localCheckpoint()
+      val tgtCnt = dt.filter($"source" === DsirTarget)
+        .groupBy($"w").agg(count(lit(1)).as("ct"))
+      val tots = rawCnt
+        .agg(sum($"cr").as("nr"), count(lit(1)).as("v"))
+        .crossJoin(tgtCnt.agg(coalesce(sum($"ct"), lit(0L)).as("nt")))
+      val sel = dt.join(rawCnt, Seq("w"))
+        .join(tgtCnt, Seq("w"), "left")
+        .crossJoin(broadcast(tots))
+        .withColumn("lpi", round(
+          (log((coalesce($"ct", lit(0L)) + 1.0) /
+              ($"nt".cast("double") + $"v".cast("double"))) -
+            log(($"cr" + 1.0) /
+              ($"nr".cast("double") + $"v".cast("double")))) * 1e6)
+          .cast("long"))
+        .groupBy($"doc_id", $"source")
+        .agg(round(sum($"lpi").cast("double") / 1e6 / count(lit(1)), 4)
+          .as("dsir_w"))
+        .filter(Det.frac($"doc_id", Z7DsirSeed) <
+          lit(1.0) / (lit(1.0) + exp(-$"dsir_w")))
+        .localCheckpoint() // two downstream actions (quantile probe + run)
+      // stage 3: quality-stratified keep (p16 recipe on survivors)
+      val q = sel.join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+        .select($"doc_id", $"source", $"dsir_w",
+          TextOps.qualityScore10k($"text", TextOps.tokens($"text"))
+            .as("q10k"))
+      val ranked = graft.ops.Ranks.globalRowNumberWithTotal(
+        q, Seq($"q10k", $"doc_id"), "__rn", "__n")
+        .withColumn("bucket",
+          expr(s"CAST(((__rn - 1) * $StratBuckets) div __n + 1 AS INT)"))
+      val sizes = ranked.groupBy($"bucket").agg(count(lit(1)).as("__nb"))
+      val kept = ranked.join(broadcast(sizes), Seq("bucket"))
+        .filter(Det.frac($"doc_id", Z7StratSeed) < least(lit(1.0),
+          lit(StratKeep.toDouble) / $"__nb".cast("double")))
+        .select($"doc_id", $"source", $"dsir_w", $"q10k", $"bucket")
+        .localCheckpoint() // same two-action shape as sel
+      // stage 4: curriculum phases + balanced shards (p17) on the final
+      graft.ops.Ranks.globalRowNumberWithTotal(
+        kept, Seq($"q10k", $"doc_id"), "__rn2", "__n2")
+        .withColumn("__rd", $"__n2" - $"__rn2" + 1L)
+        .select($"doc_id", $"source", $"dsir_w", $"q10k", $"bucket",
+          expr(s"CAST(((__rd - 1) * $CurrPhases) div __n2 + 1 AS INT)")
+            .as("phase"),
+          (($"__rd" - 1L) % CurrShards).cast("int").as("shard"))
+        .orderBy($"doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -772,6 +858,90 @@ object Curate {
          |  CAST(((rd - 1) * $CurrPhases) // n + 1 AS INTEGER) AS phase,
          |  CAST((rd - 1) % $CurrShards AS INTEGER) AS shard
          |FROM d ORDER BY doc_id""".stripMargin
+        .replace("__ALLSTOP__", allStop)
+    },
+
+    "z7_compose_e2e" -> {
+      val allStop = TextOps.langWords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH docs AS (SELECT doc_id, source, text FROM documents),
+         |c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(substr(source, 4) AS BIGINT) + 1 AS w
+         |  FROM docs GROUP BY source),
+         |cap AS (
+         |  SELECT min(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)) AS cap FROM c),
+         |p AS (
+         |  SELECT source,
+         |    cap.cap * CAST(w AS DOUBLE) / CAST(n AS DOUBLE) AS p
+         |  FROM c, cap),
+         |mix AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM docs d JOIN p USING (source)
+         |  WHERE ${Det.fracSql("d.doc_id", MixSeed)} < p.p),
+         |dt AS (
+         |  SELECT doc_id, source, unnest(tk) AS w FROM
+         |    (SELECT doc_id, source, $tokensSqlExpr AS tk FROM mix)
+         |  WHERE len(tk) >= 1),
+         |rc AS (SELECT w, count(*) AS cr FROM dt GROUP BY w),
+         |tc AS (SELECT w, count(*) AS ct FROM dt
+         |       WHERE source = '$DsirTarget' GROUP BY w),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS nr,
+         |         (SELECT count(*) FROM rc) AS v,
+         |         (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc)
+         |           AS nt),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    CAST(round((ln((coalesce(ct, 0) + 1.0) /
+         |        (CAST(nt AS DOUBLE) + CAST(v AS DOUBLE))) -
+         |      ln((cr + 1.0) /
+         |        (CAST(nr AS DOUBLE) + CAST(v AS DOUBLE)))) * 1000000)
+         |      AS BIGINT) AS lpi
+         |  FROM dt JOIN rc USING (w) LEFT JOIN tc USING (w) CROSS JOIN tot),
+         |pd AS (
+         |  SELECT doc_id, source,
+         |    round(CAST(sum(lpi) AS DOUBLE) / 1000000 / count(*), 4)
+         |      AS dsir_w
+         |  FROM sc GROUP BY doc_id, source),
+         |sel AS (
+         |  SELECT * FROM pd
+         |  WHERE ${Det.fracSql("doc_id", Z7DsirSeed)} <
+         |    1.0 / (1.0 + exp(-dsir_w))),
+         |q AS (
+         |  SELECT sel.doc_id, sel.source, sel.dsir_w,
+         |    CAST(${TextOps.qualityScore10kSql("text", "tokens",
+                "__ALLSTOP__")} AS BIGINT) AS q10k
+         |  FROM sel JOIN (SELECT doc_id, text, $tokensSqlExpr AS tokens
+         |                 FROM documents) dd USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, source, dsir_w, q10k,
+         |    row_number() OVER (ORDER BY q10k, doc_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM q),
+         |b AS (
+         |  SELECT doc_id, source, dsir_w, q10k,
+         |    CAST(((rn - 1) * $StratBuckets) // n + 1 AS INTEGER) AS bucket
+         |  FROM r),
+         |sz AS (SELECT bucket, count(*) AS nb FROM b GROUP BY bucket),
+         |kept AS (
+         |  SELECT b.doc_id, b.source, b.dsir_w, b.q10k, b.bucket
+         |  FROM b JOIN sz USING (bucket)
+         |  WHERE ${Det.fracSql("b.doc_id", Z7StratSeed)} <
+         |    least(1.0, CAST($StratKeep AS DOUBLE) / CAST(nb AS DOUBLE))),
+         |r2 AS (
+         |  SELECT doc_id, source, dsir_w, q10k, bucket,
+         |    row_number() OVER (ORDER BY q10k, doc_id) AS rn2,
+         |    count(*) OVER () AS n2
+         |  FROM kept),
+         |d2 AS (
+         |  SELECT doc_id, source, dsir_w, q10k, bucket,
+         |    n2 - rn2 + 1 AS rd, n2
+         |  FROM r2)
+         |SELECT doc_id, source, dsir_w, q10k, bucket,
+         |  CAST(((rd - 1) * $CurrPhases) // n2 + 1 AS INTEGER) AS phase,
+         |  CAST((rd - 1) % $CurrShards AS INTEGER) AS shard
+         |FROM d2 ORDER BY doc_id""".stripMargin
         .replace("__ALLSTOP__", allStop)
     })
 }
