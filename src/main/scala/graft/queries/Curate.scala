@@ -71,6 +71,10 @@ object Curate {
   private val Z7DsirSeed = 43L
   private val Z7StratSeed = 47L
 
+  /** t27: token-length band width and docs per training batch. */
+  private val LenBand = 32L
+  private val BatchSize = 16L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T21: domain-mix reweighting ----------------------------------
     // Composition control: target share of source s ∝ w_s (here w_s =
@@ -470,6 +474,38 @@ object Curate {
         .orderBy($"doc_id")
     }),
 
+    // ---- T27: length-bucketed batch assembly --------------------------
+    // Sequence-length bucketing — the padding-minimization step every
+    // training loader runs: docs band into fixed token-length buckets
+    // (integer div — no order statistic needed for homogeneity), rank
+    // within the band by (len, doc_id), cut into fixed-size batches, and
+    // report PER BATCH the doc count, max length, and total padding
+    // waste (Σ max_len − len — the tokens a naive unbucketed batch would
+    // burn as pad). Output grain is the batch (bounded), not the doc.
+    // 100 TB shape: ONE shuffle on the band key; the within-band
+    // row_number is a PARTITIONED window — a band is a partition, so a
+    // pathological length distribution concentrates in one task; shard
+    // such a band by a doc_id prefix and renumber batches per shard (the
+    // band×shard key keeps batches length-homogeneous, which is the only
+    // property training needs).
+    "t27_length_batching" -> ((s, dir) => {
+      import s.implicits._
+      val lens = t(s, dir, "documents")
+        .select($"doc_id",
+          size(TextOps.tokens($"text")).cast("long").as("len"))
+        .withColumn("band", expr(s"len div $LenBand"))
+      lens
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy($"band").orderBy($"len", $"doc_id")))
+        .withColumn("batch_id",
+          $"band" * lit(100000L) + expr(s"(__rn - 1) div $BatchSize"))
+        .groupBy($"batch_id")
+        .agg(count(lit(1)).as("n_docs"), min($"len").as("min_len"),
+          max($"len").as("max_len"),
+          (max($"len") * count(lit(1)) - sum($"len")).as("padding_waste"))
+        .orderBy($"batch_id")
+    }),
+
     // ---- Z7: composition-control chain e2e ----------------------------
     // The z3/z5 treatment for the composition pack: ONE hash-gated query
     // running domain-mix rebalance (t21) → DSIR reweighting computed ON
@@ -860,6 +896,24 @@ object Curate {
          |FROM d ORDER BY doc_id""".stripMargin
         .replace("__ALLSTOP__", allStop)
     },
+
+    "t27_length_batching" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id, CAST(len($tokensSqlExpr) AS BIGINT) AS len
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, len, len // $LenBand AS band,
+         |    row_number() OVER (PARTITION BY len // $LenBand
+         |      ORDER BY len, doc_id) AS rn
+         |  FROM lens),
+         |assigned AS (
+         |  SELECT doc_id, len,
+         |    band * 100000 + (rn - 1) // $BatchSize AS batch_id
+         |  FROM b)
+         |SELECT batch_id, count(*) AS n_docs, min(len) AS min_len,
+         |  max(len) AS max_len,
+         |  CAST(max(len) * count(*) - sum(len) AS BIGINT) AS padding_waste
+         |FROM assigned GROUP BY batch_id ORDER BY batch_id""".stripMargin,
 
     "z7_compose_e2e" -> {
       val allStop = TextOps.langWords.flatMap(_._2)
