@@ -75,6 +75,38 @@ object Curate {
   private val LenBand = 32L
   private val BatchSize = 16L
 
+  /** t28: words shown with their merged form (top by corpus count). */
+  private val BpeTopK = 10
+
+  /** t28 shared expression bodies (Spark SQL ≡ DuckDB SQL up to the
+    * documented dialect bridges: `element_at`/`try_element_at` for
+    * 1-based subscripts vs DuckDB's native `[i]`, and a `length >= 2`
+    * guard because Spark's `sequence(1, 0)` DESCENDS where DuckDB's
+    * `generate_series(1, 0)` is empty). The inner `j < i` filter runs
+    * over the full pair range on BOTH engines so the shapes match. */
+  private def bpeMmSpark =
+    """CASE WHEN length(word) >= 2 THEN
+      |  transform(sequence(1, length(word) - 1),
+      |    i -> substring(word, i, 2) = pair)
+      |ELSE CAST(array() AS array<boolean>) END""".stripMargin
+  private def bpeMdSpark =
+    """CASE WHEN length(word) >= 2 THEN
+      |  transform(sequence(1, length(word) - 1), i -> element_at(mm, i)
+      |    AND (((i - 1 - coalesce(array_max(filter(
+      |      sequence(1, length(word) - 1),
+      |      j -> j < i AND NOT element_at(mm, j))), 0)) % 2) = 0))
+      |ELSE CAST(array() AS array<boolean>) END""".stripMargin
+  private def bpeSymsSpark =
+    """filter(transform(sequence(1, length(word)), k ->
+      |  CASE WHEN k > 1
+      |         AND coalesce(try_element_at(md, greatest(k - 1, 1)), false)
+      |       THEN NULL
+      |       WHEN k <= length(word) - 1
+      |         AND coalesce(try_element_at(md, k), false)
+      |       THEN substring(word, k, 2)
+      |       ELSE substring(word, k, 1) END),
+      |  x -> x IS NOT NULL)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T21: domain-mix reweighting ----------------------------------
     // Composition control: target share of source s ∝ w_s (here w_s =
@@ -506,6 +538,53 @@ object Curate {
         .orderBy($"batch_id")
     }),
 
+    // ---- T28: one BPE training step -----------------------------------
+    // Byte-pair-encoding tokenizer training (Sennrich et al. 2016), one
+    // full iteration, exact: count adjacent character-pair frequencies
+    // over the corpus (per distinct word × its corpus count — the
+    // standard word-frequency factorization), pick the argmax pair
+    // (ties → lexicographically smallest), and apply the greedy
+    // LEFT-TO-RIGHT non-overlapping merge to every word. The greedy
+    // overlap rule ("aaa" + pair "aa" → merge at position 1 only) is
+    // expressed closed-form: position i merges iff it matches AND the
+    // run of consecutive matches immediately before it has even length —
+    // no sequential fold, so both engines evaluate the identical
+    // expression. Output: the BpeTopK most frequent words with their
+    // post-merge segmentations, plus the corpus-wide merge count.
+    // 100 TB shape: the char-pair work runs on the DISTINCT-WORD frame
+    // (vocabulary-sized, the t13/t16 contract), corpus cost is one token
+    // explode + word count; the argmax pair is a 1-row broadcast.
+    "t28_bpe_merge_step" -> ((s, dir) => {
+      import s.implicits._
+      val wc = t(s, dir, "documents")
+        .select(explode(TextOps.tokens($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds pair counts, the vocab merge sweep,
+                           // and the top-K pick
+      val pc = wc.filter(length($"word") >= 2)
+        .select($"c", explode(expr(
+          "transform(sequence(1, length(word) - 1)," +
+            " i -> substring(word, i, 2))")).as("pair"))
+        .groupBy($"pair").agg(sum($"c").as("pc"))
+      val best = pc.orderBy($"pc".desc, $"pair").limit(1)
+        .select($"pair", $"pc")
+      val merged = wc.crossJoin(broadcast(best))
+        .withColumn("mm", expr(bpeMmSpark))
+        .withColumn("md", expr(bpeMdSpark))
+        .withColumn("syms", expr(bpeSymsSpark))
+        .withColumn("n_merges", size(expr("filter(md, x -> x)")))
+      val tot = merged
+        .agg(sum($"c" * $"n_merges".cast("long")).as("total_merges"))
+      merged
+        .orderBy($"c".desc, $"word").limit(BpeTopK)
+        .crossJoin(broadcast(tot))
+        .select($"word", $"c", $"pair", $"pc",
+          length($"word").cast("long").as("n_before"),
+          size($"syms").cast("long").as("n_after"),
+          array_join($"syms", " ").as("merged"), $"total_merges")
+        .orderBy($"word")
+    }),
+
     // ---- Z7: composition-control chain e2e ----------------------------
     // The z3/z5 treatment for the composition pack: ONE hash-gated query
     // running domain-mix rebalance (t21) → DSIR reweighting computed ON
@@ -914,6 +993,58 @@ object Curate {
          |  max(len) AS max_len,
          |  CAST(max(len) * count(*) - sum(len) AS BIGINT) AS padding_waste
          |FROM assigned GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+
+    "t28_bpe_merge_step" ->
+      s"""WITH wc AS (
+         |  SELECT w AS word, count(*) AS c FROM
+         |    (SELECT unnest($tokensSqlExpr) AS w FROM documents)
+         |  GROUP BY w),
+         |pcs AS (
+         |  SELECT pair, CAST(sum(c) AS BIGINT) AS pc FROM (
+         |    SELECT c, unnest(list_transform(
+         |      generate_series(1, len(word) - 1),
+         |      i -> substr(word, i, 2))) AS pair
+         |    FROM wc WHERE len(word) >= 2)
+         |  GROUP BY pair),
+         |best AS (SELECT pair, pc FROM pcs ORDER BY pc DESC, pair LIMIT 1),
+         |m1 AS (
+         |  SELECT word, c, pair, pc,
+         |    CASE WHEN len(word) >= 2 THEN
+         |      list_transform(generate_series(1, len(word) - 1),
+         |        i -> substr(word, i, 2) = pair)
+         |    ELSE CAST([] AS BOOLEAN[]) END AS mm
+         |  FROM wc CROSS JOIN best),
+         |m2 AS (
+         |  SELECT word, c, pair, pc, mm,
+         |    CASE WHEN len(word) >= 2 THEN
+         |      list_transform(generate_series(1, len(word) - 1),
+         |        i -> mm[i] AND (((i - 1 - coalesce(list_max(list_filter(
+         |          generate_series(1, len(word) - 1),
+         |          j -> j < i AND NOT mm[j])), 0)) % 2) = 0))
+         |    ELSE CAST([] AS BOOLEAN[]) END AS md
+         |  FROM m1),
+         |m3 AS (
+         |  SELECT word, c, pair, pc,
+         |    list_filter(list_transform(generate_series(1, len(word)),
+         |      k -> CASE
+         |        WHEN k > 1 AND coalesce(md[k - 1], false) THEN NULL
+         |        WHEN k <= len(word) - 1 AND coalesce(md[k], false)
+         |          THEN substr(word, k, 2)
+         |        ELSE substr(word, k, 1) END),
+         |      x -> x IS NOT NULL) AS syms,
+         |    len(list_filter(md, x -> x)) AS n_merges
+         |  FROM m2),
+         |tot AS (
+         |  SELECT CAST(sum(c * n_merges) AS BIGINT) AS total_merges
+         |  FROM m3),
+         |top AS (
+         |  SELECT word, c, pair, pc,
+         |    CAST(len(word) AS BIGINT) AS n_before,
+         |    CAST(len(syms) AS BIGINT) AS n_after,
+         |    array_to_string(syms, ' ') AS merged
+         |  FROM m3 ORDER BY c DESC, word LIMIT $BpeTopK)
+         |SELECT word, c, pair, pc, n_before, n_after, merged, total_merges
+         |FROM top CROSS JOIN tot ORDER BY word""".stripMargin,
 
     "z7_compose_e2e" -> {
       val allStop = TextOps.langWords.flatMap(_._2)
