@@ -84,19 +84,19 @@ object Curate {
     * guard because Spark's `sequence(1, 0)` DESCENDS where DuckDB's
     * `generate_series(1, 0)` is empty). The inner `j < i` filter runs
     * over the full pair range on BOTH engines so the shapes match. */
-  private def bpeMmSpark =
+  private[graft] def bpeMmSpark =
     """CASE WHEN length(word) >= 2 THEN
       |  transform(sequence(1, length(word) - 1),
       |    i -> substring(word, i, 2) = pair)
       |ELSE CAST(array() AS array<boolean>) END""".stripMargin
-  private def bpeMdSpark =
+  private[graft] def bpeMdSpark =
     """CASE WHEN length(word) >= 2 THEN
       |  transform(sequence(1, length(word) - 1), i -> element_at(mm, i)
       |    AND (((i - 1 - coalesce(array_max(filter(
       |      sequence(1, length(word) - 1),
       |      j -> j < i AND NOT element_at(mm, j))), 0)) % 2) = 0))
       |ELSE CAST(array() AS array<boolean>) END""".stripMargin
-  private def bpeSymsSpark =
+  private[graft] def bpeSymsSpark =
     """filter(transform(sequence(1, length(word)), k ->
       |  CASE WHEN k > 1
       |         AND coalesce(try_element_at(md, greatest(k - 1, 1)), false)
