@@ -41,6 +41,13 @@ object GraftFunctions {
     "graft_quality" -> { exprs =>
       graftbridge.toExpressionTree(graft.text.TextOps.qualityScore(
         graftbridge.toColumn(exprs(0)), graftbridge.toColumn(exprs(1)))) },
+    // URL curation surface (t22's canonicalization, for SQL-only users)
+    "graft_url_canon" -> { exprs =>
+      graftbridge.toExpressionTree(graft.text.UrlOps.canonicalize(
+        graftbridge.toColumn(exprs(0)))) },
+    "graft_url_host" -> { exprs =>
+      graftbridge.toExpressionTree(graft.text.UrlOps.canonicalHost(
+        graftbridge.toColumn(exprs(0)))) },
     // deterministic uniform [0,1): the exact keyed-LCG the engine uses
     // internally, built from catalyst arithmetic nodes (a Column-API
     // composition doesn't resolve inside a registry builder)

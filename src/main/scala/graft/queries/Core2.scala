@@ -285,7 +285,11 @@ object Core2 {
           |  round(graft_dot(array(value, 1.0d), array(2.0d, 3.0d)), 6) AS dot,
           |  graft_simhash64(array(event_type)) AS sh64,
           |  graft_zorder(8, event_id % 256, user_id % 256) AS zv,
-          |  array_join(graft_word_ngrams(array(event_type, 'k'), 1), '|') AS ng
+          |  array_join(graft_word_ngrams(array(event_type, 'k'), 1), '|') AS ng,
+          |  graft_url_canon('HTTP://WWW.Example.COM/item/' ||
+          |    CAST(event_id % 7 AS STRING) || '/?utm_source=x&id=' ||
+          |    CAST(event_id % 5 AS STRING)) AS urlc,
+          |  graft_url_host('https://Sub.EXAMPLE.com/x') AS urlh
           |FROM __events_sql ORDER BY event_id""".stripMargin)
     }),
 
@@ -512,7 +516,13 @@ object Core2 {
            |  CAST(${graft.expressions.Simhash64Expr.simhash64Sql("[event_type]")}
            |    AS BIGINT) AS sh64,
            |  CAST($zTerms AS BIGINT) AS zv,
-           |  event_type || '|k' AS ng
+           |  event_type || '|k' AS ng,
+           |  ${graft.text.UrlOps.canonicalizeSql(
+                "('HTTP://WWW.Example.COM/item/' || " +
+                "CAST(event_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || " +
+                "CAST(event_id % 5 AS VARCHAR))")} AS urlc,
+           |  ${graft.text.UrlOps.canonicalHostSql(
+                "'https://Sub.EXAMPLE.com/x'")} AS urlh
            |FROM b ORDER BY event_id""".stripMargin
       },
 
