@@ -199,6 +199,17 @@ object Demo {
     println(s"click->next-purchase attributions: " +
       s"${conv.filter($"asof_p_id".isNotNull).count()}/${conv.count()}")
 
+    // round-6 legs: composition control + tokenizer prep
+    val dsir = SparkEntry.queries("t25_dsir_select")(spark, sfDir)
+    println(s"dsir keeps ${dsir.filter($"keep").count()}/${dsir.count()} " +
+      "docs toward the target domain")
+    val bpe = SparkEntry.queries("t28_bpe_merge_step")(spark, sfDir).head
+    println(s"bpe step 1 merges '${bpe.getAs[String]("pair")}' " +
+      s"(${bpe.getAs[Long]("total_merges")} corpus merges)")
+    val compose = SparkEntry.queries("z7_compose_e2e")(spark, sfDir)
+    println(s"composition chain: ${compose.count()} docs across " +
+      s"${compose.select($"shard").distinct().count()} balanced shards")
+
     println("DEMO_OK")
     spark.stop()
   }
