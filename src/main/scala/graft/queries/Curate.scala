@@ -78,6 +78,13 @@ object Curate {
   /** t28: words shown with their merged form (top by corpus count). */
   private val BpeTopK = 10
 
+  /** t29: the funnel's rule order (index → name). The predicates are
+    * t7's Gopher-rule family; what t29 adds is the ATTRIBUTION — which
+    * rule fired first — which is what a curation operator actually
+    * alerts on (t7 reports per-doc booleans, not per-rule drop mass). */
+  private val FunnelRules =
+    Seq((1, "words"), (2, "mean_word_len"), (3, "symbol"), (4, "stopword"))
+
   /** t28 shared expression bodies (Spark SQL ≡ DuckDB SQL up to the
     * documented dialect bridges: `element_at`/`try_element_at` for
     * 1-based subscripts vs DuckDB's native `[i]`, and a `length >= 2`
@@ -586,6 +593,49 @@ object Curate {
     }),
 
     // ---- Z7: composition-control chain e2e ----------------------------
+    // ---- T29: filter-funnel drop attribution --------------------------
+    // Every production curation cascade needs per-rule observability:
+    // when a crawl snapshot's survival rate moves, the first question is
+    // WHICH rule's drop mass moved. Each doc is attributed to the FIRST
+    // rule (in the declared t7 order) that rejects it; the funnel then
+    // reports, per source × rule, the first-rejection count and the
+    // survivor count after that rule. 100 TB shape: one map-only pass
+    // computes the stage index (the t7 expressions), one partial-
+    // aggregated groupBy on (source, stage) reduces to ≤ sources×5 rows,
+    // and everything after — the rule scaffold cross join (broadcast,
+    // 4 literal rows), the cumulative-rejection window — runs on that
+    // boilerplate-sized frame, never on the corpus.
+    "t29_filter_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val nw = size(toks).cast("long")
+      val alpha = length(regexp_replace($"text", " ", "")).cast("long")
+      val nHash = (length($"text") -
+        length(regexp_replace($"text", "#", ""))).cast("long")
+      val nStop = TextOps.hitCount(toks,
+        TextOps.langWords.flatMap(_._2)).cast("long")
+      val stage = when(!(nw >= 50L && nw <= 100000L), 1)
+        .when(!(alpha >= nw * 3L && alpha <= nw * 10L), 2)
+        .when(!(nHash * 10L <= nw), 3)
+        .when(!(nStop >= 2L), 4)
+        .otherwise(0)
+      val counts = t(s, dir, "documents")
+        .select($"source", stage.as("k"))
+        .groupBy($"source", $"k").agg(count(lit(1)).as("n"))
+      val rules = FunnelRules.toDF("k", "rule")
+      val tot = counts.groupBy($"source").agg(sum($"n").as("__tot"))
+      val w = Window.partitionBy($"source").orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tot.crossJoin(broadcast(rules))
+        .join(counts, Seq("source", "k"), "left")
+        .withColumn("n_first_reject", coalesce($"n", lit(0L)))
+        .withColumn("n_survivors",
+          $"__tot" - sum($"n_first_reject").over(w))
+        .select($"source", $"k".as("rule_idx"), $"rule",
+          $"n_first_reject", $"n_survivors")
+        .orderBy($"source", $"rule_idx")
+    }),
+
     // The z3/z5 treatment for the composition pack: ONE hash-gated query
     // running domain-mix rebalance (t21) → DSIR reweighting computed ON
     // THE SURVIVORS (the seam — both count tables shift with the mix
@@ -1045,6 +1095,49 @@ object Curate {
          |  FROM m3 ORDER BY c DESC, word LIMIT $BpeTopK)
          |SELECT word, c, pair, pc, n_before, n_after, merged, total_merges
          |FROM top CROSS JOIN tot ORDER BY word""".stripMargin,
+
+    "t29_filter_funnel" -> {
+      val allStop = TextOps.langWords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      val ruleRows = FunnelRules
+        .map { case (k, r) => s"($k, '$r')" }.mkString(", ")
+      s"""WITH f AS (
+         |  SELECT source,
+         |    CAST(len($tokensSqlExpr) AS BIGINT) AS nw,
+         |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS alpha,
+         |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+         |      AS nhash,
+         |    CAST(len(list_filter($tokensSqlExpr, x -> x IN ($allStop)))
+         |      AS BIGINT) AS nstop
+         |  FROM documents),
+         |st AS (
+         |  SELECT source,
+         |    CASE WHEN NOT (nw >= 50 AND nw <= 100000) THEN 1
+         |         WHEN NOT (alpha >= nw * 3 AND alpha <= nw * 10) THEN 2
+         |         WHEN NOT (nhash * 10 <= nw) THEN 3
+         |         WHEN NOT (nstop >= 2) THEN 4
+         |         ELSE 0 END AS k
+         |  FROM f),
+         |c AS (
+         |  SELECT source, k, CAST(count(*) AS BIGINT) AS n
+         |  FROM st GROUP BY source, k),
+         |tot AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS tot
+         |  FROM st GROUP BY source),
+         |rules AS (SELECT * FROM (VALUES $ruleRows) AS t(k, rule)),
+         |g AS (
+         |  SELECT tot.source, rules.k, rules.rule,
+         |    coalesce(c.n, CAST(0 AS BIGINT)) AS n_first_reject, tot.tot
+         |  FROM tot CROSS JOIN rules
+         |  LEFT JOIN c ON c.source = tot.source AND c.k = rules.k)
+         |SELECT source, CAST(k AS INTEGER) AS rule_idx, rule,
+         |  n_first_reject,
+         |  tot - CAST(sum(n_first_reject) OVER (
+         |      PARTITION BY source ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS n_survivors
+         |FROM g ORDER BY source, rule_idx""".stripMargin
+    },
 
     "z7_compose_e2e" -> {
       val allStop = TextOps.langWords.flatMap(_._2)

@@ -63,6 +63,10 @@ object Embed {
     * anchor AND per slot). */
   private val NEG_K = 4
   private val NEG_SEED = 41L
+  /** e16 int8-quantization gate: query-set size (the e8 convention) and
+    * the recall depth. */
+  private val INT8_Q = 10
+  private val INT8_K = 5
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -496,6 +500,59 @@ object Embed {
               (sqrt($"aa".cast("double")) * sqrt($"bb".cast("double"))), 6))
             .as("cos_sim"))
         .orderBy($"label_a", $"label_b")
+    }),
+
+    // ---- E16: symmetric int8 quantization + recall/fidelity gate ---------
+    // The standard 4× memory/bandwidth compression for embedding serving
+    // (FAISS's SQ8 / ScaNN's int8 path): per-vector symmetric scale
+    // s = max|x_d|, code q_d = floor(127·x_d/s + 0.5) ∈ [-127, 127], and
+    // similarity scored on the codes. This gate reports, per query,
+    // recall@k of the int8 ranking against the exact float ranking PLUS
+    // the worst |Δcosine| over the true top-k (in ppm) — the two numbers
+    // an operator checks before switching a 100 TB index to compressed
+    // storage. Exactness: codes are integer-valued doubles (≤ 127), so
+    // every int8 dot/norm is an exact integer (≤ 64·127² ≈ 1.03e6) and
+    // both engines' doubles are bit-identical; ranking ties break on c_id.
+    // 100 TB shape: quantization is a map-only pass (the index would be
+    // WRITTEN int8, reading 4× fewer bytes per scan); scoring reuses the
+    // e1 broadcast-query brute-force shape — int8 here compresses the
+    // corpus scan, it does not prune candidates (compose with e3/e5
+    // bucketing for that).
+    "e16_int8_quant" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .withColumn("__scale",
+          array_max(transform($"embedding", x => abs(x.cast("double")))))
+        .withColumn("qvec", transform($"embedding", x =>
+          when($"__scale" === 0.0, 0.0)
+            .otherwise(floor(x.cast("double") * 127.0 / $"__scale" + 0.5))))
+        .select($"vec_id", $"embedding", $"qvec")
+      val q = emb.filter($"vec_id" < INT8_Q)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+          $"qvec".as("qq"))
+      val c = emb.select($"vec_id".as("c_id"), $"embedding".as("cv"),
+        $"qvec".as("cq"))
+      val qden =
+        sqrt(Vectors.dot($"qq", $"qq")) * sqrt(Vectors.dot($"cq", $"cq"))
+      val pairs = c.crossJoin(broadcast(q))
+        .filter($"q_id" =!= $"c_id")
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+        .withColumn("qcos", when(qden === 0.0, 0.0)
+          .otherwise(Vectors.dot($"qq", $"cq") / qden))
+      val wE = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+      val wA = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"c_id")
+      pairs
+        .withColumn("rnk_e", row_number().over(wE))
+        .withColumn("rnk_a", row_number().over(wA))
+        .filter($"rnk_e" <= INT8_K)
+        .groupBy($"q_id")
+        .agg(sum(when($"rnk_a" <= INT8_K, 1L).otherwise(0L)).as("n_hit"),
+          max(floor(abs($"qcos" - $"cos") * 1000000.0 + 0.5).cast("long"))
+            .as("max_err_ppm"))
+        .select($"q_id", $"n_hit",
+          expr(s"(n_hit * 1000000L) div ${INT8_K}L").as("recall_ppm"),
+          $"max_err_ppm")
+        .orderBy($"q_id")
     }))
 
   def oracles: Map[String, String] = {
@@ -912,6 +969,47 @@ object Embed {
            |    AS cos_sim
            |FROM d JOIN embeddings e ON e.vec_id = d.neg_id
            |WHERE e.label <> d.label_a
-           |ORDER BY d.vec_id, d.k""".stripMargin)
+           |ORDER BY d.vec_id, d.k""".stripMargin,
+
+      "e16_int8_quant" -> {
+        val qq = Vectors.dotSql("qq", "qq", DIM)
+        val cc = Vectors.dotSql("cq", "cq", DIM)
+        val qc = Vectors.dotSql("qq", "cq", DIM)
+        s"""WITH wq AS (
+           |  SELECT vec_id, embedding,
+           |    CASE WHEN s = 0.0 THEN list_transform(embedding, x -> 0.0)
+           |         ELSE list_transform(embedding, x ->
+           |           floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5)) END
+           |      AS qvec
+           |  FROM (SELECT vec_id, embedding,
+           |          list_max(list_transform(embedding,
+           |            x -> abs(CAST(x AS DOUBLE)))) AS s
+           |        FROM embeddings)),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv, qvec AS qq
+           |      FROM wq WHERE vec_id < $INT8_Q),
+           |c AS (SELECT vec_id AS c_id, embedding AS cv, qvec AS cq
+           |      FROM wq),
+           |p AS (
+           |  SELECT q_id, c_id, ${Vectors.cosineSql("qv", "cv", DIM)} AS cos,
+           |    (CASE WHEN (sqrt($qq) * sqrt($cc)) = 0.0 THEN 0.0
+           |          ELSE $qc / (sqrt($qq) * sqrt($cc)) END) AS qcos
+           |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+           |r AS (
+           |  SELECT q_id, c_id, cos, qcos,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, c_id) AS rnk_e,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY qcos DESC, c_id) AS rnk_a
+           |  FROM p)
+           |SELECT q_id,
+           |  CAST(sum(CASE WHEN rnk_a <= $INT8_K THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hit,
+           |  (CAST(sum(CASE WHEN rnk_a <= $INT8_K THEN 1 ELSE 0 END)
+           |    AS BIGINT) * 1000000) // $INT8_K AS recall_ppm,
+           |  CAST(max(floor(abs(qcos - cos) * 1000000.0 + 0.5)) AS BIGINT)
+           |    AS max_err_ppm
+           |FROM r WHERE rnk_e <= $INT8_K
+           |GROUP BY q_id ORDER BY q_id""".stripMargin
+      })
   }
 }

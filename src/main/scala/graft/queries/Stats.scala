@@ -77,6 +77,25 @@ object Stats {
   private val SaxSegLen = 8
   private val SaxBp = 0.75
 
+  /** a43 Poisson-bootstrap geometry (Chamandy et al. 2012): replicate
+    * count B, keyed-LCG seed, and the truncated-Poisson(1) inverse-CDF
+    * thresholds c_k = e⁻¹·Σ_{i≤k} 1/i! as shortest-repr double literals
+    * (both engines parse a decimal literal to the nearest double, so the
+    * thresholds are bit-identical). Draws above c_5 take weight 6 — a
+    * deliberate truncation (tail mass 5.9e-4 folded into w=6) that makes
+    * the sampler a finite CASE, identical everywhere. CI = the 2.5%-trim
+    * order statistics of the 40 replicate means (ranks 2 and 39 — trim
+    * exactly 1/40 per side). */
+  private val BootB = 40
+  private val BootSeed = 53L
+  private val BootCap = 6
+  private val BootCdfStr = Seq("0.36787944117144233", "0.7357588823428847",
+    "0.9196986029286058", "0.9810118431238463", "0.9963401531726563",
+    "0.9994058151824183")
+  private val BootCdf = BootCdfStr.map(_.toDouble)
+  private val BootLoRank = 2
+  private val BootHiRank = 39
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A38: autocorrelation function --------------------------------
     // Global-series ACF at lags 1..3: Pearson correlation of (x_t,
@@ -503,6 +522,53 @@ object Stats {
         .select($"cluster", coalesce($"n", lit(0L)).as("n"),
           $"centroid_sum")
         .orderBy($"cluster")
+    }),
+
+    // ---- A43: Poisson-bootstrap confidence interval ----------------------
+    // The at-scale bootstrap (Chamandy et al. 2012, "Estimating
+    // uncertainty for massive data streams"): instead of B resamples of
+    // the corpus (B full shuffles), each row draws an independent
+    // Poisson(1) weight per replicate — ONE map-only pass with a ×B
+    // row-local fan-out, partial aggregation collapsing each partition to
+    // B rows before the only shuffle (a B-row exchange). Here: a 95% CI
+    // for mean(events.value) from B=40 truncated-Poisson replicates, the
+    // weights drawn from the keyed LCG (partition/retry/scale-invariant,
+    // a41-gated), replicate means as exact-integer ratios, and the CI
+    // bounds as exact order statistics over the 40-row replicate frame
+    // (the unpartitioned window is driver-trivial — the balancedTail
+    // pattern). Exactness bound: w ≤ 6, |vc| ≤ 5.7e4 ⇒ Σw·vc exact while
+    // n ≲ 2.7e13 rows; beyond that widen to DECIMAL(38,0) per the a40
+    // rule. A replicate with Σw = 0 is excluded in both engines (P ≈ e⁻ⁿ
+    // — never observed above toy n; stated for the contract).
+    "a43_bootstrap_ci" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", round($"value" * 100).cast("long").as("vc"))
+      val draws = ev
+        .select($"event_id", $"vc",
+          explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+        .withColumn("u",
+          Det.frac($"event_id" * BootB.toLong + $"b", BootSeed))
+      val first = when($"u" < lit(BootCdf.head), 0)
+      val wCol = BootCdf.indices.drop(1)
+        .foldLeft(first)((acc, k) => acc.when($"u" < lit(BootCdf(k)), k))
+        .otherwise(BootCap).cast("long")
+      val reps = draws.withColumn("w", wCol)
+        .groupBy($"b")
+        .agg(sum($"w" * $"vc").as("sw"), sum($"w").as("nw"))
+        .filter($"nw" > 0L)
+        .select($"b",
+          ($"sw".cast("double") / $"nw".cast("double") / 100.0).as("m"))
+      val wOrd = Window.orderBy($"m", $"b") // B-row frame: driver-trivial
+      val ci = reps.withColumn("r", row_number().over(wOrd))
+        .agg(count(lit(1)).as("n_reps"),
+          max(when($"r" === BootLoRank, $"m")).as("ci_lo"),
+          max(when($"r" === BootHiRank, $"m")).as("ci_hi"))
+      val base = ev.agg(
+        (sum($"vc").cast("double") / count(lit(1)).cast("double") / 100.0)
+          .as("mean_value"))
+      base.crossJoin(broadcast(ci))
+        .select($"n_reps", $"mean_value", $"ci_lo", $"ci_hi")
     }))
 
   // ---------------------------------------------------------------------
@@ -912,5 +978,39 @@ object Stats {
          |  CAST(list_reduce(c2.cv, (a, b) -> a + b) AS BIGINT)
          |    AS centroid_sum
          |FROM c2 LEFT JOIN cnt ON c2.j = cnt.cluster
-         |ORDER BY cluster""".stripMargin)
+         |ORDER BY cluster""".stripMargin,
+
+    "a43_bootstrap_ci" -> {
+      val wCase = BootCdfStr.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString("CASE ", " ", s" ELSE $BootCap END")
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc
+         |  FROM events),
+         |d AS (
+         |  SELECT event_id, vc, b,
+         |    ${Det.fracSql(s"(event_id * $BootB + b)", BootSeed)} AS u
+         |  FROM ev CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${BootB - 1})) AS b)),
+         |wgt AS (SELECT b, vc, CAST($wCase AS BIGINT) AS w FROM d),
+         |rep AS (
+         |  SELECT b, CAST(sum(w * vc) AS BIGINT) AS sw,
+         |    CAST(sum(w) AS BIGINT) AS nw
+         |  FROM wgt GROUP BY b),
+         |mm AS (
+         |  SELECT b, CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) / 100.0 AS m
+         |  FROM rep WHERE nw > 0),
+         |r AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS r FROM mm),
+         |ci AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         |    max(CASE WHEN r = $BootLoRank THEN m END) AS ci_lo,
+         |    max(CASE WHEN r = $BootHiRank THEN m END) AS ci_hi
+         |  FROM r),
+         |base AS (
+         |  SELECT CAST(sum(vc) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+         |    AS mean_value
+         |  FROM ev)
+         |SELECT n_reps, mean_value, ci_lo, ci_hi
+         |FROM base CROSS JOIN ci""".stripMargin
+    })
 }
