@@ -607,20 +607,8 @@ object Curate {
     // boilerplate-sized frame, never on the corpus.
     "t29_filter_funnel" -> ((s, dir) => {
       import s.implicits._
-      val toks = TextOps.tokens($"text")
-      val nw = size(toks).cast("long")
-      val alpha = length(regexp_replace($"text", " ", "")).cast("long")
-      val nHash = (length($"text") -
-        length(regexp_replace($"text", "#", ""))).cast("long")
-      val nStop = TextOps.hitCount(toks,
-        TextOps.langWords.flatMap(_._2)).cast("long")
-      val stage = when(!(nw >= 50L && nw <= 100000L), 1)
-        .when(!(alpha >= nw * 3L && alpha <= nw * 10L), 2)
-        .when(!(nHash * 10L <= nw), 3)
-        .when(!(nStop >= 2L), 4)
-        .otherwise(0)
       val counts = t(s, dir, "documents")
-        .select($"source", stage.as("k"))
+        .select($"source", TextOps.funnelStage($"text").as("k"))
         .groupBy($"source", $"k").agg(count(lit(1)).as("n"))
       val rules = FunnelRules.toDF("k", "rule")
       val tot = counts.groupBy($"source").agg(sum($"n").as("__tot"))

@@ -67,6 +67,10 @@ object Embed {
     * the recall depth. */
   private val INT8_Q = 10
   private val INT8_K = 5
+  /** e17 Matryoshka truncation levels (prefix dims) and recall depth. */
+  private val MRL_Q = 10
+  private val MRL_K = 5
+  private val MRL_DIMS = Seq(16, 32)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -553,6 +557,47 @@ object Embed {
           expr(s"(n_hit * 1000000L) div ${INT8_K}L").as("recall_ppm"),
           $"max_err_ppm")
         .orderBy($"q_id")
+    }),
+
+    // ---- E17: Matryoshka prefix-truncation recall ------------------------
+    // Matryoshka representation learning (Kusupati et al. 2022) serves the
+    // FIRST d' dims of an embedding as a cheaper index (16 of 64 dims =
+    // 4× less memory AND 4× fewer multiply-adds per comparison — a
+    // different compression axis than e16's precision reduction). This
+    // gate scores the d'∈{16, 32} prefix rankings against the full-dim
+    // exact top-k — the recall curve an operator reads to pick the
+    // serving dimension. One pair frame computes all three cosines (the
+    // prefix dot is a strict sub-loop of the full dot, not a second
+    // scan); recall is exact-integer ppm. 100 TB shape: identical to e1's
+    // broadcast-query brute force — truncation shrinks the scanned bytes,
+    // candidate pruning still comes from composing with e3/e5 bucketing.
+    "e17_matryoshka_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < MRL_Q)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      val c = emb.select($"vec_id".as("c_id"), $"embedding".as("cv"))
+      val pairs0 = c.crossJoin(broadcast(q))
+        .filter($"q_id" =!= $"c_id")
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+      val pairs = MRL_DIMS.foldLeft(pairs0)((df, d) =>
+        df.withColumn(s"cos$d",
+          Vectors.cosine(slice($"qv", 1, d), slice($"cv", 1, d))))
+      val wE = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+      val ranked = MRL_DIMS.foldLeft(
+        pairs.withColumn("rnk_e", row_number().over(wE)))((df, d) =>
+        df.withColumn(s"rnk$d", row_number().over(
+          Window.partitionBy($"q_id")
+            .orderBy(col(s"cos$d").desc, $"c_id"))))
+      val hitCols = MRL_DIMS.map(d =>
+        sum(when(col(s"rnk$d") <= MRL_K, 1L).otherwise(0L)).as(s"nh$d"))
+      ranked.filter($"rnk_e" <= MRL_K)
+        .groupBy($"q_id")
+        .agg(hitCols.head, hitCols.tail: _*)
+        .select($"q_id" +: MRL_DIMS.map(d =>
+          expr(s"(nh$d * 1000000L) div ${MRL_K}L")
+            .as(s"recall_d${d}_ppm")): _*)
+        .orderBy($"q_id")
     }))
 
   def oracles: Map[String, String] = {
@@ -1009,6 +1054,35 @@ object Embed {
            |  CAST(max(floor(abs(qcos - cos) * 1000000.0 + 0.5)) AS BIGINT)
            |    AS max_err_ppm
            |FROM r WHERE rnk_e <= $INT8_K
+           |GROUP BY q_id ORDER BY q_id""".stripMargin
+      },
+
+      "e17_matryoshka_recall" -> {
+        val cosCols = MRL_DIMS.map(d =>
+          s"${Vectors.cosineSql("qv", "cv", d)} AS cos$d").mkString(",\n    ")
+        val rnkCols = MRL_DIMS.map(d =>
+          s"row_number() OVER (PARTITION BY q_id ORDER BY cos$d DESC, c_id)" +
+            s" AS rnk$d").mkString(",\n    ")
+        val recCols = MRL_DIMS.map(d =>
+          s"(CAST(sum(CASE WHEN rnk$d <= $MRL_K THEN 1 ELSE 0 END) AS " +
+            s"BIGINT) * 1000000) // $MRL_K AS recall_d${d}_ppm")
+          .mkString(",\n  ")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < $MRL_Q),
+           |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+           |p AS (
+           |  SELECT q_id, c_id, ${Vectors.cosineSql("qv", "cv", DIM)} AS cos,
+           |    $cosCols
+           |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+           |r AS (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+           |      AS rnk_e,
+           |    $rnkCols
+           |  FROM p)
+           |SELECT q_id,
+           |  $recCols
+           |FROM r WHERE rnk_e <= $MRL_K
            |GROUP BY q_id ORDER BY q_id""".stripMargin
       })
   }

@@ -116,6 +116,23 @@ object StreamJob {
         .as(Seq("j", "slot")))
       .groupBy(col("j"), col("slot")).agg(count(lit(1)).as("c"))
 
+  /** Streaming curation-funnel counts: t29's per-(source, first-failing-
+    * rule) drop mass maintained incrementally over a document stream —
+    * the live observability layer a continuous ingest pipeline alerts
+    * on. The stage index is the SHARED [[graft.text.TextOps
+    * .funnelStage]] expression (map-only per row), so the streaming
+    * counts are definitionally t29's batch counts; complete-mode state
+    * is bounded BY CONSTRUCTION at sources × 5 rows regardless of
+    * stream length (the cmSketchStream contract). Downstream funnel
+    * arithmetic (scaffold join, survivor cumsum) reads this tiny frame
+    * per trigger — it never touches the stream. Same function works on
+    * a static frame, which is how the spec proves stream ≡ batch across
+    * micro-batch cuts. */
+  def funnelStream(stream: DataFrame): DataFrame =
+    stream.select(col("source"),
+        graft.text.TextOps.funnelStage(col("text")).as("stage"))
+      .groupBy(col("source"), col("stage")).agg(count(lit(1)).as("c"))
+
   /** Streaming CDC upsert view — the u4 latest-per-key compaction
     * maintained incrementally: each micro-batch re-ranks (state ∪ batch)
     * per key and keeps the top-1, so `outTable` always equals the batch

@@ -105,6 +105,26 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "des", "du", "que"),
     "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "por", "con", "para"))
 
+  /** t29's cascade stage: index of the FIRST Gopher rule (t7's family, in
+    * declared order) that rejects the doc — 1 word-count, 2 mean word
+    * length, 3 symbol ratio, 4 stopword floor — or 0 for a pass. Shared
+    * by the batch funnel query and [[graft.streaming.StreamJob
+    * .funnelStream]] so the streaming counts are definitionally the
+    * batch counts. */
+  def funnelStage(text: Column): Column = {
+    val toks = tokens(text)
+    val nw = size(toks).cast("long")
+    val alpha = length(regexp_replace(text, " ", "")).cast("long")
+    val nHash =
+      (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nStop = hitCount(toks, langWords.flatMap(_._2)).cast("long")
+    when(!(nw >= 50L && nw <= 100000L), 1)
+      .when(!(alpha >= nw * 3L && alpha <= nw * 10L), 2)
+      .when(!(nHash * 10L <= nw), 3)
+      .when(!(nStop >= 2L), 4)
+      .otherwise(0)
+  }
+
   /** Language-ID (stopword heuristic): argmax of per-language stopword hits,
     * deterministic tie-break by list order, "und" when all zero. */
   def langId(tokensCol: Column): Column = {

@@ -10,6 +10,7 @@ import java.sql.Timestamp
 case class Ev(id: Long, ts: Timestamp, v: Double)
 case class L(k: Long, lts: Timestamp, lid: Long)
 case class R(k: Long, rts: Timestamp, rid: Long)
+case class CDoc(source: String, text: String)
 
 class StreamJobSpec extends SparkSpec {
   import spark.implicits._
@@ -65,6 +66,38 @@ class StreamJobSpec extends SparkSpec {
     assert(streamSketch == batchSketch)
     // bounded state: counters never exceed d·w rows
     assert(streamSketch.size <= 4 * 256)
+  }
+
+  test("streaming funnel counts ≡ batch stage counts, across batch cuts") {
+    // one text per cascade stage (1 word-count, 2 mean-word-len, 3 symbol,
+    // 4 stopword, 0 pass), cycled over 3 sources — every stage exercised
+    def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val texts = Seq(
+      "tiny doc",                          // nw = 2 < 50            → 1
+      words("a", 60),                      // alpha 60 < 3·60        → 2
+      words("####", 60),                   // 240 hashes ≫ nw/10     → 3
+      words("word", 60),                   // zero stopwords         → 4
+      words("word", 58) + " the and")      // 2 stopwords, all pass  → 0
+    val docs = (0 until 100).map(i => CDoc(s"src${i % 3}", texts(i % 5)))
+    val batch = StreamJob.funnelStream(docs.toDF())
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(batch.keys.map(_._2) == Set(0, 1, 2, 3, 4))
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[CDoc]
+    val q = StreamJob.funnelStream(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("complete").start()
+    mem.addData(docs.take(37): _*) // uneven cut: sources/stages split
+    q.processAllAvailable()
+    mem.addData(docs.drop(37): _*)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("funnel_out")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+    // bounded state: sources × 5 stages, independent of stream length
+    assert(got.size <= 3 * 5)
   }
 
   test("T1: replayTrigger paces event-time span by the speedup factor") {
