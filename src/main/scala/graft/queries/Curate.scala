@@ -85,6 +85,12 @@ object Curate {
   private val FunnelRules =
     Seq((1, "words"), (2, "mean_word_len"), (3, "symbol"), (4, "stopword"))
 
+  /** t30 mixture-reweight smoothing: (1−c)·p + c/S with c = 1/64 —
+    * DYADIC, so 0.984375 and 0.015625 are exact double literals in both
+    * engines (the w30 coefficient rule). */
+  private val MixKeep = "0.984375"
+  private val MixSmooth = "0.015625"
+
   /** t28 shared expression bodies (Spark SQL ≡ DuckDB SQL up to the
     * documented dialect bridges: `element_at`/`try_element_at` for
     * 1-based subscripts vs DuckDB's native `[i]`, and a `length >= 2`
@@ -624,6 +630,43 @@ object Curate {
         .orderBy($"source", $"rule_idx")
     }),
 
+    // ---- T30: exponentiated-gradient mixture reweighting --------------
+    // One DoReMi-style update step (Xie et al. 2023 use an Exp3/mirror-
+    // descent update on domain weights; this is that step applied to a
+    // measured per-domain signal): per-source pseudo-loss ℓ_s = 1 −
+    // mean(q10k)/10⁴ from the t2 quality score, multiplicative update
+    // w'_s ∝ exp(ℓ_s) from uniform, normalized, then uniform-smoothed
+    // with c = 1/64 (dyadic literals). Exactness: the per-source mean is
+    // an exact-integer ratio; exp is evaluated per SOURCE (S values, not
+    // per row) and the normalizer is a sorted left-fold of those S
+    // doubles (the dotSql fold-parity recipe — collect_list is bounded
+    // at S rows), so both engines fold bit-identical addends in the same
+    // order; outputs round to 6. 100 TB shape: ONE map-side-combined
+    // groupBy collapses the corpus to S rows; everything after runs on
+    // that frame.
+    "t30_mixture_reweight" -> ((s, dir) => {
+      import s.implicits._
+      val perSrc = t(s, dir, "documents")
+        .select($"source",
+          TextOps.qualityScore10k($"text", TextOps.tokens($"text"))
+            .as("q10k"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"q10k").as("sq"))
+        .withColumn("loss", lit(1.0) -
+          ($"sq".cast("double") / $"n_docs".cast("double")) / 10000.0)
+        .withColumn("ew", exp($"loss"))
+      val tot = perSrc.agg(
+        aggregate(sort_array(collect_list($"ew")), lit(0.0),
+          (acc, x) => acc + x).as("sew"),
+        count(lit(1)).as("ns"))
+      perSrc.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", round($"loss", 6).as("loss"),
+          round(lit(MixKeep.toDouble) * ($"ew" / $"sew") +
+            lit(MixSmooth.toDouble) / $"ns".cast("double"), 6)
+            .as("weight"))
+        .orderBy($"source")
+    }),
+
     // The z3/z5 treatment for the composition pack: ONE hash-gated query
     // running domain-mix rebalance (t21) → DSIR reweighting computed ON
     // THE SURVIVORS (the seam — both count tables shift with the mix
@@ -1125,6 +1168,33 @@ object Curate {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    AS BIGINT) AS n_survivors
          |FROM g ORDER BY source, rule_idx""".stripMargin
+    },
+
+    "t30_mixture_reweight" -> {
+      val allStop = TextOps.langWords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT source, text, $tokensSqlExpr AS tokens FROM documents),
+         |ps AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(${TextOps.qualityScore10kSql("text", "tokens",
+                "__ALLSTOP__")}) AS BIGINT) AS sq
+         |  FROM d GROUP BY source),
+         |l AS (
+         |  SELECT source, n_docs,
+         |    1.0 - (CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 10000.0
+         |      AS loss
+         |  FROM ps),
+         |e AS (SELECT source, n_docs, loss, exp(loss) AS ew FROM l),
+         |tot AS (
+         |  SELECT list_reduce(list_sort(list(ew)), (a, b) -> a + b) AS sew,
+         |    CAST(count(*) AS BIGINT) AS ns
+         |  FROM e)
+         |SELECT source, n_docs, round(loss, 6) AS loss,
+         |  round($MixKeep * (ew / sew) + $MixSmooth / CAST(ns AS DOUBLE), 6)
+         |    AS weight
+         |FROM e CROSS JOIN tot ORDER BY source""".stripMargin
+        .replace("__ALLSTOP__", allStop)
     },
 
     "z7_compose_e2e" -> {

@@ -71,6 +71,9 @@ object Embed {
   private val MRL_Q = 10
   private val MRL_K = 5
   private val MRL_DIMS = Seq(16, 32)
+  /** e18 probe sweep: nProbe settings measured against the exact top-k. */
+  private val SWEEP_PROBES = Seq(1, 2, 4)
+  private val SWEEP_K = 5
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -598,6 +601,52 @@ object Embed {
           expr(s"(nh$d * 1000000L) div ${MRL_K}L")
             .as(s"recall_d${d}_ppm")): _*)
         .orderBy($"q_id")
+    }),
+
+    // ---- E18: IVF probe sweep — the recall-vs-nProbe tuning curve --------
+    // The parameter an IVF operator actually tunes at 100 TB: each probed
+    // cell multiplies scan cost, so the deploy decision is "smallest
+    // nProbe whose recall clears the SLO". One query emits the whole
+    // curve: recall@5 vs the exact top-5 at nProbe ∈ {1, 2, 4} over the
+    // e5 fixed-centroid index. The index frame is localCheckpoint'd — it
+    // feeds FOUR consumers (three probe legs + the exact baseline), the
+    // e4 multi-action checkpoint rule. Per-leg cost stays the e5 shape
+    // (8-row broadcast centroid scan + bucket equi-join); the recall
+    // join runs on Q·K-row frames. Denominator is the measured exact-row
+    // count per leg, not an assumed Q·K.
+    "e18_ivf_probe_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      val cents = FixedIvf.centroids(t(s, dir, "embeddings"), "vec_id",
+        "embedding", CENTROID_IDS)
+      val indexed = FixedIvf.assign(emb, "vec_id", "embedding", cents)
+        .select($"vec_id".as("c_id"), $"embedding".as("cv"), $"cell")
+        .localCheckpoint()
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      val wE = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+      val exact = indexed.crossJoin(broadcast(queries))
+        .filter($"q_id" =!= $"c_id")
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+        .withColumn("rnk", row_number().over(wE))
+        .filter($"rnk" <= SWEEP_K)
+        .select($"q_id", $"c_id")
+      val legs = SWEEP_PROBES.map { np =>
+        FixedIvf.search(queries, indexed, "qv", "cv", "q_id", "c_id",
+            cents, topK = SWEEP_K, nProbe = np)
+          .select($"q_id".as("a_qid"), $"c_id".as("a_cid"),
+            lit(np).as("np"))
+      }.reduce(_ unionByName _)
+      val exn = exact.crossJoin(broadcast(SWEEP_PROBES.toDF("nprobe")))
+      exn.join(legs,
+          exn("nprobe") === legs("np") && exn("q_id") === legs("a_qid") &&
+            exn("c_id") === legs("a_cid"), "left")
+        .groupBy($"nprobe")
+        .agg(count(lit(1)).as("n_exact"), count($"a_cid").as("n_hit"))
+        .select($"nprobe", $"n_exact", $"n_hit",
+          expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"))
+        .orderBy($"nprobe")
     }))
 
   def oracles: Map[String, String] = {
@@ -1084,6 +1133,57 @@ object Embed {
            |  $recCols
            |FROM r WHERE rnk_e <= $MRL_K
            |GROUP BY q_id ORDER BY q_id""".stripMargin
+      },
+
+      "e18_ivf_probe_sweep" -> {
+        def leg(np: Int) =
+          s"""l$np AS (
+             |  SELECT $np AS nprobe, q_id, c_id FROM (
+             |    SELECT q_id, c_id, row_number() OVER
+             |      (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+             |    FROM (
+             |      SELECT q_id, c_id, $cosQC AS cos
+             |      FROM (SELECT q_id, qv, cell FROM probe WHERE prnk <= $np) p
+             |      JOIN inv USING (cell) WHERE q_id != c_id))
+             |  WHERE rnk <= $SWEEP_K)"""
+        s"""WITH cent AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cenv
+           |  FROM embeddings
+           |  WHERE vec_id IN (${CENTROID_IDS.mkString(", ")})),
+           |asg AS (
+           |  SELECT vec_id AS c_id, embedding AS cv, cell, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY ${d2("embedding")} ASC, cell)
+           |    AS arnk
+           |  FROM embeddings, cent),
+           |inv AS (SELECT c_id, cv, cell FROM asg WHERE arnk = 1),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv
+           |      FROM embeddings WHERE vec_id < 10),
+           |probe AS (
+           |  SELECT q_id, qv, cell, row_number() OVER
+           |    (PARTITION BY q_id ORDER BY ${d2("qv")} ASC, cell) AS prnk
+           |  FROM q, cent),
+           |ex AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+           |    FROM (SELECT q_id, inv.c_id AS c_id, $cosQC AS cos
+           |          FROM inv CROSS JOIN q WHERE q_id != c_id))
+           |  WHERE rnk <= $SWEEP_K),
+           |${SWEEP_PROBES.map(leg).mkString(",\n")},
+           |legs AS (${SWEEP_PROBES.map(np => s"SELECT * FROM l$np")
+              .mkString(" UNION ALL ")}),
+           |np AS (SELECT unnest([${SWEEP_PROBES.mkString(", ")}])
+           |       AS nprobe),
+           |exn AS (SELECT nprobe, q_id, c_id FROM ex CROSS JOIN np)
+           |SELECT exn.nprobe,
+           |  CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(count(l.c_id) AS BIGINT) AS n_hit,
+           |  (CAST(count(l.c_id) AS BIGINT) * 1000000) //
+           |    CAST(count(*) AS BIGINT) AS recall_ppm
+           |FROM exn LEFT JOIN legs l ON l.nprobe = exn.nprobe
+           |  AND l.q_id = exn.q_id AND l.c_id = exn.c_id
+           |GROUP BY exn.nprobe ORDER BY exn.nprobe""".stripMargin
       })
   }
 }
