@@ -74,6 +74,12 @@ object Embed {
   /** e18 probe sweep: nProbe settings measured against the exact top-k. */
   private val SWEEP_PROBES = Seq(1, 2, 4)
   private val SWEEP_K = 5
+  /** z8 serving-chain geometry: query count, probed cells, coarse-rank
+    * pool size, MMR selections. */
+  private val Z8_Q = 3
+  private val Z8_PROBE = 2
+  private val Z8_POOL = 12
+  private val Z8_K = 5
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -647,6 +653,94 @@ object Embed {
         .select($"nprobe", $"n_exact", $"n_hit",
           expr("(n_hit * 1000000L) div n_exact").as("recall_ppm"))
         .orderBy($"nprobe")
+    }),
+
+    // ---- Z8: retrieval-serving chain e2e ---------------------------------
+    // The SERVING-side analogue of the curation chains (z3 text, z5
+    // embeddings, z7 composition): one hash-gated query running the full
+    // production retrieval funnel — IVF candidate generation (e5's
+    // fixed-centroid index, nProbe=2) → int8 COARSE ranking of the
+    // candidates (e16's codes — at scale this stage reads only the 4×-
+    // compressed codes) → exact float re-rank scores on the surviving
+    // pool only → MMR diversification of the final answer (e10's greedy,
+    // λ = 0.7/0.3). The seams are what the chain gates: the candidate
+    // set feeding the coarse rank, the quantized ORDER deciding who gets
+    // an exact score, and the diversity pass reading exact scores it did
+    // not itself compute. 100 TB shape: every stage keeps its standalone
+    // query's audited shape — broadcast centroid scan + cell equi-join,
+    // codes-only scoring, exact math confined to Q·POOL rows, greedy
+    // rounds on the checkpointed pool (the e10 multi-action rule).
+    "z8_retrieve_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      // int8 codes computed once and carried with the vector (the index
+      // would STORE these; checkpoint: feeds assign + query + candidates)
+      val coded = emb
+        .withColumn("__scale",
+          array_max(transform($"embedding", x => abs(x.cast("double")))))
+        .withColumn("qvec", transform($"embedding", x =>
+          when($"__scale" === 0.0, 0.0)
+            .otherwise(floor(x.cast("double") * 127.0 / $"__scale" + 0.5))))
+        .select($"vec_id", $"embedding", $"qvec")
+        .localCheckpoint()
+      val cents = FixedIvf.centroids(t(s, dir, "embeddings"), "vec_id",
+        "embedding", CENTROID_IDS)
+      val indexed = FixedIvf.assign(coded, "vec_id", "embedding", cents)
+        .select($"vec_id".as("c_id"), $"embedding".as("cv"),
+          $"qvec".as("cq"), $"cell")
+      val queries = coded.filter($"vec_id" < Z8_Q)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+          $"qvec".as("qq"))
+      // stage 1: IVF candidates
+      val cand = FixedIvf.probe(queries, "q_id", "qv", cents, Z8_PROBE)
+        .join(indexed, "cell")
+        .filter($"q_id" =!= $"c_id")
+      // stage 2: int8 coarse rank → pool; stage 3a: exact scores on pool
+      val qden =
+        sqrt(Vectors.dot($"qq", $"qq")) * sqrt(Vectors.dot($"cq", $"cq"))
+      val wPool = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"c_id")
+      val pool = cand
+        .withColumn("qcos", when(qden === 0.0, 0.0)
+          .otherwise(Vectors.dot($"qq", $"cq") / qden))
+        .withColumn("prnk", row_number().over(wPool))
+        .filter($"prnk" <= Z8_POOL)
+        .withColumn("cos", Vectors.cosine($"qv", $"cv"))
+        .select($"q_id", $"c_id", $"cv", $"cos")
+        .localCheckpoint() // sims (both sides) + every greedy round
+      // stage 3b: MMR diversify (the e10 greedy on the chain's pool)
+      val sims = pool.select($"q_id", $"c_id".as("sa"), $"cv".as("va"))
+        .join(pool.select($"q_id", $"c_id".as("sb"), $"cv".as("vb")),
+          Seq("q_id"))
+        .filter($"sa" =!= $"sb")
+        .select($"q_id", $"sa", $"sb",
+          Vectors.cosine($"va", $"vb").as("sim"))
+        .localCheckpoint()
+      val wPick = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
+      var sel = pool
+        .withColumn("score", lit(0.7) * $"cos")
+        .withColumn("rnk", row_number().over(wPick))
+        .filter($"rnk" === 1)
+        .select($"q_id", $"c_id", lit(1).as("step"), $"score")
+        .localCheckpoint()
+      for (k <- 2 to Z8_K) {
+        val next = pool
+          .join(sel.select($"q_id", $"c_id"), Seq("q_id", "c_id"),
+            "left_anti")
+          .join(sims.join(sel.select($"q_id", $"c_id".as("sa")),
+              Seq("q_id", "sa"))
+            .select($"q_id", $"sb".as("c_id"), $"sim"), Seq("q_id", "c_id"))
+          .groupBy($"q_id", $"c_id", $"cos")
+          .agg(max($"sim").as("maxsim"))
+          .withColumn("score", lit(0.7) * $"cos" - lit(0.3) * $"maxsim")
+          .withColumn("rnk", row_number().over(wPick))
+          .filter($"rnk" === 1)
+          .select($"q_id", $"c_id", lit(k).as("step"), $"score")
+        sel = sel.unionByName(next).localCheckpoint()
+      }
+      sel.select($"q_id", $"step", $"c_id",
+          round($"score", 6).as("mmr_score"))
+        .orderBy($"q_id", $"step")
     }))
 
   def oracles: Map[String, String] = {
@@ -1184,6 +1278,89 @@ object Embed {
            |FROM exn LEFT JOIN legs l ON l.nprobe = exn.nprobe
            |  AND l.q_id = exn.q_id AND l.c_id = exn.c_id
            |GROUP BY exn.nprobe ORDER BY exn.nprobe""".stripMargin
+      },
+
+      "z8_retrieve_e2e" -> {
+        val qq = Vectors.dotSql("qq", "qq", DIM)
+        val cc = Vectors.dotSql("cq", "cq", DIM)
+        val qc = Vectors.dotSql("qq", "cq", DIM)
+        val cosAB = Vectors.cosineSql("a.cv", "b.cv", DIM)
+        val steps = (2 to Z8_K).map { k =>
+          s"""s$k AS (
+             |  SELECT q_id, c_id, $k AS step, score FROM (
+             |    SELECT q_id, c_id, score, row_number() OVER
+             |      (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+             |    FROM (
+             |      SELECT p.q_id, p.c_id,
+             |        0.7 * p.cos - 0.3 * max(m.sim) AS score
+             |      FROM pool p
+             |      JOIN sims m ON m.q_id = p.q_id AND m.sb = p.c_id
+             |      JOIN sel${k - 1} s ON m.q_id = s.q_id AND m.sa = s.c_id
+             |      WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} z
+             |        WHERE z.q_id = p.q_id AND z.c_id = p.c_id)
+             |      GROUP BY p.q_id, p.c_id, p.cos))
+             |  WHERE rnk = 1),
+             |sel$k AS (SELECT q_id, c_id, step, score FROM sel${k - 1}
+             |  UNION ALL SELECT q_id, c_id, step, score FROM s$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH wq AS (
+           |  SELECT vec_id, embedding,
+           |    CASE WHEN s = 0.0 THEN list_transform(embedding, x -> 0.0)
+           |         ELSE list_transform(embedding, x ->
+           |           floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5)) END
+           |      AS qvec
+           |  FROM (SELECT vec_id, embedding,
+           |          list_max(list_transform(embedding,
+           |            x -> abs(CAST(x AS DOUBLE)))) AS s
+           |        FROM embeddings)),
+           |cent AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cenv
+           |  FROM embeddings
+           |  WHERE vec_id IN (${CENTROID_IDS.mkString(", ")})),
+           |asg AS (
+           |  SELECT vec_id AS c_id, embedding AS cv, qvec AS cq, cell,
+           |    row_number() OVER
+           |      (PARTITION BY vec_id ORDER BY ${d2("embedding")} ASC, cell)
+           |      AS arnk
+           |  FROM wq, cent),
+           |inv AS (SELECT c_id, cv, cq, cell FROM asg WHERE arnk = 1),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv, qvec AS qq
+           |      FROM wq WHERE vec_id < $Z8_Q),
+           |probe AS (
+           |  SELECT q_id, qv, qq, cell, row_number() OVER
+           |    (PARTITION BY q_id ORDER BY ${d2("qv")} ASC, cell) AS prnk
+           |  FROM q, cent),
+           |cand AS (
+           |  SELECT q_id, qv, qq, c_id, cv, cq
+           |  FROM (SELECT q_id, qv, qq, cell FROM probe
+           |        WHERE prnk <= $Z8_PROBE) p
+           |  JOIN inv USING (cell) WHERE q_id != c_id),
+           |coarse AS (
+           |  SELECT q_id, qv, c_id, cv,
+           |    (CASE WHEN (sqrt($qq) * sqrt($cc)) = 0.0 THEN 0.0
+           |          ELSE $qc / (sqrt($qq) * sqrt($cc)) END) AS qcos
+           |  FROM cand),
+           |pool AS (
+           |  SELECT q_id, c_id, cv, $cosQC AS cos FROM (
+           |    SELECT q_id, qv, c_id, cv, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY qcos DESC, c_id) AS prnk2
+           |    FROM coarse)
+           |  WHERE prnk2 <= $Z8_POOL),
+           |sims AS (
+           |  SELECT a.q_id, a.c_id AS sa, b.c_id AS sb, $cosAB AS sim
+           |  FROM pool a JOIN pool b
+           |    ON a.q_id = b.q_id AND a.c_id != b.c_id),
+           |sel1 AS (
+           |  SELECT q_id, c_id, 1 AS step, score FROM (
+           |    SELECT q_id, c_id, 0.7 * cos AS score, row_number() OVER
+           |      (PARTITION BY q_id ORDER BY 0.7 * cos DESC, c_id) AS rnk
+           |    FROM pool)
+           |  WHERE rnk = 1),
+           |$steps
+           |SELECT q_id, CAST(step AS INTEGER) AS step, c_id,
+           |  round(score, 6) AS mmr_score
+           |FROM sel$Z8_K ORDER BY q_id, step""".stripMargin
       })
   }
 }
