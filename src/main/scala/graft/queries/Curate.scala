@@ -91,6 +91,21 @@ object Curate {
   private val MixKeep = "0.984375"
   private val MixSmooth = "0.015625"
 
+  /** a44 histogram-quantile sketch: bin width in milli-units (5.0 value
+    * units → estimate error ≤ W/2 = 2.5 units by construction) and the
+    * target quantiles as exact rationals (rank = ⌈φ·N⌉ in pure integer
+    * arithmetic — no double φ·N rounding question). */
+  private val QsW = 5000L
+  private val QsPhis = Seq((1L, 2L), (19L, 20L))
+
+  /** p18 epoch shuffle: epochs, per-epoch LCG seed base, shard count,
+    * and the id bound for the gated output slice (positions are still
+    * ranks over the FULL corpus). */
+  private val EpochCount = 3
+  private val EpochSeedBase = 59L
+  private val EpochShards = 4
+  private val EpochShowIds = 100L
+
   /** t28 shared expression bodies (Spark SQL ≡ DuckDB SQL up to the
     * documented dialect bridges: `element_at`/`try_element_at` for
     * 1-based subscripts vs DuckDB's native `[i]`, and a `length >= 2`
@@ -667,6 +682,85 @@ object Curate {
         .orderBy($"source")
     }),
 
+    // ---- A44: mergeable histogram-quantile sketch ---------------------
+    // The missing member of the sketch family (a13 HLL, a14/a23 CM/
+    // Bloom): quantiles with constant memory. The sketch is a fixed-
+    // width bin histogram over the milli-quantized value — mergeable BY
+    // CONSTRUCTION (counts add), proven here by building it twice (whole
+    // corpus, and as the sum of two half-corpus sketches) and walking
+    // both CDFs to the same answer. Estimate = midpoint of the first bin
+    // whose cumulative count reaches rank ⌈φ·N⌉ (exact integer rank),
+    // error ≤ W/2 by construction — gated against the EXACT rank-r value
+    // from the two-pass distributed rank. 100 TB shape: the sketch is
+    // one map-side-combined groupBy collapsing to ~|range|/W rows; the
+    // CDF walk and the per-φ picks run on that bounded frame (the
+    // unpartitioned window is the balancedTail driver-trivial pattern);
+    // the exact leg is the verification baseline, not the scale path.
+    "a44_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val halfW = QsW / 2
+      val ev = t(s, dir, "events")
+        .select($"event_id", round($"value" * 1000).cast("long").as("qm"))
+      val binCol = expr(Det.floorDivSparkSql("qm", QsW.toString))
+      val whole = ev.select(binCol.as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as("c"))
+      val merged = ev.select(($"event_id" % 2).as("half"), binCol.as("bin"))
+        .groupBy($"half", $"bin").agg(count(lit(1)).as("c"))
+        .groupBy($"bin").agg(sum($"c").as("c"))
+      val n = ev.agg(count(lit(1)).as("__n"))
+      val wCum = Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def pick(sketch: DataFrame, num: Long, den: Long, out: String) =
+        sketch.crossJoin(broadcast(n))
+          .withColumn("cum", sum($"c").over(wCum))
+          .filter($"cum" >= expr(s"(__n * $num + $den - 1) div $den"))
+          .agg(min($"bin").as(out))
+      val ranked = graft.ops.Ranks.globalRowNumberWithTotal(
+        ev, Seq($"qm", $"event_id"), "__rn", "__n2")
+        .localCheckpoint() // one rank pass feeds every φ's exact probe
+      QsPhis.map { case (num, den) =>
+        val ex = ranked
+          .filter($"__rn" === expr(s"(__n2 * $num + $den - 1) div $den"))
+          .agg(min($"qm").as("exact_milli")) // rank is unique; min = the row
+        pick(whole, num, den, "wbin")
+          .crossJoin(broadcast(pick(merged, num, den, "mbin")))
+          .crossJoin(broadcast(ex))
+          .select(lit(num * 1000000L / den).as("phi_ppm"),
+            (($"wbin" * QsW + halfW).cast("double") / 1000.0)
+              .as("est_whole"),
+            (($"mbin" * QsW + halfW).cast("double") / 1000.0)
+              .as("est_merged"),
+            ($"exact_milli".cast("double") / 1000.0).as("exact_q"),
+            abs($"wbin" * QsW + halfW - $"exact_milli").as("err_milli"),
+            (abs($"wbin" * QsW + halfW - $"exact_milli") <= halfW)
+              .as("within_halfwidth"))
+      }.reduce(_ unionByName _)
+        .orderBy($"phi_ppm")
+    }),
+
+    // ---- P18: deterministic per-epoch training order ------------------
+    // Every training run needs a DIFFERENT shuffle each epoch that is
+    // nevertheless reproducible on any cluster and under any retry: the
+    // per-epoch order is the rank of the epoch-seeded keyed-LCG draw
+    // (ties broken by doc_id), sharded round-robin. Ranks run over the
+    // FULL corpus via the two-pass distributed rank (never a single-task
+    // window); the gated slice bounds the OUTPUT, not the rank. 100 TB
+    // shape: E rank passes, each one keyed shuffle — the standard cost
+    // of E reproducible epoch orders.
+    "p18_epoch_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+      (1 to EpochCount).map { ep =>
+        graft.ops.Ranks.globalRowNumber(
+          docs.withColumn("u", Det.frac($"doc_id", EpochSeedBase + ep)),
+          Seq($"u", $"doc_id"), "pos")
+          .select(lit(ep).as("epoch"), $"doc_id", $"pos",
+            (($"pos" - 1L) % EpochShards).cast("int").as("shard"))
+      }.reduce(_ unionByName _)
+        .filter($"doc_id" < EpochShowIds)
+        .orderBy($"epoch", $"doc_id")
+    }),
+
     // The z3/z5 treatment for the composition pack: ONE hash-gated query
     // running domain-mix rebalance (t21) → DSIR reweighting computed ON
     // THE SURVIVORS (the seam — both count tables shift with the mix
@@ -1168,6 +1262,64 @@ object Curate {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    AS BIGINT) AS n_survivors
          |FROM g ORDER BY source, rule_idx""".stripMargin
+    },
+
+    "a44_quantile_sketch" -> {
+      val bin = Det.floorDivDuckSql("qm", QsW.toString)
+      val halfW = QsW / 2
+      val legs = QsPhis.map { case (num, den) =>
+        val r = s"((n.n * $num + $den - 1) // $den)"
+        s"""SELECT CAST(${num * 1000000L / den} AS BIGINT) AS phi_ppm,
+           |  CAST(wq.wbin * $QsW + $halfW AS DOUBLE) / 1000.0
+           |    AS est_whole,
+           |  CAST(mq.mbin * $QsW + $halfW AS DOUBLE) / 1000.0
+           |    AS est_merged,
+           |  CAST(ex.exact_milli AS DOUBLE) / 1000.0 AS exact_q,
+           |  abs(wq.wbin * $QsW + $halfW - ex.exact_milli) AS err_milli,
+           |  (abs(wq.wbin * $QsW + $halfW - ex.exact_milli) <= $halfW)
+           |    AS within_halfwidth
+           |FROM
+           |  (SELECT min(bin) AS wbin FROM cw, n WHERE cum >= $r) wq,
+           |  (SELECT min(bin) AS mbin FROM cm, n WHERE cum >= $r) mq,
+           |  (SELECT min(qm) AS exact_milli FROM rk, n WHERE rn = $r) ex"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(round(value * 1000) AS BIGINT) AS qm
+         |  FROM events),
+         |b AS (SELECT event_id, qm, $bin AS bin FROM ev),
+         |whole AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
+         |          FROM b GROUP BY bin),
+         |halves AS (SELECT event_id % 2 AS half, bin,
+         |             CAST(count(*) AS BIGINT) AS c
+         |           FROM b GROUP BY 1, 2),
+         |merged AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c
+         |           FROM halves GROUP BY bin),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+         |cw AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum FROM whole),
+         |cm AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum FROM merged),
+         |rk AS (SELECT qm, row_number() OVER (ORDER BY qm, event_id) AS rn
+         |       FROM ev)
+         |SELECT * FROM ($legs) u ORDER BY phi_ppm""".stripMargin
+    },
+
+    "p18_epoch_shuffle" -> {
+      val eps = (1 to EpochCount).map { ep =>
+        s"SELECT $ep AS epoch, doc_id, " +
+          s"${Det.fracSql("doc_id", EpochSeedBase + ep)} AS u FROM d"
+      }.mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |e AS ($eps),
+         |r AS (SELECT epoch, doc_id, row_number() OVER
+         |        (PARTITION BY epoch ORDER BY u, doc_id) AS pos
+         |      FROM e)
+         |SELECT epoch, doc_id, pos,
+         |  CAST((pos - 1) % $EpochShards AS INTEGER) AS shard
+         |FROM r WHERE doc_id < $EpochShowIds
+         |ORDER BY epoch, doc_id""".stripMargin
     },
 
     "t30_mixture_reweight" -> {
