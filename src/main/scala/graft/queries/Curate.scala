@@ -106,6 +106,15 @@ object Curate {
   private val EpochShards = 4
   private val EpochShowIds = 100L
 
+  /** t31 noise augmentation: doc selection rate (binding: half the
+    * corpus) and the three independent LCG seeds (select / token pick /
+    * char pick — distinct seeds so the draws are uncorrelated, the Det
+    * mixing contract). */
+  private val AugRate = 0.5
+  private val AugSelSeed = 67L
+  private val AugTokSeed = 71L
+  private val AugChrSeed = 73L
+
   /** t28 shared expression bodies (Spark SQL ≡ DuckDB SQL up to the
     * documented dialect bridges: `element_at`/`try_element_at` for
     * 1-based subscripts vs DuckDB's native `[i]`, and a `length >= 2`
@@ -738,6 +747,45 @@ object Curate {
         .orderBy($"phi_ppm")
     }),
 
+    // ---- T31: deterministic typo-noise augmentation -------------------
+    // Robustness-eval / augmentation prep: for half the corpus (keyed-LCG
+    // selected), drop one character from one token — token and char
+    // picked by two further independent LCG draws, so the corruption is
+    // partition/retry/scale-invariant and exactly reproducible in SQL.
+    // Single-char tokens are left unchanged (deleting their only char
+    // would remove the token and change the token count — a different,
+    // noisier op; stated in the contract). Output text is rebuilt from
+    // the token array (canonical single-space join — both engines build
+    // the identical array, so the strings compare exactly). 100 TB
+    // shape: map-only, no shuffle at all.
+    "t31_augment_noise" -> ((s, dir) => {
+      import s.implicits._
+      val d1 = t(s, dir, "documents")
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .withColumn("n", size($"toks").cast("long"))
+        .withColumn("sel",
+          Det.frac($"doc_id", AugSelSeed) < AugRate && $"n" > 0L)
+        .withColumn("ti",
+          floor(Det.frac($"doc_id", AugTokSeed) * $"n".cast("double"))
+            .cast("long") + 1L)
+        .withColumn("tok", expr("try_element_at(toks, CAST(ti AS INT))"))
+        .withColumn("ci",
+          floor(Det.frac($"doc_id", AugChrSeed) *
+            length($"tok").cast("double")).cast("long") + 1L)
+      d1.withColumn("ntok", expr(
+          "CASE WHEN length(tok) >= 2 THEN " +
+            "concat(substring(tok, 1, CAST(ci AS INT) - 1), " +
+            "substring(tok, CAST(ci AS INT) + 1, length(tok))) " +
+            "ELSE tok END"))
+        .select($"doc_id", $"sel".as("augmented"),
+          ($"sel" && length($"tok") >= 2).as("mutated"),
+          expr("CASE WHEN n = 0 THEN '' ELSE " +
+            "array_join(transform(sequence(1, CAST(n AS INT)), i -> " +
+            "CASE WHEN sel AND CAST(i AS BIGINT) = ti THEN ntok " +
+            "ELSE element_at(toks, i) END), ' ') END").as("text_out"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- P18: deterministic per-epoch training order ------------------
     // Every training run needs a DIFFERENT shuffle each epoch that is
     // nevertheless reproducible on any cluster and under any retry: the
@@ -1304,6 +1352,40 @@ object Curate {
          |rk AS (SELECT qm, row_number() OVER (ORDER BY qm, event_id) AS rn
          |       FROM ev)
          |SELECT * FROM ($legs) u ORDER BY phi_ppm""".stripMargin
+    },
+
+    "t31_augment_noise" -> {
+      s"""WITH d1 AS (
+         |  SELECT doc_id, $tokensSqlExpr AS toks FROM documents),
+         |d2 AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |    (${Det.fracSql("doc_id", AugSelSeed)} < $AugRate
+         |      AND len(toks) > 0) AS sel,
+         |    CAST(floor(${Det.fracSql("doc_id", AugTokSeed)}
+         |      * CAST(len(toks) AS DOUBLE)) AS BIGINT) + 1 AS ti
+         |  FROM d1),
+         |d3 AS (
+         |  SELECT doc_id, toks, n, sel, ti,
+         |    toks[CAST(ti AS INTEGER)] AS tok
+         |  FROM d2),
+         |d4 AS (
+         |  SELECT *, CAST(floor(${Det.fracSql("doc_id", AugChrSeed)}
+         |    * CAST(len(tok) AS DOUBLE)) AS BIGINT) + 1 AS ci
+         |  FROM d3),
+         |d5 AS (
+         |  SELECT doc_id, toks, n, sel, ti,
+         |    (sel AND len(tok) >= 2) AS mutated,
+         |    CASE WHEN len(tok) >= 2 THEN
+         |      substr(tok, 1, CAST(ci AS INTEGER) - 1) ||
+         |      substr(tok, CAST(ci AS INTEGER) + 1, len(tok))
+         |    ELSE tok END AS ntok
+         |  FROM d4)
+         |SELECT doc_id, sel AS augmented, mutated,
+         |  CASE WHEN n = 0 THEN '' ELSE coalesce(array_to_string(
+         |    list_transform(generate_series(1, CAST(n AS INTEGER)), i ->
+         |      CASE WHEN sel AND CAST(i AS BIGINT) = ti THEN ntok
+         |           ELSE toks[i] END), ' '), '') END AS text_out
+         |FROM d5 ORDER BY doc_id""".stripMargin
     },
 
     "p18_epoch_shuffle" -> {
