@@ -41,6 +41,11 @@ object GraftFunctions {
     "graft_quality" -> { exprs =>
       graftbridge.toExpressionTree(graft.text.TextOps.qualityScore(
         graftbridge.toColumn(exprs(0)), graftbridge.toColumn(exprs(1)))) },
+    // curation-funnel surface (t29's cascade, for SQL-only users): the
+    // index of the first rejecting Gopher rule, 0 = pass
+    "graft_funnel_stage" -> { exprs =>
+      graftbridge.toExpressionTree(graft.text.TextOps.funnelStage(
+        graftbridge.toColumn(exprs(0)))) },
     // URL curation surface (t22's canonicalization, for SQL-only users)
     "graft_url_canon" -> { exprs =>
       graftbridge.toExpressionTree(graft.text.UrlOps.canonicalize(

@@ -115,6 +115,14 @@ object Curate {
   private val AugTokSeed = 71L
   private val AugChrSeed = 73L
 
+  /** i9 label noise: flip rate and the two independent LCG seeds
+    * (select / target pick). Requires a DENSE 0..L−1 label domain (holds
+    * for `embeddings.label` at every SF; the modular-offset trick
+    * guarantees new ≠ old). */
+  private val LblNoiseRate = 0.2
+  private val LblSelSeed = 79L
+  private val LblTgtSeed = 83L
+
   /** t28 shared expression bodies (Spark SQL ≡ DuckDB SQL up to the
     * documented dialect bridges: `element_at`/`try_element_at` for
     * 1-based subscripts vs DuckDB's native `[i]`, and a `length >= 2`
@@ -786,6 +794,34 @@ object Curate {
         .orderBy($"doc_id")
     }),
 
+    // ---- I9: deterministic label-noise injection ----------------------
+    // Robustness-study prep (the label-space analogue of t31's text
+    // noise and the i1–i8 value injections): flip 20% of embedding
+    // labels, the replacement drawn uniformly from the OTHER labels —
+    // new = (old + 1 + ⌊u·(L−1)⌋) mod L over the dense 0..L−1 domain,
+    // so a "flip" can never silently keep the old label. L is measured
+    // from the data (one count-distinct, broadcast as a 1-row frame),
+    // not assumed. Output is the injected-noise confusion matrix — the
+    // ground truth a label-noise experiment joins against. Map-only +
+    // one L²-bounded groupBy.
+    "i9_label_noise" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"label")
+      val nl = emb.agg(count_distinct($"label").as("__L"))
+      emb.crossJoin(broadcast(nl))
+        .withColumn("flip",
+          Det.frac($"vec_id", LblSelSeed) < LblNoiseRate)
+        .withColumn("off",
+          floor(Det.frac($"vec_id", LblTgtSeed) *
+            ($"__L" - 1L).cast("double")).cast("long") + 1L)
+        .withColumn("new_label",
+          when($"flip", ($"label" + $"off") % $"__L")
+            .otherwise($"label".cast("long")))
+        .groupBy($"label", $"new_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"label", $"new_label")
+    }),
+
     // ---- P18: deterministic per-epoch training order ------------------
     // Every training run needs a DIFFERENT shuffle each epoch that is
     // nevertheless reproducible on any cluster and under any retry: the
@@ -1386,6 +1422,21 @@ object Curate {
          |      CASE WHEN sel AND CAST(i AS BIGINT) = ti THEN ntok
          |           ELSE toks[i] END), ' '), '') END AS text_out
          |FROM d5 ORDER BY doc_id""".stripMargin
+    },
+
+    "i9_label_noise" -> {
+      s"""WITH e AS (SELECT vec_id, label FROM embeddings),
+         |nl AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS L FROM e),
+         |f AS (
+         |  SELECT label,
+         |    CASE WHEN ${Det.fracSql("vec_id", LblSelSeed)} < $LblNoiseRate
+         |      THEN (label + CAST(floor(${Det.fracSql("vec_id", LblTgtSeed)}
+         |        * CAST(L - 1 AS DOUBLE)) AS BIGINT) + 1) % L
+         |      ELSE CAST(label AS BIGINT) END AS new_label
+         |  FROM e, nl)
+         |SELECT label, new_label, CAST(count(*) AS BIGINT) AS n
+         |FROM f GROUP BY label, new_label
+         |ORDER BY label, new_label""".stripMargin
     },
 
     "p18_epoch_shuffle" -> {

@@ -48,6 +48,22 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.map(_.getString(0)).toSeq == Seq("en", "de"))
   }
 
+  test("curation-funnel SQL surface matches the Column API, all stages") {
+    GraftFunctions.register(spark)
+    def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val texts = Seq("tiny doc", words("a", 60), words("####", 60),
+      words("word", 60), words("word", 58) + " the and")
+    texts.toDF("text").createOrReplaceTempView("gf_funnel")
+    val viaSql = spark.sql(
+      "SELECT graft_funnel_stage(text) AS st FROM gf_funnel")
+      .as[Int].collect().toSeq
+    val viaCol = spark.table("gf_funnel")
+      .select(graft.text.TextOps.funnelStage($"text").as("st"))
+      .as[Int].collect().toSeq
+    assert(viaSql == Seq(1, 2, 3, 4, 0))
+    assert(viaSql == viaCol)
+  }
+
   test("native-kernel SQL surface: graft_dot and graft_zorder match the " +
       "Column API / host twins") {
     GraftFunctions.register(spark)
