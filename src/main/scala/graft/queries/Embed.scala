@@ -80,6 +80,14 @@ object Embed {
   private val Z8_PROBE = 2
   private val Z8_POOL = 12
   private val Z8_K = 5
+  /** e19 k-means++ seeding: centroids drawn, LCG seed, and the MILLI
+    * quantization scale — coarser than e11's micro on purpose: the D²
+    * prefix-sum total must stay an exact double-carried integer
+    * (d2 ≤ 64·(2·3e3)² ≈ 2.3e9 ⇒ ΣD² exact while n ≲ 4e6 rows; at true
+    * corpus scale shard the prefix sum or rescale — stated bound). */
+  private val KppK = 4
+  private val KppSeed = 89L
+  private val KppScale = 1000.0
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -741,6 +749,63 @@ object Embed {
       sel.select($"q_id", $"step", $"c_id",
           round($"score", 6).as("mmr_score"))
         .orderBy($"q_id", $"step")
+    }),
+
+    // ---- E19: deterministic k-means++ seeding ----------------------------
+    // Completes the clustering family (e19 init → e11 Lloyd → e13
+    // quality): Arthur & Vassilvitskii 2007 D²-weighted seeding made
+    // deterministic — the j-th draw's uniform comes from the keyed LCG of
+    // the ROUND INDEX, and "sample ∝ D²" is realized exactly as "first
+    // row whose inclusive D²-prefix-sum exceeds ⌊u·ΣD²⌋" over the vec_id
+    // order (the t6 distributed prefix sum — never a one-task window).
+    // All D² arithmetic is exact integers (milli-quantized vectors, the
+    // KMeansQ recipe), so the pick is bit-reproducible and SQL-unrollable.
+    // 100 TB shape: K−1 sequential rounds (inherent to k-means++), each
+    // one shuffle-free map pass (j−1 codegen'd DotExpr kernels vs literal
+    // centroids) + one two-pass prefix sum; per-round driver artifacts
+    // are three bounded scalars and one d-length vector (the KMeansQ
+    // codebook contract). Output: chosen ids + the ΣD² mass before each
+    // draw (decreasing mass = coverage diagnostic).
+    "e19_kmeanspp_init" -> ((s, dir) => {
+      import s.implicits._
+      import graft.expressions.DotExpr
+      val vecs = t(s, dir, "embeddings")
+        .select($"vec_id",
+          graft.similarity.KMeansQ.quantize($"embedding", KppScale).as("q"))
+        .localCheckpoint() // K−1 distance passes + the id probes
+      def minD2(cents: Seq[Array[Long]]): org.apache.spark.sql.Column = {
+        val qq = DotExpr.dot($"q", $"q")
+        val ds = cents.map { c =>
+          val cc = c.map(v => v.toDouble * v.toDouble).sum
+          qq - lit(2.0) * DotExpr.dot($"q", lit(c.map(_.toDouble))) + lit(cc)
+        }
+        if (ds.length == 1) ds.head else least(ds: _*)
+      }
+      def vecOf(id: Long): Array[Long] =
+        vecs.filter($"vec_id" === id).head
+          .getSeq[Double](1).map(_.toLong).toArray
+      val nRows = vecs.count()
+      val id1 = math.floor(
+        graft.functions.Det.fracHost(1L, KppSeed) * nRows).toLong
+      var cents = Seq(vecOf(id1))
+      var chosen = Seq((1, id1, 0L))
+      for (j <- 2 to KppK) {
+        val d2 = vecs
+          .select($"vec_id", minD2(cents).cast("long").as("d2i"))
+          .localCheckpoint() // cumsum's bucket probe + the total agg
+        val total = d2.agg(sum($"d2i")).head.getLong(0)
+        val tgt = math.floor(
+          graft.functions.Det.fracHost(j.toLong, KppSeed) *
+            total.toDouble).toLong
+        val pick = graft.ops.Ranks
+          .globalCumSum(d2, Seq($"vec_id"), $"d2i", "cum")
+          .filter($"cum" > tgt)
+          .agg(min($"vec_id")).head.getLong(0)
+        cents = cents :+ vecOf(pick)
+        chosen = chosen :+ ((j, pick, total))
+      }
+      s.createDataFrame(chosen).toDF("round", "chosen_id", "total_d2")
+        .orderBy($"round")
     }))
 
   def oracles: Map[String, String] = {
@@ -1361,6 +1426,51 @@ object Embed {
            |SELECT q_id, CAST(step AS INTEGER) AS step, c_id,
            |  round(score, 6) AS mmr_score
            |FROM sel$Z8_K ORDER BY q_id, step""".stripMargin
+      },
+
+      "e19_kmeanspp_init" -> {
+        def dist(cv: String) =
+          s"list_reduce(list_transform(generate_series(1, $DIM), " +
+            s"i -> (q.qv[i] - $cv[i]) * (q.qv[i] - $cv[i])), " +
+            "(a, b) -> a + b)"
+        val u1 = graft.functions.Det.fracSql("1", KppSeed)
+        val rounds = (2 to KppK).map { j =>
+          val prev = j - 1
+          val uj = graft.functions.Det.fracSql(j.toString, KppSeed)
+          s"""cents$prev AS (${(1 to prev).map(i => s"SELECT qv FROM c$i")
+               .mkString(" UNION ALL ")}),
+             |d$j AS (
+             |  SELECT q.vec_id, min(${dist("c.qv")}) AS d2
+             |  FROM q, cents$prev c GROUP BY q.vec_id),
+             |cum$j AS (
+             |  SELECT vec_id, CAST(sum(d2) OVER (ORDER BY vec_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum
+             |  FROM d$j),
+             |tot$j AS (SELECT CAST(sum(d2) AS BIGINT) AS t FROM d$j),
+             |tgt$j AS (SELECT CAST(floor($uj * CAST(t AS DOUBLE))
+             |            AS BIGINT) AS tgt FROM tot$j),
+             |p$j AS (SELECT min(vec_id) AS id FROM cum$j, tgt$j
+             |        WHERE cum > tgt),
+             |c$j AS (SELECT q.qv FROM q JOIN p$j ON q.vec_id = p$j.id)"""
+        }.mkString(",\n")
+        s"""WITH q AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(round(CAST(x AS DOUBLE) * ${KppScale.toLong})
+           |      AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+           |p1 AS (SELECT CAST(floor($u1 * CAST(n AS DOUBLE)) AS BIGINT)
+           |         AS id FROM n),
+           |c1 AS (SELECT q.qv FROM q JOIN p1 ON q.vec_id = p1.id),
+           |$rounds
+           |SELECT * FROM (
+           |  SELECT 1 AS round, p1.id AS chosen_id,
+           |    CAST(0 AS BIGINT) AS total_d2 FROM p1
+           |  ${(2 to KppK).map(j =>
+                s"UNION ALL SELECT $j, p$j.id, tot$j.t FROM p$j, tot$j")
+               .mkString("\n  ")}
+           |) u ORDER BY round""".stripMargin
       })
   }
 }
