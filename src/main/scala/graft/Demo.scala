@@ -210,6 +210,29 @@ object Demo {
     println(s"composition chain: ${compose.count()} docs across " +
       s"${compose.select($"shard").distinct().count()} balanced shards")
 
+    // round-6 session-3 legs: serving chain, funnel observability,
+    // compressed-index gates, at-scale statistics
+    val serve = SparkEntry.queries("z8_retrieve_e2e")(spark, sfDir)
+    println(s"serving chain: ${serve.count()} diversified answers " +
+      s"for ${serve.select($"q_id").distinct().count()} queries")
+    val funnel = SparkEntry.queries("t29_filter_funnel")(spark, sfDir)
+    val worst = funnel.orderBy($"n_first_reject".desc).head
+    println(s"funnel: worst rule '${worst.getAs[String]("rule")}' " +
+      s"rejects ${worst.getAs[Long]("n_first_reject")} docs first " +
+      s"in ${worst.getAs[String]("source")}")
+    val sweep = SparkEntry.queries("e18_ivf_probe_sweep")(spark, sfDir)
+    println("ivf probe sweep (nprobe -> recall ppm): " +
+      sweep.collect().map(r =>
+        s"${r.getAs[Int]("nprobe")}->${r.getAs[Long]("recall_ppm")}")
+        .mkString(", "))
+    val ci = SparkEntry.queries("a43_bootstrap_ci")(spark, sfDir).head
+    println(f"bootstrap 95%% CI for mean(value): " +
+      f"[${ci.getAs[Double]("ci_lo")}%.3f, ${ci.getAs[Double]("ci_hi")}%.3f] " +
+      f"around ${ci.getAs[Double]("mean_value")}%.3f")
+    val seeds = SparkEntry.queries("e19_kmeanspp_init")(spark, sfDir)
+    println("kmeans++ seeds: " + seeds.collect()
+      .map(_.getAs[Long]("chosen_id")).mkString(", "))
+
     println("DEMO_OK")
     spark.stop()
   }

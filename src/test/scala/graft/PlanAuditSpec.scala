@@ -137,6 +137,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("t31: the augmentation is map-only — no keyed exchange at all " +
+      "(the only exchange is the final presentation sort)") {
+    val p = plan("t31_augment_noise")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
+  test("i9: two L-bounded keyed exchanges — the confusion agg on " +
+      "(label, new_label) and count_distinct's partial-distinct on " +
+      "label (each collapses map-side to ≤ L² / ≤ L rows per task); " +
+      "the label-count frame broadcasts") {
+    val p = plan("i9_label_noise")
+    val exConf = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(label") &&
+        l.contains("new_label"))
+    val exDistinct = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(label") &&
+        !l.contains("new_label"))
+    assert(exConf == 1 && exDistinct == 1,
+      s"expected 1+1 keyed exchanges, got $exConf/$exDistinct\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("a43: the ×B bootstrap fan-out collapses map-side — one keyed " +
+      "exchange on the replicate id, partial sums below it") {
+    val p = plan("a43_bootstrap_ci")
+    val ex = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(b"))
+    assert(ex == 1, s"expected 1 replicate exchange, got $ex\n${p.take(3000)}")
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
+
+  test("e16/e17: the compressed-scoring pair frames broadcast the query " +
+      "side — never a shuffle join of the corpus") {
+    Seq("e16_int8_quant", "e17_matryoshka_recall").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q\n${p.take(3000)}")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q\n${p.take(3000)}")
+    }
+  }
+
   test("no query plans a cartesian product") {
     // crossJoin of scalar aggs is BroadcastNestedLoopJoin over 1 row —
     // fine; an unconstrained CartesianProduct over data frames is never
