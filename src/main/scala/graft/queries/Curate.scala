@@ -123,6 +123,12 @@ object Curate {
   private val LblSelSeed = 79L
   private val LblTgtSeed = 83L
 
+  /** p19 manifest: shard count and the checksum modulus (2³¹ — the
+    * per-doc term bound that keeps the order-invariant SUM exact in
+    * int64 up to ~4e9 docs per shard; stated bound). */
+  private val ManifestShards = 8
+  private val ChecksumMod = 2147483648L
+
   /** t28 shared expression bodies (Spark SQL ≡ DuckDB SQL up to the
     * documented dialect bridges: `element_at`/`try_element_at` for
     * 1-based subscripts vs DuckDB's native `[i]`, and a `length >= 2`
@@ -794,6 +800,33 @@ object Curate {
         .orderBy($"doc_id")
     }),
 
+    // ---- P19: shard manifest with order-invariant checksums -----------
+    // The reproducibility/ops layer every sharded corpus needs: a
+    // per-shard manifest (row count, token mass, id span) plus an
+    // ORDER-INVARIANT content checksum — the sum of per-doc 60-bit
+    // content hashes reduced mod 2³¹ — so a re-run on any cluster, any
+    // partitioning, any task order produces the identical manifest, and
+    // a single flipped byte in any document flips its shard's checksum.
+    // Shard assignment is content-hash based (the d1 md5 recipe), so the
+    // manifest is stable under row reordering of the inputs too. 100 TB
+    // shape: one map-only pass + one shard-keyed agg that collapses
+    // map-side to ≤ shards rows per task.
+    "p19_shard_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val h = conv(substring(md5($"text".cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      t(s, dir, "documents")
+        .select($"doc_id",
+          size(TextOps.tokens($"text")).cast("long").as("nt"), h.as("h"))
+        .withColumn("shard", ($"h" % ManifestShards).cast("int"))
+        .withColumn("h31", $"h" % ChecksumMod)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("sum_tokens"),
+          sum($"h31").as("checksum"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"shard")
+    }),
+
     // ---- I9: deterministic label-noise injection ----------------------
     // Robustness-study prep (the label-space analogue of t31's text
     // noise and the i1–i8 value injections): flip 20% of embedding
@@ -1422,6 +1455,30 @@ object Curate {
          |      CASE WHEN sel AND CAST(i AS BIGINT) = ti THEN ntok
          |           ELSE toks[i] END), ' '), '') END AS text_out
          |FROM d5 ORDER BY doc_id""".stripMargin
+    },
+
+    "p19_shard_manifest" -> {
+      // DuckDB has no conv(): fold the 15 hex chars with exact shifted
+      // BIGINT weights (≡ Spark's conv(hex, 16, 10) → long; the a13 twin)
+      val hexFold = (0 until 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * " +
+          s"${1L << (4 * (14 - i))}").mkString(" + ")
+      s"""WITH d0 AS (
+         |  SELECT doc_id, CAST(len($tokensSqlExpr) AS BIGINT) AS nt,
+         |    substr(md5(text), 1, 15) AS hx
+         |  FROM documents),
+         |d1 AS (SELECT doc_id, nt, CAST($hexFold AS BIGINT) AS h FROM d0),
+         |d2 AS (
+         |  SELECT doc_id, nt,
+         |    CAST(h % $ManifestShards AS INTEGER) AS shard,
+         |    h % $ChecksumMod AS h31
+         |  FROM d1)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(h31) AS BIGINT) AS checksum,
+         |  CAST(min(doc_id) AS BIGINT) AS min_id,
+         |  CAST(max(doc_id) AS BIGINT) AS max_id
+         |FROM d2 GROUP BY shard ORDER BY shard""".stripMargin
     },
 
     "i9_label_noise" -> {
