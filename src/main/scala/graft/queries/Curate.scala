@@ -813,11 +813,10 @@ object Curate {
     // map-side to ≤ shards rows per task.
     "p19_shard_manifest" -> ((s, dir) => {
       import s.implicits._
-      val h = conv(substring(md5($"text".cast("binary")), 1, 15), 16, 10)
-        .cast("long")
       t(s, dir, "documents")
         .select($"doc_id",
-          size(TextOps.tokens($"text")).cast("long").as("nt"), h.as("h"))
+          size(TextOps.tokens($"text")).cast("long").as("nt"),
+          TextOps.contentHash60($"text").as("h"))
         .withColumn("shard", ($"h" % ManifestShards).cast("int"))
         .withColumn("h31", $"h" % ChecksumMod)
         .groupBy($"shard")

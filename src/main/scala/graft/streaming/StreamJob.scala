@@ -133,6 +133,30 @@ object StreamJob {
         graft.text.TextOps.funnelStage(col("text")).as("stage"))
       .groupBy(col("source"), col("stage")).agg(count(lit(1)).as("c"))
 
+  /** Streaming shard manifest: p19's per-shard (count, token mass, id
+    * span, order-invariant checksum) maintained incrementally over a
+    * document stream — continuous corpus-integrity accounting. Every
+    * aggregate is incremental-friendly (counts/sums/min/max), the hash
+    * is the SHARED [[graft.text.TextOps.contentHash60]], and
+    * complete-mode state is bounded BY CONSTRUCTION at `shards` rows
+    * regardless of stream length (the cmSketchStream contract). Same
+    * function on a static frame is how the spec proves stream ≡ batch
+    * across micro-batch cuts. */
+  def manifestStream(stream: DataFrame, idCol: String, textCol: String,
+                     shards: Int = 8,
+                     checksumMod: Long = 2147483648L): DataFrame = {
+    val h = graft.text.TextOps.contentHash60(col(textCol))
+    stream.select(col(idCol).as("__id"),
+        size(graft.text.TextOps.tokens(col(textCol))).cast("long")
+          .as("__nt"), h.as("__h"))
+      .withColumn("shard", (col("__h") % shards).cast("int"))
+      .withColumn("__h31", col("__h") % checksumMod)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("sum_tokens"),
+        sum(col("__h31")).as("checksum"),
+        min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
+  }
+
   /** Streaming CDC upsert view — the u4 latest-per-key compaction
     * maintained incrementally: each micro-batch re-ranks (state ∪ batch)
     * per key and keeps the top-1, so `outTable` always equals the batch

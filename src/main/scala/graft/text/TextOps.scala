@@ -105,6 +105,13 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "des", "du", "que"),
     "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "por", "con", "para"))
 
+  /** 60-bit content hash of a text column (the d1/a13 md5 recipe:
+    * first 15 hex chars → base-10 long). Shared by the batch shard
+    * manifest (p19) and [[graft.streaming.StreamJob.manifestStream]] so
+    * the streaming manifest is definitionally the batch manifest. */
+  def contentHash60(text: Column): Column =
+    conv(substring(md5(text.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** t29's cascade stage: index of the FIRST Gopher rule (t7's family, in
     * declared order) that rejects the doc — 1 word-count, 2 mean word
     * length, 3 symbol ratio, 4 stopword floor — or 0 for a pass. Shared

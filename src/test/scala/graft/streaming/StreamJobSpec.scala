@@ -11,6 +11,7 @@ case class Ev(id: Long, ts: Timestamp, v: Double)
 case class L(k: Long, lts: Timestamp, lid: Long)
 case class R(k: Long, rts: Timestamp, rid: Long)
 case class CDoc(source: String, text: String)
+case class MDoc(doc_id: Long, text: String)
 
 class StreamJobSpec extends SparkSpec {
   import spark.implicits._
@@ -98,6 +99,30 @@ class StreamJobSpec extends SparkSpec {
     assert(got == batch)
     // bounded state: sources × 5 stages, independent of stream length
     assert(got.size <= 3 * 5)
+  }
+
+  test("streaming shard manifest ≡ batch manifest, across batch cuts") {
+    val docs = (0 until 120).map(i =>
+      MDoc(i.toLong, s"doc number $i with body ${"w " * (i % 9)}"))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getInt(0) -> r.toSeq.tail).toMap
+    val batch = asMap(
+      StreamJob.manifestStream(docs.toDF(), "doc_id", "text").collect())
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[MDoc]
+    val q = StreamJob.manifestStream(mem.toDF(), "doc_id", "text")
+      .writeStream.format("memory").queryName("manifest_out")
+      .outputMode("complete").start()
+    mem.addData(docs.drop(50): _*) // arrival order ≠ id order
+    q.processAllAvailable()
+    mem.addData(docs.take(50): _*)
+    q.processAllAvailable(); q.stop()
+
+    val got = asMap(spark.table("manifest_out").collect())
+    assert(got == batch)
+    // bounded state: one row per shard, independent of stream length
+    assert(got.size <= 8)
   }
 
   test("T1: replayTrigger paces event-time span by the speedup factor") {
