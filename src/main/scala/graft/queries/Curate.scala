@@ -123,11 +123,11 @@ object Curate {
   private val LblSelSeed = 79L
   private val LblTgtSeed = 83L
 
-  /** p19 manifest: shard count and the checksum modulus (2³¹ — the
-    * per-doc term bound that keeps the order-invariant SUM exact in
-    * int64 up to ~4e9 docs per shard; stated bound). */
-  private val ManifestShards = 8
-  private val ChecksumMod = 2147483648L
+  /** p19 manifest geometry: the SHARED [[graft.text.TextOps]] constants
+    * (one definition for batch + streaming — see TextOps scaladoc for
+    * the ~4e9 docs/shard checksum bound). */
+  private val ManifestShards = TextOps.ManifestShards
+  private val ChecksumMod = TextOps.ManifestChecksumMod
 
   /** t28 shared expression bodies (Spark SQL ≡ DuckDB SQL up to the
     * documented dialect bridges: `element_at`/`try_element_at` for

@@ -84,7 +84,14 @@ object Embed {
     * quantization scale — coarser than e11's micro on purpose: the D²
     * prefix-sum total must stay an exact double-carried integer
     * (d2 ≤ 64·(2·3e3)² ≈ 2.3e9 ⇒ ΣD² exact while n ≲ 4e6 rows; at true
-    * corpus scale shard the prefix sum or rescale — stated bound). */
+    * corpus scale shard the prefix sum or rescale — stated bound).
+    * CONTRACT (the i9 label-domain analogue): the FIRST pick maps
+    * ⌊u·count⌋ directly to a vec_id, so `vec_id` must be DENSE 0..n−1
+    * (holds for `embeddings` at every SF). On a gapped id domain the
+    * Spark leg fails FAST (vecOf on an empty frame throws) while the
+    * SQL oracle would silently yield an empty seed CTE — route the
+    * first pick through the rank-based prefix probe (rounds ≥ 2) if a
+    * gapped corpus ever needs this operator. */
   private val KppK = 4
   private val KppSeed = 89L
   private val KppScale = 1000.0

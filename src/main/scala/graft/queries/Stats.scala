@@ -40,6 +40,41 @@ object Stats {
   /** CUSUM report size. */
   private val CusumTopK = 20
 
+  /** g6 hot-customer cap: a customer with S distinct suppliers fans out
+    * S·(S−1)/2 co-purchase pairs in the self-join, so over-cap customers
+    * are skipped (≤ ~500k pairs/customer at 1000 — a bounded task). The
+    * cap is NON-BINDING at every test SF; the oracle applies the same
+    * filter, so the gate stays exact whether it binds or not. */
+  private[graft] val G6CustomerCap = 1000
+
+  /** Common-neighbor Jaccard over a bipartite edge list `(c, sk)` —
+    * g6's body, parameterized on the hot-key cap so the spec can prove
+    * the cap BINDS on a synthetic power-customer while the query runs it
+    * non-binding. Over-cap customers are dropped BEFORE the degree agg,
+    * so degrees and pair counts see the same edge set. */
+  private[graft] def coJaccard(edges: DataFrame, cap: Int,
+                               topK: Int): DataFrame = {
+    // capped edge list feeds the self-join twice + degrees → checkpoint;
+    // capMembers' customer-keyed window shuffle lands the data where the
+    // self-join needs it (hash on c), so that exchange is reused
+    val pairs = graft.ops.Buckets
+      .capMembers(edges.distinct(), Seq(col("c")), cap, label = "g6")
+      .localCheckpoint()
+    val deg = pairs.groupBy(col("sk")).agg(count(lit(1)).as("d"))
+    pairs.as("x").join(pairs.as("y"),
+        col("x.c") === col("y.c") && col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("s1"), col("y.sk").as("s2"))
+      .agg(count(lit(1)).as("common"))
+      .join(deg.select(col("sk").as("s1"), col("d").as("d1")), Seq("s1"))
+      .join(deg.select(col("sk").as("s2"), col("d").as("d2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("common"), col("d1"), col("d2"),
+        round(col("common").cast("double") /
+          (col("d1") + col("d2") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("common").desc, col("s1"), col("s2"))
+      .limit(topK)
+  }
+
   /** Welch's t-test arms. */
   private val TtA = "click"
   private val TtB = "view"
@@ -83,9 +118,12 @@ object Stats {
     * (both engines parse a decimal literal to the nearest double, so the
     * thresholds are bit-identical). Draws above c_5 take weight 6 — a
     * deliberate truncation (tail mass 5.9e-4 folded into w=6) that makes
-    * the sampler a finite CASE, identical everywhere. CI = the 2.5%-trim
-    * order statistics of the 40 replicate means (ranks 2 and 39 — trim
-    * exactly 1/40 per side). */
+    * the sampler a finite CASE, identical everywhere. CI = the trim-one
+    * order statistics over the n surviving replicates (rank 2 and rank
+    * n−1, DERIVED from the count in both engines — with all 40 alive
+    * that is 2 and 39, trim exactly 1/40 per side; a dropped Σw = 0
+    * replicate shifts both trims symmetrically instead of rank 39
+    * silently becoming the max). */
   private val BootB = 40
   private val BootSeed = 53L
   private val BootCap = 6
@@ -94,7 +132,6 @@ object Stats {
     "0.9994058151824183")
   private val BootCdf = BootCdfStr.map(_.toDouble)
   private val BootLoRank = 2
-  private val BootHiRank = 39
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A38: autocorrelation function --------------------------------
@@ -227,29 +264,23 @@ object Stats {
     // ---- G6: co-purchase supplier similarity --------------------------
     // Common-neighbor Jaccard between suppliers sharing customers — the
     // item-item collaborative-similarity primitive. 100 TB shape: ONE
-    // customer-keyed self-join of the distinct bipartite edge list
-    // (per-customer fan-out is bounded by a customer's supplier count),
-    // degree join per side, integer counts until the final ratio.
+    // customer-keyed self-join of the distinct bipartite edge list,
+    // guarded by the same hot-bucket cap every sibling pair-generator has
+    // (Buckets.capMembers): one power-customer with S suppliers emits
+    // S·(S−1)/2 pairs, so over-cap customers are SKIPPED from both the
+    // pair count AND the degrees (Jaccard stays internally consistent:
+    // common ≤ min(d1, d2)), with the standard observed-metric drop
+    // accounting. The cap is NON-BINDING at every test SF (TPC-H max
+    // suppliers/customer ≪ 1000; the oracle applies the identical filter
+    // so the gate would catch a binding cap). Degree join per side,
+    // integer counts until the final ratio.
     "g6_supplier_jaccard" -> ((s, dir) => {
       import s.implicits._
-      // edge list feeds the self-join twice + degrees → localCheckpoint
-      val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val edges = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
         .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
           $"o_orderkey" === $"l_orderkey")
         .select($"o_custkey".as("c"), $"l_suppkey".as("sk"))
-        .distinct().localCheckpoint()
-      val deg = pairs.groupBy($"sk").agg(count(lit(1)).as("d"))
-      pairs.as("x").join(pairs.as("y"),
-          col("x.c") === col("y.c") && col("x.sk") < col("y.sk"))
-        .groupBy(col("x.sk").as("s1"), col("y.sk").as("s2"))
-        .agg(count(lit(1)).as("common"))
-        .join(deg.select($"sk".as("s1"), $"d".as("d1")), Seq("s1"))
-        .join(deg.select($"sk".as("s2"), $"d".as("d2")), Seq("s2"))
-        .select($"s1", $"s2", $"common", $"d1", $"d2",
-          round($"common".cast("double") /
-            ($"d1" + $"d2" - $"common").cast("double"), 6).as("jaccard"))
-        .orderBy($"common".desc, $"s1", $"s2")
-        .limit(CusumTopK)
+      coJaccard(edges, G6CustomerCap, CusumTopK)
     }),
 
     // ---- T18: full Gopher repetition battery --------------------------
@@ -559,11 +590,17 @@ object Stats {
         .filter($"nw" > 0L)
         .select($"b",
           ($"sw".cast("double") / $"nw".cast("double") / 100.0).as("m"))
+      // trim ranks derived from the SURVIVING replicate count (lo = 2nd
+      // smallest, hi = 2nd largest), not pinned to B: if a Σw = 0
+      // replicate is ever dropped, the trim stays symmetric instead of
+      // rank B−1 quietly becoming the max of a (B−1)-row frame
       val wOrd = Window.orderBy($"m", $"b") // B-row frame: driver-trivial
+      val wAll = Window.partitionBy()       // same B-row frame
       val ci = reps.withColumn("r", row_number().over(wOrd))
+        .withColumn("nr", count(lit(1)).over(wAll))
         .agg(count(lit(1)).as("n_reps"),
           max(when($"r" === BootLoRank, $"m")).as("ci_lo"),
-          max(when($"r" === BootHiRank, $"m")).as("ci_hi"))
+          max(when($"r" === $"nr" - 1, $"m")).as("ci_hi"))
       val base = ev.agg(
         (sum($"vc").cast("double") / count(lit(1)).cast("double") / 100.0)
           .as("mean_value"))
@@ -736,9 +773,13 @@ object Stats {
          |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "g6_supplier_jaccard" ->
-      s"""WITH pr AS (
+      s"""WITH pr0 AS (
          |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |pr AS (
+         |  SELECT c, sk FROM (
+         |    SELECT c, sk, count(*) OVER (PARTITION BY c) AS bsz FROM pr0)
+         |  WHERE bsz <= $G6CustomerCap),
          |deg AS (SELECT sk, CAST(count(*) AS BIGINT) AS d
          |        FROM pr GROUP BY sk),
          |co AS (
@@ -1000,11 +1041,12 @@ object Stats {
          |mm AS (
          |  SELECT b, CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) / 100.0 AS m
          |  FROM rep WHERE nw > 0),
-         |r AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS r FROM mm),
+         |r AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS r,
+         |        count(*) OVER () AS nr FROM mm),
          |ci AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
          |    max(CASE WHEN r = $BootLoRank THEN m END) AS ci_lo,
-         |    max(CASE WHEN r = $BootHiRank THEN m END) AS ci_hi
+         |    max(CASE WHEN r = nr - 1 THEN m END) AS ci_hi
          |  FROM r),
          |base AS (
          |  SELECT CAST(sum(vc) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0

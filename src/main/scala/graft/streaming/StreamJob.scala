@@ -143,8 +143,9 @@ object StreamJob {
     * function on a static frame is how the spec proves stream ≡ batch
     * across micro-batch cuts. */
   def manifestStream(stream: DataFrame, idCol: String, textCol: String,
-                     shards: Int = 8,
-                     checksumMod: Long = 2147483648L): DataFrame = {
+                     shards: Int = graft.text.TextOps.ManifestShards,
+                     checksumMod: Long =
+                       graft.text.TextOps.ManifestChecksumMod): DataFrame = {
     val h = graft.text.TextOps.contentHash60(col(textCol))
     stream.select(col(idCol).as("__id"),
         size(graft.text.TextOps.tokens(col(textCol))).cast("long")

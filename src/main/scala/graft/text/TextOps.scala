@@ -112,6 +112,15 @@ object TextOps {
   def contentHash60(text: Column): Column =
     conv(substring(md5(text.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Shard-manifest geometry, shared by the batch manifest (p19) and
+    * [[graft.streaming.StreamJob.manifestStream]] — ONE definition so a
+    * retune can never silently break the "streaming manifest ≡ batch
+    * manifest" guarantee. [[ManifestChecksumMod]] = 2³¹ is the per-doc
+    * term bound that keeps the order-invariant checksum SUM exact in
+    * int64 up to ~4e9 docs per shard (stated bound). */
+  val ManifestShards = 8
+  val ManifestChecksumMod = 2147483648L
+
   /** t29's cascade stage: index of the FIRST Gopher rule (t7's family, in
     * declared order) that rejects the doc — 1 word-count, 2 mean word
     * length, 3 symbol ratio, 4 stopword floor — or 0 for a pass. Shared

@@ -85,4 +85,25 @@ class BucketsSpec extends SparkSpec {
     assert(rep.getAs[Long]("dropped_rows") == 0L)
     assert(rep.getAs[Long]("max_bucket") == 0L)
   }
+
+  test("g6 coJaccard: a synthetic power-customer is skipped at the cap, " +
+      "healthy pairs AND degrees stay consistent") {
+    // customer 999 buys from 50 suppliers (50·49/2 = 1225 pairs if
+    // unguarded); customers 1..3 each buy from suppliers {1, 2}
+    val power = (1 to 50).map(sk => (999L, sk.toLong))
+    val ok = (1 to 3).flatMap(c => Seq((c.toLong, 1L), (c.toLong, 2L)))
+    val edges = (power ++ ok).toDF("c", "sk")
+    val out = graft.queries.Stats.coJaccard(edges, cap = 10, topK = 100)
+      .collect()
+    // only (1,2) survives, and the degrees EXCLUDE the dropped customer
+    // (common ≤ min(d1, d2) must hold): common = d1 = d2 = 3 ⇒ jac = 1.0
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 2L, 3L, 3L, 3L)))
+    assert(r.getDouble(5) == 1.0)
+    // a non-binding cap admits the power customer's full fan-out
+    val full = graft.queries.Stats.coJaccard(edges, cap = 100, topK = 10000)
+    assert(full.count() == 1225L)
+  }
 }

@@ -125,6 +125,18 @@ class StreamJobSpec extends SparkSpec {
     assert(got.size <= 8)
   }
 
+  test("manifestStream on a static frame ≡ the oracle-green p19 batch " +
+      "manifest (shared TextOps constants cannot drift apart)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("p19_shard_manifest")(spark, dir)
+      .collect().map(_.toString).sorted.mkString("|")
+    val got = StreamJob
+      .manifestStream(graft.Tables.t(spark, dir, "documents"),
+        "doc_id", "text")
+      .collect().map(_.toString).sorted.mkString("|")
+    assert(got == batch)
+  }
+
   test("T1: replayTrigger paces event-time span by the speedup factor") {
     // rows span 199 s of event time; 10 chunks at speedup 50 ⇒ the whole
     // replay should take 199/50 ≈ 4 s wall ⇒ 398 ms per micro-batch
