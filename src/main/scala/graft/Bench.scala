@@ -31,6 +31,11 @@ object Bench {
     // a crashed query is fast, and a swallowed failure reads as a speedup
     // (r4's z1 "0.055 s" was exactly this). Failed reps are excluded; a
     // query with zero successful reps reports null and counts as a failure.
+    // (min, spread) per query: spread = max−min over SUCCESSFUL reps —
+    // this box's external-contention band (PLANS.md: identical plans span
+    // 172.9–201.0 s across runs) rides the artifact instead of being
+    // adjudicated from memory; a large spread flags a noisy measurement,
+    // not a plan change.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { rep =>
         spark.catalog.clearCache() // drop per-query cached frames between runs
@@ -44,19 +49,25 @@ object Bench {
         }
       }
       val min = if (times.isEmpty) None else Some(times.min)
+      val spread = if (times.isEmpty) None else Some(times.max - times.min)
       System.err.println(
         s"[bench] $name ok=${times.size}/$reps reps=[${times.map(r3).mkString(",")}]" +
-          s" min=${min.map(r3).getOrElse("FAILED")} s")
-      name -> min
+          s" min=${min.map(r3).getOrElse("FAILED")} s" +
+          s" spread=${spread.map(r3).getOrElse("-")} s")
+      (name, min, spread)
     }
-    val failed = results.collect { case (k, None) => k }
+    val failed = results.collect { case (k, None, _) => k }
     val total = results.flatMap(_._2).sum
-    val qs = results.map { case (k, v) =>
+    val totalSpread = results.flatMap(_._3).sum
+    val qs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + v.map(r3).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val sp = results.map { case (k, _, s) =>
+      "\"" + k + "\":" + s.map(r3).getOrElse("null")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"failures":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"failed":$failedJson,"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
@@ -66,7 +77,7 @@ object Bench {
     System.err.println(detail)
     spark.stop()
     // SHORT final stdout line only — must survive the driver's ~2 KB tail cap
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"failures":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -33,8 +33,9 @@ object TextDedup {
   private val PFJ_DEN = 10
   /** Incremental-dedup split: incoming delta = doc_id ≡ 0 (mod 10); the
     * other 90 % is the already-indexed corpus. Verify gate τ = 1/2
-    * (integer form 2·inter ≥ union). */
-  private val INC_MOD = 10
+    * (integer form 2·inter ≥ union). (private[graft]: the streaming-twin
+    * spec stages the same split.) */
+  private[graft] val INC_MOD = 10
 
   /** d18's deliberately low bucket cap — small enough that real band
     * buckets exceed it at every test SF, so the drop accounting is
@@ -57,6 +58,70 @@ object TextDedup {
         graft.expressions.MinHashSigExpr.sigs($"text", SHINGLE_K))
       .select(($"doc_id" +: (0 until 8).map(j =>
         element_at($"__sig", j + 1).as(s"s$j"))): _*)
+  }
+
+  /** MinHash LSH band memberships of a `(doc_id, text, …)` frame — 4
+    * bands × 2 slices over the 8-slice signature, the d16 index geometry.
+    * ONE definition shared by the batch d16 query and the streaming
+    * [[graft.streaming.StreamJob.incrementalDedupSink]] (the manifest
+    * constant-sharing lesson): a retune cannot desync index and probe. */
+  private[graft] def bandsOfDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__sig",
+        graft.expressions.MinHashSigExpr.sigs(col("text"), SHINGLE_K))
+      .select((col("doc_id") +: (0 until 8).map(j =>
+        element_at(col("__sig"), j + 1).as(s"s$j"))): _*)
+      .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+        concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*))
+        .as(Seq("band", "bv")))
+
+  /** Distinct verification n-grams of a `(doc_id, text, …)` frame (the
+    * d16 exact-Jaccard gate input) — shared with the streaming sink. */
+  private[graft] def gramsOfDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(TextOps.wordNgrams(toks(col("text")), NGRAM_N)).as("g"))
+
+  /** d16's probe-and-report body: band-bucket candidates (small new side
+    * BROADCAST into the index side), exact n-gram Jaccard verify at τ =
+    * 1/2 (integer gate), and the per-new-doc report (candidate count, dup
+    * count, best match). Shared by the batch query and the streaming sink
+    * — `newIds` lists every delta doc so zero-candidate docs still report. */
+  private[graft] def dedupReport(newIds: DataFrame, newBands: DataFrame,
+                                 oldBands: DataFrame, newGrams: DataFrame,
+                                 oldGrams: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val cand = oldBands.join(broadcast(newBands), Seq("band", "bv"))
+      .select(col("new_id"), col("old_id")).distinct()
+      .localCheckpoint() // feeds the verify join + the candidate count
+    // scalar-only checkpoint between the array intersection and its
+    // consumers (CollapseProject re-inlining guard — see d6)
+    val sized = cand
+      .join(newGrams, Seq("new_id"))
+      .join(oldGrams, Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        size(array_intersect(col("gn"), col("go"))).cast("long").as("inter"),
+        (size(col("gn")) + size(col("go"))).cast("long").as("__sum"))
+      .localCheckpoint()
+    val dups = sized.withColumn("uni", col("__sum") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("new_id"), col("old_id"),
+        expr("(inter * 1000000) div uni").as("jac_ppm"))
+    val candCnt = cand.groupBy(col("new_id")).agg(count(lit(1)).as("n_cand"))
+    val dupCnt = dups.groupBy(col("new_id")).agg(count(lit(1)).as("n_dup"))
+    val best = dups.withColumn("rnk", row_number().over(
+        win.partitionBy(col("new_id"))
+          .orderBy(col("jac_ppm").desc, col("old_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("new_id"), col("old_id").as("best_old"),
+        col("jac_ppm").as("best_jac_ppm"))
+    newIds
+      .join(candCnt, Seq("new_id"), "left")
+      .join(dupCnt, Seq("new_id"), "left")
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"), col("best_old"),
+        col("best_jac_ppm"))
+      .orderBy(col("new_id"))
   }
 
   /** Candidate pairs sharing ≥1 of 4 LSH bands (2 slices per band), with
@@ -663,53 +728,26 @@ object TextDedup {
     // hot-band cap bounds degenerate bands exactly as in d3. --------------
     "d16_incremental_dedup" -> ((s, dir) => {
       import s.implicits._
-      val win = org.apache.spark.sql.expressions.Window
-      val sig = sigDF(s, dir).localCheckpoint()
-      val bands0 = sig.select($"doc_id", posexplode(array((0 until 4).map(b =>
-        concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*))
-        .as(Seq("band", "bv")))
-      val bands = graft.ops.Buckets.capMembers(bands0,
-        Seq(col("band"), col("bv")), label = "incremental_dedup")
+      // the SHARED delta-probes-index primitives (bandsOfDocs / gramsOfDocs
+      // / dedupReport) — also the body of the streaming twin
+      // [[graft.streaming.StreamJob.incrementalDedupSink]], so stream ≡
+      // batch is definitional, not coincidental
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val bands = graft.ops.Buckets.capMembers(bandsOfDocs(docs),
+          Seq(col("band"), col("bv")), label = "incremental_dedup")
+        .localCheckpoint() // one minhash + cap-window pass, both sides read it
       val newBands = bands.filter($"doc_id" % INC_MOD === 0)
         .select($"doc_id".as("new_id"), $"band", $"bv")
       val oldBands = bands.filter($"doc_id" % INC_MOD =!= 0)
         .select($"doc_id".as("old_id"), $"band", $"bv")
-      val cand = oldBands.join(broadcast(newBands), Seq("band", "bv"))
-        .select($"new_id", $"old_id").distinct()
-        .localCheckpoint() // feeds the verify join + the candidate count
-      val grams = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id",
-          array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N)).as("g"))
-        .localCheckpoint() // both verify sides
-      // scalar-only checkpoint between the array intersection and its
-      // consumers (CollapseProject re-inlining guard — see d6)
-      val sized = cand
-        .join(grams.select($"doc_id".as("new_id"), $"g".as("gn")), Seq("new_id"))
-        .join(grams.select($"doc_id".as("old_id"), $"g".as("go")), Seq("old_id"))
-        .select($"new_id", $"old_id",
-          size(array_intersect($"gn", $"go")).cast("long").as("inter"),
-          (size($"gn") + size($"go")).cast("long").as("__sum"))
-        .localCheckpoint()
-      val dups = sized.withColumn("uni", $"__sum" - $"inter")
-        .filter($"inter" * 2 >= $"uni")
-        .select($"new_id", $"old_id", expr("(inter * 1000000) div uni").as("jac_ppm"))
-      val candCnt = cand.groupBy($"new_id").agg(count(lit(1)).as("n_cand"))
-      val dupCnt = dups.groupBy($"new_id").agg(count(lit(1)).as("n_dup"))
-      val best = dups.withColumn("rnk", row_number().over(
-          win.partitionBy($"new_id").orderBy($"jac_ppm".desc, $"old_id")))
-        .filter($"rnk" === 1)
-        .select($"new_id", $"old_id".as("best_old"),
-          $"jac_ppm".as("best_jac_ppm"))
-      t(s, dir, "documents").filter($"doc_id" % INC_MOD === 0)
-        .select($"doc_id".as("new_id"))
-        .join(candCnt, Seq("new_id"), "left")
-        .join(dupCnt, Seq("new_id"), "left")
-        .join(best, Seq("new_id"), "left")
-        .select($"new_id", coalesce($"n_cand", lit(0L)).as("n_cand"),
-          coalesce($"n_dup", lit(0L)).as("n_dup"), $"best_old",
-          $"best_jac_ppm")
-        .orderBy($"new_id")
+      val grams = gramsOfDocs(docs).localCheckpoint() // both verify sides
+      dedupReport(
+        t(s, dir, "documents").filter($"doc_id" % INC_MOD === 0)
+          .select($"doc_id".as("new_id")),
+        newBands, oldBands,
+        grams.select($"doc_id".as("new_id"), $"g".as("gn")),
+        grams.select($"doc_id".as("old_id"), $"g".as("go")))
     }),
 
     // ---- corpus-internal exact substring duplication (Lee et al. 2021,

@@ -158,6 +158,79 @@ object StreamJob {
         min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
   }
 
+  /** Seed the signature index for [[incrementalDedupSink]]: the corpus'
+    * LSH band memberships (capped with the SAME hot-bucket guard the
+    * batch query applies — a degenerate band is skipped at index-build
+    * time, with the standard observed-metric drop accounting) and its
+    * verification gram sets, both via the SHARED
+    * [[graft.queries.TextDedup]] primitives. The index is O(corpus) by
+    * nature — it IS the dedup index, not stream-length state. */
+  def dedupIndexSeed(sp: SparkSession, corpus: DataFrame,
+                     outTable: String): Unit = {
+    graft.ops.Buckets.capMembers(
+        graft.queries.TextDedup.bandsOfDocs(corpus),
+        Seq(col("band"), col("bv")), label = "dedup_seed")
+      .select(col("doc_id").as("old_id"), col("band"), col("bv"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${outTable}__index_bands")
+    graft.queries.TextDedup.gramsOfDocs(corpus)
+      .select(col("doc_id").as("old_id"), col("g").as("go"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${outTable}__index_grams")
+  }
+
+  /** Streaming incremental near-dup dedup — the continuous twin of the
+    * oracle-green `d16_incremental_dedup` batch operator: each arriving
+    * document probes the seeded signature index (band-bucket candidates,
+    * batch side broadcast), is exact-verified by n-gram Jaccard at τ =
+    * 1/2, and appends its per-doc report row (candidate count, dup count,
+    * best match) to `outTable`. The probe-and-report body is the SHARED
+    * [[graft.queries.TextDedup.dedupReport]], so stream ≡ batch is
+    * definitional; StreamJobSpec proves it across 3 cut layouts.
+    *
+    * State = the signature index itself (seeded by [[dedupIndexSeed]]) —
+    * O(indexed corpus), never O(stream history processed twice). With
+    * `growIndex = true` each trigger also appends its batch's bands +
+    * grams to the index, so later arrivals near-dup against earlier
+    * stream docs too (the production ingest mode); docs sharing a
+    * trigger do NOT probe each other, so that mode's output depends on
+    * arrival granularity — exact d16 twin-ship is the default
+    * fixed-index mode. Cap contract: the seed applies the batch
+    * hot-bucket cap on the index side; d16's joint (old ∪ new) cap must
+    * be non-binding for exact equivalence (`d18_cap_report` is the
+    * audit; a binding cap means exact-dup mass to remove with d1 first). */
+  def incrementalDedupSink(stream: DataFrame, outTable: String,
+                           growIndex: Boolean = false): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
+        val newBands = graft.queries.TextDedup.bandsOfDocs(docs)
+          .select(col("doc_id").as("new_id"), col("band"), col("bv"))
+          .localCheckpoint() // feeds the probe + the optional index append
+        val newGrams = graft.queries.TextDedup.gramsOfDocs(docs)
+          .select(col("doc_id").as("new_id"), col("g"))
+          .localCheckpoint()
+        graft.queries.TextDedup.dedupReport(
+            docs.select(col("doc_id").as("new_id")),
+            newBands,
+            sp.table(s"${outTable}__index_bands"),
+            newGrams.select(col("new_id"), col("g").as("gn")),
+            sp.table(s"${outTable}__index_grams"))
+          .write.mode("append").format("parquet").saveAsTable(outTable)
+        if (growIndex) {
+          newBands.select(col("new_id").as("old_id"), col("band"), col("bv"))
+            .write.mode("append").format("parquet")
+            .saveAsTable(s"${outTable}__index_bands")
+          newGrams.select(col("new_id").as("old_id"), col("g").as("go"))
+            .write.mode("append").format("parquet")
+            .saveAsTable(s"${outTable}__index_grams")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming CDC upsert view — the u4 latest-per-key compaction
     * maintained incrementally: each micro-batch re-ranks (state ∪ batch)
     * per key and keeps the top-1, so `outTable` always equals the batch

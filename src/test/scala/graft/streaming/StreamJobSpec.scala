@@ -343,6 +343,74 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental near-dup dedup ≡ d16 batch report " +
+      "(oracle-anchored), across 3 micro-batch cut layouts") {
+    // d16_incremental_dedup is oracle-green: its batch report is
+    // cross-engine verified. Replaying the delta docs against the seeded
+    // index must append EXACTLY that report whatever the cut layout —
+    // each delta doc's row depends only on the fixed index, so per-batch
+    // probing is trivially associative; what this gates is the seam
+    // (index seed ≡ batch old-side, per-batch probe ≡ batch probe).
+    val dir = "/root/testdata/sf0.001"
+    val incMod = graft.queries.TextDedup.INC_MOD
+    val batch = graft.SparkEntry.queries("d16_incremental_dedup")(spark, dir)
+      .collect().map(_.toString).sorted.mkString("|")
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val newDocs = docs.filter($"doc_id" % incMod === 0)
+      .select(timestamp_seconds($"doc_id").as("timestamp"),
+        $"doc_id", $"text")
+      .localCheckpoint()
+    val oldDocs = docs.filter($"doc_id" % incMod =!= 0)
+      .select($"doc_id", $"text").localCheckpoint()
+    val layouts = Seq((1, 1), (5, 2), (16, 3)) // (nChunks, filesPerTrigger)
+    layouts.zipWithIndex.foreach { case ((chunks, perTrigger), i) =>
+      StreamJob.dedupIndexSeed(spark, oldDocs, s"dedup_out_$i")
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft_dedup_$i").toString
+      val stream = StreamJob.stageAndReplay(spark, newDocs, stage,
+        nChunks = chunks, filesPerTrigger = perTrigger)
+      val q = StreamJob.incrementalDedupSink(stream, s"dedup_out_$i")
+      q.awaitTermination(120000)
+      val got = spark.table(s"dedup_out_$i")
+        .collect().map(_.toString).sorted.mkString("|")
+      assert(got == batch, s"layout ($chunks, $perTrigger): stream ≠ batch")
+      Seq("", "__index_bands", "__index_grams").foreach(suffix =>
+        spark.sql(s"DROP TABLE dedup_out_$i$suffix"))
+    }
+  }
+
+  test("incrementalDedupSink growIndex: a later-trigger duplicate is " +
+      "caught against an earlier stream doc, and same-trigger docs skip") {
+    // index seeded with one doc; doc 10 (trigger 1) dupes it; doc 20
+    // (trigger 2) dupes doc 10 — found ONLY because trigger 1 grew the
+    // index. Chunks are cut on the timestamp so the two arrive apart.
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val seedDocs = Seq((1L, body)).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, body + " tail10"), // trigger 1: near-dup of indexed doc 1
+      (20L, body + " tail10")  // trigger 2: exact dup of streamed doc 10
+    ).toDF("doc_id", "text")
+      .select(timestamp_seconds($"doc_id").as("timestamp"),
+        $"doc_id", $"text")
+    StreamJob.dedupIndexSeed(spark, seedDocs, "dedup_grow")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_dedup_grow").toString
+    val stream = StreamJob.stageAndReplay(spark, newDocs, stage,
+      nChunks = 2, filesPerTrigger = 1)
+    val q = StreamJob.incrementalDedupSink(stream, "dedup_grow",
+      growIndex = true)
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_grow")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), Option(r.get(3)).map(_.toString.toLong))).toMap
+    // doc 10 matched the seeded doc; doc 20's BEST match is doc 10 (exact
+    // dup, jac = 1e6 ppm > the near-dup's) — only possible via growth
+    assert(got(10L)._1 >= 1L && got(10L)._2.contains(1L))
+    assert(got(20L)._2.contains(10L))
+    Seq("", "__index_bands", "__index_grams").foreach(suffix =>
+      spark.sql(s"DROP TABLE dedup_grow$suffix"))
+  }
+
   test("stream-stream range join ≡ batch interval join, across cut " +
       "layouts incl. bounded disorder") {
     // left: readings; right: alerts. Each reading matches same-key alerts
