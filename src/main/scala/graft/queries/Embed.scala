@@ -94,7 +94,7 @@ object Embed {
     * gapped corpus ever needs this operator. */
   private val KppK = 4
   private val KppSeed = 89L
-  private val KppScale = 1000.0
+  private[graft] val KppScale = 1000.0
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------

@@ -32,7 +32,7 @@ object Stats {
     * crosses the bound at our synthetic value range) — the pattern is
     * established there and costs nothing when the term only feeds a
     * final double. */
-  private val MilliScale = 1000.0
+  private[graft] val MilliScale = 1000.0
 
   /** ACF lag depth. */
   private val AcfMaxLag = 3
@@ -88,7 +88,7 @@ object Stats {
     * count), 2 full Lloyd steps, micro-unit quantization. */
   private val KmK = 10
   private val KmIters = 2
-  private val KmScale = 1000000.0
+  private[graft] val KmScale = 1000000.0
   private val KmDim = 64
 
   /** z5 curation chain: in-cluster near-dup threshold τ = 0.4 (τ² below —
@@ -126,7 +126,7 @@ object Stats {
     * silently becoming the max). */
   private val BootB = 40
   private val BootSeed = 53L
-  private val BootCap = 6
+  private[graft] val BootCap = 6
   private val BootCdfStr = Seq("0.36787944117144233", "0.7357588823428847",
     "0.9196986029286058", "0.9810118431238463", "0.9963401531726563",
     "0.9994058151824183")

@@ -177,6 +177,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("e2e chains: exchange / checkpoint-seam / join-strategy counts " +
+      "pinned (the most regression-prone plans in the repo)") {
+    // The chain queries compose many audited stages; a silent plan
+    // regression (a broadcast falling back to SMJ, a checkpoint seam
+    // disappearing and re-inlining a whole stage, an extra shuffle) moves
+    // these counters. `Scan ExistingRDD` counts the localCheckpoint seams
+    // CONSUMED by the final plan — upstream stages pin their own shapes
+    // in the standalone operator tests. Counts are exact on purpose: a
+    // legitimate plan change must re-audit and re-pin.
+    def pins(name: String, exchanges: Int, hashEx: Int, rddScans: Int,
+             smj: Int, bhj: Int): Unit = {
+      val p = plan(name)
+      def c(tok: String) = p.linesIterator.count(_.contains(tok))
+      val got = (c("Exchange "), c("Exchange hashpartitioning"),
+        c("Scan ExistingRDD"), c("SortMergeJoin"), c("BroadcastHashJoin"))
+      assert(got == ((exchanges, hashEx, rddScans, smj, bhj)),
+        s"$name plan shape moved: (exchanges, hashEx, rddScans, smj, " +
+          s"bhj) = $got, pinned (${(exchanges, hashEx, rddScans, smj, bhj)})" +
+          s"\n${p.take(3000)}")
+    }
+    // z3: the curation chain's tail spans the un-checkpointed stages —
+    // 4 SMJs are the corpus-sized count-table joins (never broadcast by
+    // design); 25 BHJs are the small-side stats/threshold frames
+    pins("z3_curate_e2e", exchanges = 53, hashEx = 24, rddScans = 28,
+      smj = 4, bhj = 25)
+    // z7: survivor frames are localCheckpoint'd (Ranks' quantile probe is
+    // an action), so the tail is the final shard/manifest stage
+    pins("z7_compose_e2e", exchanges = 5, hashEx = 2, rddScans = 2,
+      smj = 0, bhj = 1)
+    // z8: serving tail — everything upstream (IVF, int8 coarse, exact
+    // re-rank) collapses into checkpointed pools; the tail is one
+    // final-ranking exchange
+    pins("z8_retrieve_e2e", exchanges = 1, hashEx = 0, rddScans = 1,
+      smj = 0, bhj = 0)
+  }
+
   test("no query plans a cartesian product") {
     // crossJoin of scalar aggs is BroadcastNestedLoopJoin over 1 row —
     // fine; an unconstrained CartesianProduct over data frames is never
