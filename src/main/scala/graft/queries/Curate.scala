@@ -45,6 +45,19 @@ object Curate {
   /** a42: χ² terms kept per class. */
   private val ChiTopK = 10
 
+  /** p20 systematic PPS sampling (Madow 1949): draw count K and LCG seed.
+    * Weights are the integer quality scores (q10k ≤ 1e4); W = Σw; targets
+    * t_j = (U + j·W) div K with U = ⌊u·W⌋. Exactness bounds: j·W < 2^63
+    * ⇒ W ≲ 1.15e18 (n ≲ 1.2e14 docs), and ⌊u·W⌋ needs W < 2^53 for the
+    * double product to be exact — beyond that, draw U from the integer
+    * LCG state directly (U = (r2·W) div M) instead of through a double. */
+  private val PpsK = 8
+  private val PpsSeed = 97L
+
+  /** t32 CCNet buckets (Wenzek et al. 2020 §4.3): per-source perplexity
+    * bucket count (head / middle / tail terciles). */
+  private val CcnetBuckets = 3
+
   /** DuckDB twin of [[TextOps.tokens]] (the Pipeline-pack expression). */
   private val tokensSqlExpr =
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
@@ -877,6 +890,92 @@ object Curate {
         .orderBy($"epoch", $"doc_id")
     }),
 
+    // ---- P20: systematic PPS quality-weighted sampling ----------------
+    // Draw K documents with probability proportional to quality weight in
+    // ONE pass — systematic probability-proportional-to-size sampling
+    // (Madow 1949), the weighted analogue of p16's per-bucket Bernoulli
+    // keep: lay the corpus on the integer cumulative-weight line [0, W)
+    // and take K evenly spaced targets from one LCG offset. All integer:
+    // weights are q10k scores, the cumsum is the t6 distributed prefix
+    // sum (never a one-task window), targets t_j = (U + j·W) div K. A doc
+    // with w > W/K can legitimately carry >1 target (reported as distinct
+    // draws — the PPS multiplicity contract); w = 0 docs can never match.
+    // 100 TB shape: one prefix-sum rank pass + a K-row broadcast target
+    // join (BroadcastNestedLoopJoin over K rows — the e16 pair-frame
+    // shape), no corpus shuffle beyond the cumsum's.
+    "p20_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val w = t(s, dir, "documents")
+        .select($"doc_id",
+          TextOps.qualityScore10k($"text", TextOps.tokens($"text"))
+            .cast("long").as("w"))
+      val cum = graft.ops.Ranks
+        .globalCumSum(w, Seq($"doc_id"), $"w", "cum")
+        .localCheckpoint() // feeds the W agg AND the target join
+      val wTot = cum.agg(max($"cum")).head.getLong(0)
+      val u0 = math.floor(
+        Det.fracHost(1L, PpsSeed) * wTot.toDouble).toLong
+      val targets = s.createDataFrame((0 until PpsK).map(j =>
+          (j + 1, (u0 + j.toLong * wTot) / PpsK)))
+        .toDF("draw", "tgt")
+      cum.join(broadcast(targets),
+          $"cum" - $"w" <= $"tgt" && $"tgt" < $"cum")
+        .select($"draw", $"doc_id", $"w", $"cum")
+        .orderBy($"draw")
+    }),
+
+    // ---- T32: CCNet perplexity buckets (Wenzek et al. 2020) -----------
+    // The CCNet quality partition: score every document under the
+    // corpus-trained bigram LM (t12's Laplace-smoothed recipe, inlined —
+    // the self-contained-query convention) and cut each SOURCE into
+    // head/middle/tail perplexity terciles (bucket 1 = head = highest
+    // avg log-prob = most in-distribution); a real pipeline keeps
+    // head+middle and drops tail. Exactness: t12's integer-scaled 6dp
+    // log-probs make avg_logprob bit-identical cross-engine, so the
+    // tercile ranks (ties broken by doc_id) agree exactly. 100 TB shape:
+    // count tables are gram-keyed JOINS (never broadcast); the tercile
+    // rank is a per-source window — S source partitions, each n/S rows
+    // (the a17/w9 keyed-window precedent); at extreme per-source skew,
+    // route the rank through the two-pass global rank with per-source
+    // offsets (the p18 machinery) or CCNet's own production shortcut:
+    // cut at sampled thresholds, then assign map-only.
+    "t32_ccnet_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .localCheckpoint() // feeds unigram counts AND the bigram explode
+      val docBi = docs
+        .select($"doc_id", $"source",
+          explode(TextOps.wordNgrams($"toks", 2)).as("bg"))
+        .localCheckpoint() // feeds bigram counts AND scoring
+      val biCnt = docBi.groupBy($"bg").agg(count(lit(1)).as("cb"))
+      val uniCnt = docs.select(explode($"toks").as("w1"))
+        .groupBy($"w1").agg(count(lit(1)).as("cu"))
+      val vocab = uniCnt.agg(count(lit(1)).cast("double").as("v"))
+      val scored = docBi
+        .withColumn("w1", substring_index($"bg", " ", 1))
+        .join(biCnt, Seq("bg"))
+        .join(uniCnt, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lpi",
+          round(log(($"cb" + 1.0) / ($"cu" + $"v")) * 1e6).cast("long"))
+        .groupBy($"doc_id", $"source")
+        .agg(round(sum($"lpi").cast("double") / 1e6 /
+          count(lit(1)), 4).as("avg_logprob"))
+      val wR = Window.partitionBy($"source")
+        .orderBy($"avg_logprob".desc, $"doc_id")
+      scored
+        .withColumn("__rn", row_number().over(wR))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy($"source")))
+        .select($"doc_id", $"source", $"avg_logprob",
+          expr(s"CAST(((__rn - 1) * $CcnetBuckets) div __n + 1 AS INT)")
+            .as("ppl_bucket"))
+        .orderBy($"doc_id")
+    }),
+
     // The z3/z5 treatment for the composition pack: ONE hash-gated query
     // running domain-mix rebalance (t21) → DSIR reweighting computed ON
     // THE SURVIVORS (the seam — both count tables shift with the mix
@@ -1620,5 +1719,72 @@ object Curate {
          |  CAST((rd - 1) % $CurrShards AS INTEGER) AS shard
          |FROM d2 ORDER BY doc_id""".stripMargin
         .replace("__ALLSTOP__", allStop)
-    })
+    },
+
+    "p20_weighted_sample" -> {
+      val allStop = TextOps.langWords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CAST(${TextOps.qualityScore10kSql("text", "tokens",
+                "__ALLSTOP__")} AS BIGINT) AS w
+         |  FROM (SELECT doc_id, text, $tokensSqlExpr AS tokens
+         |        FROM documents)),
+         |c AS (
+         |  SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum
+         |  FROM w),
+         |tot AS (SELECT CAST(max(cum) AS BIGINT) AS wt FROM c),
+         |tg AS (
+         |  SELECT CAST(j + 1 AS INTEGER) AS draw,
+         |    (CAST(floor(${Det.fracSql("1", PpsSeed)}
+         |        * CAST(wt AS DOUBLE)) AS BIGINT) + j * wt) // $PpsK
+         |      AS tgt
+         |  FROM (SELECT unnest(generate_series(0, ${PpsK - 1})) AS j), tot)
+         |SELECT tg.draw, c.doc_id, c.w, c.cum
+         |FROM c JOIN tg ON c.cum - c.w <= tg.tgt AND tg.tgt < c.cum
+         |ORDER BY tg.draw""".stripMargin
+        .replace("__ALLSTOP__", allStop)
+    },
+
+    "t32_ccnet_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, tokens FROM
+         |    (SELECT doc_id, source, $tokensSqlExpr AS tokens
+         |     FROM documents)
+         |  WHERE len(tokens) >= 2),
+         |uni AS (
+         |  SELECT w1, count(*) AS cu FROM
+         |    (SELECT unnest(tokens) AS w1 FROM toks) GROUP BY w1),
+         |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+         |bi AS (
+         |  SELECT doc_id, source, unnest(list_transform(
+         |    generate_series(0, len(tokens) - 2),
+         |    i -> array_to_string(list_slice(tokens, i + 1, i + 2), ' ')))
+         |    AS bg
+         |  FROM toks),
+         |bc AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    CAST(round(ln((cb + 1.0) / (cu + v)) * 1000000) AS BIGINT)
+         |      AS lpi
+         |  FROM bi JOIN bc USING (bg)
+         |    JOIN uni ON uni.w1 = split_part(bi.bg, ' ', 1)
+         |    CROSS JOIN v),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    round(CAST(sum(lpi) AS DOUBLE) / 1000000 / count(*), 4)
+         |      AS avg_logprob
+         |  FROM sc GROUP BY doc_id, source),
+         |r AS (
+         |  SELECT doc_id, source, avg_logprob,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY avg_logprob DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM d)
+         |SELECT doc_id, source, avg_logprob,
+         |  CAST(((rn - 1) * $CcnetBuckets) // n + 1 AS INTEGER)
+         |    AS ppl_bucket
+         |FROM r ORDER BY doc_id""".stripMargin)
 }

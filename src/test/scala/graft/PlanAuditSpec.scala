@@ -177,6 +177,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("p20: the K-row target frame broadcasts over the cumsum line — " +
+      "a range-predicate join, never a shuffle or cartesian") {
+    val p = plan("p20_weighted_sample")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("t32: exactly ONE broadcast hint (the 1-row vocab scalar) — the " +
+      "corpus-sized LM count tables are size-planned, never forced; and " +
+      "every window is source-keyed") {
+    // at sf0.001 AQE may legitimately broadcast the tiny count tables;
+    // what must hold at ANY scale is (a) no broadcast HINT on them (the
+    // planner stays free to shuffle-join at 100 TB) and (b) the tercile
+    // windows carry the source partition spec (no unpartitioned window)
+    val qe = SparkEntry.queries("t32_ccnet_buckets")(spark, dir)
+      .queryExecution
+    val hints = qe.analyzed.toString.linesIterator
+      .count(_.contains("ResolvedHint"))
+    assert(hints == 1, s"expected 1 broadcast hint (vocab), got $hints")
+    val wins = qe.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Window ") || l.contains("RunningWindow"))
+      .toSeq
+    assert(wins.nonEmpty)
+    wins.foreach(l => assert(l.contains("[source"), l))
+  }
+
   test("e2e chains: exchange / checkpoint-seam / join-strategy counts " +
       "pinned (the most regression-prone plans in the repo)") {
     // The chain queries compose many audited stages; a silent plan
