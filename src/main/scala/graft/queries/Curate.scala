@@ -58,6 +58,27 @@ object Curate {
     * bucket count (head / middle / tail terciles). */
   private val CcnetBuckets = 3
 
+  /** a45 PSI drift monitor: fixed quality-score bucket width (q10k ∈
+    * [0, 1e4] ⇒ ≤ 21 bins — FIXED boundaries like a44, so the bin is a
+    * map-only expression, never a data-derived quantile) and the
+    * reference source the other sources are scored against. */
+  private val PsiW = 500
+  private val PsiRef = "src0"
+
+  /** a45/psiStream shared per-(source, quality-bin) counts — ONE
+    * definition (the funnelStage pattern) so the streaming drift
+    * monitor's state is definitionally the batch query's input. Works on
+    * a streaming frame unchanged (select + groupBy only); complete-mode
+    * state is bounded at sources × ≤21 bins. */
+  private[graft] def psiCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        TextOps.qualityScore10k(col("text"), TextOps.tokens(col("text")))
+          .cast("long").as("__q10k"))
+      // integer div (Spark's `/` on BIGINTs is double division); q10k ≥ 0
+      .select(col("source"), expr(s"CAST(__q10k div $PsiW AS INT)").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+
   /** DuckDB twin of [[TextOps.tokens]] (the Pipeline-pack expression). */
   private val tokensSqlExpr =
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
@@ -890,6 +911,42 @@ object Curate {
         .orderBy($"epoch", $"doc_id")
     }),
 
+    // ---- A45: PSI drift monitor ---------------------------------------
+    // Population Stability Index of each source's quality-score
+    // distribution against the reference source — the standard ingest
+    // drift alarm (PSI < 0.1 stable, > 0.25 action): PSI = Σ_bins
+    // (p_cur − p_ref)·ln(p_cur/p_ref) over FIXED-width score bins with
+    // add-one smoothing (p = (c+1)/(n+B)) so empty bins are defined in
+    // both engines. The reference source scores ITSELF too (PSI = 0 — a
+    // built-in self-check row). Exactness: counts are integers; each
+    // summand is quantized to an exact e6·e6 integer product (the t12 ln
+    // recipe), so the per-source sum is associativity-proof BIGINT
+    // (≤ 21 terms of ≤ ~1e13 — far inside int64). 100 TB shape: ONE
+    // map-only bucket pass + a (source, bin) agg collapsing map-side to
+    // ≤ sources·21 rows; every join after runs on that tiny frame.
+    "a45_psi_drift" -> ((s, dir) => {
+      import s.implicits._
+      val cnt = psiCounts(t(s, dir, "documents")).localCheckpoint()
+      val bins = cnt.select($"bin").distinct()
+      val nb = bins.agg(count(lit(1)).as("__b"))
+      val srcTot = cnt.groupBy($"source").agg(sum($"c").as("n_s"))
+      val grid = srcTot.crossJoin(broadcast(bins)) // ≤ sources × 21 rows
+        .join(cnt, Seq("source", "bin"), "left")
+        .select($"source", $"bin", $"n_s", coalesce($"c", lit(0L)).as("cs"))
+      val ref = grid.filter($"source" === PsiRef)
+        .select($"bin", $"cs".as("cr"), $"n_s".as("n_r"))
+      grid.join(broadcast(ref), Seq("bin"))
+        .crossJoin(broadcast(nb))
+        .withColumn("ps", ($"cs" + 1.0) / ($"n_s" + $"__b").cast("double"))
+        .withColumn("pr", ($"cr" + 1.0) / ($"n_r" + $"__b").cast("double"))
+        .withColumn("d6", round(($"ps" - $"pr") * 1e6).cast("long"))
+        .withColumn("l6", round(log($"ps" / $"pr") * 1e6).cast("long"))
+        .groupBy($"source")
+        .agg(max($"n_s").as("n_docs"),
+          round(sum($"d6" * $"l6").cast("double") / 1e12, 6).as("psi"))
+        .orderBy($"source")
+    }),
+
     // ---- P20: systematic PPS quality-weighted sampling ----------------
     // Draw K documents with probability proportional to quality weight in
     // ONE pass — systematic probability-proportional-to-size sampling
@@ -1718,6 +1775,46 @@ object Curate {
          |  CAST(((rd - 1) * $CurrPhases) // n2 + 1 AS INTEGER) AS phase,
          |  CAST((rd - 1) % $CurrShards AS INTEGER) AS shard
          |FROM d2 ORDER BY doc_id""".stripMargin
+        .replace("__ALLSTOP__", allStop)
+    },
+
+    "a45_psi_drift" -> {
+      val allStop = TextOps.langWords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT source,
+         |    CAST(CAST(${TextOps.qualityScore10kSql("text", "tokens",
+                "__ALLSTOP__")} AS BIGINT) // $PsiW AS INTEGER) AS bin
+         |  FROM (SELECT source, text, $tokensSqlExpr AS tokens
+         |        FROM documents)),
+         |cnt AS (
+         |  SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+         |  FROM q GROUP BY source, bin),
+         |bins AS (SELECT DISTINCT bin FROM cnt),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bins),
+         |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+         |       FROM cnt GROUP BY source),
+         |grid AS (
+         |  SELECT st.source, bins.bin, st.n_s,
+         |    CAST(coalesce(cnt.c, 0) AS BIGINT) AS cs
+         |  FROM st CROSS JOIN bins
+         |  LEFT JOIN cnt ON cnt.source = st.source AND cnt.bin = bins.bin),
+         |ref AS (
+         |  SELECT bin, cs AS cr, n_s AS n_r FROM grid
+         |  WHERE source = '$PsiRef'),
+         |terms AS (
+         |  SELECT g.source, g.n_s,
+         |    (g.cs + 1.0) / CAST(g.n_s + nb.b AS DOUBLE) AS ps,
+         |    (r.cr + 1.0) / CAST(r.n_r + nb.b AS DOUBLE) AS pr
+         |  FROM grid g JOIN ref r ON g.bin = r.bin CROSS JOIN nb),
+         |t2 AS (
+         |  SELECT source, n_s,
+         |    CAST(round((ps - pr) * 1000000) AS BIGINT) AS d6,
+         |    CAST(round(ln(ps / pr) * 1000000) AS BIGINT) AS l6
+         |  FROM terms)
+         |SELECT source, max(n_s) AS n_docs,
+         |  round(CAST(sum(d6 * l6) AS DOUBLE) / 1e12, 6) AS psi
+         |FROM t2 GROUP BY source ORDER BY source""".stripMargin
         .replace("__ALLSTOP__", allStop)
     },
 

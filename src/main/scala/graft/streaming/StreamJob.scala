@@ -158,6 +158,18 @@ object StreamJob {
         min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
   }
 
+  /** Streaming drift-monitor input: per-(source, quality-bin) counts
+    * maintained incrementally over a document stream — the state the PSI
+    * drift alarm (`a45_psi_drift`) reads. The bin expression is the
+    * SHARED [[graft.queries.Curate.psiCounts]] (the funnelStage
+    * pattern), so the streaming counts are definitionally a45's input
+    * frame; complete-mode state is bounded BY CONSTRUCTION at sources ×
+    * ≤21 fixed-width bins regardless of stream length, and the PSI
+    * arithmetic runs on that tiny frame per trigger — it never touches
+    * the stream. */
+  def psiStream(stream: DataFrame): DataFrame =
+    graft.queries.Curate.psiCounts(stream)
+
   /** Seed the signature index for [[incrementalDedupSink]]: the corpus'
     * LSH band memberships (capped with the SAME hot-bucket guard the
     * batch query applies — a degenerate band is skipped at index-build

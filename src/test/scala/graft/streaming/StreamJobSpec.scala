@@ -125,6 +125,33 @@ class StreamJobSpec extends SparkSpec {
     assert(got.size <= 8)
   }
 
+  test("streaming PSI drift counts ≡ batch bin counts, across batch cuts") {
+    // real corpus slice so several quality bins per source are hit
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"source", $"text")
+      .collect().map(r => CDoc(r.getString(0), r.getString(1))).toSeq
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = asMap(StreamJob.psiStream(docs.toDF()).collect())
+    assert(batch.keys.map(_._2).size > 1) // multiple bins exercised
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[CDoc]
+    val q = StreamJob.psiStream(mem.toDF())
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("complete").start()
+    mem.addData(docs.drop(211): _*) // uneven cut, arrival ≠ source order
+    q.processAllAvailable()
+    mem.addData(docs.take(211): _*)
+    q.processAllAvailable(); q.stop()
+
+    val got = asMap(spark.table("psi_out").collect())
+    assert(got == batch)
+    // bounded state: sources × ≤21 fixed-width bins
+    val nSrc = batch.keys.map(_._1).toSet.size
+    assert(got.size <= nSrc * 21)
+  }
+
   test("manifestStream on a static frame ≡ the oracle-green p19 batch " +
       "manifest (shared TextOps constants cannot drift apart)") {
     val dir = "/root/testdata/sf0.001"
