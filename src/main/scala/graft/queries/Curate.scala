@@ -79,6 +79,20 @@ object Curate {
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("c"))
 
+  /** t33 UniMax (Chung et al. 2023): per-source epoch cap E and the
+    * budget as a fraction of the corpus' total token count (9/10 — below
+    * 1·total so the water level BINDS and both branches of the
+    * allocation are exercised). Integer-exactness bounds (int64):
+    * the saturation test computes cap·(S−rn+1) ≤ E·T·S ⇒ with corpus
+    * tokens T ≈ 2.5e13 (100 TB of English) and E=1, up to S ≈ 3.6e5
+    * sources; `epochs_e6` computes alloc·1e6 ⇒ alloc ≲ 9.2e12 tokens
+    * per source. Beyond either, lift to DECIMAL(38,0) (the a40 recipe). */
+  private val UnimaxE = 1L
+
+  /** p21 Neyman allocation: total sample budget apportioned across the
+    * source strata. */
+  private val NeymanN = 100L
+
   /** DuckDB twin of [[TextOps.tokens]] (the Pipeline-pack expression). */
   private val tokensSqlExpr =
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
@@ -1033,6 +1047,102 @@ object Curate {
         .orderBy($"doc_id")
     }),
 
+    // ---- P21: Neyman allocation with Hamilton apportionment -----------
+    // Optimal stratified-sampling design (Neyman 1934): sample-size share
+    // of stratum h ∝ N_h·σ_h, so high-variance sources get proportionally
+    // more of the labeling/eval budget — the standard design for auditing
+    // a corpus with a fixed annotation budget. Integer allocations via
+    // largest-remainder (Hamilton) apportionment so Σ alloc = n EXACTLY.
+    // Exactness: N, Σq, Σq² are exact BIGINTs (Σq² ≤ N·1e8 ⇒ N ≲ 9.2e10
+    // docs per stratum in int64 — beyond that, the a40 DECIMAL lift);
+    // σ and the quotas are then SCALAR double arithmetic on those exact
+    // integers (identical correctly-rounded IEEE ops in both engines —
+    // no ordering freedom), and the one cross-stratum Σw folds sorted
+    // (the t30 recipe), so remainder ranks compare bit-identical doubles.
+    // CONTRACT: at least one stratum must have nonzero variance (else
+    // every quota is 0/0 = NaN). 100 TB shape: ONE map-side-combined
+    // groupBy collapses the corpus to S rows; all allocation arithmetic
+    // runs on that tiny frame.
+    "p21_neyman_alloc" -> ((s, dir) => {
+      import s.implicits._
+      val perSrc = t(s, dir, "documents")
+        .select($"source",
+          TextOps.qualityScore10k($"text", TextOps.tokens($"text"))
+            .cast("long").as("q10k"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"q10k").as("__sq"),
+          sum($"q10k" * $"q10k").as("__sq2"))
+        .withColumn("__w", $"n_docs".cast("double") *
+          sqrt($"__sq2".cast("double") / $"n_docs".cast("double") -
+            ($"__sq".cast("double") / $"n_docs".cast("double")) *
+              ($"__sq".cast("double") / $"n_docs".cast("double"))))
+      val tot = perSrc.agg(
+        aggregate(sort_array(collect_list($"__w")), lit(0.0),
+          (acc, x) => acc + x).as("__tw"))
+      val quota = perSrc.crossJoin(broadcast(tot))
+        .withColumn("__q", lit(NeymanN.toDouble) * $"__w" / $"__tw")
+        .withColumn("__base", floor($"__q").cast("long"))
+        .localCheckpoint() // ≤ S rows; feeds the base-sum agg AND output
+      val rsum = quota.agg(sum($"__base").as("__sb"))
+      val wH = Window
+        .orderBy(($"__q" - $"__base".cast("double")).desc, $"source")
+      quota.crossJoin(broadcast(rsum))
+        .withColumn("__rn", row_number().over(wH).cast("long"))
+        .withColumn("alloc", $"__base" +
+          when($"__rn" <= lit(NeymanN) - $"__sb", 1L).otherwise(0L))
+        .select($"source", $"n_docs", round($"__w", 6).as("neyman_w"),
+          $"alloc")
+        .orderBy($"source")
+    }),
+
+    // ---- T33: UniMax budget allocation (Chung et al. 2023) ------------
+    // Closed-form waterfilling of a token budget B across sources under a
+    // per-source epoch cap: alloc_s = min(E·n_s, c) with the water level
+    // c chosen so Σ alloc = B exactly. The iterative UniMax loop
+    // collapses to ONE window pass: sort sources ascending by cap; source
+    // at rank i is saturated iff cap_i·(S−i+1) ≤ B − cum_{i−1} (monotone
+    // ⇒ the saturated set is a prefix — proof: if it fails at i it fails
+    // at i+1 since cap_{i+1} ≥ cap_i); the U unsaturated sources get
+    // ⌊(B−ΣsatCaps)/U⌋ each, remainder to the U_rem smallest by cap
+    // order, so Σ alloc = B in EXACT integers (bounds in UnimaxE doc).
+    // 100 TB shape: one corpus scan with a map-side token-count agg
+    // collapsing to ≤ sources rows; every window/join after runs on that
+    // tiny frame (the unpartitioned window is the adjudicated ≤S-row
+    // pattern, cf. Ivf.scala).
+    "t33_unimax_budget" -> ((s, dir) => {
+      import s.implicits._
+      val perSrc = t(s, dir, "documents")
+        .select($"source", size(TextOps.tokens($"text")).cast("long").as("__nt"))
+        .groupBy($"source").agg(sum($"__nt").as("n_tokens"))
+        .withColumn("cap", $"n_tokens" * UnimaxE)
+      val wS = Window.orderBy($"cap", $"source")
+      val ranked = perSrc
+        .withColumn("__rn", row_number().over(wS).cast("long"))
+        .withColumn("__cum", sum($"cap").over(wS))
+      val tot = ranked.agg(
+        count(lit(1)).cast("long").as("__s"), sum($"n_tokens").as("__t"))
+      val flagged = ranked.crossJoin(broadcast(tot))
+        .withColumn("__b", expr("(__t * 9) div 10"))
+        .withColumn("__sat",
+          $"cap" * ($"__s" - $"__rn" + 1L) <= $"__b" - ($"__cum" - $"cap"))
+        .localCheckpoint() // ≤ sources rows; feeds the k-agg AND the output
+      val ks = flagged.agg(
+        sum(when($"__sat", lit(1L)).otherwise(lit(0L))).as("__k"),
+        sum(when($"__sat", $"cap").otherwise(lit(0L))).as("__ck"))
+      flagged.crossJoin(broadcast(ks))
+        .withColumn("__u", $"__s" - $"__k")
+        .withColumn("__lvl", when($"__u" > 0L,
+          expr("(__b - __ck) div __u")).otherwise(lit(0L)))
+        .withColumn("__rem", when($"__u" > 0L,
+          expr("(__b - __ck) % __u")).otherwise(lit(0L)))
+        .withColumn("alloc", when($"__sat", $"cap")
+          .otherwise($"__lvl" +
+            when($"__rn" - $"__k" <= $"__rem", lit(1L)).otherwise(lit(0L))))
+        .select($"source", $"n_tokens", $"cap", $"__sat".as("saturated"),
+          $"alloc", expr("(alloc * 1000000) div n_tokens").as("epochs_e6"))
+        .orderBy($"source")
+    }),
+
     // The z3/z5 treatment for the composition pack: ONE hash-gated query
     // running domain-mix rebalance (t21) → DSIR reweighting computed ON
     // THE SURVIVORS (the seam — both count tables shift with the mix
@@ -1883,5 +1993,87 @@ object Curate {
          |SELECT doc_id, source, avg_logprob,
          |  CAST(((rn - 1) * $CcnetBuckets) // n + 1 AS INTEGER)
          |    AS ppl_bucket
-         |FROM r ORDER BY doc_id""".stripMargin)
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "p21_neyman_alloc" -> {
+      val allStop = TextOps.langWords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT source,
+         |    CAST(${TextOps.qualityScore10kSql("text", "tokens",
+                "__ALLSTOP__")} AS BIGINT) AS q10k
+         |  FROM (SELECT source, text, $tokensSqlExpr AS tokens
+         |        FROM documents)),
+         |p AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(q10k) AS BIGINT) AS sq,
+         |    CAST(sum(q10k * q10k) AS BIGINT) AS sq2
+         |  FROM q GROUP BY source),
+         |w AS (
+         |  SELECT source, n_docs, CAST(n_docs AS DOUBLE) *
+         |    sqrt(CAST(sq2 AS DOUBLE) / CAST(n_docs AS DOUBLE) -
+         |      (CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE)) *
+         |      (CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS wt
+         |  FROM p),
+         |tw AS (SELECT list_reduce(list_sort(list(wt)), (a, b) -> a + b)
+         |         AS twv FROM w),
+         |qq AS (
+         |  SELECT w.*, CAST($NeymanN AS DOUBLE) * wt / twv AS quota
+         |  FROM w CROSS JOIN tw),
+         |b AS (SELECT qq.*, CAST(floor(quota) AS BIGINT) AS base FROM qq),
+         |sb AS (SELECT CAST(sum(base) AS BIGINT) AS sbv FROM b),
+         |r AS (
+         |  SELECT b.*, sb.sbv,
+         |    CAST(row_number() OVER (
+         |      ORDER BY quota - CAST(base AS DOUBLE) DESC, source)
+         |      AS BIGINT) AS rn
+         |  FROM b CROSS JOIN sb)
+         |SELECT source, n_docs, round(wt, 6) AS neyman_w,
+         |  CAST(base + CASE WHEN rn <= $NeymanN - sbv THEN 1 ELSE 0 END
+         |    AS BIGINT) AS alloc
+         |FROM r ORDER BY source""".stripMargin
+        .replace("__ALLSTOP__", allStop)
+    },
+
+    "t33_unimax_budget" ->
+      s"""WITH persrc AS (
+         |  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |  FROM (SELECT source, $tokensSqlExpr AS toks FROM documents)
+         |  GROUP BY source),
+         |c AS (SELECT source, n_tokens,
+         |        CAST(n_tokens * $UnimaxE AS BIGINT) AS cap FROM persrc),
+         |r AS (
+         |  SELECT source, n_tokens, cap,
+         |    CAST(row_number() OVER w AS BIGINT) AS rn,
+         |    CAST(sum(cap) OVER w AS BIGINT) AS cum
+         |  FROM c WINDOW w AS (ORDER BY cap, source)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS s,
+         |               CAST((sum(n_tokens) * 9) // 10 AS BIGINT) AS b
+         |        FROM c),
+         |f AS (
+         |  SELECT r.*, tot.s, tot.b,
+         |    (cap * (tot.s - rn + 1) <= tot.b - (cum - cap)) AS sat
+         |  FROM r CROSS JOIN tot),
+         |ks AS (
+         |  SELECT
+         |    CAST(coalesce(sum(CASE WHEN sat THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS k,
+         |    CAST(coalesce(sum(CASE WHEN sat THEN cap ELSE 0 END), 0)
+         |      AS BIGINT) AS ck
+         |  FROM f),
+         |a AS (
+         |  SELECT f.*, ks.k, ks.ck, f.s - ks.k AS u,
+         |    CASE WHEN f.s - ks.k > 0
+         |      THEN (f.b - ks.ck) // (f.s - ks.k) ELSE 0 END AS lvl,
+         |    CASE WHEN f.s - ks.k > 0
+         |      THEN (f.b - ks.ck) % (f.s - ks.k) ELSE 0 END AS rem
+         |  FROM f CROSS JOIN ks)
+         |SELECT source, n_tokens, cap, sat AS saturated,
+         |  CAST(CASE WHEN sat THEN cap
+         |    ELSE lvl + CASE WHEN rn - k <= rem THEN 1 ELSE 0 END END
+         |    AS BIGINT) AS alloc,
+         |  CAST((CASE WHEN sat THEN cap
+         |    ELSE lvl + CASE WHEN rn - k <= rem THEN 1 ELSE 0 END END
+         |    * 1000000) // n_tokens AS BIGINT) AS epochs_e6
+         |FROM a ORDER BY source""".stripMargin)
 }
