@@ -93,6 +93,15 @@ object Curate {
     * source strata. */
   private val NeymanN = 100L
 
+  /** t34 Naive-Bayes lang-ID: train/test split seed (keyed LCG — the
+    * partition-invariant split every sampler here uses). */
+  private val NbSeed = 101L
+
+  /** t35 PMI collocations (Church & Hanks 1990): minimum bigram count
+    * (PMI is noise below a support floor) and the report depth. */
+  private val PmiMinCount = 3L
+  private val PmiTopK = 20
+
   /** DuckDB twin of [[TextOps.tokens]] (the Pipeline-pack expression). */
   private val tokensSqlExpr =
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
@@ -1047,6 +1056,116 @@ object Curate {
         .orderBy($"doc_id")
     }),
 
+    // ---- T34: multinomial Naive-Bayes language ID ---------------------
+    // The trained counterpart of t1's heuristic lang-ID (fastText-style
+    // lang classifiers are at heart this model): split the corpus by the
+    // keyed LCG, train per-(lang, word) Laplace-smoothed likelihoods and
+    // log-priors on the train half, classify the test half by argmax
+    // Σ log p(w|lang) + log p(lang), report the confusion matrix.
+    // Exactness: every per-term log is e6-quantized (the t12 recipe), so
+    // per-doc scores are exact BIGINT sums; OOV test tokens contribute
+    // the per-lang smoothing floor ln(1/(nl+V)) via an exact count
+    // (n_tok − matched) rather than a vocab-sized anti-join. 100 TB
+    // shape: the V×L likelihood grid is a COUNT TABLE joined on the
+    // token key (never broadcast — the t12 rule; only the L-row lang
+    // stats frame broadcasts); scoring fans each matched test token out
+    // ×L, aggregates on doc_id, and the argmax window is key-partitioned
+    // (L rows per doc).
+    "t34_nb_langid" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"lang", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 1)
+        .withColumn("__tr", Det.frac($"doc_id", NbSeed) < 0.5)
+        .localCheckpoint() // feeds train counts AND test scoring
+      val cw = docs.filter($"__tr")
+        .select($"lang", explode($"toks").as("w"))
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("cw"))
+        .localCheckpoint() // feeds lang totals, vocab AND the word grid
+      val nl = cw.groupBy($"lang").agg(sum($"cw").as("nl"))
+      val v = cw.select($"w").distinct().agg(count(lit(1)).as("v"))
+      val dl = docs.filter($"__tr").groupBy($"lang")
+        .agg(count(lit(1)).as("dl"))
+      val dt = docs.filter($"__tr").agg(count(lit(1)).as("dt"))
+      val langStats = nl.join(dl, Seq("lang"))
+        .crossJoin(broadcast(v)).crossJoin(broadcast(dt))
+        .select($"lang", $"nl", $"v",
+          round(log($"dl".cast("double") / $"dt".cast("double")) * 1e6)
+            .cast("long").as("prior_e6"),
+          round(-log($"nl".cast("double") + $"v".cast("double")) * 1e6)
+            .cast("long").as("smooth_e6"))
+        .localCheckpoint() // L rows; feeds the grid AND the doc cross
+      val wordGrid = cw.select($"w").distinct()
+        .crossJoin(broadcast(langStats.select($"lang", $"nl", $"v")))
+        .join(cw, Seq("lang", "w"), "left")
+        .select($"w", $"lang",
+          round(log((coalesce($"cw", lit(0L)) + 1.0) /
+            ($"nl".cast("double") + $"v".cast("double"))) * 1e6)
+            .cast("long").as("lpi"))
+      val matched = docs.filter(!$"__tr")
+        .select($"doc_id", explode($"toks").as("w"))
+        .join(wordGrid, Seq("w"))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"lpi").as("mlp"), count(lit(1)).as("m"))
+      val docTot = docs.filter(!$"__tr")
+        .select($"doc_id", $"lang".as("true_lang"),
+          size($"toks").cast("long").as("n_tok"))
+      val wP = Window.partitionBy($"doc_id").orderBy($"score".desc, $"lang")
+      docTot
+        .crossJoin(broadcast(langStats
+          .select($"lang", $"prior_e6", $"smooth_e6")))
+        .join(matched, Seq("doc_id", "lang"), "left")
+        .withColumn("score", $"prior_e6" + coalesce($"mlp", lit(0L)) +
+          ($"n_tok" - coalesce($"m", lit(0L))) * $"smooth_e6")
+        .withColumn("__rn", row_number().over(wP)).filter($"__rn" === 1)
+        .groupBy($"true_lang", $"lang")
+        .agg(count(lit(1)).as("n"))
+        .select($"true_lang", $"lang".as("pred_lang"), $"n")
+        .orderBy($"true_lang", $"pred_lang")
+    }),
+
+    // ---- T35: PMI collocations (Church & Hanks 1990) ------------------
+    // Top-K adjacent-bigram collocations by pointwise mutual information
+    // pmi = ln(p(w1w2) / (p(w1)p(w2))) with a minimum-support floor —
+    // the classic phrase extractor (t17's lift is the doc-co-occurrence
+    // cousin; this is adjacency over the token stream). Exactness: all
+    // counts exact BIGINT; the pmi is SCALAR double arithmetic on those
+    // exact integers (identical IEEE op sequence both engines, products
+    // as doubles so no int64 overflow at corpus scale), rounded to 6dp
+    // before the (pmi desc, bg) order. 100 TB shape: unigram/bigram
+    // count tables joined on the gram key (never broadcast — t12 rule);
+    // only the 1-row totals broadcast; top-K is TakeOrderedAndProject.
+    "t35_pmi_collocations" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .localCheckpoint() // feeds unigram AND bigram counts
+      val biCnt = docs
+        .select(explode(TextOps.wordNgrams($"toks", 2)).as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("cb"))
+        .localCheckpoint() // feeds the bigram total AND the pmi join
+      val uniCnt = docs.select(explode($"toks").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cu"))
+        .localCheckpoint() // feeds the unigram total AND two join probes
+      val tots = uniCnt.agg(sum($"cu").as("nn"))
+        .crossJoin(biCnt.agg(sum($"cb").as("nb")))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      biCnt.filter($"cb" >= PmiMinCount)
+        .withColumn("w1", substring_index($"bg", " ", 1))
+        .withColumn("w2", substring_index($"bg", " ", -1))
+        .join(uniCnt.select($"w".as("w1"), $"cu".as("cu1")), Seq("w1"))
+        .join(uniCnt.select($"w".as("w2"), $"cu".as("cu2")), Seq("w2"))
+        .crossJoin(broadcast(tots))
+        .select($"bg", $"cb", $"cu1", $"cu2",
+          round(log((d($"cb") * d($"nn") * d($"nn")) /
+            (d($"nb") * d($"cu1") * d($"cu2"))), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"bg")
+        .limit(PmiTopK)
+    }),
+
     // ---- P21: Neyman allocation with Hamilton apportionment -----------
     // Optimal stratified-sampling design (Neyman 1934): sample-size share
     // of stratum h ∝ N_h·σ_h, so high-variance sources get proportionally
@@ -1994,6 +2113,93 @@ object Curate {
          |  CAST(((rn - 1) * $CcnetBuckets) // n + 1 AS INTEGER)
          |    AS ppl_bucket
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t34_nb_langid" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, toks,
+         |    (${Det.fracSql("doc_id", NbSeed)} < 0.5) AS tr
+         |  FROM (SELECT doc_id, lang, $tokensSqlExpr AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 1),
+         |cw AS (
+         |  SELECT lang, w, CAST(count(*) AS BIGINT) AS cw
+         |  FROM (SELECT lang, unnest(toks) AS w FROM d WHERE tr)
+         |  GROUP BY lang, w),
+         |nl AS (SELECT lang, CAST(sum(cw) AS BIGINT) AS nl
+         |       FROM cw GROUP BY lang),
+         |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cw),
+         |dl AS (SELECT lang, CAST(count(*) AS BIGINT) AS dl
+         |       FROM d WHERE tr GROUP BY lang),
+         |dtot AS (SELECT CAST(count(*) AS BIGINT) AS dt FROM d WHERE tr),
+         |ls AS (
+         |  SELECT nl.lang, nl.nl, vv.v,
+         |    CAST(round(ln(CAST(dl.dl AS DOUBLE) / CAST(dtot.dt AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS prior_e6,
+         |    CAST(round(-ln(CAST(nl.nl AS DOUBLE) + CAST(vv.v AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS smooth_e6
+         |  FROM nl JOIN dl USING (lang) CROSS JOIN vv CROSS JOIN dtot),
+         |wg AS (
+         |  SELECT dw.w, ls.lang,
+         |    CAST(round(ln((coalesce(cw.cw, 0) + 1.0) /
+         |      (CAST(ls.nl AS DOUBLE) + CAST(ls.v AS DOUBLE)))
+         |      * 1000000) AS BIGINT) AS lpi
+         |  FROM (SELECT DISTINCT w FROM cw) dw CROSS JOIN ls
+         |  LEFT JOIN cw ON cw.lang = ls.lang AND cw.w = dw.w),
+         |ma AS (
+         |  SELECT te.doc_id, wg.lang, CAST(sum(wg.lpi) AS BIGINT) AS mlp,
+         |    CAST(count(*) AS BIGINT) AS m
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM d WHERE NOT tr) te
+         |  JOIN wg USING (w)
+         |  GROUP BY te.doc_id, wg.lang),
+         |dto AS (SELECT doc_id, lang AS true_lang,
+         |          CAST(len(toks) AS BIGINT) AS n_tok
+         |        FROM d WHERE NOT tr),
+         |sc AS (
+         |  SELECT dto.doc_id, dto.true_lang, ls.lang,
+         |    ls.prior_e6 + coalesce(ma.mlp, 0) +
+         |      (dto.n_tok - coalesce(ma.m, 0)) * ls.smooth_e6 AS score
+         |  FROM dto CROSS JOIN ls
+         |  LEFT JOIN ma ON ma.doc_id = dto.doc_id AND ma.lang = ls.lang),
+         |pr AS (
+         |  SELECT true_lang, lang,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lang) AS rn
+         |  FROM sc)
+         |SELECT true_lang, lang AS pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM pr WHERE rn = 1
+         |GROUP BY true_lang, lang ORDER BY true_lang, pred_lang""".stripMargin,
+
+    "t35_pmi_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, tokens FROM
+         |    (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
+         |  WHERE len(tokens) >= 2),
+         |bc AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM
+         |    (SELECT unnest(list_transform(
+         |       generate_series(0, len(tokens) - 2),
+         |       i -> array_to_string(list_slice(tokens, i + 1, i + 2), ' ')))
+         |       AS bg
+         |     FROM toks)
+         |  GROUP BY bg),
+         |uc AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cu FROM
+         |    (SELECT unnest(tokens) AS w FROM toks) GROUP BY w),
+         |tots AS (
+         |  SELECT (SELECT CAST(sum(cu) AS BIGINT) FROM uc) AS nn,
+         |         (SELECT CAST(sum(cb) AS BIGINT) FROM bc) AS nb),
+         |p AS (
+         |  SELECT bg, cb, split_part(bg, ' ', 1) AS w1,
+         |    split_part(bg, ' ', 2) AS w2
+         |  FROM bc WHERE cb >= $PmiMinCount)
+         |SELECT p.bg, p.cb, u1.cu AS cu1, u2.cu AS cu2,
+         |  round(ln((CAST(p.cb AS DOUBLE) * CAST(t.nn AS DOUBLE) *
+         |      CAST(t.nn AS DOUBLE)) /
+         |    (CAST(t.nb AS DOUBLE) * CAST(u1.cu AS DOUBLE) *
+         |      CAST(u2.cu AS DOUBLE))), 6) AS pmi
+         |FROM p JOIN uc u1 ON u1.w = p.w1 JOIN uc u2 ON u2.w = p.w2
+         |CROSS JOIN tots t
+         |ORDER BY pmi DESC, bg LIMIT $PmiTopK""".stripMargin,
 
     "p21_neyman_alloc" -> {
       val allStop = TextOps.langWords.flatMap(_._2)
