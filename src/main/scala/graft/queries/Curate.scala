@@ -102,6 +102,25 @@ object Curate {
   private val PmiMinCount = 3L
   private val PmiTopK = 20
 
+  /** p22 leakage-safe folds: fold count. */
+  private val FoldK = 5
+
+  /** t36 winnowing (Schleimer et al. 2003): char k-gram width, window
+    * size w (guarantee: any match ≥ w+k−1 chars shares a fingerprint),
+    * minimum shared fingerprints for a reported pair, and the hot-
+    * fingerprint cap. The cap is deliberately FAR below corpus size
+    * (MOSS-style): a fingerprint present in > WinCap docs is common
+    * boilerplate, not evidence of copying — dropping it (with the d18
+    * drop accounting) is what keeps the report discriminative AND the
+    * pair join's fan-out ≤ cap² per fingerprint. The packed window-min
+    * key is h·2²⁰ + (2²⁰ − pos) with h the 40-bit md5 prefix — EXACT
+    * int64 while docs stay under 2²⁰ chars (stated bound; chunk longer
+    * docs). */
+  private val WinK = 5
+  private val WinW = 4
+  private val WinShared = 3L
+  private val WinCap = 20
+
   /** DuckDB twin of [[TextOps.tokens]] (the Pipeline-pack expression). */
   private val tokensSqlExpr =
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
@@ -1054,6 +1073,73 @@ object Curate {
           expr(s"CAST(((__rn - 1) * $CcnetBuckets) div __n + 1 AS INT)")
             .as("ppl_bucket"))
         .orderBy($"doc_id")
+    }),
+
+    // ---- P22: leakage-safe (grouped) fold assignment ------------------
+    // GroupKFold for corpora: every EXACT DUPLICATE of a document lands
+    // in the same cross-validation fold by construction (fold is a
+    // function of the content hash), killing train/test leakage through
+    // dup pairs — the failure mode plain random folds have on undeduped
+    // web data. Near-balance via round-robin over groups globally ranked
+    // by (size, key): consecutive same-size groups spread across folds.
+    // 100 TB shape: one content-hash agg + the two-pass distributed rank
+    // (Ranks — no single-task window) + a hash-keyed join back; no
+    // driver state.
+    "p22_group_folds" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", md5($"text".cast("binary")).as("gkey"))
+        .localCheckpoint() // feeds group sizes AND the assignment join
+      val groups = docs.groupBy($"gkey").agg(count(lit(1)).as("n_group"))
+      val ranked = graft.ops.Ranks.globalRowNumber(
+        groups, Seq($"n_group", $"gkey"), "__rk")
+      docs.join(ranked, Seq("gkey"))
+        .select($"doc_id", $"n_group",
+          (($"__rk" - 1L) % FoldK).cast("int").as("fold"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- T36: winnowing fingerprints (Schleimer et al. 2003) ----------
+    // The canonical local document fingerprinting: hash all char
+    // k-grams, keep the RIGHTMOST MINIMUM of every w-window (the paper's
+    // tie rule), report doc pairs sharing ≥ WinShared selected hashes —
+    // guaranteeing any common substring of length ≥ w+k−1 is caught
+    // (t4's rolling hash fingerprints content; winnowing SELECTS the
+    // position-robust subset that makes cross-doc matching cheap).
+    // Exactness: the window min runs on ONE packed BIGINT (h·2²⁰ +
+    // (2²⁰−pos) — min ⇒ smallest h, ties ⇒ largest pos), so both
+    // engines agree bit-for-bit with no struct/row ordering semantics
+    // in play. 100 TB shape: per-doc char explode is map-only; the
+    // window min is doc-partitioned; the pair join runs on the selected
+    // fingerprint key behind the d3 hot-bucket cap with drop
+    // accounting.
+    "t36_winnowing" -> ((s, dir) => {
+      import s.implicits._
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"text",
+          explode(sequence(lit(1), length($"text") - (WinK - 1))).as("pos"))
+        .select($"doc_id", $"pos",
+          (conv(substring(md5(substring($"text", $"pos", lit(WinK))
+            .cast("binary")), 1, 10), 16, 10).cast("long") * (1L << 20) +
+            (lit(1L << 20) - $"pos")).as("__key"))
+      val wW = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(-(WinW - 1), 0)
+      val fp = grams
+        .withColumn("__sel", min($"__key").over(wW))
+        .filter($"pos" >= WinW) // full windows only (the paper's scheme)
+        .select($"doc_id", expr(s"__sel div ${1L << 20}").as("h"))
+        .distinct()
+      val capped = graft.ops.Buckets.capMembers(fp, Seq(col("h")),
+          cap = WinCap, label = "winnow")
+        .localCheckpoint() // feeds both join sides
+      capped.as("x").join(capped.as("y"),
+          col("x.h") === col("y.h") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= WinShared)
+        .orderBy($"a_id", $"b_id")
     }),
 
     // ---- T34: multinomial Naive-Bayes language ID ---------------------
@@ -2113,6 +2199,55 @@ object Curate {
          |  CAST(((rn - 1) * $CcnetBuckets) // n + 1 AS INTEGER)
          |    AS ppl_bucket
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "p22_group_folds" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS gkey FROM documents),
+         |g AS (SELECT gkey, CAST(count(*) AS BIGINT) AS n_group
+         |      FROM d GROUP BY gkey),
+         |r AS (SELECT gkey, n_group,
+         |        CAST(row_number() OVER (ORDER BY n_group, gkey)
+         |          AS BIGINT) AS rk
+         |      FROM g)
+         |SELECT d.doc_id, r.n_group,
+         |  CAST((r.rk - 1) % $FoldK AS INTEGER) AS fold
+         |FROM d JOIN r USING (gkey) ORDER BY d.doc_id""".stripMargin,
+
+    "t36_winnowing" -> {
+      // 40-bit hash from 10 hex chars (the a13 hexFold recipe)
+      val hexFold = (0 until 10).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * " +
+          s"${1L << (4 * (9 - i))}").mkString(" + ")
+      s"""WITH pos AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, len(text) - ${WinK - 1} + 1)) AS pos
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, pos, CAST($hexFold AS BIGINT) * ${1L << 20} +
+         |    (${1L << 20} - pos) AS key
+         |  FROM (SELECT doc_id, pos,
+         |          substr(md5(substr(text, CAST(pos AS INTEGER), $WinK)),
+         |            1, 10) AS h
+         |        FROM pos)),
+         |sel AS (
+         |  SELECT doc_id, pos,
+         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS s
+         |  FROM k),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, s // ${1L << 20} AS hh
+         |  FROM sel WHERE pos >= $WinW),
+         |cap AS (
+         |  SELECT doc_id, hh FROM
+         |    (SELECT doc_id, hh, count(*) OVER (PARTITION BY hh) AS bsz
+         |     FROM fp)
+         |  WHERE bsz <= $WinCap)
+         |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cap x JOIN cap y ON x.hh = y.hh AND x.doc_id < y.doc_id
+         |GROUP BY x.doc_id, y.doc_id
+         |HAVING count(*) >= $WinShared
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "t34_nb_langid" ->
       s"""WITH d AS (
