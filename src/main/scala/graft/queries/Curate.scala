@@ -87,7 +87,7 @@ object Curate {
     * tokens T ≈ 2.5e13 (100 TB of English) and E=1, up to S ≈ 3.6e5
     * sources; `epochs_e6` computes alloc·1e6 ⇒ alloc ≲ 9.2e12 tokens
     * per source. Beyond either, lift to DECIMAL(38,0) (the a40 recipe). */
-  private val UnimaxE = 1L
+  private[graft] val UnimaxE = 1L
 
   /** p21 Neyman allocation: total sample budget apportioned across the
     * source strata. */
@@ -119,7 +119,7 @@ object Curate {
   private val WinK = 5
   private val WinW = 4
   private val WinShared = 3L
-  private val WinCap = 20
+  private[graft] val WinCap = 20
 
   /** DuckDB twin of [[TextOps.tokens]] (the Pipeline-pack expression). */
   private val tokensSqlExpr =

@@ -37,6 +37,27 @@ object Stats {
   /** ACF lag depth. */
   private val AcfMaxLag = 3
 
+  /** w31 EWMA control chart (Roberts 1959): smoothing λ = 1/4 (DYADIC on
+    * purpose — every weight λ(1−λ)^d and tail (1−λ)^k is an exactly-
+    * representable dyadic double, built by repeated exact multiplication
+    * and embedded as the SAME literal in both engines), truncation depth
+    * D (the recursion unrolled to D lags — bounded window state, no
+    * sequential scan), and the control-limit multiple L. */
+  private val EwmaD = 20
+  private val EwmaLam = 0.25
+  private val EwmaL = 2.5
+  /** λ·(1−λ)^d for d = 0..D−1 — exact dyadic doubles. */
+  private val ewmaW: Seq[Double] =
+    Iterator.iterate(1.0)(_ * (1.0 - EwmaLam)).take(EwmaD)
+      .map(_ * EwmaLam).toSeq
+  /** (1−λ)^(k+1) for k = 0..D−1 — the mass the truncated window hands
+    * to the per-user mean. */
+  private val ewmaTail: Seq[Double] =
+    Iterator.iterate(1.0 - EwmaLam)(_ * (1.0 - EwmaLam)).take(EwmaD).toSeq
+  /** Asymptotic EWMA std factor √(λ/(2−λ)), computed ONCE in Scala and
+    * embedded as the same literal in both engines. */
+  private val ewmaCfac: Double = math.sqrt(EwmaLam / (2.0 - EwmaLam))
+
   /** CUSUM report size. */
   private val CusumTopK = 20
 
@@ -177,6 +198,54 @@ object Stats {
     // float until the final report. 100 TB shape: the per-user mean join,
     // the running-sum window and the argmax agg all share ONE user_id
     // shuffle; per-user partitions are bounded by a user's history.
+    // ---- W31: EWMA control chart (Roberts 1959) -----------------------
+    // The other classic mean-shift monitor beside w28's CUSUM: z_i =
+    // λ·x_i + (1−λ)·z_{i−1}, alarm when |z − μ| exceeds L·σ·√(λ/(2−λ)).
+    // The recursion is UNROLLED to D lags (truncated EWMA — the weight
+    // beyond D is < 0.32% at λ=1/4) with the residual mass handed to the
+    // per-user mean, so the whole chart is one key-partitioned window
+    // pass with bounded frame state instead of a sequential scan.
+    // Exactness: weights are dyadic literals shared verbatim by both
+    // engines; μ/σ are scalar IEEE on exact integer moments (the p21
+    // principle); every sum/product is written in the same association
+    // in both engines. 100 TB shape: ONE user_id shuffle shared by the
+    // moments join and the lag window; output is only the alarm rows.
+    "w31_ewma_chart" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
+          round($"value" * MilliScale).cast("long").as("vc"))
+      val st = ev.groupBy($"user_id")
+        .agg(sum($"vc").as("sq"), sum($"vc" * $"vc").as("sq2"),
+          count(lit(1)).as("n"))
+        .withColumn("mu", $"sq".cast("double") / $"n".cast("double"))
+        .withColumn("sig",
+          sqrt($"sq2".cast("double") / $"n".cast("double") -
+            ($"sq".cast("double") / $"n".cast("double")) *
+              ($"sq".cast("double") / $"n".cast("double"))))
+        .select($"user_id", $"mu", $"sig")
+      val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+      val terms = (0 until EwmaD).map(d =>
+        coalesce(lit(ewmaW(d)) * lag($"vc".cast("double"), d).over(w),
+          lit(0.0)))
+      val na = least($"__rn" - 1, lit(EwmaD - 1))
+      val tailw = (0 until EwmaD - 1)
+        .foldLeft(None: Option[org.apache.spark.sql.Column]) {
+          case (acc, k) =>
+            val c = acc.map(_.when(na === k, ewmaTail(k)))
+              .getOrElse(when(na === k, ewmaTail(k)))
+            Some(c)
+        }.get.otherwise(ewmaTail(EwmaD - 1))
+      ev.withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__zs", terms.reduce(_ + _))
+        .join(st, Seq("user_id"))
+        .withColumn("z", $"__zs" + tailw * $"mu")
+        .filter(abs($"z" - $"mu") > lit(EwmaL) * $"sig" * lit(ewmaCfac))
+        .select($"user_id", $"es", $"vc", round($"z", 4).as("ewma_milli"),
+          round(($"z" - $"mu") / ($"sig" * lit(ewmaCfac)), 4).as("z_sigma"))
+        .orderBy($"user_id", $"es")
+    }),
+
     "w28_cusum" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
@@ -679,6 +748,49 @@ object Stats {
          |      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
          |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
          |FROM st ORDER BY lag""".stripMargin
+    },
+
+    "w31_ewma_chart" -> {
+      val termsSql = ewmaW.zipWithIndex.map { case (wd, d) =>
+        s"coalesce($wd * lag(CAST(vc AS DOUBLE), $d) OVER w, 0.0)"
+      }.mkString(" + ")
+      val caseSql = (0 until EwmaD - 1).map(k =>
+        s"WHEN $k THEN ${ewmaTail(k)}").mkString(" ")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    ${qMilli("value")} AS vc
+         |  FROM events),
+         |st AS (
+         |  SELECT user_id,
+         |    CAST(sum(vc) AS BIGINT) AS sq,
+         |    CAST(sum(vc * vc) AS BIGINT) AS sq2,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ev GROUP BY user_id),
+         |sm AS (
+         |  SELECT user_id,
+         |    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    sqrt(CAST(sq2 AS DOUBLE) / CAST(n AS DOUBLE) -
+         |      (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))) AS sig
+         |  FROM st),
+         |zz AS (
+         |  SELECT user_id, es, vc,
+         |    ($termsSql) AS zs,
+         |    CAST(row_number() OVER w AS BIGINT) AS rn
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |zj AS (
+         |  SELECT zz.user_id, zz.es, zz.vc,
+         |    zz.zs + (CASE least(zz.rn - 1, ${EwmaD - 1}) $caseSql
+         |      ELSE ${ewmaTail(EwmaD - 1)} END) * sm.mu AS z,
+         |    sm.mu, sm.sig
+         |  FROM zz JOIN sm USING (user_id))
+         |SELECT user_id, es, vc,
+         |  round(z, 4) AS ewma_milli,
+         |  round((z - mu) / (sig * $ewmaCfac), 4) AS z_sigma
+         |FROM zj
+         |WHERE abs(z - mu) > $EwmaL * sig * $ewmaCfac
+         |ORDER BY user_id, es""".stripMargin
     },
 
     "w28_cusum" ->

@@ -203,6 +203,22 @@ class PlanAuditSpec extends SparkSpec {
     wins.foreach(l => assert(l.contains("[source"), l))
   }
 
+  test("t33/p21: allocation arithmetic runs broadcast-only on the " +
+      "≤-sources-row frame — the corpus never joins, only aggregates") {
+    for (q <- Seq("t33_unimax_budget", "p21_neyman_alloc")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n" + p.take(3000))
+      // the corpus → S-row collapse must combine map-side
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q:\n" + p.take(3000))
+    }
+  }
+
+  test("t35: the collocation top-K compiles to TakeOrderedAndProject, " +
+      "never a global sort of the bigram table") {
+    assert(plan("t35_pmi_collocations").contains("TakeOrderedAndProject"))
+  }
+
   test("e2e chains: exchange / checkpoint-seam / join-strategy counts " +
       "pinned (the most regression-prone plans in the repo)") {
     // The chain queries compose many audited stages; a silent plan

@@ -23,7 +23,9 @@ class ScaleBoundsSpec extends AnyFunSuite {
     "Stats.KmScale" -> graft.queries.Stats.KmScale,
     "Stats.G6CustomerCap" -> graft.queries.Stats.G6CustomerCap.toDouble,
     "Embed.KppScale" -> graft.queries.Embed.KppScale,
-    "Buckets.DefaultCap" -> graft.ops.Buckets.DefaultCap.toDouble)
+    "Buckets.DefaultCap" -> graft.ops.Buckets.DefaultCap.toDouble,
+    "Curate.UnimaxE" -> graft.queries.Curate.UnimaxE.toDouble,
+    "Curate.WinCap" -> graft.queries.Curate.WinCap.toDouble)
 
   private def docRows: Seq[(String, Double)] = {
     val lines = scala.io.Source.fromFile("SCALE_BOUNDS.md", "UTF-8").getLines().toSeq
