@@ -43,20 +43,41 @@ object Stats {
     * and embedded as the SAME literal in both engines), truncation depth
     * D (the recursion unrolled to D lags — bounded window state, no
     * sequential scan), and the control-limit multiple L. */
-  private val EwmaD = 20
+  private[graft] val EwmaD = 20
   private val EwmaLam = 0.25
-  private val EwmaL = 2.5
+  private[graft] val EwmaL = 2.5
   /** λ·(1−λ)^d for d = 0..D−1 — exact dyadic doubles. */
-  private val ewmaW: Seq[Double] =
+  private[graft] val ewmaW: Seq[Double] =
     Iterator.iterate(1.0)(_ * (1.0 - EwmaLam)).take(EwmaD)
       .map(_ * EwmaLam).toSeq
   /** (1−λ)^(k+1) for k = 0..D−1 — the mass the truncated window hands
     * to the per-user mean. */
-  private val ewmaTail: Seq[Double] =
+  private[graft] val ewmaTail: Seq[Double] =
     Iterator.iterate(1.0 - EwmaLam)(_ * (1.0 - EwmaLam)).take(EwmaD).toSeq
   /** Asymptotic EWMA std factor √(λ/(2−λ)), computed ONCE in Scala and
     * embedded as the same literal in both engines. */
-  private val ewmaCfac: Double = math.sqrt(EwmaLam / (2.0 - EwmaLam))
+  private[graft] val ewmaCfac: Double = math.sqrt(EwmaLam / (2.0 - EwmaLam))
+
+  /** w31's event projection and per-user calibration moments — ONE
+    * definition each (the psiCounts pattern) shared by the batch chart
+    * and [[graft.streaming.StreamJob.ewmaAlarmStream]]'s spec, so the
+    * streaming twin's calibration can never drift from the query's. */
+  private[graft] def ewmaEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        Det.epochS(col("ts")).as("es"),
+        round(col("value") * MilliScale).cast("long").as("vc"))
+
+  private[graft] def ewmaCalib(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(sum(col("vc")).as("sq"), sum(col("vc") * col("vc")).as("sq2"),
+        count(lit(1)).as("n"))
+      .withColumn("mu", col("sq").cast("double") / col("n").cast("double"))
+      .withColumn("sig",
+        sqrt(col("sq2").cast("double") / col("n").cast("double") -
+          (col("sq").cast("double") / col("n").cast("double")) *
+            (col("sq").cast("double") / col("n").cast("double"))))
+      .select(col("user_id"), col("mu"), col("sig"))
 
   /** CUSUM report size. */
   private val CusumTopK = 20
@@ -212,18 +233,8 @@ object Stats {
     // moments join and the lag window; output is only the alarm rows.
     "w31_ewma_chart" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
-        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
-          round($"value" * MilliScale).cast("long").as("vc"))
-      val st = ev.groupBy($"user_id")
-        .agg(sum($"vc").as("sq"), sum($"vc" * $"vc").as("sq2"),
-          count(lit(1)).as("n"))
-        .withColumn("mu", $"sq".cast("double") / $"n".cast("double"))
-        .withColumn("sig",
-          sqrt($"sq2".cast("double") / $"n".cast("double") -
-            ($"sq".cast("double") / $"n".cast("double")) *
-              ($"sq".cast("double") / $"n".cast("double"))))
-        .select($"user_id", $"mu", $"sig")
+      val ev = ewmaEvents(s, dir)
+      val st = ewmaCalib(ev)
       val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
       val terms = (0 until EwmaD).map(d =>
         coalesce(lit(ewmaW(d)) * lag($"vc".cast("double"), d).over(w),

@@ -170,6 +170,79 @@ object StreamJob {
   def psiStream(stream: DataFrame): DataFrame =
     graft.queries.Curate.psiCounts(stream)
 
+  case class EwmaIn(user_id: Long, event_id: Long, es: Long, vc: Long,
+                    mu: Double, sig: Double)
+  case class EwmaAlarm(user_id: Long, es: Long, vc: Long,
+                       ewma_milli: Double, z_sigma: Double)
+  case class EwmaState(rn: Long, recent: Seq[Long])
+
+  /** Streaming EWMA control chart — `w31_ewma_chart`'s truncated chart
+    * over a live event stream. Calibration (per-user μ/σ — build it with
+    * the SHARED `Stats.ewmaCalib` over the reference corpus) joins as a
+    * DATAFRAME: a stream-static equi-join, because at corpus scale the
+    * calibration table is data-sized and must never become a driver-side
+    * map. `flatMapGroupsWithState` carries (row count, trailing D−1
+    * values) per user — constant state per key. The per-row arithmetic
+    * replicates w31's column expression TERM FOR TERM in the same
+    * association (incl. the literal-0.0 padding of missing lags and
+    * Spark round's scala-BigDecimal HALF_UP), so emitted alarms are
+    * bit-identical to the oracle-green batch rows when per-key arrival
+    * respects event order across triggers (in-batch disorder is sorted
+    * here — the StatefulWindow contract). */
+  def ewmaAlarmStream(stream: DataFrame,
+                      calib: DataFrame): org.apache.spark.sql.Dataset[EwmaAlarm] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // copy constants into serializable locals — aliasing the Stats
+    // MODULE into the closure would drag the whole object through
+    // task serialization
+    val ewD = graft.queries.Stats.EwmaD
+    val ewW: Array[Double] = graft.queries.Stats.ewmaW.toArray
+    val ewT: Array[Double] = graft.queries.Stats.ewmaTail.toArray
+    val ewL = graft.queries.Stats.EwmaL
+    val cfac = graft.queries.Stats.ewmaCfac
+    val r4 = (x: Double) =>
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    stream.join(calib, Seq("user_id"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("es").cast("long").as("es"), col("vc").cast("long").as("vc"),
+        col("mu").cast("double").as("mu"),
+        col("sig").cast("double").as("sig"))
+      .as[EwmaIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[EwmaIn],
+         state: org.apache.spark.sql.streaming.GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0L, Seq.empty))
+          val out = collection.mutable.ArrayBuffer[EwmaAlarm]()
+          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
+            val rn = st.rn + 1
+            // w31's terms.reduce(_ + _): t0 + t1 + … left-assoc, missing
+            // lags contribute the LITERAL 0.0 exactly as coalesce does
+            var z = 0.0
+            var d = 0
+            while (d < ewD) {
+              z += (if (d == 0) ewW(0) * r.vc.toDouble
+                else if (d - 1 < st.recent.length)
+                  ewW(d) * st.recent(d - 1).toDouble
+                else 0.0)
+              d += 1
+            }
+            val na = math.min(rn - 1, (ewD - 1).toLong).toInt
+            val zf = z + ewT(na) * r.mu
+            if (math.abs(zf - r.mu) > ewL * r.sig * cfac)
+              out += EwmaAlarm(key, r.es, r.vc, r4(zf),
+                r4((zf - r.mu) / (r.sig * cfac)))
+            st = EwmaState(rn, (r.vc +: st.recent).take(ewD - 1))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Seed the signature index for [[incrementalDedupSink]]: the corpus'
     * LSH band memberships (capped with the SAME hot-bucket guard the
     * batch query applies — a degenerate band is skipped at index-build

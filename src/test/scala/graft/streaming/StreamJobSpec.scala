@@ -12,6 +12,7 @@ case class L(k: Long, lts: Timestamp, lid: Long)
 case class R(k: Long, rts: Timestamp, rid: Long)
 case class CDoc(source: String, text: String)
 case class MDoc(doc_id: Long, text: String)
+case class EwRow(user_id: Long, event_id: Long, es: Long, vc: Long)
 
 class StreamJobSpec extends SparkSpec {
   import spark.implicits._
@@ -150,6 +151,41 @@ class StreamJobSpec extends SparkSpec {
     // bounded state: sources × ≤21 fixed-width bins
     val nSrc = batch.keys.map(_._1).toSet.size
     assert(got.size <= nSrc * 21)
+  }
+
+  test("streaming EWMA alarms ≡ the oracle-green w31 batch chart, " +
+      "across three batch-cut layouts") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.queries.Stats.ewmaEvents(spark, dir).localCheckpoint()
+    val calib = graft.queries.Stats.ewmaCalib(ev).localCheckpoint()
+    val batch = graft.SparkEntry.queries("w31_ewma_chart")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(batch.nonEmpty)
+    // globally time-ordered feed → per-key event order holds across cuts
+    val rows = ev.orderBy($"es", $"event_id").collect()
+      .map(r => EwRow(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    implicit val sq = spark.sqlContext
+    val layouts = Seq(Seq(rows.length), Seq(333, rows.length),
+      Seq(100, 400, rows.length))
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[EwRow]
+      val q = StreamJob.ewmaAlarmStream(mem.toDF(), calib)
+        .writeStream.format("memory").queryName(s"ewma_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable(); prev = c
+      }
+      q.stop()
+      val got = spark.table(s"ewma_out_$i").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(got == batch, s"cut layout $i diverged from batch")
+    }
   }
 
   test("manifestStream on a static frame ≡ the oracle-green p19 batch " +
