@@ -233,6 +233,31 @@ object Demo {
     println("kmeans++ seeds: " + seeds.collect()
       .map(_.getAs[Long]("chosen_id")).mkString(", "))
 
+    // round-7 legs: budget/sampling designs, trained lang-ID, winnowing,
+    // drift + control-chart monitors
+    import org.apache.spark.sql.functions.{sum => fsum, max => fmax}
+    val uni = SparkEntry.queries("t33_unimax_budget")(spark, sfDir)
+    println(s"unimax: ${uni.filter($"saturated").count()}/${uni.count()} " +
+      s"sources saturated, allocated " +
+      s"${uni.agg(fsum($"alloc")).head.getLong(0)} tokens")
+    val ney = SparkEntry.queries("p21_neyman_alloc")(spark, sfDir)
+    assert(ney.agg(fsum($"alloc")).head.getLong(0) == 100,
+      "neyman allocations must sum to the exact budget")
+    val nb = SparkEntry.queries("t34_nb_langid")(spark, sfDir)
+    val nbOk = nb.filter($"true_lang" === $"pred_lang")
+      .agg(fsum($"n")).head.getLong(0)
+    println(s"nb lang-id: $nbOk/${nb.agg(fsum($"n")).head.getLong(0)} " +
+      "test docs correct")
+    val win = SparkEntry.queries("t36_winnowing")(spark, sfDir)
+    println(s"winnowing: ${win.count()} suspicious pairs above the " +
+      "shared-fingerprint floor")
+    val psi = SparkEntry.queries("a45_psi_drift")(spark, sfDir)
+    println(f"psi drift: max source PSI = " +
+      f"${psi.agg(fmax($"psi")).head.getDouble(0)}%.4f")
+    val ew = SparkEntry.queries("w31_ewma_chart")(spark, sfDir)
+    println(s"ewma chart: ${ew.count()} alarm rows")
+    assert(ew.count() > 0, "ewma chart must alarm on this corpus")
+
     println("DEMO_OK")
     spark.stop()
   }

@@ -95,6 +95,11 @@ object Embed {
   private val KppK = 4
   private val KppSeed = 89L
   private[graft] val KppScale = 1000.0
+  /** e20 k-NN graph: neighbors kept per node and the second LSH table's
+    * seed (two independent tables raise candidate recall; isolated
+    * singleton-bucket nodes simply emit no edges — stated contract). */
+  private val KnnK = 3
+  private val KnnSeed2 = SEED + 100L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-5 per query vector -----------------------
@@ -212,6 +217,42 @@ object Embed {
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
           round($"cos", 6).as("cos_sim"))
         .orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- E20: corpus-wide k-NN graph -----------------------------------
+    // The primitive SemDeDup/cluster/graph pipelines build on: every
+    // node's top-k cosine neighbors, candidates drawn from TWO
+    // independent LSH tables (union → dedup by max — cos is identical
+    // wherever the pair appears) so recall beats any single table while
+    // the join stays bucket-keyed. 100 TB shape: candidate generation is
+    // the capped (tab, bucket) self-join (hot-bucket guard + d18 drop
+    // accounting), per-node top-k is a key-partitioned window — no
+    // all-pairs stage anywhere.
+    "e20_knn_graph" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"embedding")
+      val tabs = Seq(SEED, KnnSeed2).zipWithIndex.map { case (sd, ti) =>
+        emb.select($"vec_id", $"embedding",
+          Vectors.lshBucket($"embedding", DIM, NBITS, sd).as("bucket"),
+          lit(ti).as("tab"))
+      }.reduce(_.unionByName(_))
+      val withB = graft.ops.Buckets.capMembers(tabs,
+          Seq(col("tab"), col("bucket")), label = "knn_graph")
+        .localCheckpoint() // feeds both self-join sides
+      withB.as("x").join(withB.as("y"),
+          col("x.tab") === col("y.tab") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("nbr"),
+          Vectors.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        .groupBy($"src", $"nbr").agg(max($"cos").as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+        .filter($"rnk" <= KnnK)
+        .select($"src", $"rnk", $"nbr", round($"cos", 6).as("cos_sim"))
+        .orderBy($"src", $"rnk")
     }),
 
     // ---- product-quantization ANN (Jégou et al. 2011) --------------------
@@ -1093,6 +1134,31 @@ object Embed {
            |      FROM ref)
            |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id, round(cos, 6) AS cos_sim
            |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      "e20_knn_graph" -> {
+        val bucketSql2 = Vectors.lshBucketSql("embedding", DIM, NBITS,
+          KnnSeed2)
+        s"""WITH wb AS (
+           |  SELECT vec_id, embedding, 0 AS tab, $bucketSql AS bucket
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id, embedding, 1 AS tab, $bucketSql2 AS bucket
+           |  FROM embeddings),
+           |p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
+           |        x.embedding AS xe, y.embedding AS ye
+           |      FROM wb x JOIN wb y
+           |        ON x.tab = y.tab AND x.bucket = y.bucket
+           |        AND x.vec_id != y.vec_id),
+           |c AS (SELECT src, nbr, max(cos) AS cos FROM
+           |        (SELECT src, nbr, $cosXY AS cos, xe, ye FROM p)
+           |      GROUP BY src, nbr),
+           |r AS (SELECT src, nbr, cos, row_number() OVER
+           |        (PARTITION BY src ORDER BY cos DESC, nbr) AS rnk
+           |      FROM c)
+           |SELECT src, CAST(rnk AS INTEGER) AS rnk, nbr,
+           |  round(cos, 6) AS cos_sim
+           |FROM r WHERE rnk <= $KnnK ORDER BY src, rnk""".stripMargin
+      },
 
       "e4_embed_neardup" ->
         s"""WITH wb AS (SELECT vec_id, embedding, $bucketSql AS bucket
