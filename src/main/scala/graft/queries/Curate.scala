@@ -105,6 +105,10 @@ object Curate {
   /** p22 leakage-safe folds: fold count. */
   private val FoldK = 5
 
+  /** t37 cross-doc novelty: shingle width in tokens (the Lee et al.
+    * 2021 §4 duplication-profile measurement granularity). */
+  private val NovN = 8
+
   /** t36 winnowing (Schleimer et al. 2003): char k-gram width, window
     * size w (guarantee: any match ≥ w+k−1 chars shares a fingerprint),
     * minimum shared fingerprints for a reported pair, and the hot-
@@ -1072,6 +1076,38 @@ object Curate {
         .select($"doc_id", $"source", $"avg_logprob",
           expr(s"CAST(((__rn - 1) * $CcnetBuckets) div __n + 1 AS INT)")
             .as("ppl_bucket"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- T37: cross-document novelty profile --------------------------
+    // The duplication-profile measurement of Lee et al. 2021 §4 (and the
+    // memorization literature): per document, the fraction of its
+    // DISTINCT token 8-grams that also appear in at least one OTHER
+    // document — d13's containment asks "is doc A inside doc B?", this
+    // asks "how much of each doc is corpus boilerplate?", the signal
+    // dedup-threshold tuning reads. A doc's internal repeats count once
+    // (array_distinct before the explode), so df ≥ 2 means genuinely
+    // cross-doc. 100 TB shape: the gram document-frequency table is a
+    // COUNT TABLE joined on the gram key (t12 rule), per-doc aggregation
+    // shuffles on doc_id — linear, no pair stage.
+    "t37_crossdoc_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val dt = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= NovN)
+        .select($"doc_id",
+          explode(array_distinct(TextOps.wordNgrams($"toks", NovN)))
+            .as("g"))
+        .localCheckpoint() // feeds the df count AND the per-doc join
+      val df = dt.groupBy($"g").agg(count(lit(1)).as("df"))
+      dt.join(df, Seq("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"df" >= 2L, 1L).otherwise(0L)).as("n_shared"))
+        .select($"doc_id", $"n_shingles", $"n_shared",
+          round($"n_shared".cast("double") / $"n_shingles".cast("double"),
+            6).as("shared_frac"))
         .orderBy($"doc_id")
     }),
 
@@ -2199,6 +2235,25 @@ object Curate {
          |  CAST(((rn - 1) * $CcnetBuckets) // n + 1 AS INTEGER)
          |    AS ppl_bucket
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t37_crossdoc_novelty" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(0, len(toks) - $NovN),
+         |      i -> array_to_string(list_slice(toks, i + 1, i + $NovN),
+         |        ' '))) AS g
+         |    FROM (SELECT doc_id, $tokensSqlExpr AS toks FROM documents)
+         |    WHERE len(toks) >= $NovN)),
+         |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+         |       FROM dt GROUP BY g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared,
+         |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+         |FROM dt JOIN df USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "p22_group_folds" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS gkey FROM documents),

@@ -58,6 +58,10 @@ object Stats {
     * embedded as the same literal in both engines. */
   private[graft] val ewmaCfac: Double = math.sqrt(EwmaLam / (2.0 - EwmaLam))
 
+  /** a46 seasonal strength: the seasonal period in buckets (hour of
+    * day). */
+  private val SeasBuckets = 24L
+
   /** w31's event projection and per-user calibration moments — ONE
     * definition each (the psiCounts pattern) shared by the batch chart
     * and [[graft.streaming.StreamJob.ewmaAlarmStream]]'s spec, so the
@@ -219,6 +223,49 @@ object Stats {
     // float until the final report. 100 TB shape: the per-user mean join,
     // the running-sum window and the argmax agg all share ONE user_id
     // shuffle; per-user partitions are bounded by a user's history.
+    // ---- A46: seasonal strength (Hyndman & Athanasopoulos) ------------
+    // Strength of the hour-of-day seasonal pattern per event type:
+    // 1 − SS_within/SS_total over the 24 hour buckets (the classic
+    // variance-explained seasonality measure; ≈0 = no daily pattern,
+    // →1 = value determined by hour), plus the peak hour. Exactness:
+    // all moments are exact BIGINT per (type, hour); the SS arithmetic
+    // is scalar IEEE on those integers with products taken in DOUBLES
+    // (n·Σq² would cross int64 — the a38 rule), and the one cross-
+    // bucket Σ folds sorted (t30 recipe, ≤24 addends). 100 TB shape:
+    // ONE map-side-combined (type, hour) agg collapses the corpus to
+    // ≤ types·24 rows; everything after runs on that tiny frame.
+    "a46_seasonal_strength" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val hm = t(s, dir, "events")
+        .select($"event_type", Det.epochS($"ts").as("es"),
+          round($"value" * MilliScale).cast("long").as("q"))
+        .select($"event_type",
+          expr(s"CAST((es div 3600) % $SeasBuckets AS INT)").as("hh"),
+          $"q")
+        .groupBy($"event_type", $"hh")
+        .agg(count(lit(1)).as("nh"), sum($"q").as("sh"),
+          sum($"q" * $"q").as("s2h"))
+        .withColumn("term",
+          (d($"nh") * d($"s2h") - d($"sh") * d($"sh")) / d($"nh"))
+        .localCheckpoint() // ≤ types·24 rows; feeds strength AND peak
+      val wP = Window.partitionBy($"event_type")
+        .orderBy((d($"sh") / d($"nh")).desc, $"hh")
+      val peak = hm.withColumn("__rk", row_number().over(wP))
+        .filter($"__rk" === 1)
+        .select($"event_type", $"hh".as("peak_hour"))
+      hm.groupBy($"event_type")
+        .agg(sum($"nh").as("n"), sum($"sh").as("s"), sum($"s2h").as("s2"),
+          aggregate(sort_array(collect_list($"term")), lit(0.0),
+            (acc, x) => acc + x).as("ssw"))
+        .withColumn("sst", (d($"n") * d($"s2") - d($"s") * d($"s")) / d($"n"))
+        .join(peak, Seq("event_type"))
+        .select($"event_type", $"n",
+          round(lit(1.0) - $"ssw" / $"sst", 6).as("seasonal_strength"),
+          $"peak_hour")
+        .orderBy($"event_type")
+    }),
+
     // ---- W31: EWMA control chart (Roberts 1959) -----------------------
     // The other classic mean-shift monitor beside w28's CUSUM: z_i =
     // λ·x_i + (1−λ)·z_{i−1}, alarm when |z − μ| exceeds L·σ·√(λ/(2−λ)).
@@ -760,6 +807,47 @@ object Stats {
          |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
          |FROM st ORDER BY lag""".stripMargin
     },
+
+    "a46_seasonal_strength" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST((${Det.epochSSql("ts")} // 3600) % $SeasBuckets
+         |      AS INTEGER) AS hh,
+         |    ${qMilli("value")} AS q
+         |  FROM events),
+         |hm AS (
+         |  SELECT event_type, hh, CAST(count(*) AS BIGINT) AS nh,
+         |    CAST(sum(q) AS BIGINT) AS sh,
+         |    CAST(sum(q * q) AS BIGINT) AS s2h
+         |  FROM ev GROUP BY event_type, hh),
+         |tm AS (
+         |  SELECT event_type, hh, nh, sh, s2h,
+         |    (CAST(nh AS DOUBLE) * CAST(s2h AS DOUBLE) -
+         |      CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)) /
+         |      CAST(nh AS DOUBLE) AS term
+         |  FROM hm),
+         |pk AS (
+         |  SELECT event_type, hh AS peak_hour FROM (
+         |    SELECT event_type, hh, row_number() OVER
+         |      (PARTITION BY event_type
+         |       ORDER BY CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE) DESC, hh)
+         |      AS rk
+         |    FROM tm)
+         |  WHERE rk = 1),
+         |ag AS (
+         |  SELECT event_type, CAST(sum(nh) AS BIGINT) AS n,
+         |    CAST(sum(sh) AS BIGINT) AS s,
+         |    CAST(sum(s2h) AS BIGINT) AS s2,
+         |    list_reduce(list_sort(list(term)), (a, b) -> a + b) AS ssw
+         |  FROM tm GROUP BY event_type)
+         |SELECT ag.event_type, ag.n,
+         |  round(1.0 - ag.ssw /
+         |    ((CAST(ag.n AS DOUBLE) * CAST(ag.s2 AS DOUBLE) -
+         |      CAST(ag.s AS DOUBLE) * CAST(ag.s AS DOUBLE)) /
+         |      CAST(ag.n AS DOUBLE)), 6) AS seasonal_strength,
+         |  pk.peak_hour
+         |FROM ag JOIN pk USING (event_type)
+         |ORDER BY event_type""".stripMargin,
 
     "w31_ewma_chart" -> {
       val termsSql = ewmaW.zipWithIndex.map { case (wd, d) =>
