@@ -19,6 +19,12 @@ object Analytics {
   private val PrIters = 3
   private val PrTopK = 20
 
+  /** g8 HITS (Kleinberg 1999): integer score scale (each normalization
+    * rescales the max to HitsScale, so round values stay ≤ HitsScale·E
+    * — exact int64 while edges E ≲ 9e12) and the report depth. */
+  private val HitsScale = 1000L
+  private val HitsTopK = 20
+
   /** BFS relaxation rounds / seed selector — embedded verbatim in both
     * engines (see ops/Bfs.scala). Every 5th supplier is a "trusted" seed. */
   private val BfsHops = 3
@@ -102,6 +108,40 @@ object Analytics {
     // bit-reproducible — the oracle unrolls the same 3 iterations in SQL.
     // 100 TB shape: per iteration one co-partitioned join + one agg shuffle
     // on an exchange-reused edge frame (ops/PageRank.scala).
+    // ---- G8: HITS hubs & authorities (Kleinberg 1999) -----------------
+    // The bipartite companion to g1's PageRank on the same customer→
+    // supplier graph: auth(s) = Σ hub(c), hub(c) = Σ auth(s), two
+    // rounds of the power iteration in EXACT integers — each round
+    // max-normalizes to HitsScale with integer div (deterministic in
+    // both engines; the float L2 normalization of textbook HITS has no
+    // cross-engine sum order, integer max-scaling does). 100 TB shape:
+    // every update is a LINEAR edge-keyed join + agg (no pair fan-out —
+    // unlike g6 no hot-key cap is needed), the max is a 1-row broadcast.
+    "g8_hits" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("sk"))
+        .distinct()
+        .localCheckpoint() // feeds all three propagation rounds
+      val a1 = pairs.groupBy($"sk")
+        .agg((count(lit(1)) * HitsScale).as("a"))
+      val a1s = a1.crossJoin(broadcast(a1.agg(max($"a").as("m"))))
+        .select($"sk", expr(s"(a * $HitsScale) div m").as("as1"))
+      val h1 = pairs.join(a1s, Seq("sk")).groupBy($"c")
+        .agg(sum($"as1").as("h"))
+      val h1s = h1.crossJoin(broadcast(h1.agg(max($"h").as("m"))))
+        .select($"c", expr(s"(h * $HitsScale) div m").as("hs1"))
+      val a2 = pairs.join(h1s, Seq("c")).groupBy($"sk")
+        .agg(sum($"hs1").as("a"), count(lit(1)).as("n_customers"))
+      a2.crossJoin(broadcast(a2.agg(max($"a").as("m"))))
+        .select($"sk".as("s_suppkey"),
+          expr(s"(a * $HitsScale) div m").as("auth_score"), $"n_customers")
+        .orderBy($"auth_score".desc, $"s_suppkey")
+        .limit(HitsTopK)
+    }),
+
     "g1_pagerank" -> ((s, dir) => {
       import s.implicits._
       val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
@@ -1230,6 +1270,30 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "g8_hits" ->
+      s"""WITH pr0 AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |a1 AS (SELECT sk, CAST(count(*) * $HitsScale AS BIGINT) AS a
+         |       FROM pr0 GROUP BY sk),
+         |a1m AS (SELECT CAST(max(a) AS BIGINT) AS m FROM a1),
+         |a1s AS (SELECT sk, CAST((a * $HitsScale) // m AS BIGINT) AS as1
+         |        FROM a1 CROSS JOIN a1m),
+         |h1 AS (SELECT c, CAST(sum(as1) AS BIGINT) AS h
+         |       FROM pr0 JOIN a1s USING (sk) GROUP BY c),
+         |h1m AS (SELECT CAST(max(h) AS BIGINT) AS m FROM h1),
+         |h1s AS (SELECT c, CAST((h * $HitsScale) // m AS BIGINT) AS hs1
+         |        FROM h1 CROSS JOIN h1m),
+         |a2 AS (SELECT sk, CAST(sum(hs1) AS BIGINT) AS a,
+         |         CAST(count(*) AS BIGINT) AS n_customers
+         |       FROM pr0 JOIN h1s USING (c) GROUP BY sk),
+         |a2m AS (SELECT CAST(max(a) AS BIGINT) AS m FROM a2)
+         |SELECT sk AS s_suppkey,
+         |  CAST((a * $HitsScale) // m AS BIGINT) AS auth_score,
+         |  n_customers
+         |FROM a2 CROSS JOIN a2m
+         |ORDER BY auth_score DESC, s_suppkey LIMIT $HitsTopK""".stripMargin,
+
     "g1_pagerank" -> {
       val base = s"($PrScale // (SELECT count(*) FROM deg))"
       val tele = s"((${100L - PrDamp} * $base) // 100)"

@@ -62,6 +62,19 @@ object Stats {
     * day). */
   private val SeasBuckets = 24L
 
+  /** a46/seasonalStream shared per-(event_type, hour) moment counts —
+    * ONE definition (the psiCounts pattern) over a frame carrying
+    * (event_type, es, q); works on a streaming frame unchanged
+    * (select + groupBy only), complete-mode state bounded at
+    * types × 24 rows. */
+  private[graft] def seasCounts(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        expr(s"CAST((es div 3600) % $SeasBuckets AS INT)").as("hh"),
+        col("q"))
+      .groupBy(col("event_type"), col("hh"))
+      .agg(count(lit(1)).as("nh"), sum(col("q")).as("sh"),
+        sum(col("q") * col("q")).as("s2h"))
+
   /** w31's event projection and per-user calibration moments — ONE
     * definition each (the psiCounts pattern) shared by the batch chart
     * and [[graft.streaming.StreamJob.ewmaAlarmStream]]'s spec, so the
@@ -237,15 +250,9 @@ object Stats {
     "a46_seasonal_strength" -> ((s, dir) => {
       import s.implicits._
       val d = (c: org.apache.spark.sql.Column) => c.cast("double")
-      val hm = t(s, dir, "events")
-        .select($"event_type", Det.epochS($"ts").as("es"),
-          round($"value" * MilliScale).cast("long").as("q"))
-        .select($"event_type",
-          expr(s"CAST((es div 3600) % $SeasBuckets AS INT)").as("hh"),
-          $"q")
-        .groupBy($"event_type", $"hh")
-        .agg(count(lit(1)).as("nh"), sum($"q").as("sh"),
-          sum($"q" * $"q").as("s2h"))
+      val hm = seasCounts(t(s, dir, "events")
+          .select($"event_type", Det.epochS($"ts").as("es"),
+            round($"value" * MilliScale).cast("long").as("q")))
         .withColumn("term",
           (d($"nh") * d($"s2h") - d($"sh") * d($"sh")) / d($"nh"))
         .localCheckpoint() // ≤ types·24 rows; feeds strength AND peak

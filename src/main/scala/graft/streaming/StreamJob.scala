@@ -170,6 +170,18 @@ object StreamJob {
   def psiStream(stream: DataFrame): DataFrame =
     graft.queries.Curate.psiCounts(stream)
 
+  /** Streaming seasonality-monitor input: per-(event_type, hour-of-day)
+    * moment counts maintained incrementally over an event stream — the
+    * state a46's seasonal-strength arithmetic reads. The moment
+    * expression is the SHARED [[graft.queries.Stats.seasCounts]] (the
+    * psiCounts pattern), so the streaming counts are definitionally
+    * a46's input frame; complete-mode state is bounded BY CONSTRUCTION
+    * at event types × 24 buckets regardless of stream length, and the
+    * SS arithmetic runs on that tiny frame per trigger. Input must
+    * carry (event_type, es, q). */
+  def seasonalStream(stream: DataFrame): DataFrame =
+    graft.queries.Stats.seasCounts(stream)
+
   case class EwmaIn(user_id: Long, event_id: Long, es: Long, vc: Long,
                     mu: Double, sig: Double)
   case class EwmaAlarm(user_id: Long, es: Long, vc: Long,

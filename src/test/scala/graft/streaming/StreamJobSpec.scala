@@ -13,6 +13,7 @@ case class R(k: Long, rts: Timestamp, rid: Long)
 case class CDoc(source: String, text: String)
 case class MDoc(doc_id: Long, text: String)
 case class EwRow(user_id: Long, event_id: Long, es: Long, vc: Long)
+case class SeasRow(event_type: String, es: Long, q: Long)
 
 class StreamJobSpec extends SparkSpec {
   import spark.implicits._
@@ -151,6 +152,34 @@ class StreamJobSpec extends SparkSpec {
     // bounded state: sources × ≤21 fixed-width bins
     val nSrc = batch.keys.map(_._1).toSet.size
     assert(got.size <= nSrc * 21)
+  }
+
+  test("streaming seasonal moment counts ≡ batch counts, across cuts") {
+    val evs = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_type", expr("CAST(ts AS LONG)").as("es"),
+        expr("CAST(round(value * 1000) AS LONG)").as("q"))
+      .collect()
+      .map(r => SeasRow(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = asMap(StreamJob.seasonalStream(evs.toDF()).collect())
+    assert(batch.keys.map(_._2).toSet.size > 1) // multiple hour buckets
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SeasRow]
+    val q = StreamJob.seasonalStream(mem.toDF())
+      .writeStream.format("memory").queryName("seas_out")
+      .outputMode("complete").start()
+    mem.addData(evs.drop(417): _*) // uneven cut, arrival ≠ time order
+    q.processAllAvailable()
+    mem.addData(evs.take(417): _*)
+    q.processAllAvailable(); q.stop()
+
+    val got = asMap(spark.table("seas_out").collect())
+    assert(got == batch)
+    val nTypes = batch.keys.map(_._1).toSet.size
+    assert(got.size <= nTypes * 24) // bounded state
   }
 
   test("streaming EWMA alarms ≡ the oracle-green w31 batch chart, " +
