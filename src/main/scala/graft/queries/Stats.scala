@@ -236,6 +236,51 @@ object Stats {
     // float until the final report. 100 TB shape: the per-user mean join,
     // the running-sum window and the argmax agg all share ONE user_id
     // shuffle; per-user partitions are bounded by a user's history.
+    // ---- A47: Wald–Wolfowitz runs test --------------------------------
+    // Nonparametric randomness check per user series (the third monitor
+    // beside w28 CUSUM and w31 EWMA): dichotomize each value against the
+    // user's median, count runs R of consecutive same-side values, and
+    // score z = (R − μ_R)/σ_R with the closed-form moments μ_R =
+    // 1 + 2n₁n₂/n, σ²_R = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)). Too few runs =
+    // clustered/trending values; too many = oscillation. Exactness: the
+    // median is .5-grained (cents-long percentile — binary64-exact, the
+    // a24 rule), the equal-to-median drop compares exact integers
+    // (q·2 vs med·2), run/side counts are exact BIGINTs, and the moment
+    // formula is scalar IEEE with products in DOUBLES (the a38 rule).
+    // Users entirely on one side are dropped (σ undefined — stated
+    // contract). 100 TB shape: ONE user_id shuffle shared by the median
+    // agg, the lag window and the run agg.
+    "a47_runs_test" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
+          round($"value" * MilliScale).cast("long").as("q"))
+        .localCheckpoint() // feeds the median agg AND the runs scan
+      val med = ev.groupBy($"user_id")
+        .agg(expr("CAST(percentile(q, 0.5) * 2 AS BIGINT)").as("med2"))
+      val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+      val nD = d($"n1" + $"n2")
+      ev.join(med, Seq("user_id"))
+        .filter($"q" * 2 =!= $"med2")
+        .withColumn("side", ($"q" * 2 > $"med2").cast("int"))
+        .withColumn("__new", when(lag($"side", 1).over(w).isNull ||
+          $"side" =!= lag($"side", 1).over(w), 1L).otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum(($"side" === 1).cast("long")).as("n1"),
+          sum(($"side" === 0).cast("long")).as("n2"),
+          sum($"__new").as("runs"))
+        .filter($"n1" > 0 && $"n2" > 0)
+        .withColumn("mu",
+          lit(1.0) + lit(2.0) * d($"n1") * d($"n2") / nD)
+        .withColumn("sig", sqrt(lit(2.0) * d($"n1") * d($"n2") *
+          (lit(2.0) * d($"n1") * d($"n2") - nD) /
+          (nD * nD * (nD - lit(1.0)))))
+        .select($"user_id", $"n1", $"n2", $"runs",
+          round((d($"runs") - $"mu") / $"sig", 4).as("z"))
+        .orderBy($"user_id")
+    }),
+
     // ---- A46: seasonal strength (Hyndman & Athanasopoulos) ------------
     // Strength of the hour-of-day seasonal pattern per event type:
     // 1 − SS_within/SS_total over the 24 hour buckets (the classic
@@ -814,6 +859,48 @@ object Stats {
          |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
          |FROM st ORDER BY lag""".stripMargin
     },
+
+    "a47_runs_test" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    ${qMilli("value")} AS q
+         |  FROM events),
+         |med AS (
+         |  SELECT user_id,
+         |    CAST(quantile_cont(q, 0.5) * 2 AS BIGINT) AS med2
+         |  FROM ev GROUP BY user_id),
+         |sided AS (
+         |  SELECT ev.user_id, ev.es, ev.event_id,
+         |    CASE WHEN ev.q * 2 > med.med2 THEN 1 ELSE 0 END AS side
+         |  FROM ev JOIN med USING (user_id)
+         |  WHERE ev.q * 2 != med.med2),
+         |runs AS (
+         |  SELECT user_id, side,
+         |    CASE WHEN lag(side, 1) OVER w IS NULL
+         |      OR side != lag(side, 1) OVER w THEN 1 ELSE 0 END AS nw
+         |  FROM sided
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |ag AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n2,
+         |    CAST(sum(nw) AS BIGINT) AS runs
+         |  FROM runs GROUP BY user_id),
+         |mm AS (
+         |  SELECT user_id, n1, n2, runs,
+         |    1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+         |      CAST(n1 + n2 AS DOUBLE) AS mu,
+         |    sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+         |      (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) -
+         |        CAST(n1 + n2 AS DOUBLE)) /
+         |      (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) *
+         |        (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS sig
+         |  FROM ag WHERE n1 > 0 AND n2 > 0)
+         |SELECT user_id, n1, n2, runs,
+         |  round((CAST(runs AS DOUBLE) - mu) / sig, 4) AS z
+         |FROM mm ORDER BY user_id""".stripMargin,
 
     "a46_seasonal_strength" ->
       s"""WITH ev AS (
