@@ -957,6 +957,48 @@ object Curate {
         .orderBy($"epoch", $"doc_id")
     }),
 
+    // ---- T38: cross-source quantile normalization ----------------------
+    // Quantile mapping (Panofsky & Brier 1968; the quantile-normalization
+    // standard of Bolstad et al. 2003): replace each doc's length with
+    // the POOLED corpus value at the same within-source quantile,
+    // aligning every source's length distribution onto the corpus-wide
+    // one before any global length threshold — without it a fixed cut
+    // silently over-prunes the short-doc source (the blind spot a45
+    // alarms on; this is the transform that FIXES it). Midpoint rank
+    // mapping R = ⌊(2r−1)·N / (2·n_s)⌋ + 1 ∈ [1, N] is pure integer
+    // arithmetic; the (2r−1)·N product runs in DECIMAL(38,0)/HUGEINT
+    // (int64 would overflow once N ≳ 3e9 — the a40 rule), so the map is
+    // bit-identical in both engines. 100 TB shape: NO per-source
+    // one-task window — the within-source rank is the two-pass
+    // distributed rank over (source, v, doc_id) minus per-source start
+    // offsets (a ≤S-row broadcast), the pooled reference is a second
+    // two-pass rank, and the lookup is ONE uniform equi-join on the
+    // target rank (rank keys are unique and evenly spread by
+    // construction — no skew possible).
+    "t38_quantile_norm" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars".as("v"))
+      val pooled = graft.ops.Ranks
+        .globalRowNumber(docs, Seq($"v", $"doc_id"), "pr")
+        .select($"pr", $"v".as("v_norm"))
+      val bySrc = graft.ops.Ranks
+        .globalRowNumberWithTotal(docs,
+          Seq($"source", $"v", $"doc_id"), "gr", "n_total")
+      val off = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+        .withColumn("off", coalesce(sum($"n_s")
+          .over(Window.orderBy($"source")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      bySrc.join(broadcast(off), Seq("source"))
+        .withColumn("r", $"gr" - $"off")
+        .withColumn("tr", expr(
+          "((CAST(r AS DECIMAL(38,0)) * 2 - 1) * n_total)" +
+            " DIV (CAST(n_s AS DECIMAL(38,0)) * 2) + 1"))
+        .join(pooled, $"tr" === pooled("pr"))
+        .select($"doc_id", $"source", $"v".as("n_chars"), $"v_norm")
+        .orderBy($"doc_id")
+    }),
+
     // ---- A45: PSI drift monitor ---------------------------------------
     // Population Stability Index of each source's quality-score
     // distribution against the reference source — the standard ingest
@@ -2017,6 +2059,24 @@ object Curate {
          |FROM r WHERE doc_id < $EpochShowIds
          |ORDER BY epoch, doc_id""".stripMargin
     },
+
+    "t38_quantile_norm" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars AS v FROM documents),
+         |p AS (
+         |  SELECT v AS v_norm,
+         |    row_number() OVER (ORDER BY v, doc_id) AS pr FROM d),
+         |r AS (
+         |  SELECT doc_id, source, v,
+         |    row_number() OVER
+         |      (PARTITION BY source ORDER BY v, doc_id) AS r,
+         |    count(*) OVER (PARTITION BY source) AS n_s,
+         |    count(*) OVER () AS n_total
+         |  FROM d)
+         |SELECT r.doc_id, r.source, r.v AS n_chars, p.v_norm
+         |FROM r JOIN p
+         |  ON ((2::HUGEINT * r.r - 1) * r.n_total)
+         |       // (2::HUGEINT * r.n_s) + 1 = p.pr
+         |ORDER BY r.doc_id""".stripMargin,
 
     "t30_mixture_reweight" -> {
       val allStop = TextOps.langWords.flatMap(_._2)

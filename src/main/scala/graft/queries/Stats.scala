@@ -462,6 +462,43 @@ object Stats {
       coJaccard(edges, G6CustomerCap, CusumTopK)
     }),
 
+    // ---- G9: resource-allocation link prediction ----------------------
+    // Zhou, Lü & Zhang 2009: RA(s1,s2) = Σ_{c ∈ N(s1)∩N(s2)} 1/deg(c) —
+    // the common-neighbor index that discounts promiscuous neighbors
+    // (g6's Jaccard weighs every shared customer equally; RA downweights
+    // customers who buy from everyone, which dominates Jaccard/AA on
+    // link-prediction benchmarks). Exactness: the per-customer weight is
+    // ppm-quantized by INTEGER floor-division (1e6 DIV deg — no libm, no
+    // float sum order to disagree on), the per-pair score accumulates as
+    // an exact BIGINT ppm sum, and the only double op is the final
+    // display division. 100 TB shape: identical to g6 — ONE
+    // customer-keyed self-join of the capped distinct edge list
+    // (Buckets.capMembers, same non-binding-at-test-SF cap, same drop
+    // accounting); the degree weight rides the same customer-keyed
+    // exchange, so RA adds no shuffle over the Jaccard it refines.
+    "g9_resource_alloc" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("sk"))
+      val pairs = graft.ops.Buckets
+        .capMembers(edges.distinct(), Seq($"c"), G6CustomerCap,
+          label = "g9")
+        .localCheckpoint()
+      val cdeg = pairs.groupBy($"c").agg(count(lit(1)).as("cd"))
+      pairs.join(cdeg, Seq("c")).as("x")
+        .join(pairs.as("y"),
+          col("x.c") === col("y.c") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("s1"), col("y.sk").as("s2"))
+        .agg(count(lit(1)).as("common"),
+          sum(expr("CAST(1000000 AS BIGINT) DIV cd")).as("ra_ppm"))
+        .select($"s1", $"s2", $"common", $"ra_ppm",
+          round($"ra_ppm".cast("double") / lit(1000000.0), 6).as("ra"))
+        .orderBy($"ra_ppm".desc, $"s1", $"s2")
+        .limit(CusumTopK)
+    }),
+
     // ---- T18: full Gopher repetition battery --------------------------
     // For n = 2..4 per document: fraction of n-gram occurrences whose
     // gram repeats (dup_frac) and of the single most frequent gram
@@ -1097,6 +1134,28 @@ object Stats {
          |FROM co JOIN deg d1 ON co.s1 = d1.sk
          |  JOIN deg d2 ON co.s2 = d2.sk
          |ORDER BY co.common DESC, co.s1, co.s2
+         |LIMIT $CusumTopK""".stripMargin,
+
+    "g9_resource_alloc" ->
+      s"""WITH pr0 AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |pr AS (
+         |  SELECT c, sk FROM (
+         |    SELECT c, sk, count(*) OVER (PARTITION BY c) AS bsz FROM pr0)
+         |  WHERE bsz <= $G6CustomerCap),
+         |cd AS (SELECT c, CAST(count(*) AS BIGINT) AS cd
+         |       FROM pr GROUP BY c),
+         |co AS (
+         |  SELECT x.sk AS s1, y.sk AS s2,
+         |    CAST(count(*) AS BIGINT) AS common,
+         |    CAST(sum(1000000 // cd.cd) AS BIGINT) AS ra_ppm
+         |  FROM pr x JOIN pr y ON x.c = y.c AND x.sk < y.sk
+         |    JOIN cd ON cd.c = x.c
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2, common, ra_ppm,
+         |  round(CAST(ra_ppm AS DOUBLE) / 1000000.0, 6) AS ra
+         |FROM co ORDER BY ra_ppm DESC, s1, s2
          |LIMIT $CusumTopK""".stripMargin,
 
     "t18_gopher_repetition" -> {
