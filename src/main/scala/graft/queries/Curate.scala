@@ -65,6 +65,9 @@ object Curate {
   private val PsiW = 500
   private val PsiRef = "src0"
 
+  /** a48 JSD vocabulary size (corpus-wide top-V terms). */
+  private val JsdVocabK = 200
+
   /** a45/psiStream shared per-(source, quality-bin) counts — ONE
     * definition (the funnelStage pattern) so the streaming drift
     * monitor's state is definitionally the batch query's input. Works on
@@ -1033,6 +1036,57 @@ object Curate {
         .agg(max($"n_s").as("n_docs"),
           round(sum($"d6" * $"l6").cast("double") / 1e12, 6).as("psi"))
         .orderBy($"source")
+    }),
+
+    // ---- A48: pairwise Jensen–Shannon source divergence ----------------
+    // Symmetric, bounded corpus-similarity matrix (Lin 1991): for every
+    // source pair, JSD(P‖Q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m) with
+    // m = (p+q)/2, over the corpus-wide top-V vocabulary with add-one
+    // smoothing — the "which sources say the same things" report beside
+    // t26's verbatim-overlap matrix (JSD sees distributional similarity
+    // even with zero shared 8-grams) and a45's reference-anchored PSI
+    // (JSD is pairwise, symmetric, and bounded by ln 2). Reported in
+    // nats. Exactness: each summand is the exact-integer product of the
+    // e6-quantized probability and the e6-quantized ln ratio (the a45
+    // recipe), so per-pair sums are associativity-proof BIGINT (V terms
+    // of ≤ ~7e11 each — int64-safe to V ≈ 1e7). 100 TB shape: ONE
+    // map-side-combined (source, w) agg is the only corpus-sized pass;
+    // the top-V vocab and per-source totals are tiny broadcasts; the
+    // pair frame is ≤ S²·V rows.
+    "a48_jsd_sources" -> ((s, dir) => {
+      import s.implicits._
+      val cnt = t(s, dir, "documents")
+        .select($"source", explode(TextOps.tokens($"text")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the vocab top-V AND the grid
+      val vocab = cnt.groupBy($"w").agg(sum($"c").as("cw"))
+        .orderBy($"cw".desc, $"w").limit(JsdVocabK)
+        .select($"w")
+      val inv = cnt.join(broadcast(vocab), Seq("w"))
+        .localCheckpoint() // feeds totals AND the grid join
+      val srcTot = inv.groupBy($"source").agg(sum($"c").as("n_s"))
+      val grid = srcTot.crossJoin(broadcast(vocab))
+        .join(inv, Seq("source", "w"), "left")
+        .select($"source", $"w", $"n_s", coalesce($"c", lit(0L)).as("c"))
+      val g1 = grid.select($"w", $"source".as("s1"),
+        $"n_s".as("na"), $"c".as("ca"))
+      val g2 = grid.select($"w", $"source".as("s2"),
+        $"n_s".as("nb"), $"c".as("cb"))
+      g1.join(g2, Seq("w")).filter($"s1" < $"s2")
+        .withColumn("p",
+          ($"ca" + 1.0) / ($"na" + lit(JsdVocabK)).cast("double"))
+        .withColumn("q",
+          ($"cb" + 1.0) / ($"nb" + lit(JsdVocabK)).cast("double"))
+        .withColumn("m", ($"p" + $"q") / 2.0)
+        .withColumn("tp", round($"p" * 1e6).cast("long") *
+          round(log($"p" / $"m") * 1e6).cast("long"))
+        .withColumn("tq", round($"q" * 1e6).cast("long") *
+          round(log($"q" / $"m") * 1e6).cast("long"))
+        .groupBy($"s1", $"s2")
+        .agg(max($"na").as("n1"), max($"nb").as("n2"),
+          round((sum($"tp") + sum($"tq")).cast("double") / 2e12, 6)
+            .as("jsd"))
+        .orderBy($"s1", $"s2")
     }),
 
     // ---- P20: systematic PPS quality-weighted sampling ----------------
@@ -2077,6 +2131,43 @@ object Curate {
          |  ON ((2::HUGEINT * r.r - 1) * r.n_total)
          |       // (2::HUGEINT * r.n_s) + 1 = p.pr
          |ORDER BY r.doc_id""".stripMargin,
+
+    "a48_jsd_sources" ->
+      s"""WITH dt AS (
+         |  SELECT source, unnest($tokensSqlExpr) AS w FROM documents),
+         |cnt AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM dt GROUP BY source, w),
+         |vocab AS (
+         |  SELECT w FROM (SELECT w, sum(c) AS cw FROM cnt GROUP BY w)
+         |  ORDER BY cw DESC, w LIMIT $JsdVocabK),
+         |inv AS (SELECT cnt.* FROM cnt JOIN vocab USING (w)),
+         |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+         |       FROM inv GROUP BY source),
+         |grid AS (
+         |  SELECT st.source, v.w, st.n_s, COALESCE(i.c, 0) AS c
+         |  FROM st CROSS JOIN vocab v
+         |  LEFT JOIN inv i ON i.source = st.source AND i.w = v.w),
+         |pr AS (
+         |  SELECT g1.source AS s1, g2.source AS s2,
+         |    g1.n_s AS na, g2.n_s AS nb,
+         |    (g1.c + 1.0) / CAST(g1.n_s + $JsdVocabK AS DOUBLE) AS p,
+         |    (g2.c + 1.0) / CAST(g2.n_s + $JsdVocabK AS DOUBLE) AS q
+         |  FROM grid g1 JOIN grid g2
+         |    ON g1.w = g2.w AND g1.source < g2.source),
+         |tm AS (
+         |  SELECT s1, s2, na, nb,
+         |    CAST(round(p * 1e6) AS BIGINT)
+         |      * CAST(round(ln(p / ((p + q) / 2.0)) * 1e6) AS BIGINT)
+         |      AS tp,
+         |    CAST(round(q * 1e6) AS BIGINT)
+         |      * CAST(round(ln(q / ((p + q) / 2.0)) * 1e6) AS BIGINT)
+         |      AS tq
+         |  FROM pr)
+         |SELECT s1, s2, CAST(max(na) AS BIGINT) AS n1,
+         |  CAST(max(nb) AS BIGINT) AS n2,
+         |  round(CAST(sum(tp) + sum(tq) AS DOUBLE) / 2e12, 6) AS jsd
+         |FROM tm GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
 
     "t30_mixture_reweight" -> {
       val allStop = TextOps.langWords.flatMap(_._2)

@@ -33,6 +33,9 @@ object Pipeline {
   /** Keywords kept per document by the TF-IDF extractor. */
   private val TfidfTopK = 3
 
+  /** Documents kept by the t39 contextual-gain selector. */
+  private val ExcessTopK = 25
+
   /** Consistent-hash split fences over a 256-way md5 bucket: [0,230) →
     * train (~90%), [230,243) → val (~5%), [243,256) → test. Hashing the
     * KEY (not a random()) makes the split stable under reprocessing,
@@ -505,6 +508,57 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // ---- T39: contextual-gain (excess-logprob) selection ---------------
+    // Excess-loss data selection in the spirit of RHO-loss (Mindermann
+    // et al. 2022): score each doc by how much a CONTEXT model explains
+    // it beyond a frequency baseline — the per-transition mean of
+    // log p_bi(w2|w1) − log p_uni(w2), both add-one smoothed — and keep
+    // the top-K. High gain = structured, learnable text; near-zero gain
+    // = bag-of-frequent-words filler the unigram model already explains
+    // (which can still score HIGH under t12's raw logprob — the exact
+    // failure mode excess scoring exists to remove). Exactness: each
+    // transition rides the t12 recipe (e6-quantized integer log terms,
+    // associativity-proof BIGINT doc sums); the top-K order key is the
+    // unrounded double mean built from the same exact integers with the
+    // same expression shape in both engines, doc_id tiebreak. 100 TB
+    // shape: both count tables are vocabulary-sized JOINS (never
+    // broadcast, never collected), the corpus stays a linear explode →
+    // join → doc agg, and the top-K is TakeOrderedAndProject
+    // (per-partition heads — no global sort).
+    "t39_excess_gain" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .localCheckpoint() // feeds unigram counts AND the bigram explode
+      val docBi = docs
+        .select($"doc_id", explode(TextOps.wordNgrams($"toks", 2)).as("bg"))
+        .localCheckpoint() // feeds bigram counts AND scoring
+      val biCnt = docBi.groupBy($"bg").agg(count(lit(1)).as("cb"))
+      val uniCnt = docs.select(explode($"toks").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cu"))
+      val tot = uniCnt.agg(count(lit(1)).cast("double").as("v"),
+        sum($"cu").cast("double").as("n"))
+      docBi
+        .withColumn("w1", substring_index($"bg", " ", 1))
+        .withColumn("w2", substring_index($"bg", " ", -1))
+        .join(biCnt, Seq("bg"))
+        .join(uniCnt.select($"w".as("w1"), $"cu".as("cu1")), Seq("w1"))
+        .join(uniCnt.select($"w".as("w2"), $"cu".as("cu2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("gi",
+          round(log(($"cb" + 1.0) / ($"cu1" + $"v")) * 1e6).cast("long") -
+            round(log(($"cu2" + 1.0) / ($"n" + $"v")) * 1e6).cast("long"))
+        .groupBy($"doc_id")
+        .agg(sum($"gi").as("sg"), count(lit(1)).as("n_bigrams"))
+        .withColumn("gr", $"sg".cast("double") / 1e6 / $"n_bigrams")
+        .orderBy($"gr".desc, $"doc_id")
+        .limit(ExcessTopK)
+        .select($"doc_id", $"n_bigrams", round($"gr", 4).as("avg_gain"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- HyperLogLog distinct sketch (Flajolet et al. 2007), exact
     // cross-engine: the md5-derived hash, the CASE-based register rank, the
     // integer-scaled harmonic sum (Σ 2^(55-M_j) as exact BIGINT — float
@@ -910,6 +964,43 @@ object Pipeline {
            |    AS avg_logprob,
            |  count(*) AS n_bigrams
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t39_excess_gain" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, tokens FROM
+           |    (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
+           |  WHERE len(tokens) >= 2),
+           |uni AS (
+           |  SELECT w, count(*) AS cu FROM
+           |    (SELECT unnest(tokens) AS w FROM toks) GROUP BY w),
+           |tt AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+           |         CAST(sum(cu) AS DOUBLE) AS n FROM uni),
+           |bi AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(0, len(tokens) - 2),
+           |    i -> array_to_string(list_slice(tokens, i + 1, i + 2), ' ')))
+           |    AS bg
+           |  FROM toks),
+           |bc AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+           |sc AS (
+           |  SELECT doc_id,
+           |    CAST(round(ln((cb + 1.0) / (u1.cu + v)) * 1000000) AS BIGINT)
+           |    - CAST(round(ln((u2.cu + 1.0) / (n + v)) * 1000000) AS BIGINT)
+           |      AS gi
+           |  FROM bi JOIN bc USING (bg)
+           |    JOIN uni u1 ON u1.w = split_part(bi.bg, ' ', 1)
+           |    JOIN uni u2 ON u2.w = split_part(bi.bg, ' ', 2)
+           |    CROSS JOIN tt),
+           |ag AS (
+           |  SELECT doc_id, CAST(sum(gi) AS BIGINT) AS sg,
+           |    CAST(count(*) AS BIGINT) AS n_bigrams
+           |  FROM sc GROUP BY doc_id),
+           |top AS (
+           |  SELECT doc_id, n_bigrams,
+           |    CAST(sg AS DOUBLE) / 1000000 / n_bigrams AS gr
+           |  FROM ag ORDER BY gr DESC, doc_id LIMIT $ExcessTopK)
+           |SELECT doc_id, n_bigrams, round(gr, 4) AS avg_gain
+           |FROM top ORDER BY doc_id""".stripMargin,
 
       "t14_tfidf_terms" ->
         s"""WITH tf AS (
