@@ -99,6 +99,14 @@ object Stats {
   /** CUSUM report size. */
   private val CusumTopK = 20
 
+  /** a49 Kaplan–Meier event of interest (first occurrence per user). */
+  private val KmEventType = "purchase"
+
+  /** a50 log-rank treatment assignment: keyed-LCG 50/50 user split
+    * (the hash-based A/B assignment pattern of p15/a35 — stable under
+    * reprocessing, no RNG state). */
+  private val LrSeed = 53L
+
   /** g6 hot-customer cap: a customer with S distinct suppliers fans out
     * S·(S−1)/2 co-purchase pairs in the self-join, so over-cap customers
     * are skipped (≤ ~500k pairs/customer at 1000 — a bounded task). The
@@ -279,6 +287,117 @@ object Stats {
         .select($"user_id", $"n1", $"n2", $"runs",
           round((d($"runs") - $"mu") / $"sig", 4).as("z"))
         .orderBy($"user_id")
+    }),
+
+    // ---- A49: Kaplan–Meier survival estimator -------------------------
+    // Product-limit estimator (Kaplan & Meier 1958) of time-to-first-
+    // purchase from each user's first event; users who never purchase
+    // are right-censored at their last observed event — the survival/
+    // retention curve none of the other monitors cover. Risk table at
+    // each distinct event duration: n_i at risk, d_i events, Ŝ(t) =
+    // Π_{t_j ≤ t} (1 − d_j/n_j). Exactness: durations and risk/event
+    // counts are exact integers; each log factor ln((n−d)/n) is
+    // e6-quantized (the t12 recipe) so the cumulative log survival is
+    // an exact BIGINT prefix sum; the display survival is ONE exp over
+    // that exact integer, 6dp-rounded (1-ulp libm parity). A risk set
+    // that dies out exactly (n = d, only possible at the last event
+    // time) is flagged `terminal` with surv = 0; its lognats_e6 keeps
+    // the pre-terminal cumulative so the column stays non-null exact.
+    // 100 TB shape: one user_id agg collapses the corpus to a row per
+    // user, one duration agg collapses that to the risk table, and both
+    // running sums ride Ranks.globalCumSum — no unpartitioned window.
+    "a49_km_survival" -> ((s, dir) => {
+      import s.implicits._
+      val subj = t(s, dir, "events")
+        .select($"user_id", $"event_type", Det.epochS($"ts").as("es"))
+        .groupBy($"user_id")
+        .agg(min($"es").as("f"), max($"es").as("l"),
+          min(when($"event_type" === KmEventType, $"es")).as("p"))
+        .select(
+          when($"p".isNotNull, $"p" - $"f").otherwise($"l" - $"f")
+            .as("dur"),
+          $"p".isNotNull.cast("int").as("evt"))
+        .localCheckpoint() // feeds the risk table AND the subject count
+      val risk = subj.groupBy($"dur")
+        .agg(sum($"evt").cast("long").as("d"), count(lit(1)).as("tot"))
+      val n = subj.agg(count(lit(1)).as("n_all"))
+      val withN = graft.ops.Ranks
+        .globalCumSum(risk, Seq($"dur"), $"tot", "cumtot")
+        .crossJoin(broadcast(n))
+        .withColumn("n_risk", $"n_all" - $"cumtot" + $"tot")
+        .filter($"d" > 0)
+        .withColumn("lf", when($"n_risk" > $"d",
+          round(log(($"n_risk" - $"d").cast("double") /
+            $"n_risk".cast("double")) * 1e6).cast("long")))
+      graft.ops.Ranks
+        .globalCumSum(withN, Seq($"dur"), coalesce($"lf", lit(0L)),
+          "lognats_e6")
+        .select($"dur", $"n_risk", $"d",
+          ($"n_risk" === $"d").as("terminal"),
+          when($"n_risk" === $"d", lit(0.0))
+            .otherwise(round(exp($"lognats_e6".cast("double") / 1e6), 6))
+            .as("surv"),
+          $"lognats_e6")
+        .orderBy($"dur")
+    }),
+
+    // ---- A50: log-rank two-group survival test ------------------------
+    // The Mantel 1966 companion to a49 and the survival-outcome twin of
+    // a35's A/B test: does the treatment cohort (keyed-LCG 50/50 user
+    // assignment — the p15 stable-hash pattern) convert to first
+    // purchase on a different clock than control? At each event time,
+    // observed treatment events d1_i vs hypergeometric expectation
+    // E_i = d·n1/n and variance V_i = d·(n1/n)·(1−n1/n)·(n−d)/(n−1);
+    // z = Σ(O−E)/√ΣV. Exactness: every count is an exact integer; E_i
+    // and V_i are e6-quantized from doubles built with the SAME
+    // expression shape in both engines (the a45 summand rule), so both
+    // Σ are exact BIGINTs and z is scalar IEEE on identical inputs.
+    // 100 TB shape: the same collapses as a49 (corpus → per-user row →
+    // risk table); the two at-risk running counts ride
+    // Ranks.globalCumSum over the risk frame; the test is a 1-row agg.
+    "a50_logrank" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val subj = t(s, dir, "events")
+        .select($"user_id", $"event_type", Det.epochS($"ts").as("es"))
+        .groupBy($"user_id")
+        .agg(min($"es").as("f"), max($"es").as("l"),
+          min(when($"event_type" === KmEventType, $"es")).as("p"))
+        .select(
+          when($"p".isNotNull, $"p" - $"f").otherwise($"l" - $"f")
+            .as("dur"),
+          $"p".isNotNull.cast("int").as("evt"),
+          (Det.frac($"user_id", LrSeed) < 0.5).cast("int").as("grp"))
+        .localCheckpoint() // feeds the risk table AND the totals
+      val risk = subj.groupBy($"dur")
+        .agg(sum($"evt").cast("long").as("dd"), count(lit(1)).as("tot"),
+          sum($"evt" * $"grp").cast("long").as("d1"),
+          sum($"grp").cast("long").as("tot1"))
+      val n = subj.agg(count(lit(1)).as("n_all"),
+        sum($"grp").cast("long").as("n1_all"))
+      graft.ops.Ranks
+        .globalCumSum(graft.ops.Ranks
+          .globalCumSum(risk, Seq($"dur"), $"tot", "cumtot"),
+          Seq($"dur"), $"tot1", "cumtot1")
+        .crossJoin(broadcast(n))
+        .withColumn("nr", $"n_all" - $"cumtot" + $"tot")
+        .withColumn("n1r", $"n1_all" - $"cumtot1" + $"tot1")
+        .filter($"dd" > 0)
+        .withColumn("e_e6",
+          round(lit(1e6) * d($"dd") * d($"n1r") / d($"nr")).cast("long"))
+        .withColumn("v_e6", when($"nr" > 1,
+          round(lit(1e6) * d($"dd") * (d($"n1r") / d($"nr")) *
+            (lit(1.0) - d($"n1r") / d($"nr")) *
+            (d($"nr") - d($"dd")) / (d($"nr") - lit(1.0))).cast("long"))
+          .otherwise(0L))
+        .groupBy($"n_all", $"n1_all")
+        .agg(sum($"d1").as("o1"), sum($"e_e6").as("se6"),
+          sum($"v_e6").as("sv6"))
+        .select($"n1_all".as("n_exposed"),
+          ($"n_all" - $"n1_all").as("n_clean"), $"o1",
+          round(d($"se6") / 1e6, 4).as("e1"),
+          round((d($"o1") * 1e6 - d($"se6")) / 1e6 /
+            sqrt(d($"sv6") / 1e6), 4).as("z"))
     }),
 
     // ---- A46: seasonal strength (Hyndman & Athanasopoulos) ------------
@@ -938,6 +1057,98 @@ object Stats {
          |SELECT user_id, n1, n2, runs,
          |  round((CAST(runs AS DOUBLE) - mu) / sig, 4) AS z
          |FROM mm ORDER BY user_id""".stripMargin,
+
+    "a49_km_survival" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, ${Det.epochSSql("ts")} AS es
+         |  FROM events),
+         |subj AS (
+         |  SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END
+         |      AS dur,
+         |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS evt
+         |  FROM (
+         |    SELECT user_id, min(es) AS f, max(es) AS l,
+         |      min(CASE WHEN event_type = '$KmEventType' THEN es END) AS p
+         |    FROM ev GROUP BY user_id)),
+         |risk AS (
+         |  SELECT dur, CAST(sum(evt) AS BIGINT) AS d,
+         |    CAST(count(*) AS BIGINT) AS tot
+         |  FROM subj GROUP BY dur),
+         |w AS (
+         |  SELECT dur, d, tot,
+         |    (SELECT count(*) FROM subj)
+         |      - CAST(sum(tot) OVER (ORDER BY dur) AS BIGINT) + tot
+         |      AS n_risk
+         |  FROM risk),
+         |e AS (
+         |  SELECT dur, n_risk, d,
+         |    CASE WHEN n_risk > d THEN
+         |      CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+         |        / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT) END AS lf
+         |  FROM w WHERE d > 0),
+         |c AS (
+         |  SELECT dur, n_risk, d,
+         |    CAST(sum(COALESCE(lf, 0)) OVER (ORDER BY dur) AS BIGINT)
+         |      AS lognats_e6
+         |  FROM e)
+         |SELECT dur, n_risk, d, n_risk = d AS terminal,
+         |  CASE WHEN n_risk = d THEN 0.0
+         |    ELSE round(exp(CAST(lognats_e6 AS DOUBLE) / 1e6), 6) END
+         |    AS surv,
+         |  lognats_e6
+         |FROM c ORDER BY dur""".stripMargin,
+
+    "a50_logrank" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, ${Det.epochSSql("ts")} AS es
+         |  FROM events),
+         |subj AS (
+         |  SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END
+         |      AS dur,
+         |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS evt,
+         |    CASE WHEN ${Det.fracSql("user_id", LrSeed)} < 0.5
+         |      THEN 1 ELSE 0 END AS grp
+         |  FROM (
+         |    SELECT user_id, min(es) AS f, max(es) AS l,
+         |      min(CASE WHEN event_type = '$KmEventType' THEN es END) AS p
+         |    FROM ev GROUP BY user_id)),
+         |risk AS (
+         |  SELECT dur, CAST(sum(evt) AS BIGINT) AS dd,
+         |    CAST(count(*) AS BIGINT) AS tot,
+         |    CAST(sum(evt * grp) AS BIGINT) AS d1,
+         |    CAST(sum(grp) AS BIGINT) AS tot1
+         |  FROM subj GROUP BY dur),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+         |        CAST(sum(grp) AS BIGINT) AS n1_all FROM subj),
+         |w AS (
+         |  SELECT dur, dd, d1, n_all, n1_all,
+         |    n_all - CAST(sum(tot) OVER (ORDER BY dur) AS BIGINT) + tot
+         |      AS nr,
+         |    n1_all - CAST(sum(tot1) OVER (ORDER BY dur) AS BIGINT) + tot1
+         |      AS n1r
+         |  FROM risk CROSS JOIN n),
+         |e AS (
+         |  SELECT n_all, n1_all, d1,
+         |    CAST(round(1e6 * CAST(dd AS DOUBLE) * CAST(n1r AS DOUBLE)
+         |      / CAST(nr AS DOUBLE)) AS BIGINT) AS e_e6,
+         |    CASE WHEN nr > 1 THEN
+         |      CAST(round(1e6 * CAST(dd AS DOUBLE)
+         |        * (CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE))
+         |        * (1.0 - CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE))
+         |        * (CAST(nr AS DOUBLE) - CAST(dd AS DOUBLE))
+         |        / (CAST(nr AS DOUBLE) - 1.0)) AS BIGINT)
+         |      ELSE 0 END AS v_e6
+         |  FROM w WHERE dd > 0),
+         |ag AS (
+         |  SELECT n_all, n1_all, CAST(sum(d1) AS BIGINT) AS o1,
+         |    CAST(sum(e_e6) AS BIGINT) AS se6,
+         |    CAST(sum(v_e6) AS BIGINT) AS sv6
+         |  FROM e GROUP BY n_all, n1_all)
+         |SELECT n1_all AS n_exposed, n_all - n1_all AS n_clean, o1,
+         |  round(CAST(se6 AS DOUBLE) / 1e6, 4) AS e1,
+         |  round((CAST(o1 AS DOUBLE) * 1e6 - CAST(se6 AS DOUBLE)) / 1e6
+         |    / sqrt(CAST(sv6 AS DOUBLE) / 1e6), 4) AS z
+         |FROM ag""".stripMargin,
 
     "a46_seasonal_strength" ->
       s"""WITH ev AS (
