@@ -66,7 +66,7 @@ object Curate {
   private val PsiRef = "src0"
 
   /** a48 JSD vocabulary size (corpus-wide top-V terms). */
-  private val JsdVocabK = 200
+  private[graft] val JsdVocabK = 200
 
   /** a45/psiStream shared per-(source, quality-bin) counts — ONE
     * definition (the funnelStage pattern) so the streaming drift

@@ -107,6 +107,13 @@ object Stats {
     * reprocessing, no RNG state). */
   private val LrSeed = 53L
 
+  /** w32 Theil–Sen per-user history cap: a user with H events fans out
+    * H·(H−1)/2 slope pairs in the self-join, so over-cap users are
+    * skipped (≤ ~125k pairs/user at 500 — a bounded task; the g6 cap
+    * policy with the same drop accounting). Non-binding at every test
+    * SF (max 99 events/user at sf0.1). */
+  private[graft] val TsPairCap = 500
+
   /** g6 hot-customer cap: a customer with S distinct suppliers fans out
     * S·(S−1)/2 co-purchase pairs in the self-join, so over-cap customers
     * are skipped (≤ ~500k pairs/customer at 1000 — a bounded task). The
@@ -398,6 +405,86 @@ object Stats {
           round(d($"se6") / 1e6, 4).as("e1"),
           round((d($"o1") * 1e6 - d($"se6")) / 1e6 /
             sqrt(d($"sv6") / 1e6), 4).as("z"))
+    }),
+
+    // ---- A51: Spearman rank correlation --------------------------------
+    // Tie-adjusted Spearman ρ (Spearman 1904; Pearson on average ranks)
+    // between value and time per user — the distribution-free monotone-
+    // trend companion to a19's Pearson and w32's Theil–Sen slope.
+    // Exactness: DOUBLED tie-averaged ranks stay exact integers via the
+    // min-rank identity 2·r̄ = rank_asc + (n+1) − rank_desc (so no
+    // (a+b)/2 float midpoint ever exists), all five moments accumulate
+    // as exact BIGINTs (Σxy ≤ 4n³ — int64-safe to n ≈ 1.3e6 events per
+    // user), and ρ is the a19 expression shape on those integers with
+    // products in doubles (the a38 rule). Zero-variance users (all
+    // values or all timestamps tied) are dropped — ρ undefined, stated
+    // contract. 100 TB shape: ONE user_id exchange feeds all four rank
+    // windows (asc/desc × value/time — same partitioning, sorts only)
+    // and the moment agg; output is one row per user.
+    "a51_spearman" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val w = Window.partitionBy($"user_id")
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
+          round($"value" * MilliScale).cast("long").as("q"))
+      val ranked = ev
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("x", rank().over(w.orderBy($"q")).cast("long") +
+          $"n" + 1L - rank().over(w.orderBy($"q".desc)).cast("long"))
+        .withColumn("y", rank().over(w.orderBy($"es")).cast("long") +
+          $"n" + 1L - rank().over(w.orderBy($"es".desc)).cast("long"))
+      ranked.groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .withColumn("vx", d($"n") * d($"sxx") - d($"sx") * d($"sx"))
+        .withColumn("vy", d($"n") * d($"syy") - d($"sy") * d($"sy"))
+        .filter($"vx" > 0.0 && $"vy" > 0.0)
+        .select($"user_id", $"n",
+          round((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+            (sqrt($"vx") * sqrt($"vy")), 6).as("rho"))
+        .orderBy($"user_id")
+    }),
+
+    // ---- W32: Theil–Sen robust trend ----------------------------------
+    // Median-of-pairwise-slopes trend per user (Theil 1950, Sen 1968) —
+    // the 29%-breakdown robust companion to a37's OLS (one wild outlier
+    // tilts the OLS line; the slope median shrugs it off). Pairs with
+    // equal truncated-second timestamps are excluded (distinct-x
+    // contract of the estimator). Exactness: each slope is ONE double
+    // division of exact integers (identical IEEE in both engines); the
+    // median is the LOWER order statistic at exact-integer rank
+    // ⌈m/2⌉ = (m+1) div 2 under a fully-tiebroken order — never an
+    // interpolated quantile, so no midpoint float arithmetic exists to
+    // diverge. 100 TB shape: ONE user-keyed self-join guarded by the g6
+    // hot-key cap policy (over-cap users skipped with drop accounting;
+    // ≤ ~125k pairs/user at 500); the rank window rides the same
+    // user-keyed exchange.
+    "w32_theilsen" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.ops.Buckets.capMembers(
+        t(s, dir, "events")
+          .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
+            round($"value" * MilliScale).cast("long").as("q")),
+        Seq($"user_id"), TsPairCap, label = "w32")
+        .localCheckpoint()
+      val w = Window.partitionBy($"user_id")
+      val sl = ev.as("x").join(ev.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.es") < col("y.es"))
+        .select(col("x.user_id").as("user_id"),
+          ((col("y.q") - col("x.q")).cast("double") /
+            (col("y.es") - col("x.es")).cast("double")).as("slope"),
+          col("x.es").as("esi"), col("x.event_id").as("idi"),
+          col("y.event_id").as("idj"))
+      sl.withColumn("rn", row_number().over(
+          w.orderBy($"slope", $"esi", $"idi", $"idj")))
+        .withColumn("m", count(lit(1)).over(w))
+        .filter($"rn" === expr("(m + 1) div 2"))
+        .select($"user_id", $"m".as("n_pairs"),
+          round($"slope" * 86.4, 6).as("trend_per_day"))
+        .orderBy($"user_id")
     }),
 
     // ---- A46: seasonal strength (Hyndman & Athanasopoulos) ------------
@@ -1149,6 +1236,73 @@ object Stats {
          |  round((CAST(o1 AS DOUBLE) * 1e6 - CAST(se6 AS DOUBLE)) / 1e6
          |    / sqrt(CAST(sv6 AS DOUBLE) / 1e6), 4) AS z
          |FROM ag""".stripMargin,
+
+    "a51_spearman" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    ${qMilli("value")} AS q
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id,
+         |    CAST(count(*) OVER wp AS BIGINT) AS n,
+         |    CAST(rank() OVER (PARTITION BY user_id ORDER BY q)
+         |      + count(*) OVER wp + 1
+         |      - rank() OVER (PARTITION BY user_id ORDER BY q DESC)
+         |      AS BIGINT) AS x,
+         |    CAST(rank() OVER (PARTITION BY user_id ORDER BY es)
+         |      + count(*) OVER wp + 1
+         |      - rank() OVER (PARTITION BY user_id ORDER BY es DESC)
+         |      AS BIGINT) AS y
+         |  FROM ev
+         |  WINDOW wp AS (PARTITION BY user_id)),
+         |ag AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM r GROUP BY user_id),
+         |v AS (
+         |  SELECT user_id, n, sx, sy, sxy,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+         |  FROM ag)
+         |SELECT user_id, n,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (sqrt(vx) * sqrt(vy)), 6) AS rho
+         |FROM v WHERE vx > 0.0 AND vy > 0.0
+         |ORDER BY user_id""".stripMargin,
+
+    "w32_theilsen" ->
+      s"""WITH ev0 AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    ${qMilli("value")} AS q
+         |  FROM events),
+         |ev AS (
+         |  SELECT user_id, event_id, es, q FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY user_id) AS bsz
+         |    FROM ev0)
+         |  WHERE bsz <= $TsPairCap),
+         |sl AS (
+         |  SELECT x.user_id,
+         |    CAST(y.q - x.q AS DOUBLE) / CAST(y.es - x.es AS DOUBLE)
+         |      AS slope,
+         |    x.es AS esi, x.event_id AS idi, y.event_id AS idj
+         |  FROM ev x JOIN ev y
+         |    ON x.user_id = y.user_id AND x.es < y.es),
+         |r AS (
+         |  SELECT user_id, slope,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY slope, esi, idi, idj) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS m
+         |  FROM sl)
+         |SELECT user_id, m AS n_pairs,
+         |  round(slope * 86.4, 6) AS trend_per_day
+         |FROM r WHERE rn = (m + 1) // 2
+         |ORDER BY user_id""".stripMargin,
 
     "a46_seasonal_strength" ->
       s"""WITH ev AS (

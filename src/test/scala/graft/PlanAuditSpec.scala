@@ -255,6 +255,35 @@ class PlanAuditSpec extends SparkSpec {
       smj = 0, bhj = 0)
   }
 
+  test("t38/a49/a50: every data-sized window rides Ranks' bucket " +
+      "partitioning (no global rank/cumsum of the corpus); the only " +
+      "other windowspecs are Ranks' bounded offset frames") {
+    // t38's per-source rank and pooled rank, and the survival pack's two
+    // running sums, must all compile to __gr_b-partitioned windows; a
+    // bare windowspecdefinition() over data would be the one-task shape.
+    // The ONE allowed non-__gr_ window is t38's source-offset cumsum —
+    // it runs on the ≤S-row per-source COUNT frame (the adjudicated
+    // bounded-frame exception, same class as Ranks' own offset windows)
+    for (q <- Seq("t38_quantile_norm", "a49_km_survival", "a50_logrank")) {
+      val p = plan(q)
+      val bare = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition(") && !l.contains("__gr_") &&
+          !(q == "t38_quantile_norm" && l.contains("sum(n_s"))).toSeq
+      assert(bare.isEmpty, s"$q:\n" + bare.mkString("\n"))
+    }
+  }
+
+  test("w32: the slope self-join and the median-rank window are all " +
+      "user-keyed (the cap guarantees bounded per-user fan-out; the " +
+      "window reuses the join's user_id partitioning)") {
+    val p = plan("w32_theilsen")
+    val wins = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(wins.nonEmpty, p.take(2000))
+    wins.foreach(l => assert(l.contains("user_id"), l))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("no query plans a cartesian product") {
     // crossJoin of scalar aggs is BroadcastNestedLoopJoin over 1 row —
     // fine; an unconstrained CartesianProduct over data frames is never

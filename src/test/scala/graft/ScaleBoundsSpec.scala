@@ -25,7 +25,9 @@ class ScaleBoundsSpec extends AnyFunSuite {
     "Embed.KppScale" -> graft.queries.Embed.KppScale,
     "Buckets.DefaultCap" -> graft.ops.Buckets.DefaultCap.toDouble,
     "Curate.UnimaxE" -> graft.queries.Curate.UnimaxE.toDouble,
-    "Curate.WinCap" -> graft.queries.Curate.WinCap.toDouble)
+    "Curate.WinCap" -> graft.queries.Curate.WinCap.toDouble,
+    "Curate.JsdVocabK" -> graft.queries.Curate.JsdVocabK.toDouble,
+    "Stats.TsPairCap" -> graft.queries.Stats.TsPairCap.toDouble)
 
   private def docRows: Seq[(String, Double)] = {
     val lines = scala.io.Source.fromFile("SCALE_BOUNDS.md", "UTF-8").getLines().toSeq
