@@ -107,6 +107,53 @@ object Stats {
     * reprocessing, no RNG state). */
   private val LrSeed = 53L
 
+  /** a49/a50/survivalStream shared per-user survival sufficient
+    * statistic — ONE definition (the seasCounts/funnelStage pattern):
+    * first event time, last event time, first [[KmEventType]] time
+    * (null = right-censored). Input must carry (user_id, event_type,
+    * es). Works on a streaming frame unchanged (groupBy + min/max
+    * only); complete-mode state is ONE row per user — the minimal
+    * sufficient statistic for the product-limit curve (the O(keys)
+    * state class of the as-of sinks). */
+  private[graft] def survSubjects(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(min(col("es")).as("f"), max(col("es")).as("l"),
+        min(when(col("event_type") === KmEventType, col("es"))).as("p"))
+
+  /** a49's risk-table derivation from the [[survSubjects]] frame —
+    * shared so the streaming twin's final state table provably feeds
+    * the SAME curve the oracle gates. */
+  private[graft] def kmCurve(subjRaw: DataFrame): DataFrame = {
+    val subj = subjRaw.select(
+      when(col("p").isNotNull, col("p") - col("f"))
+        .otherwise(col("l") - col("f")).as("dur"),
+      col("p").isNotNull.cast("int").as("evt"))
+      .localCheckpoint() // feeds the risk table AND the subject count
+    val risk = subj.groupBy(col("dur"))
+      .agg(sum(col("evt")).cast("long").as("d"),
+        count(lit(1)).as("tot"))
+    val n = subj.agg(count(lit(1)).as("n_all"))
+    val withN = graft.ops.Ranks
+      .globalCumSum(risk, Seq(col("dur")), col("tot"), "cumtot")
+      .crossJoin(broadcast(n))
+      .withColumn("n_risk", col("n_all") - col("cumtot") + col("tot"))
+      .filter(col("d") > 0)
+      .withColumn("lf", when(col("n_risk") > col("d"),
+        round(log((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")) * 1e6).cast("long")))
+    graft.ops.Ranks
+      .globalCumSum(withN, Seq(col("dur")), coalesce(col("lf"), lit(0L)),
+        "lognats_e6")
+      .select(col("dur"), col("n_risk"), col("d"),
+        (col("n_risk") === col("d")).as("terminal"),
+        when(col("n_risk") === col("d"), lit(0.0))
+          .otherwise(
+            round(exp(col("lognats_e6").cast("double") / 1e6), 6))
+          .as("surv"),
+        col("lognats_e6"))
+      .orderBy(col("dur"))
+  }
+
   /** w32 Theil–Sen per-user history cap: a user with H events fans out
     * H·(H−1)/2 slope pairs in the self-join, so over-cap users are
     * skipped (≤ ~125k pairs/user at 500 — a bounded task; the g6 cap
@@ -315,37 +362,8 @@ object Stats {
     // running sums ride Ranks.globalCumSum — no unpartitioned window.
     "a49_km_survival" -> ((s, dir) => {
       import s.implicits._
-      val subj = t(s, dir, "events")
-        .select($"user_id", $"event_type", Det.epochS($"ts").as("es"))
-        .groupBy($"user_id")
-        .agg(min($"es").as("f"), max($"es").as("l"),
-          min(when($"event_type" === KmEventType, $"es")).as("p"))
-        .select(
-          when($"p".isNotNull, $"p" - $"f").otherwise($"l" - $"f")
-            .as("dur"),
-          $"p".isNotNull.cast("int").as("evt"))
-        .localCheckpoint() // feeds the risk table AND the subject count
-      val risk = subj.groupBy($"dur")
-        .agg(sum($"evt").cast("long").as("d"), count(lit(1)).as("tot"))
-      val n = subj.agg(count(lit(1)).as("n_all"))
-      val withN = graft.ops.Ranks
-        .globalCumSum(risk, Seq($"dur"), $"tot", "cumtot")
-        .crossJoin(broadcast(n))
-        .withColumn("n_risk", $"n_all" - $"cumtot" + $"tot")
-        .filter($"d" > 0)
-        .withColumn("lf", when($"n_risk" > $"d",
-          round(log(($"n_risk" - $"d").cast("double") /
-            $"n_risk".cast("double")) * 1e6).cast("long")))
-      graft.ops.Ranks
-        .globalCumSum(withN, Seq($"dur"), coalesce($"lf", lit(0L)),
-          "lognats_e6")
-        .select($"dur", $"n_risk", $"d",
-          ($"n_risk" === $"d").as("terminal"),
-          when($"n_risk" === $"d", lit(0.0))
-            .otherwise(round(exp($"lognats_e6".cast("double") / 1e6), 6))
-            .as("surv"),
-          $"lognats_e6")
-        .orderBy($"dur")
+      kmCurve(survSubjects(t(s, dir, "events")
+        .select($"user_id", $"event_type", Det.epochS($"ts").as("es"))))
     }),
 
     // ---- A50: log-rank two-group survival test ------------------------
@@ -365,11 +383,8 @@ object Stats {
     "a50_logrank" -> ((s, dir) => {
       import s.implicits._
       val d = (c: org.apache.spark.sql.Column) => c.cast("double")
-      val subj = t(s, dir, "events")
-        .select($"user_id", $"event_type", Det.epochS($"ts").as("es"))
-        .groupBy($"user_id")
-        .agg(min($"es").as("f"), max($"es").as("l"),
-          min(when($"event_type" === KmEventType, $"es")).as("p"))
+      val subj = survSubjects(t(s, dir, "events")
+          .select($"user_id", $"event_type", Det.epochS($"ts").as("es")))
         .select(
           when($"p".isNotNull, $"p" - $"f").otherwise($"l" - $"f")
             .as("dur"),

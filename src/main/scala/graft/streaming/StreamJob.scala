@@ -182,6 +182,21 @@ object StreamJob {
   def seasonalStream(stream: DataFrame): DataFrame =
     graft.queries.Stats.seasCounts(stream)
 
+  /** Streaming survival-monitor input: the per-user (first event, last
+    * event, first conversion) sufficient statistic maintained
+    * incrementally over an event stream — the state a49's Kaplan–Meier
+    * curve (and a50's log-rank test) read. The aggregate is the SHARED
+    * [[graft.queries.Stats.survSubjects]] (the seasCounts pattern), so
+    * the streaming state is definitionally a49's subject frame and
+    * `Stats.kmCurve(state)` is bit-identical to the oracle-green batch
+    * curve once the same rows arrived — REGARDLESS of arrival order,
+    * because min/max/conditional-min are commutative over cuts.
+    * Complete-mode state is ONE row per user (the minimal sufficient
+    * statistic — the O(keys) class of the as-of sinks). Input must
+    * carry (user_id, event_type, es). */
+  def survivalStream(stream: DataFrame): DataFrame =
+    graft.queries.Stats.survSubjects(stream)
+
   case class EwmaIn(user_id: Long, event_id: Long, es: Long, vc: Long,
                     mu: Double, sig: Double)
   case class EwmaAlarm(user_id: Long, es: Long, vc: Long,

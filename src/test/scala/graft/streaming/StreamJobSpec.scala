@@ -14,6 +14,7 @@ case class CDoc(source: String, text: String)
 case class MDoc(doc_id: Long, text: String)
 case class EwRow(user_id: Long, event_id: Long, es: Long, vc: Long)
 case class SeasRow(event_type: String, es: Long, q: Long)
+case class SurvRow(user_id: Long, event_type: String, es: Long)
 
 class StreamJobSpec extends SparkSpec {
   import spark.implicits._
@@ -180,6 +181,47 @@ class StreamJobSpec extends SparkSpec {
     assert(got == batch)
     val nTypes = batch.keys.map(_._1).toSet.size
     assert(got.size <= nTypes * 24) // bounded state
+  }
+
+  test("streaming survival subject state ≡ batch subjects, and the KM " +
+      "curve derived from the final state ≡ the oracle-green a49 rows, " +
+      "across cuts and out-of-order arrival") {
+    val dir = "/root/testdata/sf0.001"
+    val evDf = graft.Tables.t(spark, dir, "events")
+      .select($"user_id", $"event_type", expr("CAST(ts AS LONG)").as("es"))
+    val evs = evDf.collect()
+      .map(r => SurvRow(r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val batchSubj = asMap(StreamJob.survivalStream(evDf).collect())
+    val batchCurve = graft.SparkEntry
+      .queries("a49_km_survival")(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    assert(batchSubj.values.exists(_._3 == -1L) ||
+      batchSubj.values.exists(_._3 >= 0L)) // frame non-trivial
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SurvRow]
+    val q = StreamJob.survivalStream(mem.toDF())
+      .writeStream.format("memory").queryName("surv_out")
+      .outputMode("complete").start()
+    // uneven cuts, arrival order scrambled — min/max/conditional-min
+    // must land on the same state regardless
+    val shuffled = new scala.util.Random(7).shuffle(evs)
+    mem.addData(shuffled.drop(583): _*)
+    q.processAllAvailable()
+    mem.addData(shuffled.take(583): _*)
+    q.processAllAvailable(); q.stop()
+
+    val state = spark.table("surv_out")
+    assert(asMap(state.collect()) == batchSubj)
+    assert(state.count() == batchSubj.size) // ONE row per user
+    val streamCurve = graft.queries.Stats
+      .kmCurve(state.select($"user_id", $"f", $"l", $"p"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamCurve == batchCurve)
   }
 
   test("streaming EWMA alarms ≡ the oracle-green w31 batch chart, " +
