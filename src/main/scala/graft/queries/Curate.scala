@@ -1123,6 +1123,52 @@ object Curate {
         .orderBy($"draw")
     }),
 
+    // ---- P23: Horvitz–Thompson estimate over the PPS sample ------------
+    // The statistical-soundness gate of p20 (Horvitz & Thompson 1952):
+    // estimate the corpus total of a DIFFERENT variable (n_chars) from
+    // the K-draw systematic PPS sample as Ŷ = Σ_{distinct i} y_i/π_i,
+    // π_i = min(1, K·w_i/W) — and report it beside the exact truth. A
+    // sampler whose HT estimate drifts is mis-weighted; this query makes
+    // that audit a data frame (the d18 philosophy: estimator quality as
+    // a queryable row). Exactness: the sample is p20's machinery
+    // verbatim (driver-literal W and u0 — exact long→double, W ≪ 2^53);
+    // each HT term is e6-quantized from doubles with the same shape in
+    // both engines, so the K-term sum is an exact BIGINT. 100 TB shape:
+    // p20's shapes (distributed cumsum, K-row broadcast target join) +
+    // one scalar agg; the truth total is ONE map-side agg over the
+    // weight frame already in hand.
+    "p23_ht_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val w = t(s, dir, "documents")
+        .select($"doc_id", $"n_chars",
+          TextOps.qualityScore10k($"text", TextOps.tokens($"text"))
+            .cast("long").as("w"))
+      val cum = graft.ops.Ranks
+        .globalCumSum(w, Seq($"doc_id"), $"w", "cum")
+        .localCheckpoint() // feeds the W agg AND the target join
+      val wTot = cum.agg(max($"cum")).head.getLong(0)
+      val u0 = math.floor(
+        Det.fracHost(1L, PpsSeed) * wTot.toDouble).toLong
+      val targets = s.createDataFrame((0 until PpsK).map(j =>
+          (j + 1, (u0 + j.toLong * wTot) / PpsK)))
+        .toDF("draw", "tgt")
+      val yTot = w.agg(sum($"n_chars").as("y_true"))
+      cum.join(broadcast(targets),
+          $"cum" - $"w" <= $"tgt" && $"tgt" < $"cum")
+        .select($"doc_id", $"n_chars", $"w").distinct()
+        .withColumn("term_e6", round(lit(1e6) * d($"n_chars") /
+          least(lit(1.0),
+            lit(PpsK.toDouble) * d($"w") / lit(wTot.toDouble)))
+          .cast("long"))
+        .agg(count(lit(1)).as("n_sampled"), sum($"term_e6").as("se6"))
+        .crossJoin(broadcast(yTot))
+        .select($"n_sampled", $"y_true",
+          round(d($"se6") / 1e6, 4).as("ht_est"),
+          round((d($"se6") / 1e6 - d($"y_true")) / d($"y_true"), 6)
+            .as("rel_err"))
+    }),
+
     // ---- T32: CCNet perplexity buckets (Wenzek et al. 2020) -----------
     // The CCNet quality partition: score every document under the
     // corpus-trained bigram LM (t12's Laplace-smoothed recipe, inlined —
@@ -2344,6 +2390,46 @@ object Curate {
          |SELECT tg.draw, c.doc_id, c.w, c.cum
          |FROM c JOIN tg ON c.cum - c.w <= tg.tgt AND tg.tgt < c.cum
          |ORDER BY tg.draw""".stripMargin
+        .replace("__ALLSTOP__", allStop)
+    },
+
+    "p23_ht_estimate" -> {
+      val allStop = TextOps.langWords.flatMap(_._2)
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(${TextOps.qualityScore10kSql("text", "tokens",
+                "__ALLSTOP__")} AS BIGINT) AS w
+         |  FROM (SELECT doc_id, n_chars, text, $tokensSqlExpr AS tokens
+         |        FROM documents)),
+         |c AS (
+         |  SELECT doc_id, n_chars, w, CAST(sum(w) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum
+         |  FROM w),
+         |tot AS (SELECT CAST(max(cum) AS BIGINT) AS wt FROM c),
+         |tg AS (
+         |  SELECT (CAST(floor(${Det.fracSql("1", PpsSeed)}
+         |        * CAST(wt AS DOUBLE)) AS BIGINT) + j * wt) // $PpsK
+         |      AS tgt
+         |  FROM (SELECT unnest(generate_series(0, ${PpsK - 1})) AS j),
+         |    tot),
+         |samp AS (
+         |  SELECT DISTINCT c.doc_id, c.n_chars, c.w
+         |  FROM c JOIN tg ON c.cum - c.w <= tg.tgt AND tg.tgt < c.cum),
+         |yt AS (SELECT CAST(sum(n_chars) AS BIGINT) AS y_true FROM w),
+         |ht AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+         |    CAST(sum(CAST(round(1e6 * CAST(n_chars AS DOUBLE)
+         |      / least(1.0, CAST($PpsK AS DOUBLE) * CAST(w AS DOUBLE)
+         |          / (SELECT CAST(wt AS DOUBLE) FROM tot)))
+         |      AS BIGINT)) AS BIGINT) AS se6
+         |  FROM samp)
+         |SELECT n_sampled, y_true,
+         |  round(CAST(se6 AS DOUBLE) / 1e6, 4) AS ht_est,
+         |  round((CAST(se6 AS DOUBLE) / 1e6 - CAST(y_true AS DOUBLE))
+         |    / CAST(y_true AS DOUBLE), 6) AS rel_err
+         |FROM ht CROSS JOIN yt""".stripMargin
         .replace("__ALLSTOP__", allStop)
     },
 

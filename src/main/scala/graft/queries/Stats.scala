@@ -462,6 +462,66 @@ object Stats {
         .orderBy($"user_id")
     }),
 
+    // ---- A52: Mann–Kendall trend test ----------------------------------
+    // The hypothesis-test twin of w32's Sen slope (they ship together in
+    // every environmental-stats package): S = Σ sign(q_j − q_i) over
+    // time-ordered pairs per user, with Kendall's FULL tie-corrected
+    // variance (Kendall 1975 §4.4 — value-tie AND time-tie terms plus
+    // both cross products; same-second pairs contribute 0 to S, exactly
+    // what the u-tie correction accounts for), z with the ±1 continuity
+    // correction. Exactness: S and every tie moment are exact BIGINTs
+    // (n(n−1)(2n+5) int64-safe to n ≈ 2e6 per user — far above the pair
+    // cap); the variance assembles those integers in doubles with the
+    // SAME association in both engines (the a38 rule — the cross terms
+    // reach n⁶); S = 0 short-circuits z = 0 with no division. 100 TB
+    // shape: the SAME capped user-keyed self-join as w32 plus two
+    // per-user tie aggs riding the same exchange.
+    "a52_mann_kendall" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val ev = graft.ops.Buckets.capMembers(
+        t(s, dir, "events")
+          .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
+            round($"value" * MilliScale).cast("long").as("q")),
+        Seq($"user_id"), TsPairCap, label = "a52")
+        .localCheckpoint()
+      val sS = ev.as("x").join(ev.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.es") < col("y.es"))
+        .groupBy(col("x.user_id").as("user_id"))
+        .agg(sum(when(col("y.q") > col("x.q"), 1L)
+          .when(col("y.q") < col("x.q"), -1L).otherwise(0L)).as("s_stat"))
+      def tieMoments(key: org.apache.spark.sql.Column, p: String) =
+        ev.groupBy($"user_id", key.as("__k"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"user_id")
+          .agg(sum($"c" * ($"c" - 1L) * (lit(2L) * $"c" + 5L))
+              .as(s"${p}1"),
+            sum($"c" * ($"c" - 1L) * ($"c" - 2L)).as(s"${p}2"),
+            sum($"c" * ($"c" - 1L)).as(s"${p}3"))
+      val nF = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      nF.join(sS, Seq("user_id"))
+        .join(tieMoments($"q", "t"), Seq("user_id"))
+        .join(tieMoments($"es", "u"), Seq("user_id"))
+        .withColumn("v0",
+          (d($"n") * (d($"n") - 1.0) * (lit(2.0) * d($"n") + 5.0)
+            - d($"t1") - d($"u1")) / 18.0)
+        .withColumn("v1", when($"n" > 2,
+          d($"t2") * d($"u2") /
+            (lit(9.0) * d($"n") * (d($"n") - 1.0) * (d($"n") - 2.0)))
+          .otherwise(0.0))
+        .withColumn("v2",
+          d($"t3") * d($"u3") / (lit(2.0) * d($"n") * (d($"n") - 1.0)))
+        .withColumn("v", $"v0" + $"v1" + $"v2")
+        .select($"user_id", $"n", $"s_stat",
+          when($"s_stat" > 0,
+            round((d($"s_stat") - 1.0) / sqrt($"v"), 4))
+            .when($"s_stat" < 0,
+              round((d($"s_stat") + 1.0) / sqrt($"v"), 4))
+            .otherwise(0.0).as("z"))
+        .orderBy($"user_id")
+    }),
+
     // ---- W32: Theil–Sen robust trend ----------------------------------
     // Median-of-pairwise-slopes trend per user (Theil 1950, Sen 1968) —
     // the 29%-breakdown robust companion to a37's OLS (one wild outlier
@@ -1251,6 +1311,64 @@ object Stats {
          |  round((CAST(o1 AS DOUBLE) * 1e6 - CAST(se6 AS DOUBLE)) / 1e6
          |    / sqrt(CAST(sv6 AS DOUBLE) / 1e6), 4) AS z
          |FROM ag""".stripMargin,
+
+    "a52_mann_kendall" ->
+      s"""WITH ev0 AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    ${qMilli("value")} AS q
+         |  FROM events),
+         |ev AS (
+         |  SELECT user_id, event_id, es, q FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY user_id) AS bsz
+         |    FROM ev0)
+         |  WHERE bsz <= $TsPairCap),
+         |ss AS (
+         |  SELECT x.user_id,
+         |    CAST(sum(CASE WHEN y.q > x.q THEN 1
+         |      WHEN y.q < x.q THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM ev x JOIN ev y
+         |    ON x.user_id = y.user_id AND x.es < y.es
+         |  GROUP BY x.user_id),
+         |nf AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM ev GROUP BY user_id),
+         |tg AS (
+         |  SELECT user_id,
+         |    CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS t1,
+         |    CAST(sum(c * (c - 1) * (c - 2)) AS BIGINT) AS t2,
+         |    CAST(sum(c * (c - 1)) AS BIGINT) AS t3
+         |  FROM (SELECT user_id, q, CAST(count(*) AS BIGINT) AS c
+         |        FROM ev GROUP BY user_id, q)
+         |  GROUP BY user_id),
+         |ug AS (
+         |  SELECT user_id,
+         |    CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS u1,
+         |    CAST(sum(c * (c - 1) * (c - 2)) AS BIGINT) AS u2,
+         |    CAST(sum(c * (c - 1)) AS BIGINT) AS u3
+         |  FROM (SELECT user_id, es, CAST(count(*) AS BIGINT) AS c
+         |        FROM ev GROUP BY user_id, es)
+         |  GROUP BY user_id),
+         |v AS (
+         |  SELECT nf.user_id, n, s_stat,
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+         |        * (2.0 * CAST(n AS DOUBLE) + 5.0)
+         |      - CAST(t1 AS DOUBLE) - CAST(u1 AS DOUBLE)) / 18.0
+         |    + CASE WHEN n > 2 THEN
+         |        CAST(t2 AS DOUBLE) * CAST(u2 AS DOUBLE)
+         |        / (9.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+         |           * (CAST(n AS DOUBLE) - 2.0))
+         |      ELSE 0.0 END
+         |    + CAST(t3 AS DOUBLE) * CAST(u3 AS DOUBLE)
+         |      / (2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+         |      AS v
+         |  FROM nf JOIN ss USING (user_id)
+         |    JOIN tg USING (user_id) JOIN ug USING (user_id))
+         |SELECT user_id, n, s_stat,
+         |  CASE WHEN s_stat > 0 THEN
+         |      round((CAST(s_stat AS DOUBLE) - 1.0) / sqrt(v), 4)
+         |    WHEN s_stat < 0 THEN
+         |      round((CAST(s_stat AS DOUBLE) + 1.0) / sqrt(v), 4)
+         |    ELSE 0.0 END AS z
+         |FROM v ORDER BY user_id""".stripMargin,
 
     "a51_spearman" ->
       s"""WITH ev AS (
