@@ -154,6 +154,18 @@ object Stats {
       .orderBy(col("dur"))
   }
 
+  /** a54 Gumbel constants, computed ONCE in Scala and embedded as the
+    * SAME literal in both engines (the ewmaCfac pattern): method-of-
+    * moments scale factor √6/π, the Euler–Mascheroni constant, and the
+    * 52-block return-level factor −ln(−ln(1 − 1/52)). */
+  private[graft] val GumbelC: Double = math.sqrt(6.0) / math.Pi
+  private[graft] val EulerGamma = 0.5772156649015329
+  private[graft] val GumbelRlT = 52
+  private[graft] val GumbelRlF: Double =
+    -math.log(-math.log(1.0 - 1.0 / GumbelRlT.toDouble))
+  /** a54 block width: calendar weeks of epoch seconds. */
+  private val GumbelBlockS = 604800L
+
   /** w32 Theil–Sen per-user history cap: a user with H events fans out
     * H·(H−1)/2 slope pairs in the self-join, so over-cap users are
     * skipped (≤ ~125k pairs/user at 500 — a bounded task; the g6 cap
@@ -460,6 +472,97 @@ object Stats {
           round((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
             (sqrt($"vx") * sqrt($"vy")), 6).as("rho"))
         .orderBy($"user_id")
+    }),
+
+    // ---- A54: Gumbel block-maxima return levels -------------------------
+    // Extreme-value tail estimation (Gumbel 1958; the capacity-planning
+    // complement to a6's empirical percentile, which cannot extrapolate
+    // beyond the observed range): weekly block maxima per event type →
+    // Gumbel location/scale by method of moments (scale β = s·√6/π,
+    // location μ = m − γ·β) → the T = 52-block return level
+    // μ + β·(−ln(−ln(1 − 1/T))). Exactness: block maxima and their two
+    // moments are exact BIGINTs; √6/π, γ and the return factor are
+    // Scala-computed literals embedded identically in both engines (the
+    // ewmaCfac rule); everything after is scalar IEEE on identical
+    // inputs. Types with < 2 blocks are dropped (scale undefined —
+    // stated contract). 100 TB shape: ONE map-side-combined
+    // (type, week) agg collapses the corpus to the block frame; the
+    // moment agg collapses that to ≤ types rows.
+    "a54_gumbel_levels" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val blocks = t(s, dir, "events")
+        .select($"event_type", Det.epochS($"ts").as("es"),
+          round($"value" * MilliScale).cast("long").as("q"))
+        // integer div (Spark `/` on BIGINTs is double division); es ≥ 0
+        .groupBy($"event_type", expr(s"es div $GumbelBlockS").as("wk"))
+        .agg(max($"q").as("mx"))
+      blocks.groupBy($"event_type")
+        .agg(count(lit(1)).as("nb"), sum($"mx").as("sx"),
+          sum($"mx" * $"mx").as("ss"))
+        .filter($"nb" >= 2)
+        .withColumn("m", d($"sx") / d($"nb"))
+        .withColumn("sd", sqrt((d($"ss") - d($"sx") * d($"sx") / d($"nb"))
+          / (d($"nb") - 1.0)))
+        .withColumn("beta", $"sd" * lit(GumbelC))
+        .withColumn("mu", $"m" - lit(EulerGamma) * $"beta")
+        .select($"event_type", $"nb".as("n_blocks"),
+          round($"m" / MilliScale, 4).as("block_mean"),
+          round($"mu" / MilliScale, 4).as("gumbel_loc"),
+          round($"beta" / MilliScale, 4).as("gumbel_scale"),
+          round(($"mu" + $"beta" * lit(GumbelRlF)) / MilliScale, 4)
+            .as(s"rl$GumbelRlT"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- A53: Kruskal–Wallis k-group rank test --------------------------
+    // The k-group extension of a40's Mann–Whitney (Kruskal & Wallis
+    // 1952) across the event-type arms — completes the test family
+    // (a39 two-group parametric, a40 two-group rank, a53 k-group rank):
+    // H = 12/(N(N+1)) Σ_j R_j²/n_j − 3(N+1) over tie-averaged ranks of
+    // the combined sample, reported raw and tie-corrected
+    // (÷ 1 − Σ(t³−t)/(N³−N)). Exactness: DOUBLED tie-averaged ranks
+    // from the a40 value-group cumsum are exact integers, per-group
+    // rank sums exact BIGINT (R2_j ≤ 2N² — int64-safe to N ≈ 2e9
+    // rows), tie cubes in DECIMAL(38,0)/HUGEINT (the a40 rule), and
+    // the ≤k-addend Σ R_j²/n_j folds sorted (t30 recipe). 100 TB
+    // shape: ONE (q, type) agg collapses the corpus; the rank cumsum
+    // rides the (much smaller) distinct-value frame; the rest is k-row
+    // arithmetic.
+    "a53_kruskal_wallis" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val cgv = t(s, dir, "events")
+        .select($"event_type".as("g"),
+          round($"value" * MilliScale).cast("long").as("q"))
+        .groupBy($"q", $"g").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the value frame AND the group join
+      val vg = cgv.groupBy($"q").agg(sum($"c").as("cnt"))
+        .localCheckpoint() // feeds the rank cumsum AND the tie agg
+      val ranked = graft.ops.Ranks
+        .globalCumSum(vg, Seq($"q"), $"cnt", "cum")
+        .select($"q",
+          (lit(2L) * ($"cum" - $"cnt") + $"cnt" + 1L).as("r2"))
+      val grp = cgv.join(ranked, Seq("q"))
+        .groupBy($"g")
+        .agg(sum($"c" * $"r2").as("r2sum"), sum($"c").as("nj"))
+        .withColumn("term",
+          (d($"r2sum") / 2.0) * (d($"r2sum") / 2.0) / d($"nj"))
+      val ties = vg.agg(
+        sum($"cnt".cast("decimal(38,0)") * $"cnt" * $"cnt" - $"cnt")
+          .as("t3"),
+        sum($"cnt").as("nn"))
+      grp.agg(count(lit(1)).as("k"),
+          aggregate(sort_array(collect_list($"term")), lit(0.0),
+            (acc, x) => acc + x).as("st"))
+        .crossJoin(broadcast(ties))
+        .withColumn("nd", d($"nn"))
+        .withColumn("h0", lit(12.0) / ($"nd" * ($"nd" + 1.0)) * $"st"
+          - lit(3.0) * ($"nd" + 1.0))
+        .select($"k", $"nn".as("n"), round($"h0", 6).as("h"),
+          round($"h0" / (lit(1.0) -
+            d($"t3") / ($"nd" * $"nd" * $"nd" - $"nd")), 6)
+            .as("h_tie_corrected"))
     }),
 
     // ---- A52: Mann–Kendall trend test ----------------------------------
@@ -1311,6 +1414,78 @@ object Stats {
          |  round((CAST(o1 AS DOUBLE) * 1e6 - CAST(se6 AS DOUBLE)) / 1e6
          |    / sqrt(CAST(sv6 AS DOUBLE) / 1e6), 4) AS z
          |FROM ag""".stripMargin,
+
+    "a54_gumbel_levels" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, ${Det.epochSSql("ts")} // $GumbelBlockS
+         |      AS wk,
+         |    ${qMilli("value")} AS q
+         |  FROM events),
+         |blocks AS (
+         |  SELECT event_type, wk, CAST(max(q) AS BIGINT) AS mx
+         |  FROM ev GROUP BY event_type, wk),
+         |ag AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(mx) AS BIGINT) AS sx,
+         |    CAST(sum(mx * mx) AS BIGINT) AS ss
+         |  FROM blocks GROUP BY event_type),
+         |mm AS (
+         |  SELECT event_type, nb,
+         |    CAST(sx AS DOUBLE) / CAST(nb AS DOUBLE) AS m,
+         |    sqrt((CAST(ss AS DOUBLE) - CAST(sx AS DOUBLE)
+         |        * CAST(sx AS DOUBLE) / CAST(nb AS DOUBLE))
+         |      / (CAST(nb AS DOUBLE) - 1.0)) * $GumbelC AS beta
+         |  FROM ag WHERE nb >= 2),
+         |g AS (
+         |  SELECT event_type, nb, m, beta,
+         |    m - $EulerGamma * beta AS mu
+         |  FROM mm)
+         |SELECT event_type, nb AS n_blocks,
+         |  round(m / $MilliScale, 4) AS block_mean,
+         |  round(mu / $MilliScale, 4) AS gumbel_loc,
+         |  round(beta / $MilliScale, 4) AS gumbel_scale,
+         |  round((mu + beta * $GumbelRlF) / $MilliScale, 4)
+         |    AS rl$GumbelRlT
+         |FROM g ORDER BY event_type""".stripMargin,
+
+    "a53_kruskal_wallis" ->
+      s"""WITH ev AS (
+         |  SELECT event_type AS g, ${qMilli("value")} AS q FROM events),
+         |cgv AS (
+         |  SELECT q, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY q, g),
+         |vg AS (SELECT q, CAST(sum(c) AS BIGINT) AS cnt
+         |       FROM cgv GROUP BY q),
+         |rk AS (
+         |  SELECT q, cnt,
+         |    CAST(sum(cnt) OVER (ORDER BY q) AS BIGINT) AS cum
+         |  FROM vg),
+         |r2f AS (SELECT q, 2 * (cum - cnt) + cnt + 1 AS r2 FROM rk),
+         |grp AS (
+         |  SELECT g, CAST(sum(c * r2) AS BIGINT) AS r2sum,
+         |    CAST(sum(c) AS BIGINT) AS nj
+         |  FROM cgv JOIN r2f USING (q) GROUP BY g),
+         |tr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |    list_reduce(list_sort(list(
+         |      (CAST(r2sum AS DOUBLE) / 2.0) * (CAST(r2sum AS DOUBLE)
+         |        / 2.0) / CAST(nj AS DOUBLE))), (a, b) -> a + b) AS st
+         |  FROM grp),
+         |tt AS (
+         |  SELECT CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+         |      AS DOUBLE) AS t3,
+         |    CAST(sum(cnt) AS BIGINT) AS nn
+         |  FROM vg),
+         |hh AS (
+         |  SELECT k, nn,
+         |    12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+         |      * st - 3.0 * (CAST(nn AS DOUBLE) + 1.0) AS h0, t3
+         |  FROM tr CROSS JOIN tt)
+         |SELECT k, nn AS n, round(h0, 6) AS h,
+         |  round(h0 / (1.0 - t3 / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+         |    * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))), 6)
+         |    AS h_tie_corrected
+         |FROM hh""".stripMargin,
 
     "a52_mann_kendall" ->
       s"""WITH ev0 AS (
