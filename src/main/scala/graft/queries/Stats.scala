@@ -166,6 +166,20 @@ object Stats {
   /** a54 block width: calendar weeks of epoch seconds. */
   private val GumbelBlockS = 604800L
 
+  /** a55 SPRT design (Wald 1945): H0 p = 0.15 vs H1 p = 0.25 purchase
+    * rate, α = β = 0.05. The two per-event log-likelihood increments and
+    * the decision threshold ln((1−β)/α) are e6-quantized ONCE in Scala
+    * and embedded as INTEGER literals in both engines — the cumulative
+    * LLR is then pure BIGINT arithmetic (k·L1 + (n−k)·L0), exact at any
+    * length. */
+  private val SprtP0 = 0.15
+  private val SprtP1 = 0.25
+  private[graft] val SprtL1e6: Long =
+    math.round(math.log(SprtP1 / SprtP0) * 1e6)
+  private[graft] val SprtL0e6: Long =
+    math.round(math.log((1.0 - SprtP1) / (1.0 - SprtP0)) * 1e6)
+  private[graft] val SprtAe6: Long = math.round(math.log(19.0) * 1e6)
+
   /** w32 Theil–Sen per-user history cap: a user with H events fans out
     * H·(H−1)/2 slope pairs in the self-join, so over-cap users are
     * skipped (≤ ~125k pairs/user at 500 — a bounded task; the g6 cap
@@ -472,6 +486,45 @@ object Stats {
           round((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
             (sqrt($"vx") * sqrt($"vy")), 6).as("rho"))
         .orderBy($"user_id")
+    }),
+
+    // ---- A55: Wald SPRT sequential conversion test ----------------------
+    // The sequential probability ratio test (Wald 1945) — the
+    // fixed-horizon a35 A/B test's always-valid sibling: per user,
+    // walk events in time order accumulating the purchase-rate LLR
+    // (H0 p=0.15 vs H1 p=0.25) and stop at the FIRST threshold
+    // crossing; users that never cross report 'continue' with their
+    // final LLR. Exactness: the cumulative LLR is k·L1 + (n−k)·L0 with
+    // e6-integer literal increments (see [[SprtL1e6]]) — pure BIGINT at
+    // any length, no per-row float ever; the first crossing is an exact
+    // min(struct) argmin. 100 TB shape: ONE user_id exchange shared by
+    // the running-sum window and both argmin/argmax aggs; output is one
+    // row per user.
+    "a55_sprt" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+      val base = t(s, dir, "events")
+        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
+          ($"event_type" === KmEventType).cast("long").as("x"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("k", sum($"x").over(w))
+        .withColumn("llr_e6", $"k" * SprtL1e6 + ($"rn" - $"k") * SprtL0e6)
+        .localCheckpoint() // feeds the crossing argmin AND the tail argmax
+      val crossed = base
+        .filter($"llr_e6" >= SprtAe6 || $"llr_e6" <= -SprtAe6)
+        .groupBy($"user_id")
+        .agg(min(struct($"es", $"event_id", $"rn", $"llr_e6")).as("c"))
+        .select($"user_id",
+          when($"c.llr_e6" >= SprtAe6, "accept_h1")
+            .otherwise("accept_h0").as("decision"),
+          $"c.rn".as("n_at_decision"), $"c.llr_e6".as("llr_e6"))
+      val open = base.join(crossed.select($"user_id"), Seq("user_id"),
+          "left_anti")
+        .groupBy($"user_id")
+        .agg(max(struct($"es", $"event_id", $"rn", $"llr_e6")).as("c"))
+        .select($"user_id", lit("continue").as("decision"),
+          $"c.rn".as("n_at_decision"), $"c.llr_e6".as("llr_e6"))
+      crossed.unionByName(open).orderBy($"user_id")
     }),
 
     // ---- A54: Gumbel block-maxima return levels -------------------------
@@ -1414,6 +1467,42 @@ object Stats {
          |  round((CAST(o1 AS DOUBLE) * 1e6 - CAST(se6 AS DOUBLE)) / 1e6
          |    / sqrt(CAST(sv6 AS DOUBLE) / 1e6), 4) AS z
          |FROM ag""".stripMargin,
+
+    "a55_sprt" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    CASE WHEN event_type = '$KmEventType' THEN 1 ELSE 0 END AS x
+         |  FROM events),
+         |base AS (
+         |  SELECT user_id, es, event_id,
+         |    CAST(row_number() OVER win AS BIGINT) AS rn,
+         |    CAST(sum(x) OVER win AS BIGINT) AS k
+         |  FROM ev
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |llr AS (
+         |  SELECT user_id, es, event_id, rn,
+         |    k * $SprtL1e6 + (rn - k) * $SprtL0e6 AS llr_e6
+         |  FROM base),
+         |crossed AS (
+         |  SELECT user_id,
+         |    arg_min(CASE WHEN llr_e6 >= $SprtAe6 THEN 'accept_h1'
+         |      ELSE 'accept_h0' END, es * 4294967296 + event_id)
+         |      AS decision,
+         |    arg_min(rn, es * 4294967296 + event_id) AS n_at_decision,
+         |    arg_min(llr_e6, es * 4294967296 + event_id) AS llr_e6
+         |  FROM llr
+         |  WHERE llr_e6 >= $SprtAe6 OR llr_e6 <= -$SprtAe6
+         |  GROUP BY user_id),
+         |open AS (
+         |  SELECT l.user_id, 'continue' AS decision,
+         |    arg_max(rn, es * 4294967296 + event_id) AS n_at_decision,
+         |    arg_max(llr_e6, es * 4294967296 + event_id) AS llr_e6
+         |  FROM llr l ANTI JOIN crossed c ON l.user_id = c.user_id
+         |  GROUP BY l.user_id)
+         |SELECT user_id, decision, n_at_decision, llr_e6 FROM crossed
+         |UNION ALL
+         |SELECT user_id, decision, n_at_decision, llr_e6 FROM open
+         |ORDER BY user_id""".stripMargin,
 
     "a54_gumbel_levels" ->
       s"""WITH ev AS (

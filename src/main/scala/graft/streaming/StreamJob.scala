@@ -197,6 +197,56 @@ object StreamJob {
   def survivalStream(stream: DataFrame): DataFrame =
     graft.queries.Stats.survSubjects(stream)
 
+  case class SprtIn(user_id: Long, event_id: Long, es: Long, x: Long)
+  case class SprtOut(user_id: Long, decision: String,
+                     n_at_decision: Long, llr_e6: Long)
+  case class SprtState(rn: Long, k: Long, decided: Boolean)
+
+  /** Streaming Wald SPRT — a55's sequential conversion test as an
+    * always-valid live monitor: per-user (count, successes, decided)
+    * state (CONSTANT per key — three scalars), cumulative LLR in pure
+    * BIGINT arithmetic from the SAME e6-integer literals the batch
+    * query embeds ([[graft.queries.Stats.SprtL1e6]]), one decision row
+    * emitted at the first threshold crossing and never again — exactly
+    * a55's `crossed` branch (the batch 'continue' rows are simply the
+    * keys that have not emitted yet). Same per-key arrival-order
+    * contract as [[ewmaAlarmStream]]; in-batch disorder is sorted.
+    * Input must carry (user_id, event_id, es, x). */
+  def sprtStream(stream: DataFrame): org.apache.spark.sql.Dataset[SprtOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // serializable locals (the ewmaAlarmStream rule)
+    val l1 = graft.queries.Stats.SprtL1e6
+    val l0 = graft.queries.Stats.SprtL0e6
+    val a = graft.queries.Stats.SprtAe6
+    stream
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("es").cast("long").as("es"), col("x").cast("long").as("x"))
+      .as[SprtIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[SprtIn],
+         state: org.apache.spark.sql.streaming.GroupState[SprtState]) =>
+          var st = state.getOption.getOrElse(SprtState(0L, 0L, false))
+          val out = collection.mutable.ArrayBuffer[SprtOut]()
+          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
+            val rn = st.rn + 1
+            val k = st.k + r.x
+            val llr = k * l1 + (rn - k) * l0
+            val cross = !st.decided && (llr >= a || llr <= -a)
+            if (cross)
+              out += SprtOut(key,
+                if (llr >= a) "accept_h1" else "accept_h0", rn, llr)
+            st = SprtState(rn, k, st.decided || cross)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class EwmaIn(user_id: Long, event_id: Long, es: Long, vc: Long,
                     mu: Double, sig: Double)
   case class EwmaAlarm(user_id: Long, es: Long, vc: Long,

@@ -224,6 +224,43 @@ class StreamJobSpec extends SparkSpec {
     assert(streamCurve == batchCurve)
   }
 
+  test("streaming SPRT decisions ≡ the oracle-green a55 crossed rows, " +
+      "across three batch-cut layouts") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("a55_sprt")(spark, dir)
+      .filter($"decision" =!= "continue").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty) // decisions actually fire at this SF
+    val rows = graft.Tables.t(spark, dir, "events")
+      .select($"user_id", $"event_id", expr("CAST(ts AS LONG)").as("es"),
+        ($"event_type" === "purchase").cast("long").as("x"))
+      .orderBy($"es", $"event_id").collect()
+      .map(r => StreamJob.SprtIn(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    implicit val sq = spark.sqlContext
+    val layouts = Seq(Seq(rows.length), Seq(500, rows.length),
+      Seq(100, 650, rows.length))
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[StreamJob.SprtIn]
+      val q = StreamJob.sprtStream(mem.toDF())
+        .writeStream.format("memory").queryName(s"sprt_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable(); prev = c
+      }
+      q.stop()
+      val got = spark.table(s"sprt_out_$i").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == batch, s"layout $cuts")
+      // one decision per user, never re-emitted across triggers
+      assert(got.size == got.map(_._1).size)
+    }
+  }
+
   test("streaming EWMA alarms ≡ the oracle-green w31 batch chart, " +
       "across three batch-cut layouts") {
     val dir = "/root/testdata/sf0.001"
