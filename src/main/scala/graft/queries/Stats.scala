@@ -488,6 +488,56 @@ object Stats {
         .orderBy($"user_id")
     }),
 
+    // ---- A56: partial autocorrelation (Durbin–Levinson) -----------------
+    // PACF at lags 1–3 from a38's sample ACF — the second half of the
+    // Box–Jenkins identification pair (ACF tails off / PACF cuts at p ⇒
+    // AR(p)). The Durbin–Levinson recursion is UNROLLED in closed form
+    // for the fixed lag depth (φ11 = ρ1; φ22 = (ρ2−ρ1²)/(1−ρ1²);
+    // φ21 = φ11 − φ22·φ11; φ33 via the order-3 step) — no iteration, no
+    // driver loop. Exactness: the ρ_k inputs are a38's 6dp-rounded
+    // values (identical in both engines by a38's own gate), and every φ
+    // is scalar IEEE on those identical doubles with the same
+    // association. 100 TB shape: a38's shape (ranked pair join, 3-row
+    // agg) + pure 1-row arithmetic.
+    "a56_pacf" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(Det.epochS($"ts").as("es"), $"event_id",
+          round($"value" * MilliScale).cast("long").as("q"))
+      val ranked = graft.ops.Ranks
+        .globalRowNumber(ev, Seq($"es", $"event_id"), "pos")
+        .select($"pos", $"q").localCheckpoint()
+      val x = ranked
+        .select($"pos", $"q", explode(
+          array((1 to AcfMaxLag).map(lit): _*)).as("lag"))
+        .select($"lag", ($"pos" + $"lag").as("jpos"), $"q".as("xq"))
+      val pairs = x.join(ranked.select($"pos".as("jpos"), $"q".as("yq")),
+        Seq("jpos"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val acf = pairs.groupBy($"lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"xq").as("sx"), sum($"yq").as("sy"),
+          sum($"xq" * $"yq").as("sxy"),
+          sum($"xq" * $"xq").as("sxx"), sum($"yq" * $"yq").as("syy"))
+        .select($"lag",
+          round((d($"n_pairs") * d($"sxy") - d($"sx") * d($"sy")) /
+            sqrt((d($"n_pairs") * d($"sxx") - d($"sx") * d($"sx")) *
+              (d($"n_pairs") * d($"syy") - d($"sy") * d($"sy"))), 6)
+            .as("acf"))
+      acf.agg(max(when($"lag" === 1, $"acf")).as("r1"),
+          max(when($"lag" === 2, $"acf")).as("r2"),
+          max(when($"lag" === 3, $"acf")).as("r3"))
+        .withColumn("p2",
+          ($"r2" - $"r1" * $"r1") / (lit(1.0) - $"r1" * $"r1"))
+        .withColumn("f21", $"r1" - $"p2" * $"r1")
+        .withColumn("p3",
+          ($"r3" - $"f21" * $"r2" - $"p2" * $"r1") /
+            (lit(1.0) - $"f21" * $"r1" - $"p2" * $"r2"))
+        .select($"r1", $"r2", $"r3",
+          round($"r1", 6).as("pacf1"), round($"p2", 6).as("pacf2"),
+          round($"p3", 6).as("pacf3"))
+    }),
+
     // ---- A55: Wald SPRT sequential conversion test ----------------------
     // The sequential probability ratio test (Wald 1945) — the
     // fixed-horizon a35 A/B test's always-valid sibling: per user,
@@ -1208,6 +1258,52 @@ object Stats {
         .orderBy($"cluster")
     }),
 
+    // ---- E21: clustering stability via Adjusted Rand Index --------------
+    // The k-means trust gate e13's quality score cannot give (Hubert &
+    // Arabie 1985): run the SAME integer Lloyd twice from two different
+    // deterministic seeds (first-k vectors vs next-k vectors) and score
+    // partition agreement with ARI — near 1 ⇒ the clustering reflects
+    // data structure, near 0 ⇒ it reflects the seed, and a curation
+    // pipeline should not balance/bucket on it. Exactness: every pair
+    // count uses the DOUBLED form x(x−1) (exact BIGINT, no /2 anywhere —
+    // ARI is scale-invariant in its C(·,2) terms, stated in the
+    // formula), with the cross products taken in doubles (a38 rule: Σa²
+    // products reach N⁴). 100 TB shape: two e11 runs (broadcast-literal
+    // assignment passes), ONE vec_id join, a ≤k² contingency agg, k-row
+    // arithmetic after.
+    "e21_ari_stability" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val vecs = t(s, dir, "embeddings")
+        .select($"vec_id",
+          graft.similarity.KMeansQ.quantize($"embedding", KmScale).as("q"))
+        .localCheckpoint()
+      def seed(lo: Int): Array[Array[Long]] =
+        vecs.filter($"vec_id" >= lo && $"vec_id" < lo + KmK)
+          .orderBy($"vec_id").select($"q").collect()
+          .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      val (aA, _) = graft.similarity.KMeansQ.lloyd(
+        vecs, "vec_id", "q", KmK, KmIters, seed(0))
+      val (aB, _) = graft.similarity.KMeansQ.lloyd(
+        vecs, "vec_id", "q", KmK, KmIters, seed(KmK))
+      val ct = aA.select($"vec_id", $"cluster".as("la"))
+        .join(aB.select($"vec_id", $"cluster".as("lb")), Seq("vec_id"))
+        .groupBy($"la", $"lb").agg(count(lit(1)).as("nij"))
+        .localCheckpoint() // ≤ k² rows; feeds all four aggs
+      val sij = ct.agg(sum($"nij" * ($"nij" - 1L)).as("sij2"),
+        sum($"nij").as("nv"))
+      val sa = ct.groupBy($"la").agg(sum($"nij").as("a"))
+        .agg(sum($"a" * ($"a" - 1L)).as("sa2"))
+      val sb = ct.groupBy($"lb").agg(sum($"nij").as("b"))
+        .agg(sum($"b" * ($"b" - 1L)).as("sb2"))
+      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .withColumn("tot2", d($"nv") * (d($"nv") - 1.0))
+        .withColumn("expd", d($"sa2") * d($"sb2") / $"tot2")
+        .select($"nv".as("n_vecs"),
+          round((d($"sij2") - $"expd") /
+            ((d($"sa2") + d($"sb2")) / 2.0 - $"expd"), 6).as("ari"))
+    }),
+
     // ---- A43: Poisson-bootstrap confidence interval ----------------------
     // The at-scale bootstrap (Chamandy et al. 2012, "Estimating
     // uncertainty for massive data streams"): instead of B resamples of
@@ -1467,6 +1563,51 @@ object Stats {
          |  round((CAST(o1 AS DOUBLE) * 1e6 - CAST(se6 AS DOUBLE)) / 1e6
          |    / sqrt(CAST(sv6 AS DOUBLE) / 1e6), 4) AS z
          |FROM ag""".stripMargin,
+
+    "a56_pacf" -> {
+      val lags = (1 to AcfMaxLag).map(l => s"($l)").mkString(", ")
+      s"""WITH o AS (
+         |  SELECT ${qMilli("value")} AS q,
+         |    row_number() OVER (ORDER BY ${Det.epochSSql("ts")}, event_id)
+         |      AS pos
+         |  FROM events),
+         |p AS (
+         |  SELECT l.lag, x.q AS xq, y.q AS yq
+         |  FROM (VALUES $lags) l(lag)
+         |  JOIN o x ON true
+         |  JOIN o y ON y.pos = x.pos + l.lag),
+         |st AS (
+         |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         |    CAST(sum(xq * xq) AS BIGINT) AS sxx,
+         |    CAST(sum(yq * yq) AS BIGINT) AS syy
+         |  FROM p GROUP BY lag),
+         |ac AS (
+         |  SELECT lag,
+         |    round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+         |  FROM st),
+         |r AS (
+         |  SELECT max(CASE WHEN lag = 1 THEN acf END) AS r1,
+         |    max(CASE WHEN lag = 2 THEN acf END) AS r2,
+         |    max(CASE WHEN lag = 3 THEN acf END) AS r3
+         |  FROM ac),
+         |d2 AS (
+         |  SELECT r1, r2, r3,
+         |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+         |  FROM r),
+         |d3 AS (
+         |  SELECT r1, r2, r3, p2, r1 - p2 * r1 AS f21 FROM d2)
+         |SELECT r1, r2, r3, round(r1, 6) AS pacf1, round(p2, 6) AS pacf2,
+         |  round((r3 - f21 * r2 - p2 * r1)
+         |    / (1.0 - f21 * r1 - p2 * r2), 6) AS pacf3
+         |FROM d3""".stripMargin
+    },
 
     "a55_sprt" ->
       s"""WITH ev AS (
@@ -2146,6 +2287,40 @@ object Stats {
          |    AS centroid_sum
          |FROM c2 LEFT JOIN cnt ON c2.j = cnt.cluster
          |ORDER BY cluster""".stripMargin,
+
+    "e21_ari_stability" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS j, qv AS cv FROM q WHERE vec_id < $KmK),
+         |${kmStep(1, "c0", "a1", "c1")},
+         |${kmStep(2, "c1", "a2", "c2")},
+         |b0 AS (SELECT vec_id - $KmK AS j, qv AS cv FROM q
+         |       WHERE vec_id >= $KmK AND vec_id < ${2 * KmK}),
+         |${kmStep(3, "b0", "a3", "b1")},
+         |${kmStep(4, "b1", "a4", "b2")},
+         |ct AS (
+         |  SELECT a2.cluster AS la, a4.cluster AS lb,
+         |    CAST(count(*) AS BIGINT) AS nij
+         |  FROM a2 JOIN a4 USING (vec_id) GROUP BY 1, 2),
+         |sij AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS sij2,
+         |          CAST(sum(nij) AS BIGINT) AS nv FROM ct),
+         |sa AS (SELECT CAST(sum(a * (a - 1)) AS BIGINT) AS sa2 FROM
+         |  (SELECT CAST(sum(nij) AS BIGINT) AS a FROM ct GROUP BY la)),
+         |sb AS (SELECT CAST(sum(b * (b - 1)) AS BIGINT) AS sb2 FROM
+         |  (SELECT CAST(sum(nij) AS BIGINT) AS b FROM ct GROUP BY lb)),
+         |f AS (
+         |  SELECT nv, sij2, sa2, sb2,
+         |    CAST(nv AS DOUBLE) * (CAST(nv AS DOUBLE) - 1.0) AS tot2
+         |  FROM sij CROSS JOIN sa CROSS JOIN sb)
+         |SELECT nv AS n_vecs,
+         |  round((CAST(sij2 AS DOUBLE)
+         |      - CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE) / tot2)
+         |    / ((CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE)) / 2.0
+         |      - CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE) / tot2), 6)
+         |    AS ari
+         |FROM f""".stripMargin,
 
     "a43_bootstrap_ci" -> {
       val wCase = BootCdfStr.zipWithIndex
