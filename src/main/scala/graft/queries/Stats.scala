@@ -488,6 +488,88 @@ object Stats {
         .orderBy($"user_id")
     }),
 
+    // ---- Q15: RFM customer segmentation ---------------------------------
+    // The classic recency/frequency/monetary quintile segmentation over
+    // purchase events (Hughes 1994) — per user R = last purchase time,
+    // F = purchase count, M = exact cents total; each dimension scored
+    // 1–5 by the EXACT quintile formula ((rank−1)·5) div n + 1 over the
+    // two-pass distributed rank (NOT ntile — no unpartitioned window,
+    // and the integer formula is engine-exact where ntile's remainder
+    // spreading must be replicated carefully). Rank descends on the
+    // metric (score 5 = most recent / most frequent / highest spend)
+    // via negated order keys with user_id tiebreak. Output: the ≤125
+    // segment cells with size and exact-cents average spend. 100 TB
+    // shape: one user agg collapses the corpus; three Ranks passes over
+    // the per-user frame; one ≤125-row agg.
+    "q15_rfm_segments" -> ((s, dir) => {
+      import s.implicits._
+      val u = t(s, dir, "events")
+        .filter($"event_type" === KmEventType)
+        .select($"user_id", Det.epochS($"ts").as("es"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"user_id")
+        .agg(max($"es").as("r"), count(lit(1)).as("f"),
+          sum($"cents").as("m"))
+        .localCheckpoint() // three chained rank passes (each an eager
+      // boundary probe) must not re-aggregate the corpus per pass
+      def q5(df: DataFrame, key: String, out: String): DataFrame =
+        graft.ops.Ranks.globalRowNumberWithTotal(df,
+            Seq((col(key) * -1L).as(s"__neg_$key"), col("user_id")),
+            "__rk", "__n")
+          .withColumn(out,
+            expr("(__rk - 1) * 5 div __n + 1").cast("int"))
+          .drop("__rk", "__n", s"__neg_$key")
+          .localCheckpoint()
+      val scored = q5(q5(q5(u, "r", "qr"), "f", "qf"), "m", "qm")
+      scored.groupBy(($"qr" * 100 + $"qf" * 10 + $"qm").as("segment"))
+        .agg(count(lit(1)).as("n_users"), sum($"m").as("cents"))
+        .select($"segment", $"n_users",
+          round($"cents".cast("double") / $"n_users".cast("double")
+            / 100.0, 4).as("avg_spend"))
+        .orderBy($"segment")
+    }),
+
+    // ---- A57: event-type correlation matrix -----------------------------
+    // Pairwise Pearson correlation of the five event types' HOURLY
+    // activity series (cents volume per hour, absent hours = 0 — the
+    // a45 grid rule, since a missing hour is a real zero, not missing
+    // data) — the co-movement profile behind alerting ("errors spike
+    // with purchases?"). a19 gives one pair; this is the full T×T
+    // matrix. Exactness: hourly sums and all five pair moments are
+    // exact BIGINTs (Σx² exact while hours·x_max² < 2^63 — cents per
+    // hour ≤ ~3e9 at 1e6 rows/hour ⇒ hours ≲ 1e3 at that density;
+    // quantize to dimes/dollars beyond, the a40 rule), r is the a19
+    // expression shape. 100 TB shape: ONE (hour, type) map-side agg
+    // collapses the corpus; the grid fill and T² pair join run on the
+    // hours×T frame.
+    "a57_corr_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val hourly = t(s, dir, "events")
+        .select($"event_type", Det.epochS($"ts").as("es"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy(expr("es div 3600").as("hr"), $"event_type")
+        .agg(sum($"cents").as("v"))
+        .localCheckpoint() // feeds the hour frame, type frame AND grid
+      val hours = hourly.select($"hr").distinct()
+      val types = hourly.select($"event_type").distinct()
+      val grid = hours.crossJoin(broadcast(types))
+        .join(hourly, Seq("hr", "event_type"), "left")
+        .select($"hr", $"event_type", coalesce($"v", lit(0L)).as("v"))
+      val g1 = grid.select($"hr", $"event_type".as("t1"), $"v".as("x"))
+      val g2 = grid.select($"hr", $"event_type".as("t2"), $"v".as("y"))
+      g1.join(g2, Seq("hr")).filter($"t1" < $"t2")
+        .groupBy($"t1", $"t2")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        .select($"t1", $"t2", $"n".as("n_hours"),
+          round((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+            sqrt((d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
+              (d($"n") * d($"syy") - d($"sy") * d($"sy"))), 6).as("r"))
+        .orderBy($"t1", $"t2")
+    }),
+
     // ---- A56: partial autocorrelation (Durbin–Levinson) -----------------
     // PACF at lags 1–3 from a38's sample ACF — the second half of the
     // Box–Jenkins identification pair (ACF tails off / PACF cuts at p ⇒
@@ -1563,6 +1645,60 @@ object Stats {
          |  round((CAST(o1 AS DOUBLE) * 1e6 - CAST(se6 AS DOUBLE)) / 1e6
          |    / sqrt(CAST(sv6 AS DOUBLE) / 1e6), 4) AS z
          |FROM ag""".stripMargin,
+
+    "q15_rfm_segments" ->
+      s"""WITH u AS (
+         |  SELECT user_id, max(${Det.epochSSql("ts")}) AS r,
+         |    CAST(count(*) AS BIGINT) AS f,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+         |  FROM events WHERE event_type = '$KmEventType'
+         |  GROUP BY user_id),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+         |sc AS (
+         |  SELECT user_id, m,
+         |    CAST((row_number() OVER (ORDER BY -r, user_id) - 1) * 5
+         |      // n + 1 AS INTEGER) AS qr,
+         |    CAST((row_number() OVER (ORDER BY -f, user_id) - 1) * 5
+         |      // n + 1 AS INTEGER) AS qf,
+         |    CAST((row_number() OVER (ORDER BY -m, user_id) - 1) * 5
+         |      // n + 1 AS INTEGER) AS qm
+         |  FROM u CROSS JOIN n)
+         |SELECT qr * 100 + qf * 10 + qm AS segment,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  round(CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    / 100.0, 4) AS avg_spend
+         |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "a57_corr_matrix" ->
+      s"""WITH hourly AS (
+         |  SELECT ${Det.epochSSql("ts")} // 3600 AS hr, event_type,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT h.hr, t.event_type, COALESCE(hourly.v, 0) AS v
+         |  FROM (SELECT DISTINCT hr FROM hourly) h
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+         |  LEFT JOIN hourly
+         |    ON hourly.hr = h.hr AND hourly.event_type = t.event_type),
+         |st AS (
+         |  SELECT g1.event_type AS t1, g2.event_type AS t2,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(g1.v) AS BIGINT) AS sx,
+         |    CAST(sum(g2.v) AS BIGINT) AS sy,
+         |    CAST(sum(g1.v * g2.v) AS BIGINT) AS sxy,
+         |    CAST(sum(g1.v * g1.v) AS BIGINT) AS sxx,
+         |    CAST(sum(g2.v * g2.v) AS BIGINT) AS syy
+         |  FROM grid g1 JOIN grid g2
+         |    ON g1.hr = g2.hr AND g1.event_type < g2.event_type
+         |  GROUP BY 1, 2)
+         |SELECT t1, t2, n AS n_hours,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+         |FROM st ORDER BY t1, t2""".stripMargin,
 
     "a56_pacf" -> {
       val lags = (1 to AcfMaxLag).map(l => s"($l)").mkString(", ")
