@@ -105,6 +105,46 @@ object Injector {
     labeled.drop(s.columns.flatMap(c => Seq(s"__mean_$c", s"__range_$c")): _*)
   }
 
+  /** I10: linear drift — v + mean·magnitude·(es − start)/duration on
+    * selected rows: the gradual-ramp anomaly (concept drift) the step
+    * injector cannot express, and the natural test signal for the drift
+    * detectors (a27 KS, a45 PSI, w28 CUSUM) — a step is detected by all
+    * of them instantly, a ramp separates fast alarms from slow ones.
+    * Beyond-reference (the reference's methods are all instantaneous);
+    * same selection, stats, flag and label contract as [[inject]], same
+    * one-codegen-projection-over-a-broadcast-stats-row shape. */
+  def injectDrift(df: DataFrame, idCol: String, tsCol: String,
+                  s: AnomalySetting): DataFrame = {
+    val epochS = col(tsCol).cast("long")
+    val stats = df.select(s.columns.zipWithIndex.map { case (c, i) =>
+      val sel = selected(col(idCol), epochS, s, i)
+      avg(when(sel, col(c))).as(s"__mean_$c")
+    }: _*)
+    val withStats = df.crossJoin(broadcast(stats))
+    val touched = s.columns.zipWithIndex
+      .map { case (c, i) => selected(col(idCol), epochS, s, i) }
+      .reduce(_ || _)
+    val frac = (epochS - lit(s.startEpoch)).cast("double") /
+      lit((s.endEpoch - s.startEpoch).toDouble)
+    val rewritten = s.columns.zipWithIndex.foldLeft(withStats) {
+      case (d, (c, i)) =>
+        val sel = selected(col(idCol), epochS, s, i)
+        d.withColumn(c, when(sel,
+          col(c) + col(s"__mean_$c") * s.magnitude * frac)
+          .otherwise(col(c)))
+    }
+    val flagged = rewritten
+      .withColumn("injected_anomaly",
+        when(touched, lit(true)).otherwise(
+          if (df.columns.contains("injected_anomaly"))
+            col("injected_anomaly") else lit(false)))
+    val labeled =
+      if (df.columns.contains("label"))
+        flagged.withColumn("label", when(touched, lit(1)).otherwise(col("label")))
+      else flagged.withColumn("label", when(touched, lit(1)).otherwise(lit(0)))
+    labeled.drop(s.columns.map(c => s"__mean_$c"): _*)
+  }
+
   /** Apply a list of settings in order (the reference iterates settings). */
   def injectAll(df: DataFrame, idCol: String, tsCol: String,
                 settings: Seq[AnomalySetting]): DataFrame =

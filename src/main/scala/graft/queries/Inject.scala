@@ -26,6 +26,7 @@ object Inject {
   private val stepW    = (1705276800L, 1705363200L) // Jan 15 → 16
   private val offW     = (1705708800L, 1705795200L) // Jan 20 → 21
   private val customW  = (1706140800L, 1706227200L) // Jan 25 → 26
+  private val driftW   = (1705449600L, 1705622400L) // Jan 17 → 19
 
   private def setting(typ: String, w: (Long, Long), pct: Double,
                       mag: Double = 2.0): AnomalySetting =
@@ -72,6 +73,18 @@ object Inject {
         setting("spike", spikeW, pct = 50.0, mag = 3.0),
         setting("step", stepW, pct = 100.0, mag = 2.0))),
 
+    // I10: linear drift ramp (Injector.injectDrift) — the gradual
+    // concept-drift signal the step method cannot express
+    "i10_inject_drift" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"ts", $"value")
+      Injector.injectDrift(ev, "event_id", "ts",
+          setting("drift", driftW, pct = 100.0, mag = 2.0))
+        .select($"event_id", round($"value", 4).as("value_inj"),
+          $"injected_anomaly", $"label")
+        .orderBy($"event_id")
+    }),
+
     // Full ingest pipeline: normalize (stable rank-derived ids) → inject.
     // The oracle recomputes the id AS PURE SQL (row_number over the content
     // order), so this row goes red if ids ever become partition-dependent
@@ -107,8 +120,15 @@ object Inject {
     val lowerVal =
       s"CASE WHEN $lowerSel THEN (CASE WHEN $lowerBase = 0.0 THEN value * $lowerF ELSE $lowerBase END) ELSE value END"
 
+    val driftSel = selSql(driftW, 100.0)
+    val driftMean = s"(SELECT avg(value) FILTER (WHERE $driftSel) FROM events)"
+    val driftVal = s"CASE WHEN $driftSel THEN value + $driftMean * 2.0" +
+      s" * (CAST(($es - ${driftW._1}) AS DOUBLE)" +
+      s" / ${(driftW._2 - driftW._1).toDouble}) ELSE value END"
+
     Map(
       "i1_inject_spike" -> oracle(spikeVal, spikeSel),
+      "i10_inject_drift" -> oracle(driftVal, driftSel),
       "i2_inject_lowered" -> oracle(lowerVal, lowerSel),
       "i3_inject_step" -> oracle(stepVal, stepSel),
       "i4_inject_offline" ->

@@ -243,6 +243,37 @@ object TextDedup {
         .orderBy($"lang", $"lang_pred")
     }),
 
+    // ---- A58: Cohen's kappa for the lang-ID classifier -----------------
+    // Chance-corrected agreement (Cohen 1960) over t19's confusion —
+    // the one-number skill summary raw accuracy overstates when classes
+    // are imbalanced (a majority-class guesser scores high accuracy but
+    // κ ≈ 0). Exactness: κ = (agree·N − Σrm·cm)/(N² − Σrm·cm) is a
+    // ratio of EXACT BIGINTs (classes·N² < 2^63 ⇒ N ≲ 1e9 docs; the
+    // a40 DECIMAL escape beyond) — one double division at the end.
+    // Classes absent from either side contribute 0 to the chance term,
+    // so the marginal inner join is exact. 100 TB shape: one
+    // (lang, pred) agg collapses the corpus; everything after runs on
+    // the ≤L² confusion frame.
+    "a58_langid_kappa" -> ((s, dir) => {
+      import s.implicits._
+      val conf = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"lang", TextOps.langId(toks($"text")).as("lang_pred"))
+        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // ≤L² rows; feeds three aggs
+      val tot = conf.agg(sum($"n").as("nn"),
+        sum(when($"lang" === $"lang_pred", $"n").otherwise(0L))
+          .as("agree"))
+      val pe = conf.groupBy($"lang").agg(sum($"n").as("rm"))
+        .join(conf.groupBy($"lang_pred").agg(sum($"n").as("cm"))
+          .withColumnRenamed("lang_pred", "lang"), Seq("lang"))
+        .agg(sum($"rm" * $"cm").as("pe_num"))
+      tot.crossJoin(broadcast(pe))
+        .select($"nn".as("n_docs"), $"agree",
+          round(($"agree" * $"nn" - $"pe_num").cast("double") /
+            ($"nn" * $"nn" - $"pe_num").cast("double"), 6).as("kappa"))
+    }),
+
     // ---- per-source corpus report card -----------------------------------
     // The curation dashboard a corpus operator reads per ingest source:
     // doc count, exact-dup incidence, mean token length, mean quality —
@@ -865,6 +896,30 @@ object TextDedup {
            |  CAST(count(*) AS BIGINT) AS n
            |FROM (SELECT lang, $tokensSqlExpr AS tokens FROM documents)
            |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+
+      "a58_langid_kappa" ->
+        s"""WITH conf AS (
+           |  SELECT lang, $langCase AS lang_pred,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT lang, $tokensSqlExpr AS tokens FROM documents)
+           |  GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+           |    CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+           |      AS BIGINT) AS agree
+           |  FROM conf),
+           |pe AS (
+           |  SELECT CAST(sum(rm * cm) AS BIGINT) AS pe_num FROM
+           |    (SELECT lang, CAST(sum(n) AS BIGINT) AS rm
+           |     FROM conf GROUP BY lang) r
+           |  JOIN
+           |    (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS cm
+           |     FROM conf GROUP BY lang_pred) c
+           |  ON r.lang = c.lang_pred)
+           |SELECT nn AS n_docs, agree,
+           |  round(CAST(agree * nn - pe_num AS DOUBLE)
+           |    / CAST(nn * nn - pe_num AS DOUBLE), 6) AS kappa
+           |FROM tot CROSS JOIN pe""".stripMargin,
 
       "t2_quality_score" ->
         s"""SELECT doc_id,
