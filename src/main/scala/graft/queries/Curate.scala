@@ -68,6 +68,9 @@ object Curate {
   /** a48 JSD vocabulary size (corpus-wide top-V terms). */
   private[graft] val JsdVocabK = 200
 
+  /** p24 expanding-window CV fold count (K folds over K+1 segments). */
+  private val CvK = 4
+
   /** a45/psiStream shared per-(source, quality-bin) counts — ONE
     * definition (the funnelStage pattern) so the streaming drift
     * monitor's state is definitionally the batch query's input. Works on
@@ -1036,6 +1039,39 @@ object Curate {
         .agg(max($"n_s").as("n_docs"),
           round(sum($"d6" * $"l6").cast("double") / 1e12, 6).as("psi"))
         .orderBy($"source")
+    }),
+
+    // ---- P24: expanding-window time-series CV folds ---------------------
+    // Chronological K-fold spec (Bergmeir & Benítez 2012 — the CV that
+    // does not leak the future, where p22 guards group leakage): the
+    // event timeline is cut into K+1 equal-count segments by EXACT
+    // integer rank arithmetic (segment = (rank−1)·(K+1) div N over the
+    // two-pass distributed rank); fold j trains on segments < j and
+    // tests on segment j. Output: the fold spec table — exact train/
+    // test row counts and the test window's time bounds — which a
+    // training pipeline consumes directly as WHERE clauses. 100 TB
+    // shape: one distributed rank pass + a (K+1)-row agg; the fold
+    // arithmetic runs on that tiny frame (its unpartitioned window is
+    // the bounded-frame exception, ≤ K+1 rows).
+    "p24_expanding_cv" -> ((s, dir) => {
+      import s.implicits._
+      val ranked = graft.ops.Ranks.globalRowNumberWithTotal(
+        t(s, dir, "events")
+          .select($"event_id", Det.epochS($"ts").as("es")),
+        Seq($"es", $"event_id"), "rk", "nn")
+      val segs = ranked
+        .groupBy(expr(s"(rk - 1) * ${CvK + 1} div nn").as("seg"))
+        .agg(count(lit(1)).as("n"), min($"es").as("es_lo"),
+          max($"es").as("es_hi"))
+      val w = Window.orderBy($"seg")
+        .rowsBetween(Window.unboundedPreceding, -1) // ≤ K+1 rows
+      segs
+        .withColumn("train_n", coalesce(sum($"n").over(w), lit(0L)))
+        .filter($"seg" >= 1)
+        .select($"seg".cast("int").as("fold"), $"train_n",
+          $"n".as("test_n"), $"es_lo".as("test_es_lo"),
+          $"es_hi".as("test_es_hi"))
+        .orderBy($"fold")
     }),
 
     // ---- A48: pairwise Jensen–Shannon source divergence ----------------
@@ -2177,6 +2213,28 @@ object Curate {
          |  ON ((2::HUGEINT * r.r - 1) * r.n_total)
          |       // (2::HUGEINT * r.n_s) + 1 = p.pr
          |ORDER BY r.doc_id""".stripMargin,
+
+    "p24_expanding_cv" ->
+      s"""WITH r AS (
+         |  SELECT ${Det.epochSSql("ts")} AS es, event_id,
+         |    row_number() OVER (ORDER BY ${Det.epochSSql("ts")}, event_id)
+         |      AS rk,
+         |    count(*) OVER () AS nn
+         |  FROM events),
+         |segs AS (
+         |  SELECT (rk - 1) * ${CvK + 1} // nn AS seg,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    min(es) AS es_lo, max(es) AS es_hi
+         |  FROM r GROUP BY 1),
+         |f AS (
+         |  SELECT seg, n, es_lo, es_hi,
+         |    CAST(COALESCE(sum(n) OVER (ORDER BY seg
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS train_n
+         |  FROM segs)
+         |SELECT CAST(seg AS INTEGER) AS fold, train_n, n AS test_n,
+         |  es_lo AS test_es_lo, es_hi AS test_es_hi
+         |FROM f WHERE seg >= 1 ORDER BY fold""".stripMargin,
 
     "a48_jsd_sources" ->
       s"""WITH dt AS (

@@ -42,6 +42,14 @@ object TextDedup {
     * exercised with non-zero numbers. */
   private val CapReportCap = 8
 
+  /** d20 TF-IDF cosine: shingle width of the term space, term-df
+    * fan-out cap (≤ cap² pairs per term — the g6/t26 policy; high-df
+    * terms are near-zero-idf anyway) and the reported-pair cosine
+    * floor. */
+  private val TfidfN = 3
+  private val TfidfDfCap = 32
+  private val TfidfCosMin = 0.5
+
   private def toks(c: Column) = TextOps.tokens(c)
 
   /** Signature frame: doc_id + 8 minhash slices s0..s7, via the native
@@ -557,6 +565,59 @@ object TextDedup {
     // on pairs whose estimated Jaccard (signature agreement) clears 0.5 —
     // candidates merely sharing one band would multiply the exact-verify
     // cost ~100× for pairs that can't be near-dups.
+    // ---- D20: TF-IDF sparse-cosine near-dup pairs -----------------------
+    // The third member of the similarity triad (d6 = set Jaccard, e4 =
+    // dense-embedding cosine; this is Salton's sparse vector-space
+    // cosine over SHINGLE terms — the SpotSigs-style IR near-dup): docs
+    // as TF·IDF vectors over 3-gram terms (n-grams, not unigrams, are
+    // the discriminative term space — unigram df on a natural-language
+    // corpus is dominated by stopword-scale counts that any useful df
+    // cap removes entirely), pairs generated by a TERM-KEYED join — no
+    // LSH, no dense vectors. Exactness: weights are exact BIGINTs (tf ·
+    // the e3-quantized idf — e3 NOT e6 so Σw² stays int64 to ~9e6
+    // terms/doc), dots and norms exact BIGINT sums, cosine one double
+    // expression. Fan-out guard: terms with df > cap are dropped from
+    // BOTH the pair join and the norms (internal consistency — cosine
+    // stays ≤ 1), the g6/t26 policy: high-df terms are near-zero-idf
+    // noise AND the quadratic blowup. 100 TB shape: term-keyed join
+    // with ≤ cap² fan-out per term; one (d1, d2) agg; norm join per
+    // side.
+    "d20_tfidf_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val tf = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", toks($"text").as("tk"))
+        .filter(size($"tk") >= TfidfN)
+        .select($"doc_id",
+          explode(TextOps.wordNgrams($"tk", TfidfN)).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds df, norms AND the pair join
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .filter($"df" <= TfidfDfCap)
+      val w = tf.join(df, Seq("tok"))
+        .crossJoin(broadcast(nDocs))
+        .select($"tok", $"doc_id", ($"tf" *
+          round(log($"nd".cast("double") / $"df".cast("double")) * 1e3)
+            .cast("long")).as("w"))
+        .localCheckpoint() // feeds norms AND both pair sides
+      val norms = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
+      w.as("x").join(w.as("y"),
+          col("x.tok") === col("y.tok") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(sum(col("x.w") * col("y.w")).as("dot"))
+        .join(norms.select($"doc_id".as("a_id"), $"n2".as("na")),
+          Seq("a_id"))
+        .join(norms.select($"doc_id".as("b_id"), $"n2".as("nb")),
+          Seq("b_id"))
+        .withColumn("cosine", round($"dot".cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 6))
+        .filter($"cosine" >= TfidfCosMin)
+        .select($"a_id", $"b_id", $"cosine")
+        .orderBy($"a_id", $"b_id")
+    }),
+
     "d6_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       // repartition (single-split source) + localCheckpoint (feeds BOTH
@@ -896,6 +957,48 @@ object TextDedup {
            |  CAST(count(*) AS BIGINT) AS n
            |FROM (SELECT lang, $tokensSqlExpr AS tokens FROM documents)
            |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+
+      "d20_tfidf_cosine" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, $tokensSqlExpr AS tk FROM documents),
+           |tf AS (
+           |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      generate_series(1, len(tk) - ${TfidfN - 1}),
+           |      i -> array_to_string(list_slice(tk, i, i + ${TfidfN - 1}),
+           |        ' '))) AS tok
+           |    FROM tk WHERE len(tk) >= $TfidfN)
+           |  GROUP BY doc_id, tok),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+           |df AS (
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS df
+           |  FROM tf GROUP BY tok HAVING count(*) <= $TfidfDfCap),
+           |w AS (
+           |  SELECT tf.tok, tf.doc_id,
+           |    tf.tf * CAST(round(ln(CAST(nd AS DOUBLE)
+           |      / CAST(df.df AS DOUBLE)) * 1e3) AS BIGINT) AS w
+           |  FROM tf JOIN df USING (tok) CROSS JOIN nd),
+           |norms AS (
+           |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+           |  FROM w GROUP BY doc_id),
+           |dots AS (
+           |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+           |    CAST(sum(x.w * y.w) AS BIGINT) AS dot
+           |  FROM w x JOIN w y
+           |    ON x.tok = y.tok AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |cs AS (
+           |  SELECT a_id, b_id,
+           |    round(CAST(dot AS DOUBLE)
+           |      / (sqrt(CAST(na.n2 AS DOUBLE))
+           |        * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+           |  FROM dots
+           |    JOIN norms na ON na.doc_id = dots.a_id
+           |    JOIN norms nb ON nb.doc_id = dots.b_id)
+           |SELECT a_id, b_id, cosine FROM cs
+           |WHERE cosine >= $TfidfCosMin
+           |ORDER BY a_id, b_id""".stripMargin,
 
       "a58_langid_kappa" ->
         s"""WITH conf AS (
