@@ -1115,6 +1115,62 @@ object Analytics {
         .orderBy($"bin")
     }),
 
+    // ---- A59: Brier score decomposition (Murphy 1973) -------------------
+    // The forecast-quality split a34's calibration table reads off by
+    // eye, as numbers: mean Brier score plus its reliability (binned
+    // calibration error — lower is better), resolution (how far bin
+    // outcome rates move from the base rate — higher is better) and
+    // uncertainty (ȳ(1−ȳ), the data's irreducible floor). Computed over
+    // a34's exact rank-equal bins; with binned (non-constant) forecasts
+    // the identity Brier = REL − RES + UNC holds only up to within-bin
+    // forecast variance — all four are reported, none asserted equal.
+    // Exactness: every per-bin moment is an exact integer (the per-row
+    // squared error accumulates in DECIMAL(38,0)/HUGEINT — (ppm−1e6y)²
+    // sums cross int64 near 9e6 rows, the a40 rule); the two ≤bins-
+    // addend Σ fold sorted (t30 recipe); everything else is scalar IEEE
+    // on identical inputs. 100 TB shape: the a34 rank pass + ONE bin
+    // agg; all arithmetic after runs on the ≤bins-row frame.
+    "a59_brier_decomp" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"value",
+          when($"event_type" === "error", 1L).otherwise(0L).as("pos"),
+          round(graft.functions.Coerce.sigmoidProba($"value", 100.0)
+            * 1000000).cast("long").as("ppm"))
+      val bins = graft.ops.Ranks
+        .globalRowNumberWithTotal(ev, Seq($"value", $"event_id"), "rn", "n")
+        .withColumn("bin", expr(s"((rn - 1) * $CalBins) div n"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("nk"), sum($"ppm").as("sp"),
+          sum($"pos").as("pk"),
+          sum(($"ppm" - $"pos" * 1000000L).cast("decimal(38,0)") *
+            ($"ppm" - $"pos" * 1000000L)).as("sb2"))
+        .localCheckpoint() // ≤ CalBins rows; feeds the totals AND terms
+      val tot = bins.agg(sum($"nk").as("nn"), sum($"pk").as("pp"),
+        sum($"sb2").as("sb2t"))
+      bins.crossJoin(broadcast(tot))
+        .withColumn("relt",
+          d($"sp" - $"pk" * 1000000L) * d($"sp" - $"pk" * 1000000L) /
+            (lit(1e12) * d($"nk")))
+        .withColumn("rest",
+          d($"pk" * $"nn" - $"nk" * $"pp") *
+            d($"pk" * $"nn" - $"nk" * $"pp") /
+            (d($"nk") * d($"nn") * d($"nn")))
+        .groupBy($"nn", $"pp", $"sb2t")
+        .agg(aggregate(sort_array(collect_list($"relt")), lit(0.0),
+            (a, x) => a + x).as("rels"),
+          aggregate(sort_array(collect_list($"rest")), lit(0.0),
+            (a, x) => a + x).as("ress"))
+        .select($"nn".as("n"),
+          round(d($"pp") / d($"nn"), 6).as("base_rate"),
+          round(d($"sb2t") / (lit(1e12) * d($"nn")), 6).as("brier"),
+          round($"rels" / d($"nn"), 6).as("reliability"),
+          round($"ress" / d($"nn"), 6).as("resolution"),
+          round(d($"pp") / d($"nn") *
+            (lit(1.0) - d($"pp") / d($"nn")), 6).as("uncertainty"))
+    }),
+
     // ---- G5: label-propagation communities --------------------------------
     // Fixed-round synchronous LPA over the customer↔supplier trade graph
     // (the g4 edge frame): the near-linear community detector, made
@@ -1970,6 +2026,55 @@ object Analytics {
         |SELECT metric, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(cents) AS min_cents, max(cents) AS max_cents
         |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
+
+    "a59_brier_decomp" -> {
+      val sig = graft.functions.Coerce.sigmoidProbaSql("value", 100.0)
+      s"""WITH ev AS (
+         |  SELECT event_id, value,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos,
+         |    CAST(round($sig * 1000000) AS BIGINT) AS ppm
+         |  FROM events),
+         |r AS (
+         |  SELECT pos, ppm,
+         |    row_number() OVER (ORDER BY value, event_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM ev),
+         |bins AS (
+         |  SELECT ((rn - 1) * $CalBins) // n AS bin,
+         |    CAST(count(*) AS BIGINT) AS nk,
+         |    CAST(sum(ppm) AS BIGINT) AS sp,
+         |    CAST(sum(pos) AS BIGINT) AS pk,
+         |    sum(CAST(ppm - pos * 1000000 AS HUGEINT)
+         |      * (ppm - pos * 1000000)) AS sb2
+         |  FROM r GROUP BY bin),
+         |tot AS (
+         |  SELECT CAST(sum(nk) AS BIGINT) AS nn,
+         |    CAST(sum(pk) AS BIGINT) AS pp,
+         |    sum(sb2) AS sb2t
+         |  FROM bins),
+         |tm AS (
+         |  SELECT nn, pp, sb2t,
+         |    CAST(sp - pk * 1000000 AS DOUBLE)
+         |      * CAST(sp - pk * 1000000 AS DOUBLE)
+         |      / (1e12 * CAST(nk AS DOUBLE)) AS relt,
+         |    CAST(pk * nn - nk * pp AS DOUBLE)
+         |      * CAST(pk * nn - nk * pp AS DOUBLE)
+         |      / (CAST(nk AS DOUBLE) * CAST(nn AS DOUBLE)
+         |        * CAST(nn AS DOUBLE)) AS rest
+         |  FROM bins CROSS JOIN tot)
+         |SELECT nn AS n,
+         |  round(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS base_rate,
+         |  round(CAST(sb2t AS DOUBLE) / (1e12 * CAST(nn AS DOUBLE)), 6)
+         |    AS brier,
+         |  round(list_reduce(list_sort(list(relt)), (a, b) -> a + b)
+         |    / CAST(nn AS DOUBLE), 6) AS reliability,
+         |  round(list_reduce(list_sort(list(rest)), (a, b) -> a + b)
+         |    / CAST(nn AS DOUBLE), 6) AS resolution,
+         |  round(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)
+         |    * (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+         |    AS uncertainty
+         |FROM tm GROUP BY nn, pp, sb2t""".stripMargin
+    },
 
     "a34_calibration" -> {
       val sig = graft.functions.Coerce.sigmoidProbaSql("value", 100.0)
