@@ -1041,6 +1041,41 @@ object Curate {
         .orderBy($"source")
     }),
 
+    // ---- T41: Zipf law fit ------------------------------------------------
+    // log-log OLS of frequency vs rank over the corpus top-K vocabulary
+    // (Zipf 1949): natural text slopes near −1; a corpus drifting toward
+    // boilerplate/templates flattens or steepens, making the slope a
+    // one-number corpus-health diagnostic beside t20's report card.
+    // Exactness: the top-K vocab is the exact (count desc, term) order;
+    // ln(rank) and ln(count) are e6-quantized BIGINTs so all OLS moments
+    // over the K points are exact integers (Σxy ≤ K·4e14 — int64 to
+    // K ≈ 2e4); slope and R² assemble those integers in doubles (a38
+    // rule — n·Σxy crosses int64 first). 100 TB shape: one (w) count
+    // agg collapses the corpus; the K-row rank window is the bounded-
+    // frame exception; the fit is one K-row agg.
+    "t41_zipf_fit" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val top = t(s, dir, "documents")
+        .select(explode(TextOps.tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"w").limit(JsdVocabK)
+      top
+        .withColumn("r", row_number().over( // ≤ K rows: bounded frame
+          Window.orderBy($"c".desc, $"w")).cast("long"))
+        .select(round(log(d($"r")) * 1e6).cast("long").as("x"),
+          round(log(d($"c")) * 1e6).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        .withColumn("cov", d($"n") * d($"sxy") - d($"sx") * d($"sy"))
+        .withColumn("vx", d($"n") * d($"sxx") - d($"sx") * d($"sx"))
+        .withColumn("vy", d($"n") * d($"syy") - d($"sy") * d($"sy"))
+        .select($"n".as("k_terms"),
+          round($"cov" / $"vx", 6).as("zipf_slope"),
+          round($"cov" * $"cov" / ($"vx" * $"vy"), 6).as("r2"))
+    }),
+
     // ---- P24: expanding-window time-series CV folds ---------------------
     // Chronological K-fold spec (Bergmeir & Benítez 2012 — the CV that
     // does not leak the future, where p22 guards group leakage): the
@@ -2213,6 +2248,36 @@ object Curate {
          |  ON ((2::HUGEINT * r.r - 1) * r.n_total)
          |       // (2::HUGEINT * r.n_s) + 1 = p.pr
          |ORDER BY r.doc_id""".stripMargin,
+
+    "t41_zipf_fit" ->
+      s"""WITH cnt AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+         |    (SELECT unnest($tokensSqlExpr) AS w FROM documents)
+         |  GROUP BY w ORDER BY c DESC, w LIMIT $JsdVocabK),
+         |pts AS (
+         |  SELECT CAST(round(ln(CAST(row_number() OVER
+         |      (ORDER BY c DESC, w) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |    CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM cnt),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM pts),
+         |f AS (
+         |  SELECT n,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+         |  FROM st)
+         |SELECT n AS k_terms, round(cov / vx, 6) AS zipf_slope,
+         |  round(cov * cov / (vx * vy), 6) AS r2
+         |FROM f""".stripMargin,
 
     "p24_expanding_cv" ->
       s"""WITH r AS (

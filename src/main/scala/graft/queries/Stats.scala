@@ -1068,6 +1068,41 @@ object Stats {
         .limit(CusumTopK)
     }),
 
+    // ---- G10: degree assortativity --------------------------------------
+    // Newman 2002's mixing coefficient for the customer→supplier graph:
+    // Pearson correlation of (deg(customer), deg(supplier)) over the
+    // capped distinct edge list — do high-degree customers buy from
+    // high-degree suppliers (assortative, r > 0) or from the long tail
+    // (disassortative, r < 0)? The one-number structure summary behind
+    // g1/g8's rankings. Exactness: degrees and all five moments are
+    // exact BIGINTs (Σd² exact while edges·d_max² < 2^63 ⇒ E ≲ 9e6 at
+    // d ≤ 1e6 — the a40 DECIMAL escape beyond), r is the a19 expression
+    // shape. 100 TB shape: two degree aggs + two joins riding the edge
+    // list's own keys; one scalar agg.
+    "g10_assortativity" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val edges = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("sk"))
+      val pairs = graft.ops.Buckets
+        .capMembers(edges.distinct(), Seq($"c"), G6CustomerCap,
+          label = "g10")
+        .localCheckpoint()
+      val cdeg = pairs.groupBy($"c").agg(count(lit(1)).as("dc"))
+      val sdeg = pairs.groupBy($"sk").agg(count(lit(1)).as("ds"))
+      pairs.join(cdeg, Seq("c")).join(sdeg, Seq("sk"))
+        .agg(count(lit(1)).as("n"), sum($"dc").as("sx"),
+          sum($"ds").as("sy"), sum($"dc" * $"ds").as("sxy"),
+          sum($"dc" * $"dc").as("sxx"), sum($"ds" * $"ds").as("syy"))
+        .select($"n".as("n_edges"),
+          round((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+            sqrt((d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
+              (d($"n") * d($"syy") - d($"sy") * d($"sy"))), 6)
+            .as("assortativity"))
+    }),
+
     // ---- T18: full Gopher repetition battery --------------------------
     // For n = 2..4 per document: fraction of n-gram occurrences whose
     // gram repeats (dup_frac) and of the single most frequent gram
@@ -2174,6 +2209,35 @@ object Stats {
          |  JOIN deg d2 ON co.s2 = d2.sk
          |ORDER BY co.common DESC, co.s1, co.s2
          |LIMIT $CusumTopK""".stripMargin,
+
+    "g10_assortativity" ->
+      s"""WITH pr0 AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |pr AS (
+         |  SELECT c, sk FROM (
+         |    SELECT c, sk, count(*) OVER (PARTITION BY c) AS bsz FROM pr0)
+         |  WHERE bsz <= $G6CustomerCap),
+         |cd AS (SELECT c, CAST(count(*) AS BIGINT) AS dc
+         |       FROM pr GROUP BY c),
+         |sd AS (SELECT sk, CAST(count(*) AS BIGINT) AS ds
+         |       FROM pr GROUP BY sk),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dc) AS BIGINT) AS sx, CAST(sum(ds) AS BIGINT) AS sy,
+         |    CAST(sum(dc * ds) AS BIGINT) AS sxy,
+         |    CAST(sum(dc * dc) AS BIGINT) AS sxx,
+         |    CAST(sum(ds * ds) AS BIGINT) AS syy
+         |  FROM pr JOIN cd USING (c) JOIN sd USING (sk))
+         |SELECT n AS n_edges,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |    AS assortativity
+         |FROM st""".stripMargin,
 
     "g9_resource_alloc" ->
       s"""WITH pr0 AS (
