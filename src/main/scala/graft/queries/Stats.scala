@@ -570,6 +570,71 @@ object Stats {
         .orderBy($"t1", $"t2")
     }),
 
+    // ---- A60: partial correlation controlling for total traffic ---------
+    // a57's raw matrix confounds every pair through shared load (all
+    // series ride the same hourly traffic); the first-order partial
+    // correlation r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    // with z = the hourly ALL-TYPE volume reports what co-movement
+    // remains once that common cause is removed — the difference
+    // between "errors spike with purchases" and "everything spikes at
+    // noon". Exactness: every r is built UNROUNDED from exact BIGINT
+    // moments with the a19 expression shape (identical doubles in both
+    // engines), and the partial formula is scalar IEEE on those; only
+    // the output is rounded. 100 TB shape: a57's one (hour, type)
+    // corpus agg + an hours-row z agg; all correlation arithmetic runs
+    // on the hours×T frame and the T-row r_zt table.
+    "a60_partial_corr" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val hourly = t(s, dir, "events")
+        .select($"event_type", Det.epochS($"ts").as("es"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy(expr("es div 3600").as("hr"), $"event_type")
+        .agg(sum($"cents").as("v"))
+        .localCheckpoint() // feeds grid, z AND both moment passes
+      val hours = hourly.select($"hr").distinct()
+      val types = hourly.select($"event_type").distinct()
+      val grid = hours.crossJoin(broadcast(types))
+        .join(hourly, Seq("hr", "event_type"), "left")
+        .select($"hr", $"event_type", coalesce($"v", lit(0L)).as("v"))
+        .localCheckpoint()
+      val z = grid.groupBy($"hr").agg(sum($"v").as("z"))
+      def corrOf(n: org.apache.spark.sql.Column,
+                 sx: org.apache.spark.sql.Column,
+                 sy: org.apache.spark.sql.Column,
+                 sxy: org.apache.spark.sql.Column,
+                 sxx: org.apache.spark.sql.Column,
+                 syy: org.apache.spark.sql.Column) =
+        (d(n) * d(sxy) - d(sx) * d(sy)) /
+          sqrt((d(n) * d(sxx) - d(sx) * d(sx)) *
+            (d(n) * d(syy) - d(sy) * d(sy)))
+      val rz = grid.join(z, Seq("hr"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sx"), sum($"z").as("sy"),
+          sum($"v" * $"z").as("sxy"), sum($"v" * $"v").as("sxx"),
+          sum($"z" * $"z").as("syy"))
+        .select($"event_type",
+          corrOf($"n", $"sx", $"sy", $"sxy", $"sxx", $"syy").as("rz"))
+      val g1 = grid.select($"hr", $"event_type".as("t1"), $"v".as("x"))
+      val g2 = grid.select($"hr", $"event_type".as("t2"), $"v".as("y"))
+      g1.join(g2, Seq("hr")).filter($"t1" < $"t2")
+        .groupBy($"t1", $"t2")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        .withColumn("rxy",
+          corrOf($"n", $"sx", $"sy", $"sxy", $"sxx", $"syy"))
+        .join(broadcast(rz.select($"event_type".as("t1"),
+          $"rz".as("rxz"))), Seq("t1"))
+        .join(broadcast(rz.select($"event_type".as("t2"),
+          $"rz".as("ryz"))), Seq("t2"))
+        .select($"t1", $"t2", round($"rxy", 6).as("r_raw"),
+          round(($"rxy" - $"rxz" * $"ryz") /
+            sqrt((lit(1.0) - $"rxz" * $"rxz") *
+              (lit(1.0) - $"ryz" * $"ryz")), 6).as("r_partial"))
+        .orderBy($"t1", $"t2")
+    }),
+
     // ---- A56: partial autocorrelation (Durbin–Levinson) -----------------
     // PACF at lags 1–3 from a38's sample ACF — the second half of the
     // Box–Jenkins identification pair (ACF tails off / PACF cuts at p ⇒
@@ -1734,6 +1799,62 @@ object Stats {
          |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
          |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
          |FROM st ORDER BY t1, t2""".stripMargin,
+
+    "a60_partial_corr" -> {
+      def corrSql(n: String, sx: String, sy: String, sxy: String,
+                  sxx: String, syy: String) =
+        s"""(CAST($n AS DOUBLE) * CAST($sxy AS DOUBLE)
+           |      - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+           |    / sqrt((CAST($n AS DOUBLE) * CAST($sxx AS DOUBLE)
+           |        - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+           |      * (CAST($n AS DOUBLE) * CAST($syy AS DOUBLE)
+           |        - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE)))""".stripMargin
+      s"""WITH hourly AS (
+         |  SELECT ${Det.epochSSql("ts")} // 3600 AS hr, event_type,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT h.hr, t.event_type, COALESCE(hourly.v, 0) AS v
+         |  FROM (SELECT DISTINCT hr FROM hourly) h
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+         |  LEFT JOIN hourly
+         |    ON hourly.hr = h.hr AND hourly.event_type = t.event_type),
+         |z AS (SELECT hr, CAST(sum(v) AS BIGINT) AS z
+         |      FROM grid GROUP BY hr),
+         |rzm AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sx, CAST(sum(z) AS BIGINT) AS sy,
+         |    CAST(sum(v * z) AS BIGINT) AS sxy,
+         |    CAST(sum(v * v) AS BIGINT) AS sxx,
+         |    CAST(sum(z * z) AS BIGINT) AS syy
+         |  FROM grid JOIN z USING (hr) GROUP BY event_type),
+         |rz AS (
+         |  SELECT event_type,
+         |    ${corrSql("n", "sx", "sy", "sxy", "sxx", "syy")} AS rz
+         |  FROM rzm),
+         |pm AS (
+         |  SELECT g1.event_type AS t1, g2.event_type AS t2,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(g1.v) AS BIGINT) AS sx,
+         |    CAST(sum(g2.v) AS BIGINT) AS sy,
+         |    CAST(sum(g1.v * g2.v) AS BIGINT) AS sxy,
+         |    CAST(sum(g1.v * g1.v) AS BIGINT) AS sxx,
+         |    CAST(sum(g2.v * g2.v) AS BIGINT) AS syy
+         |  FROM grid g1 JOIN grid g2
+         |    ON g1.hr = g2.hr AND g1.event_type < g2.event_type
+         |  GROUP BY 1, 2),
+         |rxy AS (
+         |  SELECT t1, t2,
+         |    ${corrSql("n", "sx", "sy", "sxy", "sxx", "syy")} AS rxy
+         |  FROM pm)
+         |SELECT t1, t2, round(rxy, 6) AS r_raw,
+         |  round((rxy - a.rz * b.rz)
+         |    / sqrt((1.0 - a.rz * a.rz) * (1.0 - b.rz * b.rz)), 6)
+         |    AS r_partial
+         |FROM rxy JOIN rz a ON a.event_type = rxy.t1
+         |  JOIN rz b ON b.event_type = rxy.t2
+         |ORDER BY t1, t2""".stripMargin
+    },
 
     "a56_pacf" -> {
       val lags = (1 to AcfMaxLag).map(l => s"($l)").mkString(", ")
