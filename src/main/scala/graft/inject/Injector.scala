@@ -115,6 +115,11 @@ object Injector {
     * one-codegen-projection-over-a-broadcast-stats-row shape. */
   def injectDrift(df: DataFrame, idCol: String, tsCol: String,
                   s: AnomalySetting): DataFrame = {
+    // CONTRACT: the ramp divides by the span — a zero-length window would
+    // silently write NaN/Infinity into every selected row. Fail fast.
+    require(s.endEpoch > s.startEpoch,
+      s"injectDrift needs endEpoch > startEpoch (got [${s.startEpoch}, " +
+        s"${s.endEpoch}]); use inject() for an instantaneous anomaly")
     val epochS = col(tsCol).cast("long")
     val stats = df.select(s.columns.zipWithIndex.map { case (c, i) =>
       val sel = selected(col(idCol), epochS, s, i)

@@ -278,6 +278,11 @@ object Core2 {
     "f8_sql_surface" -> ((s, dir) => {
       graft.expressions.GraftFunctions.register(s)
       t(s, dir, "events").createOrReplaceTempView("__events_sql")
+      // kernels are projected ABOVE the sort (subquery sorts the narrow
+      // frame): a range sort's sampling job re-executes its child, so the
+      // nine kernel columns under the ORDER BY ran twice (PLANS.md
+      // round-5 rule, d12 precedent) — column pruning still ships only
+      // (event_id, value, user_id, event_type) through the exchange
       s.sql(
         """SELECT event_id,
           |  round(graft_frac(event_id, 42), 8) AS frac,
@@ -290,7 +295,8 @@ object Core2 {
           |    CAST(event_id % 7 AS STRING) || '/?utm_source=x&id=' ||
           |    CAST(event_id % 5 AS STRING)) AS urlc,
           |  graft_url_host('https://Sub.EXAMPLE.com/x') AS urlh
-          |FROM __events_sql ORDER BY event_id""".stripMargin)
+          |FROM (SELECT event_id, value, user_id, event_type
+          |      FROM __events_sql ORDER BY event_id)""".stripMargin)
     }),
 
     // ---- A9: NDCG averaging across groups and k values -------------------

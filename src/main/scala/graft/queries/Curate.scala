@@ -1366,6 +1366,11 @@ object Curate {
       import s.implicits._
       val grams = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
+        // docs shorter than k emit NO grams: Spark's sequence(1, stop)
+        // with stop < 1 generates a DESCENDING sequence (not empty, unlike
+        // the oracle's range()), whose junk rows would overflow the pos bit
+        // slot in __key — filter them out before the explode
+        .filter(length($"text") >= WinK)
         .select($"doc_id", $"text",
           explode(sequence(lit(1), length($"text") - (WinK - 1))).as("pos"))
         .select($"doc_id", $"pos",

@@ -196,6 +196,8 @@ object Embed {
     }),
 
     // ---- near-duplicate pairs: same bucket AND cosine > 0.9 --------------
+    // Oracle mirrors the hot-bucket cap (g6 policy): the gate stays exact
+    // even when the cap binds at a larger SF.
     "e4_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       // hot-bucket guard INSIDE the checkpoint: the capped frame feeds both
@@ -227,7 +229,8 @@ object Embed {
     // the join stays bucket-keyed. 100 TB shape: candidate generation is
     // the capped (tab, bucket) self-join (hot-bucket guard + d18 drop
     // accounting), per-node top-k is a key-partitioned window — no
-    // all-pairs stage anywhere.
+    // all-pairs stage anywhere. Oracle mirrors the (tab, bucket) cap
+    // (g6 policy) so the gate stays exact when the cap binds.
     "e20_knn_graph" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -1138,12 +1141,17 @@ object Embed {
       "e20_knn_graph" -> {
         val bucketSql2 = Vectors.lshBucketSql("embedding", DIM, NBITS,
           KnnSeed2)
-        s"""WITH wb AS (
+        s"""WITH wb0 AS (
            |  SELECT vec_id, embedding, 0 AS tab, $bucketSql AS bucket
            |  FROM embeddings
            |  UNION ALL
            |  SELECT vec_id, embedding, 1 AS tab, $bucketSql2 AS bucket
            |  FROM embeddings),
+           |wb AS (
+           |  SELECT vec_id, embedding, tab, bucket FROM (
+           |    SELECT vec_id, embedding, tab, bucket,
+           |      count(*) OVER (PARTITION BY tab, bucket) AS bsz FROM wb0)
+           |  WHERE bsz <= ${graft.ops.Buckets.DefaultCap}),
            |p AS (SELECT x.vec_id AS src, y.vec_id AS nbr,
            |        x.embedding AS xe, y.embedding AS ye
            |      FROM wb x JOIN wb y
@@ -1161,8 +1169,13 @@ object Embed {
       },
 
       "e4_embed_neardup" ->
-        s"""WITH wb AS (SELECT vec_id, embedding, $bucketSql AS bucket
-           |            FROM embeddings),
+        s"""WITH wb0 AS (SELECT vec_id, embedding, $bucketSql AS bucket
+           |             FROM embeddings),
+           |wb AS (
+           |  SELECT vec_id, embedding, bucket FROM (
+           |    SELECT vec_id, embedding, bucket,
+           |      count(*) OVER (PARTITION BY bucket) AS bsz FROM wb0)
+           |  WHERE bsz <= ${graft.ops.Buckets.DefaultCap}),
            |p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
            |        x.embedding AS xe, y.embedding AS ye
            |      FROM wb x JOIN wb y

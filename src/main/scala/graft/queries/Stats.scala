@@ -1917,21 +1917,24 @@ object Stats {
          |    k * $SprtL1e6 + (rn - k) * $SprtL0e6 AS llr_e6
          |  FROM base),
          |crossed AS (
-         |  SELECT user_id,
-         |    arg_min(CASE WHEN llr_e6 >= $SprtAe6 THEN 'accept_h1'
-         |      ELSE 'accept_h0' END, es * 4294967296 + event_id)
-         |      AS decision,
-         |    arg_min(rn, es * 4294967296 + event_id) AS n_at_decision,
-         |    arg_min(llr_e6, es * 4294967296 + event_id) AS llr_e6
-         |  FROM llr
-         |  WHERE llr_e6 >= $SprtAe6 OR llr_e6 <= -$SprtAe6
-         |  GROUP BY user_id),
+         |  SELECT user_id, decision, n_at_decision, llr_e6 FROM (
+         |    SELECT user_id,
+         |      CASE WHEN llr_e6 >= $SprtAe6 THEN 'accept_h1'
+         |        ELSE 'accept_h0' END AS decision,
+         |      rn AS n_at_decision, llr_e6,
+         |      row_number() OVER
+         |        (PARTITION BY user_id ORDER BY es, event_id) AS pick
+         |    FROM llr
+         |    WHERE llr_e6 >= $SprtAe6 OR llr_e6 <= -$SprtAe6)
+         |  WHERE pick = 1),
          |open AS (
-         |  SELECT l.user_id, 'continue' AS decision,
-         |    arg_max(rn, es * 4294967296 + event_id) AS n_at_decision,
-         |    arg_max(llr_e6, es * 4294967296 + event_id) AS llr_e6
-         |  FROM llr l ANTI JOIN crossed c ON l.user_id = c.user_id
-         |  GROUP BY l.user_id)
+         |  SELECT user_id, 'continue' AS decision,
+         |    n_at_decision, llr_e6 FROM (
+         |    SELECT l.user_id, rn AS n_at_decision, llr_e6,
+         |      row_number() OVER (PARTITION BY l.user_id
+         |        ORDER BY es DESC, event_id DESC) AS pick
+         |    FROM llr l ANTI JOIN crossed c ON l.user_id = c.user_id)
+         |  WHERE pick = 1)
          |SELECT user_id, decision, n_at_decision, llr_e6 FROM crossed
          |UNION ALL
          |SELECT user_id, decision, n_at_decision, llr_e6 FROM open
