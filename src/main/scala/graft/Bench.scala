@@ -11,9 +11,12 @@ import org.apache.spark.sql.SparkSession
   * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 2) and the
   * MINIMUM wall time is reported, so this box's documented external
   * CPU-contention windows (PLANS.md) and first-run codegen tax stop
-  * poisoning the headline number. Queries are fully materialized through
-  * the `noop` sink — a bare `count()` would let Catalyst prune the
-  * projections we mean to measure. */
+  * poisoning the headline number; when the summed per-query spreads
+  * exceed 25% of the total (a run-wide contention band, not per-query
+  * noise) every query gets ONE extra rep and the min re-takes
+  * (`"escalated":true` in the JSON). Queries are fully materialized
+  * through the `noop` sink — a bare `count()` would let Catalyst prune
+  * the projections we mean to measure. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,26 +39,46 @@ object Bench {
     // 172.9–201.0 s across runs) rides the artifact instead of being
     // adjudicated from memory; a large spread flags a noisy measurement,
     // not a plan change.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { rep =>
-        spark.catalog.clearCache() // drop per-query cached frames between runs
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name rep$rep FAILED: ${e.getMessage}")
-          None
-        }
+    def runRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               rep: Int): Option[Double] = {
+      spark.catalog.clearCache() // drop per-query cached frames between runs
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name rep$rep FAILED: ${e.getMessage}")
+        None
       }
+    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val firstPass = sorted.map { case (name, fn) =>
+      (name, fn, (1 to reps).flatMap(runRep(name, fn, _)))
+    }
+    // Contention escalation: when the per-query spreads sum to >25% of the
+    // total, min-of-`reps` demonstrably inflates the headline (the r7
+    // driver artifact carried a 44% contention band) — one extra rep per
+    // query buys each min another draw from the noise distribution.
+    val passTotal = firstPass.flatMap(_._3.minOption).sum
+    val passSpread = firstPass.flatMap { case (_, _, ts) =>
+      if (ts.isEmpty) None else Some(ts.max - ts.min) }.sum
+    val escalate = passTotal > 0 && passSpread / passTotal > 0.25
+    if (escalate) System.err.println(
+      s"[bench] spread_total ${r3(passSpread)} s is ${
+        f"${100 * passSpread / passTotal}%.0f"}%% of total ${r3(passTotal)} s" +
+        " — escalating to one extra rep per query")
+    val results = firstPass.map { case (name, fn, t0s) =>
+      val times =
+        if (escalate && t0s.nonEmpty) t0s ++ runRep(name, fn, reps + 1) else t0s
       val min = if (times.isEmpty) None else Some(times.min)
       val spread = if (times.isEmpty) None else Some(times.max - times.min)
       System.err.println(
-        s"[bench] $name ok=${times.size}/$reps reps=[${times.map(r3).mkString(",")}]" +
+        s"[bench] $name ok=${times.size} reps=[${times.map(r3).mkString(",")}]" +
           s" min=${min.map(r3).getOrElse("FAILED")} s" +
           s" spread=${spread.map(r3).getOrElse("-")} s")
       (name, min, spread)
     }
+    val effReps = if (escalate) reps + 1 else reps
     val failed = results.collect { case (k, None, _) => k }
     val total = results.flatMap(_._2).sum
     val totalSpread = results.flatMap(_._3).sum
@@ -67,7 +90,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"failed":$failedJson,"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$effReps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"escalated":$escalate,"failed":$failedJson,"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
@@ -77,7 +100,7 @@ object Bench {
     System.err.println(detail)
     spark.stop()
     // SHORT final stdout line only — must survive the driver's ~2 KB tail cap
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"reps":$effReps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"escalated":$escalate,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
