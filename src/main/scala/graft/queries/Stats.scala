@@ -97,7 +97,22 @@ object Stats {
       .select(col("user_id"), col("mu"), col("sig"))
 
   /** CUSUM report size. */
-  private val CusumTopK = 20
+  private[graft] val CusumTopK = 20
+
+  /** w28's event projection and per-user calibration (total count + Σq)
+    * — ONE definition each (the ewmaEvents pattern) shared by the batch
+    * CUSUM report and [[graft.streaming.StreamJob.cusumStream]]'s spec,
+    * so the streaming twin's calibration can never drift from the
+    * query's. */
+  private[graft] def cusumEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        Det.epochS(col("ts")).as("es"),
+        round(col("value") * MilliScale).cast("long").as("q"))
+
+  private[graft] def cusumCalib(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n_events"))
 
   /** a49 Kaplan–Meier event of interest (first occurrence per user). */
   private val KmEventType = "purchase"
@@ -992,11 +1007,8 @@ object Stats {
 
     "w28_cusum" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
-        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
-          round($"value" * MilliScale).cast("long").as("q"))
-      val st = ev.groupBy($"user_id")
-        .agg(sum($"q").as("sq"), count(lit(1)).as("n_events"))
+      val ev = cusumEvents(s, dir)
+      val st = cusumCalib(ev)
       val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
       ev.join(st, Seq("user_id"))
         .withColumn("dabs", abs($"n_events" * sum($"q").over(w) -

@@ -247,6 +247,62 @@ object StreamJob {
       }
   }
 
+  case class CusumIn(user_id: Long, event_id: Long, es: Long, q: Long,
+                     sq: Long, n_events: Long)
+  case class CusumPeak(user_id: Long, n_events: Long, dabs: Long,
+                       cp_es: Long)
+  case class CusumState(rn: Long, cum: Long, bestDabs: Long, bestEs: Long)
+
+  /** Streaming CUSUM peak tracker — `w28_cusum`'s per-user change-point
+    * statistic as a live monitor, closing the mean-shift family (EWMA,
+    * PSI, SPRT, seasonal, survival all have twins). Calibration (per-user
+    * n and Σq — build it with the SHARED `Stats.cusumCalib` over the
+    * reference corpus) joins as a DATAFRAME: stream-static equi-join,
+    * never a driver-side map. State is FOUR scalars per user (prefix
+    * count, prefix Σq, running max |D|, its timestamp): the statistic
+    * D_k = n·S_k − k·Σq updates in O(1) per event in pure BIGINT
+    * arithmetic — bit-identical to w28's window expression (overflow
+    * bound: the w28 SCALE_BOUNDS row, n ≲ 3e6 events/user). A peak row
+    * is emitted whenever the running maximum STRICTLY improves, so the
+    * last emission per user carries the batch argmax with w28's
+    * earliest-timestamp tie rule (`max(struct(dabs, −es))` ≡ strict->
+    * under in-order arrival). Same per-key arrival-order contract as
+    * [[ewmaAlarmStream]]; in-batch disorder is sorted. Input must carry
+    * (user_id, event_id, es, q). */
+  def cusumStream(stream: DataFrame,
+                  calib: DataFrame): org.apache.spark.sql.Dataset[CusumPeak] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream.join(calib, Seq("user_id"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("es").cast("long").as("es"), col("q").cast("long").as("q"),
+        col("sq").cast("long").as("sq"),
+        col("n_events").cast("long").as("n_events"))
+      .as[CusumIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[CusumIn],
+         state: org.apache.spark.sql.streaming.GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, -1L, 0L))
+          val out = collection.mutable.ArrayBuffer[CusumPeak]()
+          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
+            val rn = st.rn + 1
+            val cum = st.cum + r.q
+            val dabs = math.abs(r.n_events * cum - rn * r.sq)
+            st =
+              if (dabs > st.bestDabs) { // strict: earliest tie wins
+                out += CusumPeak(key, r.n_events, dabs, r.es)
+                CusumState(rn, cum, dabs, r.es)
+              } else CusumState(rn, cum, st.bestDabs, st.bestEs)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class EwmaIn(user_id: Long, event_id: Long, es: Long, vc: Long,
                     mu: Double, sig: Double)
   case class EwmaAlarm(user_id: Long, es: Long, vc: Long,

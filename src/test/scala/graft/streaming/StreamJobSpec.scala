@@ -15,6 +15,7 @@ case class MDoc(doc_id: Long, text: String)
 case class EwRow(user_id: Long, event_id: Long, es: Long, vc: Long)
 case class SeasRow(event_type: String, es: Long, q: Long)
 case class SurvRow(user_id: Long, event_type: String, es: Long)
+case class CuRow(user_id: Long, event_id: Long, es: Long, q: Long)
 
 class StreamJobSpec extends SparkSpec {
   import spark.implicits._
@@ -222,6 +223,50 @@ class StreamJobSpec extends SparkSpec {
       .kmCurve(state.select($"user_id", $"f", $"l", $"p"))
       .collect().map(_.toSeq).toSeq
     assert(streamCurve == batchCurve)
+  }
+
+  test("streaming CUSUM peaks ≡ the oracle-green w28 batch report, " +
+      "across three batch-cut layouts") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("w28_cusum")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(batch.nonEmpty)
+    val ev = graft.queries.Stats.cusumEvents(spark, dir).localCheckpoint()
+    val calib = graft.queries.Stats.cusumCalib(ev).localCheckpoint()
+    // globally time-ordered feed → per-key event order holds across cuts
+    val rows = ev.orderBy($"es", $"event_id").collect()
+      .map(r => CuRow(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    implicit val sq = spark.sqlContext
+    val milli = graft.queries.Stats.MilliScale
+    val r6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val layouts = Seq(Seq(rows.length), Seq(400, rows.length),
+      Seq(100, 600, rows.length))
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[CuRow]
+      val q = StreamJob.cusumStream(mem.toDF(), calib)
+        .writeStream.format("memory").queryName(s"cusum_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable(); prev = c
+      }
+      q.stop()
+      // emissions per user carry strictly increasing |D| → the max IS the
+      // final peak; assemble w28's report (score, ranking, top-K) from it
+      val peaks = spark.table(s"cusum_out_$i").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (_, emitted) => emitted.maxBy(_._3) }
+      val got = peaks.toSeq
+        .map { case (u, n, dabs, es) =>
+          (u, n, r6(dabs.toDouble / (n.toDouble * milli)), es) }
+        .sortBy { case (u, _, sc, _) => (-sc, u) }
+        .take(graft.queries.Stats.CusumTopK)
+      assert(got == batch, s"cut layout $i diverged from batch")
+    }
   }
 
   test("streaming SPRT decisions ≡ the oracle-green a55 crossed rows, " +
