@@ -69,8 +69,56 @@ object Analytics {
   /** Calibration reliability diagram: decile bins over the proba order. */
   private val CalBins = 10
 
-  /** Label-propagation rounds (fixed, synchronous — see ops.Lpa). */
-  private val LpaRounds = 3
+  /** Label-propagation rounds (fixed, synchronous — see ops.Lpa).
+    * Shared with Stats2's g11 modularity score, which evaluates THIS
+    * partition. */
+  private[queries] val LpaRounds = 3
+
+  /** The customer↔supplier trade graph g4/g5/g11 share: DISTINCT
+    * bipartite pairs through orders⋈lineitem, both directions present
+    * (the ops.Lpa undirected contract). ONE definition so the g11
+    * modularity score provably evaluates the SAME graph g5 partitioned.
+    * 100 TB shape: one orderkey-keyed join + one distinct; nothing
+    * collected. */
+  private[queries] def tradeGraphEdges(s: SparkSession,
+                                       dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("c"),
+        concat(lit("s"), $"l_suppkey").as("s"))
+      .distinct()
+    pairs.select($"c".as("src"), $"s".as("dst"))
+      .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+  }
+
+  /** The g5 oracle's CTE prefix (edges + unrolled LPA rounds ending at
+    * l$LpaRounds) — shared verbatim with g11's oracle so the two gates
+    * can never see different partitions. */
+  private[queries] def lpaOracleCtes: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""c$r AS (
+         |  SELECT e.src AS node, l.lbl, count(*) AS c
+         |  FROM edges e JOIN l${r - 1} l ON e.dst = l.node
+         |  GROUP BY e.src, l.lbl),
+         |l$r AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER
+         |      (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM c$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""pairs AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s, c FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$rounds""".stripMargin
+  }
 
   private val ProfileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -1180,15 +1228,7 @@ object Analytics {
     // count agg + one node-partitioned argmax window.
     "g5_label_propagation" -> ((s, dir) => {
       import s.implicits._
-      val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
-          $"o_orderkey" === $"l_orderkey")
-        .select(concat(lit("c"), $"o_custkey").as("c"),
-          concat(lit("s"), $"l_suppkey").as("s"))
-        .distinct()
-      val edges = pairs.select($"c".as("src"), $"s".as("dst"))
-        .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
-      graft.ops.Lpa.propagate(edges, LpaRounds)
+      graft.ops.Lpa.propagate(tradeGraphEdges(s, dir), LpaRounds)
         .orderBy($"node")
     }),
 
@@ -2094,30 +2134,9 @@ object Analytics {
          |FROM r GROUP BY bin ORDER BY bin""".stripMargin
     },
 
-    "g5_label_propagation" -> {
-      val rounds = (1 to LpaRounds).map { r =>
-        s"""c$r AS (
-           |  SELECT e.src AS node, l.lbl, count(*) AS c
-           |  FROM edges e JOIN l${r - 1} l ON e.dst = l.node
-           |  GROUP BY e.src, l.lbl),
-           |l$r AS (
-           |  SELECT node, lbl FROM (
-           |    SELECT node, lbl, row_number() OVER
-           |      (PARTITION BY node ORDER BY c DESC, lbl) AS rn
-           |    FROM c$r)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
-         |    's' || CAST(l_suppkey AS VARCHAR) AS s
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |edges AS (
-         |  SELECT c AS src, s AS dst FROM pairs
-         |  UNION ALL SELECT s, c FROM pairs),
-         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-         |$rounds
-         |SELECT node, lbl FROM l$LpaRounds ORDER BY node""".stripMargin
-    },
+    "g5_label_propagation" ->
+      s"""WITH $lpaOracleCtes
+         |SELECT node, lbl FROM l$LpaRounds ORDER BY node""".stripMargin,
 
     "a35_ab_test" -> {
       // 8-bit bucket from 2 hex chars (the p15 hexFold pattern)

@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.Det
+
+/** Round-8 pack: second-order diagnostics over series, categorical
+  * associations, and graph-partition quality — the "is the signal real"
+  * layer a monitoring stack runs on top of the round-5/7 statistics
+  * (a38's ACF says lag-1 memory exists; a62's Ljung–Box says whether the
+  * whole correlogram is distinguishable from white noise; g5 finds
+  * communities; g11 scores whether that partition beats chance).
+  *
+  * Exactness recipe throughout (the Stats pack's): quantize once to
+  * integer units, carry every aggregate as an exact BIGINT, and evaluate
+  * the final float formula from those integers with the same expression
+  * shape in both engines; small double sums fold sorted (the t30
+  * recipe); `round(…, 6)` absorbs 1-ulp libm divergence.
+  */
+object Stats2 {
+
+  /** Value quantization — the Stats pack's milli-unit rule. */
+  private val MilliScale = 1000.0
+
+  /** Ljung–Box lag depth (mirrors Stats.AcfMaxLag: the Box–Jenkins
+    * identification depth used by a38/a56). */
+  private val LbMaxLag = 3
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** The lang×source contingency cells a63/a64 share: observed counts
+    * per (lang, source) over `documents`. ONE definition so the χ² and
+    * MI gates provably score the same table. 100 TB shape: one map-side
+    * combined agg collapses the corpus to ≤ langs×sources rows;
+    * everything downstream runs on that frame. */
+  private def contingency(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+
+  /** Shared SQL for the a63/a64 contingency cells. */
+  private val contingencySql =
+    """cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A62: Ljung–Box portmanteau test ------------------------------
+    // Is the value series' WHOLE correlogram distinguishable from white
+    // noise? (Ljung & Box 1978; the portmanteau companion to a38's
+    // per-lag ACF and a56's PACF — residual diagnostics run this, not
+    // eyeball the lags.) ρ_k is the textbook autocovariance ratio
+    // c_k/c_0 (NOT a38's lagged-pair Pearson — LB's null distribution
+    // assumes the fixed-denominator form), computed from exact BIGINT
+    // moments: c_k·n = P_k − x̄·(H_k + T_k) + x̄²·(n−k) where P_k is the
+    // lagged product sum and H_k/T_k the head/tail value sums; then
+    // Q = n(n+2)·Σ_k ρ_k²/(n−k) from the 6dp-rounded ρ's (the a56 rule:
+    // rounded inputs are identical in both engines by construction, so
+    // Q is too). 100 TB shape: the a56 shape — one two-pass global rank
+    // (ops.Ranks), a lag-exploded self-join on pos, ≤lag-row aggs.
+    "a62_ljung_box" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(Det.epochS($"ts").as("es"), $"event_id",
+          round($"value" * MilliScale).cast("long").as("q"))
+      val ranked = graft.ops.Ranks
+        .globalRowNumberWithTotal(ev, Seq($"es", $"event_id"), "pos", "n")
+        .select($"pos", $"q", $"n").localCheckpoint()
+      val lags = explode(array((1 to LbMaxLag).map(lit): _*)).as("lag")
+      val ht = ranked.select($"pos", $"q", $"n", lags)
+        .groupBy($"lag")
+        .agg(max($"n").as("n"),
+          sum(when($"pos" <= $"n" - $"lag", $"q").otherwise(0L)).as("hk"),
+          sum(when($"pos" > $"lag", $"q").otherwise(0L)).as("tk"))
+      val x = ranked.select($"pos", $"q", lags)
+        .select($"lag", ($"pos" + $"lag").as("jpos"), $"q".as("xq"))
+      val pk = x.join(ranked.select($"pos".as("jpos"), $"q".as("yq")),
+          Seq("jpos"))
+        .groupBy($"lag").agg(sum($"xq" * $"yq").as("pk"))
+      val mom = ranked.agg(sum($"q").as("sq"),
+        sum($"q" * $"q").as("ssq"))
+      val rho = ht.join(pk, Seq("lag")).crossJoin(broadcast(mom))
+        .withColumn("xb", d($"sq") / d($"n"))
+        .withColumn("c0", d($"ssq") - d($"sq") * d($"sq") / d($"n"))
+        .withColumn("ck", d($"pk") - $"xb" * d($"hk" + $"tk") +
+          $"xb" * $"xb" * d($"n" - $"lag"))
+        .select($"lag", $"n", round($"ck" / $"c0", 6).as("rho"))
+      rho.groupBy($"n")
+        .agg(max(when($"lag" === 1, $"rho")).as("rho1"),
+          max(when($"lag" === 2, $"rho")).as("rho2"),
+          max(when($"lag" === 3, $"rho")).as("rho3"))
+        .select($"n", $"rho1", $"rho2", $"rho3",
+          round(d($"n") * (d($"n") + 2.0) *
+            ($"rho1" * $"rho1" / d($"n" - 1) +
+              $"rho2" * $"rho2" / d($"n" - 2) +
+              $"rho3" * $"rho3" / d($"n" - 3)), 6).as("q_lb"))
+    }),
+
+    // ---- A63: χ² independence + Cramér's V ----------------------------
+    // Is document language independent of source? The effect-size
+    // companion (Cramér 1946) to the raw χ² — the curation question
+    // behind t21's domain mix ("does my source mix skew languages?").
+    // Zero cells CONTRIBUTE to χ² (term = E) so the grid is filled
+    // lang×source (the a57 grid rule). Exactness: each cell term is
+    // (O·n − n_r·n_c)²/(n·n_r·n_c) — integer numerator base, squared in
+    // double; the ≤ r×c terms fold sorted (t30). 100 TB shape: ONE
+    // map-side agg collapses the corpus; grid fill, margins and the fold
+    // run on ≤ r×c rows.
+    "a63_cramers_v" -> ((s, dir) => {
+      import s.implicits._
+      val cells = contingency(s, dir).localCheckpoint()
+      val rowm = cells.groupBy($"lang").agg(sum($"o").as("nr"))
+      val colm = cells.groupBy($"source").agg(sum($"o").as("nc"))
+      val tot = cells.agg(sum($"o").as("n"),
+        countDistinct($"lang").as("r"), countDistinct($"source").as("c"))
+      val grid = rowm.crossJoin(broadcast(colm))
+        .join(cells, Seq("lang", "source"), "left")
+        .select($"lang", $"source", $"nr", $"nc",
+          coalesce($"o", lit(0L)).as("o"))
+      grid.crossJoin(broadcast(tot))
+        .withColumn("num", d($"o" * $"n" - $"nr" * $"nc"))
+        .withColumn("term",
+          $"num" * $"num" / (d($"n") * d($"nr") * d($"nc")))
+        .groupBy($"n", $"r", $"c")
+        .agg(aggregate(sort_array(collect_list($"term")), lit(0.0),
+          (a, x) => a + x).as("chi2"))
+        .select($"n", $"r", $"c", round($"chi2", 6).as("chi2"),
+          round(sqrt($"chi2" / (d($"n") * d(least($"r", $"c") - 1))), 6)
+            .as("cramers_v"))
+    }),
+
+    // ---- A64: mutual information + NMI --------------------------------
+    // The information-theoretic sibling of a63 over the SAME contingency
+    // (shared `contingency` helper): I(lang; source) in nats and the
+    // √(H·H)-normalized NMI (Strehl & Ghosh 2002). Observed cells only —
+    // the 0·ln0 = 0 limit makes empty cells contribute nothing, so no
+    // grid fill. Exactness: each term is (o/n)·ln(o·n/(n_r·n_c)) with
+    // the integer products built before the one double division; ln is
+    // libm-vs-Math 1-ulp, absorbed by the sorted fold + round(…, 6).
+    // 100 TB shape: identical to a63.
+    "a64_mutual_info" -> ((s, dir) => {
+      import s.implicits._
+      val cells = contingency(s, dir).localCheckpoint()
+      val rowm = cells.groupBy($"lang").agg(sum($"o").as("nr"))
+      val colm = cells.groupBy($"source").agg(sum($"o").as("nc"))
+      val tot = cells.agg(sum($"o").as("n"))
+      val hOf = (m: DataFrame, cnt: String) => m.crossJoin(broadcast(tot))
+        .select((d(col(cnt)) / d($"n") *
+          log(d(col(cnt)) / d($"n"))).as("term"))
+        .agg((-aggregate(sort_array(collect_list($"term")), lit(0.0),
+          (a, x) => a + x)).as("h"))
+      val mi = cells.join(rowm, Seq("lang")).join(colm, Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select((d($"o") / d($"n") *
+          log(d($"o" * $"n") / d($"nr" * $"nc"))).as("term"), $"n")
+        .groupBy($"n")
+        .agg(aggregate(sort_array(collect_list($"term")), lit(0.0),
+          (a, x) => a + x).as("mi"))
+      mi.crossJoin(broadcast(hOf(rowm, "nr").select($"h".as("h_lang"))))
+        .crossJoin(broadcast(hOf(colm, "nc").select($"h".as("h_source"))))
+        .select($"n", round($"mi", 6).as("mi_nats"),
+          round($"h_lang", 6).as("h_lang"),
+          round($"h_source", 6).as("h_source"),
+          round($"mi" / sqrt($"h_lang" * $"h_source"), 6).as("nmi"))
+    }),
+
+    // ---- G11: Newman modularity of the g5 partition --------------------
+    // Scores the community structure g5's LPA found on the trade graph
+    // (Newman & Girvan 2004): Q = Σ_c [e_c/m − (d_c/2m)²], computed as
+    // the exact BIGINT N = Σ_c (E·e2_c − d_c²) over the directed-both-
+    // ways edge frame (E = 2m directed edges, e2_c = directed
+    // intra-community edges, d_c = community degree sum; Q = N/E²) — one
+    // integer until the single final division, so no per-community float
+    // fold at any community count. Graph and rounds are THE g5 ones
+    // (Analytics.tradeGraphEdges / LpaRounds — shared code, shared
+    // oracle CTEs). 100 TB shape: LPA's co-partitioned rounds + two
+    // node-keyed joins of labels onto edges/degrees + ≤communities-row
+    // aggs; N stays exact while communities·E² < 2^63 (E ≲ 3e9 directed
+    // edges — beyond, widen N to DECIMAL(38,0), the a40 tie3 escape).
+    "g11_modularity" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Analytics.tradeGraphEdges(s, dir)
+        .repartition($"src").localCheckpoint()
+      val lab = graft.ops.Lpa.propagate(edges, Analytics.LpaRounds)
+        .localCheckpoint()
+      val inC = edges
+        .join(lab.select($"node".as("src"), $"lbl".as("sl")), Seq("src"))
+        .join(lab.select($"node".as("dst"), $"lbl".as("dl")), Seq("dst"))
+        .filter($"sl" === $"dl")
+        .groupBy($"sl".as("lbl")).agg(count(lit(1)).as("e2c"))
+      val dc = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        .join(lab, Seq("node"))
+        .groupBy($"lbl").agg(sum($"deg").as("dcs"))
+      val tot = edges.agg(count(lit(1)).as("e2"))
+      dc.join(inC, Seq("lbl"), "left")
+        .select($"lbl", coalesce($"e2c", lit(0L)).as("e2c"), $"dcs")
+        .crossJoin(broadcast(tot))
+        .groupBy($"e2")
+        .agg(count(lit(1)).as("n_communities"),
+          sum($"e2" * $"e2c" - $"dcs" * $"dcs").as("num"))
+        .select(expr("e2 div 2").as("n_edges"), $"n_communities",
+          round(d($"num") / (d($"e2") * d($"e2")), 6).as("modularity"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    "a62_ljung_box" -> {
+      val lags = (1 to LbMaxLag).map(l => s"($l)").mkString(", ")
+      s"""WITH o AS (
+         |  SELECT CAST(round(value * 1000) AS BIGINT) AS q,
+         |    row_number() OVER (ORDER BY ${Det.epochSSql("ts")}, event_id)
+         |      AS pos,
+         |    count(*) OVER () AS n
+         |  FROM events),
+         |ht AS (
+         |  SELECT l.lag, max(o.n) AS n,
+         |    CAST(sum(CASE WHEN o.pos <= o.n - l.lag THEN o.q
+         |      ELSE 0 END) AS BIGINT) AS hk,
+         |    CAST(sum(CASE WHEN o.pos > l.lag THEN o.q
+         |      ELSE 0 END) AS BIGINT) AS tk
+         |  FROM (VALUES $lags) l(lag) JOIN o ON true
+         |  GROUP BY l.lag),
+         |pk AS (
+         |  SELECT l.lag, CAST(sum(x.q * y.q) AS BIGINT) AS pk
+         |  FROM (VALUES $lags) l(lag)
+         |  JOIN o x ON true
+         |  JOIN o y ON y.pos = x.pos + l.lag
+         |  GROUP BY l.lag),
+         |mom AS (
+         |  SELECT CAST(sum(q) AS BIGINT) AS sq,
+         |    CAST(sum(q * q) AS BIGINT) AS ssq
+         |  FROM o),
+         |rho AS (
+         |  SELECT ht.lag, ht.n,
+         |    round((CAST(pk.pk AS DOUBLE)
+         |        - (CAST(mom.sq AS DOUBLE) / CAST(ht.n AS DOUBLE))
+         |          * CAST(ht.hk + ht.tk AS DOUBLE)
+         |        + (CAST(mom.sq AS DOUBLE) / CAST(ht.n AS DOUBLE))
+         |          * (CAST(mom.sq AS DOUBLE) / CAST(ht.n AS DOUBLE))
+         |          * CAST(ht.n - ht.lag AS DOUBLE))
+         |      / (CAST(mom.ssq AS DOUBLE)
+         |        - CAST(mom.sq AS DOUBLE) * CAST(mom.sq AS DOUBLE)
+         |          / CAST(ht.n AS DOUBLE)), 6) AS rho
+         |  FROM ht JOIN pk ON pk.lag = ht.lag CROSS JOIN mom),
+         |r AS (
+         |  SELECT CAST(max(n) AS BIGINT) AS n,
+         |    max(CASE WHEN lag = 1 THEN rho END) AS rho1,
+         |    max(CASE WHEN lag = 2 THEN rho END) AS rho2,
+         |    max(CASE WHEN lag = 3 THEN rho END) AS rho3
+         |  FROM rho)
+         |SELECT n, rho1, rho2, rho3,
+         |  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) *
+         |    (rho1 * rho1 / CAST(n - 1 AS DOUBLE)
+         |      + rho2 * rho2 / CAST(n - 2 AS DOUBLE)
+         |      + rho3 * rho3 / CAST(n - 3 AS DOUBLE)), 6) AS q_lb
+         |FROM r""".stripMargin
+    },
+
+    "a63_cramers_v" ->
+      s"""WITH $contingencySql,
+         |rowm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS nr
+         |         FROM cells GROUP BY 1),
+         |colm AS (SELECT source, CAST(sum(o) AS BIGINT) AS nc
+         |         FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS r,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS c
+         |  FROM cells),
+         |grid AS (
+         |  SELECT rowm.lang, colm.source, rowm.nr, colm.nc,
+         |    COALESCE(cells.o, 0) AS o
+         |  FROM rowm CROSS JOIN colm
+         |  LEFT JOIN cells
+         |    ON cells.lang = rowm.lang AND cells.source = colm.source),
+         |terms AS (
+         |  SELECT CAST(o * n - nr * nc AS DOUBLE)
+         |      * CAST(o * n - nr * nc AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(nr AS DOUBLE)
+         |        * CAST(nc AS DOUBLE)) AS term,
+         |    n, r, c
+         |  FROM grid CROSS JOIN tot),
+         |f AS (
+         |  SELECT n, r, c,
+         |    list_reduce(list_sort(list(term)), (a, x) -> a + x) AS chi2
+         |  FROM terms GROUP BY n, r, c)
+         |SELECT n, r, c, round(chi2, 6) AS chi2,
+         |  round(sqrt(chi2 / (CAST(n AS DOUBLE)
+         |    * CAST(least(r, c) - 1 AS DOUBLE))), 6) AS cramers_v
+         |FROM f""".stripMargin,
+
+    "a64_mutual_info" ->
+      s"""WITH $contingencySql,
+         |rowm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS nr
+         |         FROM cells GROUP BY 1),
+         |colm AS (SELECT source, CAST(sum(o) AS BIGINT) AS nc
+         |         FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         |mi AS (
+         |  SELECT n, list_reduce(list_sort(list(term)), (a, x) -> a + x)
+         |      AS mi
+         |  FROM (
+         |    SELECT tot.n,
+         |      CAST(cells.o AS DOUBLE) / CAST(tot.n AS DOUBLE)
+         |        * ln(CAST(cells.o * tot.n AS DOUBLE)
+         |          / CAST(rowm.nr * colm.nc AS DOUBLE)) AS term
+         |    FROM cells JOIN rowm ON rowm.lang = cells.lang
+         |    JOIN colm ON colm.source = cells.source
+         |    CROSS JOIN tot)
+         |  GROUP BY n),
+         |hl AS (
+         |  SELECT -list_reduce(list_sort(list(
+         |      CAST(nr AS DOUBLE) / CAST(n AS DOUBLE)
+         |        * ln(CAST(nr AS DOUBLE) / CAST(n AS DOUBLE)))),
+         |    (a, x) -> a + x) AS h_lang
+         |  FROM rowm CROSS JOIN tot),
+         |hs AS (
+         |  SELECT -list_reduce(list_sort(list(
+         |      CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)
+         |        * ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)))),
+         |    (a, x) -> a + x) AS h_source
+         |  FROM colm CROSS JOIN tot)
+         |SELECT n, round(mi, 6) AS mi_nats, round(h_lang, 6) AS h_lang,
+         |  round(h_source, 6) AS h_source,
+         |  round(mi / sqrt(h_lang * h_source), 6) AS nmi
+         |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin,
+
+    "g11_modularity" ->
+      s"""WITH ${Analytics.lpaOracleCtes},
+         |lab AS (SELECT node, lbl FROM l${Analytics.LpaRounds}),
+         |inc AS (
+         |  SELECT ls.lbl, CAST(count(*) AS BIGINT) AS e2c
+         |  FROM edges e
+         |  JOIN lab ls ON ls.node = e.src
+         |  JOIN lab ld ON ld.node = e.dst AND ld.lbl = ls.lbl
+         |  GROUP BY ls.lbl),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY 1),
+         |dc AS (
+         |  SELECT lab.lbl, CAST(sum(deg.deg) AS BIGINT) AS dcs
+         |  FROM deg JOIN lab ON lab.node = deg.node
+         |  GROUP BY lab.lbl),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM edges),
+         |agg AS (
+         |  SELECT max(tot.e2) AS e2,
+         |    CAST(count(*) AS BIGINT) AS n_communities,
+         |    CAST(sum(tot.e2 * COALESCE(inc.e2c, 0) - dc.dcs * dc.dcs)
+         |      AS BIGINT) AS num
+         |  FROM dc LEFT JOIN inc ON inc.lbl = dc.lbl CROSS JOIN tot)
+         |SELECT e2 // 2 AS n_edges, n_communities,
+         |  round(CAST(num AS DOUBLE)
+         |    / (CAST(e2 AS DOUBLE) * CAST(e2 AS DOUBLE)), 6) AS modularity
+         |FROM agg""".stripMargin)
+}
