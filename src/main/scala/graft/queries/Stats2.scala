@@ -29,6 +29,30 @@ object Stats2 {
 
   private def d(c: Column): Column = c.cast("double")
 
+  /** a65 Page–Hinkley: drift allowance δ and alarm threshold λ in e9
+    * units of `value` (q is milli-units, ×1e6 → e9; integer literals so
+    * the whole statistic stays BIGINT). δ = 2 value units, λ = 400 —
+    * calibrated non-vacuous at every test SF (4/15 users alarm at
+    * sf0.001, 549/1500 at sf0.1) without being universal. */
+  private[graft] val PhDeltaE9 = 2000000000L
+  private[graft] val PhLambdaE9 = 400000000000L
+
+  /** a61 Holt: dyadic smoothing constants (the w31 EwmaLam rule — every
+    * product is an exactly-representable double built identically in
+    * both engines) and the forecast horizon in hours. */
+  private val HoltAlpha = 0.5
+  private val HoltBeta = 0.25
+  private val HoltH = 3.0
+
+  /** a65's event projection — shared with
+    * [[graft.streaming.StreamJob.pageHinkleyStream]] (the cusumEvents
+    * pattern) so the twin's inputs can never drift from the query's. */
+  private[graft] def phEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        Det.epochS(col("ts")).as("es"),
+        round(col("value") * MilliScale).cast("long").as("q"))
+
   /** The lang×source contingency cells a63/a64 share: observed counts
     * per (lang, source) over `documents`. ONE definition so the χ² and
     * MI gates provably score the same table. 100 TB shape: one map-side
@@ -164,6 +188,105 @@ object Stats2 {
           round($"h_lang", 6).as("h_lang"),
           round($"h_source", 6).as("h_source"),
           round($"mi" / sqrt($"h_lang" * $"h_source"), 6).as("nmi"))
+    }),
+
+    // ---- A65: Page–Hinkley drift test ----------------------------------
+    // The classic sequential mean-INCREASE detector (Page 1954; Hinkley
+    // 1971) completing the monitor family (CUSUM w28 locates the single
+    // best change point retrospectively; PH alarms ONLINE when the
+    // cumulative deviation from the running mean exceeds λ): per user,
+    // m_i = Σ_{j≤i}(x_j − x̄_j − δ) with x̄_j the running mean, alarm at
+    // the first m_i − min_{j≤i} m_j > λ. Exactness: everything is BIGINT
+    // in e9 value units — the running mean enters as the truncating
+    // integer division (S_j·10⁶) div j, IDENTICAL in both engines (Spark
+    // `div` and DuckDB `//` both truncate toward zero), so there is no
+    // float anywhere. Report is the a55 shape: first crossing per user,
+    // else the final statistic. 100 TB shape: ONE user_id exchange
+    // shared by the three stacked windows and both argmin/argmax aggs;
+    // exact while n·q_max·10⁶ < 2^63 per user (q ≤ 5.7e5 ⇒ n ≲ 1.6e7
+    // events/user; beyond, the a40 DECIMAL(38,0) escape).
+    "a65_page_hinkley" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"es", $"event_id")
+      val base = phEvents(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("s", sum($"q").over(w))
+        .withColumn("term", $"q" * 1000000L -
+          expr("(s * 1000000) div rn") - PhDeltaE9)
+        .withColumn("m", sum($"term").over(w))
+        .withColumn("ph", $"m" - min($"m").over(w))
+        .localCheckpoint() // feeds the crossing argmin AND the tail argmax
+      val crossed = base.filter($"ph" > PhLambdaE9)
+        .groupBy($"user_id")
+        .agg(min(struct($"es", $"event_id", $"rn", $"ph")).as("c"))
+        .select($"user_id", lit("drift").as("decision"),
+          $"c.rn".as("n_at_decision"), $"c.ph".as("ph_e9"))
+      val open = base.join(crossed.select($"user_id"), Seq("user_id"),
+          "left_anti")
+        .groupBy($"user_id")
+        .agg(max(struct($"es", $"event_id", $"rn", $"ph")).as("c"))
+        .select($"user_id", lit("stable").as("decision"),
+          $"c.rn".as("n_at_decision"), $"c.ph".as("ph_e9"))
+      crossed.unionByName(open).orderBy($"user_id")
+    }),
+
+    // ---- A61: Holt double exponential smoothing -------------------------
+    // Short-horizon capacity forecast per event type (Holt 1957): level +
+    // trend recursion over the hourly cents-volume series (absent hours
+    // are REAL zeros — the a57 grid rule), h-hour-ahead forecast and
+    // 1-step RMSE. The recursion IS sequential, so it runs as an ordered
+    // fold over the per-type hourly array (bounded: the series the corpus
+    // collapses to, not the corpus — the t30 sorted-fold recipe with a
+    // struct accumulator): α, β are dyadic literals, every step's
+    // multiply-add association is written identically in both engines
+    // (Spark `aggregate` HOF ≡ DuckDB `list_reduce`, first element =
+    // init l₁ = x₁, b₁ = 0), so the folded doubles are bit-identical.
+    // 100 TB shape: ONE (hour, type) map-side agg collapses the corpus;
+    // the fold runs on ≤hours elements per type (cents exact as double
+    // while hourly volume < 2^53 — quantize to dollars beyond).
+    "a61_holt" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .select($"event_type", Det.epochS($"ts").as("es"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy(expr("es div 3600").as("hr"), $"event_type")
+        .agg(sum($"cents").as("v"))
+        .localCheckpoint() // feeds the hour frame, type frame AND grid
+      val hours = hourly.select($"hr").distinct()
+      val types = hourly.select($"event_type").distinct()
+      val grid = hours.crossJoin(broadcast(types))
+        .join(hourly, Seq("hr", "event_type"), "left")
+        .select($"hr", $"event_type", coalesce($"v", lit(0L)).as("v"))
+      // ARRAY accumulator [l, b, sse], not a struct: DuckDB's list_reduce
+      // updates struct accumulator fields SEQUENTIALLY (later fields see
+      // already-updated earlier ones) while Spark's aggregate() snapshots
+      // — list construction is snapshot-semantics in BOTH engines
+      // (probed; see PLANS.md round-8).
+      val l = (acc: Column) => element_at(acc, 1)
+      val b = (acc: Column) => element_at(acc, 2)
+      val ss = (acc: Column) => element_at(acc, 3)
+      val folded = grid.groupBy($"event_type")
+        .agg(transform(sort_array(collect_list(struct($"hr", $"v"))),
+          x => x.getField("v").cast("double")).as("xs"))
+        .filter(size($"xs") >= 2) // rmse needs ≥1 forecast step
+        .withColumn("fin", aggregate(
+          slice($"xs", lit(2), size($"xs") - 1),
+          array(element_at($"xs", 1), lit(0.0), lit(0.0)),
+          (acc, x) => array(
+            lit(HoltAlpha) * x + lit(1.0 - HoltAlpha) * (l(acc) + b(acc)),
+            lit(HoltBeta) * (lit(HoltAlpha) * x +
+              lit(1.0 - HoltAlpha) * (l(acc) + b(acc)) - l(acc)) +
+              lit(1.0 - HoltBeta) * b(acc),
+            ss(acc) + (x - (l(acc) + b(acc))) * (x - (l(acc) + b(acc))))))
+      folded.select($"event_type", size($"xs").cast("long").as("n_hours"),
+          round(l($"fin") / 100.0, 6).as("level"),
+          round(b($"fin") / 100.0, 6).as("trend"),
+          round((l($"fin") + lit(HoltH) * b($"fin")) / 100.0, 6)
+            .as("forecast_h3"),
+          round(sqrt(ss($"fin") / (size($"xs") - 1).cast("double")) / 100.0,
+            6).as("rmse_1step"))
+        .orderBy($"event_type")
     }),
 
     // ---- G11: Newman modularity of the g5 partition --------------------
@@ -325,6 +448,83 @@ object Stats2 {
          |  round(h_source, 6) AS h_source,
          |  round(mi / sqrt(h_lang * h_source), 6) AS nmi
          |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin,
+
+    "a65_page_hinkley" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    CAST(round(value * 1000) AS BIGINT) AS q
+         |  FROM events),
+         |w AS (
+         |  SELECT user_id, es, event_id,
+         |    CAST(row_number() OVER win AS BIGINT) AS rn,
+         |    CAST(sum(q) OVER win AS BIGINT) AS s, q
+         |  FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |t AS (
+         |  SELECT user_id, es, event_id, rn,
+         |    q * 1000000 - (s * 1000000) // rn - $PhDeltaE9 AS term
+         |  FROM w),
+         |m1 AS (
+         |  SELECT user_id, es, event_id, rn,
+         |    CAST(sum(term) OVER win AS BIGINT) AS m
+         |  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |m2 AS (
+         |  SELECT user_id, es, event_id, rn,
+         |    m - CAST(min(m) OVER win AS BIGINT) AS ph
+         |  FROM m1 WINDOW win AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |crossed AS (
+         |  SELECT user_id, 'drift' AS decision, rn AS n_at_decision,
+         |    ph AS ph_e9 FROM (
+         |    SELECT user_id, rn, ph, row_number() OVER
+         |      (PARTITION BY user_id ORDER BY es, event_id) AS pick
+         |    FROM m2 WHERE ph > $PhLambdaE9)
+         |  WHERE pick = 1),
+         |open_u AS (
+         |  SELECT user_id, 'stable' AS decision, rn AS n_at_decision,
+         |    ph AS ph_e9 FROM (
+         |    SELECT m.user_id, rn, ph, row_number() OVER
+         |      (PARTITION BY m.user_id ORDER BY es DESC, event_id DESC)
+         |      AS pick
+         |    FROM m2 m ANTI JOIN crossed c ON m.user_id = c.user_id)
+         |  WHERE pick = 1)
+         |SELECT user_id, decision, n_at_decision, ph_e9 FROM crossed
+         |UNION ALL
+         |SELECT user_id, decision, n_at_decision, ph_e9 FROM open_u
+         |ORDER BY user_id""".stripMargin,
+
+    "a61_holt" -> {
+      val a = HoltAlpha
+      val b = HoltBeta
+      s"""WITH hourly AS (
+         |  SELECT ${Det.epochSSql("ts")} // 3600 AS hr, event_type,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT h.hr, t.event_type, COALESCE(hourly.v, 0) AS v
+         |  FROM (SELECT DISTINCT hr FROM hourly) h
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+         |  LEFT JOIN hourly
+         |    ON hourly.hr = h.hr AND hourly.event_type = t.event_type),
+         |ser AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n_hours,
+         |    list_reduce(
+         |      list_transform(list(CAST(v AS DOUBLE) ORDER BY hr),
+         |        x -> [x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+         |      (acc, e) -> [
+         |        $a * e[1] + ${1.0 - a} * (acc[1] + acc[2]),
+         |        $b * ($a * e[1] + ${1.0 - a} * (acc[1] + acc[2])
+         |            - acc[1]) + ${1.0 - b} * acc[2],
+         |        acc[3] + (e[1] - (acc[1] + acc[2]))
+         |          * (e[1] - (acc[1] + acc[2]))]) AS fin
+         |  FROM grid GROUP BY event_type)
+         |SELECT event_type, n_hours,
+         |  round(fin[1] / 100.0, 6) AS level,
+         |  round(fin[2] / 100.0, 6) AS trend,
+         |  round((fin[1] + $HoltH * fin[2]) / 100.0, 6) AS forecast_h3,
+         |  round(sqrt(fin[3] / CAST(n_hours - 1 AS DOUBLE)) / 100.0, 6)
+         |    AS rmse_1step
+         |FROM ser WHERE n_hours >= 2 ORDER BY event_type""".stripMargin
+    },
 
     "g11_modularity" ->
       s"""WITH ${Analytics.lpaOracleCtes},

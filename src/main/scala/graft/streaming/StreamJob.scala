@@ -247,6 +247,61 @@ object StreamJob {
       }
   }
 
+  case class PhIn(user_id: Long, event_id: Long, es: Long, q: Long)
+  case class PhOut(user_id: Long, decision: String,
+                   n_at_decision: Long, ph_e9: Long)
+  case class PhState(rn: Long, s: Long, m: Long, mMin: Long,
+                     decided: Boolean)
+
+  /** Streaming Page–Hinkley — a65's online mean-increase detector as a
+    * live monitor (the one monitor in the family that IS defined
+    * online: the batch query merely replays it). State is five scalars
+    * per user (count, Σq, cumulative deviation m, running min of m,
+    * decided); every update is pure BIGINT in e9 value units with the
+    * running mean entering as the truncating division (S·10⁶)/rn —
+    * Java `/`, Spark `div` and DuckDB `//` all truncate toward zero,
+    * so the statistic is bit-identical to a65's window expression (its
+    * SCALE_BOUNDS row carries the overflow bound). One 'drift' row per
+    * user at the first m − min(m) > λ crossing, never re-emitted —
+    * exactly a65's `crossed` branch. Same per-key arrival-order
+    * contract as [[ewmaAlarmStream]]; in-batch disorder is sorted.
+    * Input must carry (user_id, event_id, es, q) — build it with the
+    * SHARED [[graft.queries.Stats2.phEvents]]. */
+  def pageHinkleyStream(stream: DataFrame): org.apache.spark.sql.Dataset[PhOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // serializable locals (the ewmaAlarmStream rule)
+    val delta = graft.queries.Stats2.PhDeltaE9
+    val lambda = graft.queries.Stats2.PhLambdaE9
+    stream
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("es").cast("long").as("es"), col("q").cast("long").as("q"))
+      .as[PhIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[PhIn],
+         state: org.apache.spark.sql.streaming.GroupState[PhState]) =>
+          var st = state.getOption
+            .getOrElse(PhState(0L, 0L, 0L, Long.MaxValue, false))
+          val out = collection.mutable.ArrayBuffer[PhOut]()
+          rows.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
+            val rn = st.rn + 1
+            val s = st.s + r.q
+            val m = st.m + (r.q * 1000000L - (s * 1000000L) / rn - delta)
+            val mMin = math.min(st.mMin, m)
+            val ph = m - mMin
+            val cross = !st.decided && ph > lambda
+            if (cross) out += PhOut(key, "drift", rn, ph)
+            st = PhState(rn, s, m, mMin, st.decided || cross)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class CusumIn(user_id: Long, event_id: Long, es: Long, q: Long,
                      sq: Long, n_events: Long)
   case class CusumPeak(user_id: Long, n_events: Long, dabs: Long,

@@ -27,7 +27,9 @@ class ScaleBoundsSpec extends AnyFunSuite {
     "Curate.UnimaxE" -> graft.queries.Curate.UnimaxE.toDouble,
     "Curate.WinCap" -> graft.queries.Curate.WinCap.toDouble,
     "Curate.JsdVocabK" -> graft.queries.Curate.JsdVocabK.toDouble,
-    "Stats.TsPairCap" -> graft.queries.Stats.TsPairCap.toDouble)
+    "Stats.TsPairCap" -> graft.queries.Stats.TsPairCap.toDouble,
+    "Stats2.PhDeltaE9" -> graft.queries.Stats2.PhDeltaE9.toDouble,
+    "Stats2.PhLambdaE9" -> graft.queries.Stats2.PhLambdaE9.toDouble)
 
   private def docRows: Seq[(String, Double)] = {
     val lines = scala.io.Source.fromFile("SCALE_BOUNDS.md", "UTF-8").getLines().toSeq

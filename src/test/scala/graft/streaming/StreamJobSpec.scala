@@ -306,6 +306,41 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming Page–Hinkley decisions ≡ the oracle-green a65 drift " +
+      "rows, across three batch-cut layouts") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("a65_page_hinkley")(spark, dir)
+      .filter($"decision" === "drift").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty) // alarms actually fire at this SF
+    val rows = graft.queries.Stats2.phEvents(spark, dir)
+      .orderBy($"es", $"event_id").collect()
+      .map(r => StreamJob.PhIn(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    implicit val sq = spark.sqlContext
+    val layouts = Seq(Seq(rows.length), Seq(500, rows.length),
+      Seq(100, 650, rows.length))
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[StreamJob.PhIn]
+      val q = StreamJob.pageHinkleyStream(mem.toDF())
+        .writeStream.format("memory").queryName(s"ph_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable(); prev = c
+      }
+      q.stop()
+      val got = spark.table(s"ph_out_$i").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == batch, s"layout $cuts")
+      // one decision per user, never re-emitted across triggers
+      assert(got.size == got.map(_._1).size)
+    }
+  }
+
   test("streaming EWMA alarms ≡ the oracle-green w31 batch chart, " +
       "across three batch-cut layouts") {
     val dir = "/root/testdata/sf0.001"
