@@ -42,6 +42,72 @@ object Curate {
   private val DsirTarget = "src0"
   private val DsirSeed = 31L
 
+  /** t25's per-doc DSIR weight pipeline (doc_id, source, dsir_w, n_toks)
+    * — ONE definition shared by `t25_dsir_select` and `p25_ess` so the
+    * selection gate and its ESS diagnostic provably score the same
+    * weights. See t25's scaladoc for the exactness + 100 TB contract. */
+  private[queries] def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = t(s, dir, "documents")
+      .select($"doc_id", $"source", TextOps.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 1)
+      .select($"doc_id", $"source", explode($"tk").as("w"))
+    // NOT checkpointed: dt is corpus-sized and its recompute is a scan +
+    // tokenize + explode — the a14 rule (re-reading parquet beats
+    // materializing the whole token frame); only the vocabulary-sized
+    // count table below is pinned
+    val rawCnt = dt.groupBy($"w").agg(count(lit(1)).as("cr"))
+      .localCheckpoint() // feeds totals AND the scoring join
+    val tgtCnt = dt.filter($"source" === DsirTarget)
+      .groupBy($"w").agg(count(lit(1)).as("ct"))
+    val tots = rawCnt
+      .agg(sum($"cr").as("nr"), count(lit(1)).as("v"))
+      .crossJoin(tgtCnt.agg(coalesce(sum($"ct"), lit(0L)).as("nt")))
+    dt.join(rawCnt, Seq("w"))
+      .join(tgtCnt, Seq("w"), "left")
+      .crossJoin(broadcast(tots))
+      .withColumn("lpi", round(
+        (log((coalesce($"ct", lit(0L)) + 1.0) /
+            ($"nt".cast("double") + $"v".cast("double"))) -
+          log(($"cr" + 1.0) /
+            ($"nr".cast("double") + $"v".cast("double")))) * 1e6)
+        .cast("long"))
+      .groupBy($"doc_id", $"source")
+      .agg(round(sum($"lpi").cast("double") / 1e6 / count(lit(1)), 4)
+          .as("dsir_w"),
+        count(lit(1)).as("n_toks"))
+  }
+
+  /** The t25 oracle's CTE prefix ending at `pd` (doc_id, source, dsir_w,
+    * n_toks) — shared verbatim with p25's oracle (the dsirWeights twin). */
+  private[queries] def dsirWeightCtes: String =
+    s"""dt AS (
+       |  SELECT doc_id, source, unnest(tk) AS w FROM
+       |    (SELECT doc_id, source, $tokensSqlExpr AS tk FROM documents)
+       |  WHERE len(tk) >= 1),
+       |rc AS (SELECT w, count(*) AS cr FROM dt GROUP BY w),
+       |tc AS (SELECT w, count(*) AS ct FROM dt
+       |       WHERE source = '$DsirTarget' GROUP BY w),
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS nr,
+       |         (SELECT count(*) FROM rc) AS v,
+       |         (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc)
+       |           AS nt),
+       |sc AS (
+       |  SELECT doc_id, source,
+       |    CAST(round((ln((coalesce(ct, 0) + 1.0) /
+       |        (CAST(nt AS DOUBLE) + CAST(v AS DOUBLE))) -
+       |      ln((cr + 1.0) /
+       |        (CAST(nr AS DOUBLE) + CAST(v AS DOUBLE)))) * 1000000)
+       |      AS BIGINT) AS lpi
+       |  FROM dt JOIN rc USING (w) LEFT JOIN tc USING (w) CROSS JOIN tot),
+       |pd AS (
+       |  SELECT doc_id, source,
+       |    round(CAST(sum(lpi) AS DOUBLE) / 1000000 / count(*), 4)
+       |      AS dsir_w,
+       |    count(*) AS n_toks
+       |  FROM sc GROUP BY doc_id, source)""".stripMargin
+
   /** a42: χ² terms kept per class. */
   private val ChiTopK = 10
 
@@ -468,38 +534,39 @@ object Curate {
     // doc_id agg; everything else is a linear scan.
     "t25_dsir_select" -> ((s, dir) => {
       import s.implicits._
-      val dt = t(s, dir, "documents")
-        .select($"doc_id", $"source", TextOps.tokens($"text").as("tk"))
-        .filter(size($"tk") >= 1)
-        .select($"doc_id", $"source", explode($"tk").as("w"))
-      // NOT checkpointed: dt is corpus-sized and its recompute is a scan +
-      // tokenize + explode — the a14 rule (re-reading parquet beats
-      // materializing the whole token frame); only the vocabulary-sized
-      // count table below is pinned
-      val rawCnt = dt.groupBy($"w").agg(count(lit(1)).as("cr"))
-        .localCheckpoint() // feeds totals AND the scoring join
-      val tgtCnt = dt.filter($"source" === DsirTarget)
-        .groupBy($"w").agg(count(lit(1)).as("ct"))
-      val tots = rawCnt
-        .agg(sum($"cr").as("nr"), count(lit(1)).as("v"))
-        .crossJoin(tgtCnt.agg(coalesce(sum($"ct"), lit(0L)).as("nt")))
-      dt.join(rawCnt, Seq("w"))
-        .join(tgtCnt, Seq("w"), "left")
-        .crossJoin(broadcast(tots))
-        .withColumn("lpi", round(
-          (log((coalesce($"ct", lit(0L)) + 1.0) /
-              ($"nt".cast("double") + $"v".cast("double"))) -
-            log(($"cr" + 1.0) /
-              ($"nr".cast("double") + $"v".cast("double")))) * 1e6)
-          .cast("long"))
-        .groupBy($"doc_id", $"source")
-        .agg(round(sum($"lpi").cast("double") / 1e6 / count(lit(1)), 4)
-            .as("dsir_w"),
-          count(lit(1)).as("n_toks"))
+      dsirWeights(s, dir)
         .withColumn("keep",
           Det.frac($"doc_id", DsirSeed) < lit(1.0) / (lit(1.0) + exp(-$"dsir_w")))
         .select($"doc_id", $"source", $"dsir_w", $"n_toks", $"keep")
         .orderBy($"doc_id")
+    }),
+
+    // ---- P25: importance-weight effective sample size ------------------
+    // The diagnostic that must accompany ANY importance reweighting
+    // (Kish 1965; ESS = (Σw)²/Σw²): how many "real" samples do t25's
+    // DSIR weights leave per source? ESS/n near 1 ⇒ the reweighting is
+    // benign; near 0 ⇒ a few docs dominate and downstream statistics are
+    // noise. Weights are exp(dsir_w) on t25's 4dp-rounded per-doc score
+    // (the SHARED dsirWeights pipeline — the gate and the diagnostic
+    // provably see one weight definition), e6-quantized so both moment
+    // sums are exact integers (Σw² carried DECIMAL(38,0)/HUGEINT per the
+    // a40 rule — unbounded); the scale cancels in the ratio. 100 TB
+    // shape: t25's shape + one source-keyed agg; output ≤ sources rows.
+    "p25_ess" -> ((s, dir) => {
+      import s.implicits._
+      dsirWeights(s, dir)
+        .select($"source",
+          round(exp($"dsir_w") * 1e6).cast("long").as("wq"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"wq").as("sw"),
+          sum($"wq".cast("decimal(38,0)") * $"wq").as("sw2"))
+        .select($"source", $"n_docs",
+          round($"sw".cast("double") * $"sw".cast("double") /
+            $"sw2".cast("double"), 4).as("ess"),
+          round($"sw".cast("double") * $"sw".cast("double") /
+            $"sw2".cast("double") / $"n_docs".cast("double"), 6)
+            .as("ess_ratio"))
+        .orderBy($"source")
     }),
 
     // ---- A42: χ² term-class association -------------------------------
@@ -1850,36 +1917,30 @@ object Curate {
     },
 
     "t25_dsir_select" ->
-      s"""WITH dt AS (
-         |  SELECT doc_id, source, unnest(tk) AS w FROM
-         |    (SELECT doc_id, source, $tokensSqlExpr AS tk FROM documents)
-         |  WHERE len(tk) >= 1),
-         |rc AS (SELECT w, count(*) AS cr FROM dt GROUP BY w),
-         |tc AS (SELECT w, count(*) AS ct FROM dt
-         |       WHERE source = '$DsirTarget' GROUP BY w),
-         |tot AS (
-         |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS nr,
-         |         (SELECT count(*) FROM rc) AS v,
-         |         (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc)
-         |           AS nt),
-         |sc AS (
-         |  SELECT doc_id, source,
-         |    CAST(round((ln((coalesce(ct, 0) + 1.0) /
-         |        (CAST(nt AS DOUBLE) + CAST(v AS DOUBLE))) -
-         |      ln((cr + 1.0) /
-         |        (CAST(nr AS DOUBLE) + CAST(v AS DOUBLE)))) * 1000000)
-         |      AS BIGINT) AS lpi
-         |  FROM dt JOIN rc USING (w) LEFT JOIN tc USING (w) CROSS JOIN tot),
-         |pd AS (
-         |  SELECT doc_id, source,
-         |    round(CAST(sum(lpi) AS DOUBLE) / 1000000 / count(*), 4)
-         |      AS dsir_w,
-         |    count(*) AS n_toks
-         |  FROM sc GROUP BY doc_id, source)
+      s"""WITH $dsirWeightCtes
          |SELECT doc_id, source, dsir_w, n_toks,
          |  (${Det.fracSql("doc_id", DsirSeed)} < 1.0 / (1.0 + exp(-dsir_w)))
          |    AS keep
          |FROM pd ORDER BY doc_id""".stripMargin,
+
+    "p25_ess" ->
+      s"""WITH $dsirWeightCtes,
+         |wq AS (
+         |  SELECT source,
+         |    CAST(round(exp(dsir_w) * 1000000) AS BIGINT) AS wq
+         |  FROM pd),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(wq) AS BIGINT) AS sw,
+         |    sum(CAST(wq AS HUGEINT) * wq) AS sw2
+         |  FROM wq GROUP BY source)
+         |SELECT source, n_docs,
+         |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+         |    / CAST(sw2 AS DOUBLE), 4) AS ess,
+         |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+         |    / CAST(sw2 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS ess_ratio
+         |FROM g ORDER BY source""".stripMargin,
 
     "a42_chi2_terms" ->
       s"""WITH dt AS (

@@ -1498,6 +1498,65 @@ object Stats {
             ((d($"sa2") + d($"sb2")) / 2.0 - $"expd"), 6).as("ari"))
     }),
 
+    // ---- E22: cluster purity + NMI vs ground truth -----------------------
+    // The external-validity counterpart to e21's stability: score e11's
+    // Lloyd partition against the embeddings table's label column —
+    // purity = Σ_c max_l n_cl / n (the "majority vote" accuracy) and the
+    // √(HH)-normalized mutual information (Strehl & Ghosh 2002, the a64
+    // recipe on a (cluster, label) contingency). Together with e21
+    // (ARI ≈ 0.016) this closes the clustering-audit triad: stable?
+    // externally valid? — here NMI near 0 says the synthetic labels are
+    // not recoverable from these embeddings by k-means, which is the
+    // honest answer a curation pipeline needs BEFORE balancing on
+    // clusters. Exactness: one e11 run (bit-reproducible by the KMeansQ
+    // contract), integer contingency; purity is integer until the final
+    // division; MI terms fold sorted over ≤ k·L cells (a64). 100 TB
+    // shape: e11's broadcast-literal assignment passes + ONE vec_id
+    // join + a ≤ k·L agg.
+    "e22_cluster_purity" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val emb = t(s, dir, "embeddings")
+      val vecs = emb.select($"vec_id",
+          graft.similarity.KMeansQ.quantize($"embedding", KmScale).as("q"))
+        .localCheckpoint()
+      val init: Array[Array[Long]] = vecs.filter($"vec_id" < KmK)
+        .orderBy($"vec_id").select($"q").collect()
+        .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      val (assigned, _) = graft.similarity.KMeansQ.lloyd(
+        vecs, "vec_id", "q", KmK, KmIters, init)
+      val ct = assigned
+        .join(emb.select($"vec_id", $"label".cast("long").as("lb")),
+          Seq("vec_id"))
+        .groupBy($"cluster", $"lb").agg(count(lit(1)).as("nij"))
+        .localCheckpoint() // ≤ k·L rows; feeds margins, purity AND MI
+      val tot = ct.agg(sum($"nij").as("n"))
+      val pur = ct.groupBy($"cluster").agg(max($"nij").as("mx"))
+        .agg(sum($"mx").as("spur"))
+      val nc = ct.groupBy($"cluster").agg(sum($"nij").as("nc"))
+      val nl = ct.groupBy($"lb").agg(sum($"nij").as("nl"))
+      val hOf = (m: DataFrame, cnt: String, out: String) =>
+        m.crossJoin(broadcast(tot))
+          .select((d(col(cnt)) / d(col("n")) *
+            log(d(col(cnt)) / d(col("n")))).as("term"))
+          .agg((-aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+            (a, x) => a + x)).as(out))
+      val mi = ct.join(nc, Seq("cluster")).join(nl, Seq("lb"))
+        .crossJoin(broadcast(tot))
+        .select((d($"nij") / d($"n") *
+          log(d($"nij" * $"n") / d($"nc" * $"nl"))).as("term"), $"n")
+        .groupBy($"n")
+        .agg(aggregate(sort_array(collect_list($"term")), lit(0.0),
+          (a, x) => a + x).as("mi"))
+      mi.crossJoin(broadcast(pur))
+        .crossJoin(broadcast(hOf(nc, "nc", "hc")))
+        .crossJoin(broadcast(hOf(nl, "nl", "hl")))
+        .select($"n".as("n_vecs"),
+          round(d($"spur") / d($"n"), 6).as("purity"),
+          round($"mi", 6).as("mi_nats"),
+          round($"mi" / sqrt($"hc" * $"hl"), 6).as("nmi"))
+    }),
+
     // ---- A43: Poisson-bootstrap confidence interval ----------------------
     // The at-scale bootstrap (Chamandy et al. 2012, "Estimating
     // uncertainty for massive data streams"): instead of B resamples of
@@ -2657,6 +2716,54 @@ object Stats {
          |      - CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE) / tot2), 6)
          |    AS ari
          |FROM f""".stripMargin,
+
+    "e22_cluster_purity" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS j, qv AS cv FROM q WHERE vec_id < $KmK),
+         |${kmStep(1, "c0", "a1", "c1")},
+         |${kmStep(2, "c1", "a2", "c2")},
+         |ct AS (
+         |  SELECT a2.cluster, e.label AS lb,
+         |    CAST(count(*) AS BIGINT) AS nij
+         |  FROM a2 JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+         |pur AS (SELECT CAST(sum(mx) AS BIGINT) AS spur FROM
+         |  (SELECT max(nij) AS mx FROM ct GROUP BY cluster)),
+         |nc AS (SELECT cluster, CAST(sum(nij) AS BIGINT) AS nc
+         |       FROM ct GROUP BY cluster),
+         |nl AS (SELECT lb, CAST(sum(nij) AS BIGINT) AS nl
+         |       FROM ct GROUP BY lb),
+         |hc AS (
+         |  SELECT -list_reduce(list_sort(list(
+         |      CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)
+         |        * ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)))),
+         |    (a, x) -> a + x) AS hc
+         |  FROM nc CROSS JOIN tot),
+         |hl AS (
+         |  SELECT -list_reduce(list_sort(list(
+         |      CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)
+         |        * ln(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)))),
+         |    (a, x) -> a + x) AS hl
+         |  FROM nl CROSS JOIN tot),
+         |mi AS (
+         |  SELECT n, list_reduce(list_sort(list(term)), (a, x) -> a + x)
+         |      AS mi
+         |  FROM (
+         |    SELECT tot.n,
+         |      CAST(ct.nij AS DOUBLE) / CAST(tot.n AS DOUBLE)
+         |        * ln(CAST(ct.nij * tot.n AS DOUBLE)
+         |          / CAST(nc.nc * nl.nl AS DOUBLE)) AS term
+         |    FROM ct JOIN nc USING (cluster) JOIN nl USING (lb)
+         |    CROSS JOIN tot)
+         |  GROUP BY n)
+         |SELECT n AS n_vecs,
+         |  round(CAST(spur AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity,
+         |  round(mi, 6) AS mi_nats,
+         |  round(mi / sqrt(hc * hl), 6) AS nmi
+         |FROM mi CROSS JOIN pur CROSS JOIN hc CROSS JOIN hl""".stripMargin,
 
     "a43_bootstrap_ci" -> {
       val wCase = BootCdfStr.zipWithIndex
