@@ -193,6 +193,20 @@ object Curate {
     * int64 while docs stay under 2²⁰ chars (stated bound; chunk longer
     * docs). */
   private val WinK = 5
+  /** t42 content-defined chunking: boundary when the t36-style 40-bit
+    * gram hash ≡ 0 (mod CdcMask) ⇒ expected chunk ≈ CdcMask + CdcK − 1
+    * chars (≈ 69 on this corpus's ~300-char docs ⇒ ~5 chunks/doc). */
+  private val CdcK = 5
+  private val CdcMask = 64L
+  /** d21 Fellegi–Sunter: chunk-block cap (hot chunks are boilerplate —
+    * BINDS at sf0.1, 3 buckets, mirrored in the oracle per the g6
+    * policy), length-band width, and the expert-set m-probabilities
+    * (P(field agrees | same entity) — the EM-free variant, stated). */
+  private val FsChunkCap = 64
+  private val FsLenBand = 64L
+  private val FsMLang = 0.95
+  private val FsMSource = 0.9
+  private val FsMLen = 0.8
   private val WinW = 4
   private val WinShared = 3L
   private[graft] val WinCap = 20
@@ -309,6 +323,75 @@ object Curate {
       |       THEN substring(word, k, 2)
       |       ELSE substring(word, k, 1) END),
       |  x -> x IS NOT NULL)""".stripMargin
+
+  /** t42's content-defined chunk frame (doc_id, source, clen, ch) —
+    * ONE definition shared by `t42_cdc_chunks` and `d21_fellegi_sunter`
+    * so the audit and the linkage blocker provably cut identical
+    * chunks. See t42's scaladoc for the contract. */
+  private[queries] def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .filter(length($"text") >= 1)
+      .select($"doc_id", $"source", $"text", length($"text").as("ln"))
+      .localCheckpoint() // feeds grams, the final-end frame AND slicing
+    val bounds = docs.filter($"ln" >= CdcK)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), $"ln" - (CdcK - 1))).as("pos"))
+      .select($"doc_id", (conv(substring(md5(
+          substring($"text", $"pos", lit(CdcK)).cast("binary")), 1, 10),
+        16, 10).cast("long")).as("hv"), $"pos")
+      .filter($"hv" % CdcMask === 0L)
+      .select($"doc_id", ($"pos" + (CdcK - 1)).cast("long").as("e"))
+    val ends = bounds
+      .unionByName(docs.select($"doc_id", $"ln".cast("long").as("e")))
+      .distinct() // boundary AT the doc end ≡ the final end
+    val wD = Window.partitionBy($"doc_id").orderBy($"e")
+    ends
+      .withColumn("st", coalesce(lag($"e", 1).over(wD), lit(0L)) + 1L)
+      .join(docs, Seq("doc_id"))
+      .select($"doc_id", $"source", ($"e" - $"st" + 1L).as("clen"),
+        md5(expr("substring(text, CAST(st AS INT), CAST(e - st + 1 AS INT))")
+          .cast("binary")).as("ch"))
+  }
+
+  /** The t42 oracle's CTE prefix ending at `chunks` (doc_id, source,
+    * clen, h) — shared verbatim with d21's oracle (the cdcChunks twin). */
+  private[queries] def cdcChunkCtes: String = {
+    // 40-bit hash from 10 hex chars (the a13 hexFold recipe)
+    val hexFold = (0 until 10).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * " +
+        s"${1L << (4 * (9 - i))}").mkString(" + ")
+    s"""cdocs AS (
+       |  SELECT doc_id, source, text, CAST(len(text) AS BIGINT) AS ln
+       |  FROM documents WHERE len(text) >= 1),
+       |cpos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, len(text) - ${CdcK - 1} + 1)) AS pos
+       |  FROM cdocs WHERE ln >= $CdcK),
+       |cb AS (
+       |  SELECT doc_id, CAST(pos + ${CdcK - 1} AS BIGINT) AS e
+       |  FROM (SELECT doc_id, pos, CAST($hexFold AS BIGINT) AS hv
+       |        FROM (SELECT doc_id, pos,
+       |                substr(md5(substr(text, CAST(pos AS INTEGER),
+       |                  $CdcK)), 1, 10) AS h
+       |              FROM cpos))
+       |  WHERE hv % $CdcMask = 0),
+       |cends AS (
+       |  SELECT DISTINCT doc_id, e FROM
+       |    (SELECT doc_id, e FROM cb
+       |     UNION ALL SELECT doc_id, ln AS e FROM cdocs)),
+       |cch AS (
+       |  SELECT doc_id, st, e - st + 1 AS clen FROM (
+       |    SELECT doc_id, e,
+       |      coalesce(lag(e, 1) OVER (PARTITION BY doc_id ORDER BY e),
+       |        0) + 1 AS st
+       |    FROM cends)),
+       |chunks AS (
+       |  SELECT cch.doc_id, cdocs.source, cch.clen,
+       |    md5(substr(cdocs.text, CAST(cch.st AS INTEGER),
+       |      CAST(cch.clen AS INTEGER))) AS h
+       |  FROM cch JOIN cdocs USING (doc_id))""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T21: domain-mix reweighting ----------------------------------
@@ -1413,6 +1496,98 @@ object Curate {
         .select($"doc_id", $"n_group",
           (($"__rk" - 1L) % FoldK).cast("int").as("fold"))
         .orderBy($"doc_id")
+    }),
+
+    // ---- T42: content-defined chunking + chunk-level dedup audit ------
+    // The dedup granularity between t4's whole-doc fingerprint and t36's
+    // k-gram winnowing: cut every doc at content-defined boundaries
+    // (gear/FastCDC family, basic form — a boundary wherever the 40-bit
+    // k-gram hash ≡ 0 mod CdcMask, so cut points move WITH the content
+    // and an insertion only re-chunks its neighborhood, unlike
+    // fixed-size blocks), hash each chunk, and report the per-source
+    // chunk-duplication audit (storage/training value of chunk-level
+    // dedup). No minimum-chunk rule — basic CDC, stated contract (the
+    // min-length variant makes boundary acceptance sequential). Docs
+    // shorter than k are one whole-doc chunk via the unconditional
+    // end-of-doc boundary. Exactness: boundaries/ends/lengths are pure
+    // integers; ratios are the ledger's ppm integer divisions. 100 TB
+    // shape: the gram explode is map-only; ends ride ONE doc_id window;
+    // the corpus-wide chunk-hash count is a map-side-combinable agg on
+    // the hash key; output is ≤ sources rows.
+    "t42_cdc_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = cdcChunks(s, dir)
+      val cnt = chunks.groupBy($"ch").agg(count(lit(1)).as("nh"))
+      chunks.join(cnt, Seq("ch"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"), sum($"clen").as("n_chars"),
+          sum(when($"nh" > 1L, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select($"source", $"n_chunks", $"n_dup_chunks",
+          expr("(n_chars * 1000000) div n_chunks").as("mean_len_ppm"),
+          expr("(n_dup_chunks * 1000000) div n_chunks").as("dup_ppm"))
+        .orderBy($"source")
+    }),
+
+    // ---- D21: Fellegi–Sunter probabilistic record linkage --------------
+    // The decision-theoretic linkage score (Fellegi & Sunter 1969) the
+    // raw-similarity dedup family lacks: candidate pairs BLOCKED on a
+    // shared content-defined chunk (the t42 cdcChunks twin — "two docs
+    // share a verbatim chunk" is the blocking key), scored by the
+    // field-agreement log-likelihood ratio Σᵢ aᵢ·ln(mᵢ/uᵢ) +
+    // (1−aᵢ)·ln((1−mᵢ)/(1−uᵢ)) over (lang, source, length-band).
+    // u-probabilities are ESTIMATED FROM THE CORPUS as the random-pair
+    // agreement rate Σᵥ nᵥ(nᵥ−1)/(N(N−1)) (exact BIGINT numerators, one
+    // double division); m's are expert-set literals (the EM-free
+    // variant, stated in FsM*'s doc — a production EM fit would replace
+    // three literals, not the plan). Chunk blocks ride capMembers with
+    // the oracle MIRRORING the cap (it BINDS at sf0.1: 3 boilerplate
+    // chunks — the g6 policy, drop-accounted). Contract: every field
+    // has repeated AND distinct values (0 < uᵢ < 1 — holds by
+    // construction on this corpus; degenerate fields would need the
+    // a50-style pre-filter). 100 TB shape: the t42 chunk pass + ONE
+    // capped hash-keyed self-join + two doc_id-keyed field joins; the
+    // u-frame is a broadcast of 3 scalars.
+    "d21_fellegi_sunter" -> ((s, dir) => {
+      import s.implicits._
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val docs = t(s, dir, "documents")
+        .filter(length($"text") >= 1)
+        .select($"doc_id", $"lang", $"source",
+          expr(s"CAST(length(text) div $FsLenBand AS LONG)").as("lb"))
+        .localCheckpoint() // feeds the three margins AND both pair sides
+      val tot = docs.agg(count(lit(1)).as("n"))
+      def uOf(c: String, out: String) =
+        docs.groupBy(col(c)).agg(count(lit(1)).as("cv"))
+          .agg(sum($"cv" * ($"cv" - 1L)).as("num"))
+          .crossJoin(tot)
+          .select((dbl($"num") / dbl($"n" * ($"n" - 1L))).as(out))
+      val us = uOf("lang", "u_lang").crossJoin(uOf("source", "u_source"))
+        .crossJoin(uOf("lb", "u_lb"))
+      val chunkDocs = cdcChunks(s, dir).select($"ch", $"doc_id").distinct()
+      val capped = graft.ops.Buckets.capMembers(chunkDocs,
+        Seq(col("ch")), cap = FsChunkCap, label = "fslink")
+      val pairs = capped.as("x").join(capped.as("y"),
+          col("x.ch") === col("y.ch") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      def term(agree: org.apache.spark.sql.Column, m: Double, u: String) =
+        when(agree, log(lit(m) / col(u)))
+          .otherwise(log(lit(1.0 - m) / (lit(1.0) - col(u))))
+      pairs
+        .join(docs.select($"doc_id".as("a_id"), $"lang".as("la"),
+          $"source".as("sa"), $"lb".as("ba")), Seq("a_id"))
+        .join(docs.select($"doc_id".as("b_id"), $"lang".as("lbl"),
+          $"source".as("sb"), $"lb".as("bb")), Seq("b_id"))
+        .crossJoin(broadcast(us))
+        .select($"a_id", $"b_id", $"n_shared",
+          ($"la" === $"lbl").as("agree_lang"),
+          ($"sa" === $"sb").as("agree_source"),
+          ($"ba" === $"bb").as("agree_len"),
+          round((term($"la" === $"lbl", FsMLang, "u_lang") +
+            term($"sa" === $"sb", FsMSource, "u_source")) +
+            term($"ba" === $"bb", FsMLen, "u_lb"), 6).as("llr"))
+        .orderBy($"llr".desc, $"a_id", $"b_id")
     }),
 
     // ---- T36: winnowing fingerprints (Schleimer et al. 2003) ----------
@@ -2692,6 +2867,71 @@ object Curate {
          |SELECT d.doc_id, r.n_group,
          |  CAST((r.rk - 1) % $FoldK AS INTEGER) AS fold
          |FROM d JOIN r USING (gkey) ORDER BY d.doc_id""".stripMargin,
+
+    "t42_cdc_chunks" -> {
+      s"""WITH $cdcChunkCtes,
+         |cnt AS (SELECT h, CAST(count(*) AS BIGINT) AS nh
+         |        FROM chunks GROUP BY h),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(clen) AS BIGINT) AS n_chars,
+         |    CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_chunks
+         |  FROM chunks JOIN cnt USING (h) GROUP BY source)
+         |SELECT source, n_chunks, n_dup_chunks,
+         |  (n_chars * 1000000) // n_chunks AS mean_len_ppm,
+         |  (n_dup_chunks * 1000000) // n_chunks AS dup_ppm
+         |FROM g ORDER BY source""".stripMargin
+    },
+
+    "d21_fellegi_sunter" -> {
+      // ONE division (num/(N·(N−1))) — the identical IEEE shape to the
+      // Spark side's uOf
+      def uSql(c: String) =
+        s"""(SELECT CAST(sum(cv * (cv - 1)) AS DOUBLE)
+           |    / CAST((SELECT count(*) * (count(*) - 1) FROM fdocs)
+           |      AS DOUBLE)
+           |  FROM (SELECT count(*) AS cv FROM fdocs GROUP BY $c))"""
+          .stripMargin
+      def termSql(agree: String, m: Double, u: String) =
+        s"""CASE WHEN $agree
+           |  THEN ln(CAST($m AS DOUBLE) / $u)
+           |  ELSE ln(CAST(${1.0 - m} AS DOUBLE) / (1.0 - $u)) END"""
+          .stripMargin
+      s"""WITH $cdcChunkCtes,
+         |fdocs AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(text) AS BIGINT) // $FsLenBand AS lb
+         |  FROM documents WHERE len(text) >= 1),
+         |us AS (
+         |  SELECT ${uSql("lang")} AS u_lang,
+         |    ${uSql("source")} AS u_source,
+         |    ${uSql("lb")} AS u_lb),
+         |cd AS (SELECT DISTINCT h, doc_id FROM chunks),
+         |capped AS (
+         |  SELECT h, doc_id FROM
+         |    (SELECT h, doc_id, count(*) OVER (PARTITION BY h) AS bsz
+         |     FROM cd)
+         |  WHERE bsz <= $FsChunkCap),
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM capped x JOIN capped y
+         |    ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_shared,
+         |  (a.lang = b.lang) AS agree_lang,
+         |  (a.source = b.source) AS agree_source,
+         |  (a.lb = b.lb) AS agree_len,
+         |  round((${termSql("a.lang = b.lang", FsMLang, "u_lang")} +
+         |    ${termSql("a.source = b.source", FsMSource, "u_source")}) +
+         |    ${termSql("a.lb = b.lb", FsMLen, "u_lb")}, 6) AS llr
+         |FROM pairs
+         |JOIN fdocs a ON a.doc_id = a_id
+         |JOIN fdocs b ON b.doc_id = b_id
+         |CROSS JOIN us
+         |ORDER BY llr DESC, a_id, b_id""".stripMargin
+    },
 
     "t36_winnowing" -> {
       // 40-bit hash from 10 hex chars (the a13 hexFold recipe)
