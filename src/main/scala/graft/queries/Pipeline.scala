@@ -50,6 +50,10 @@ object Pipeline {
     * K(K−1)/2 regardless of document length. Embedded verbatim in both
     * engines. */
   private val CoocVocabK = 30
+  /** t43 interpolated Kneser–Ney: absolute discount (dyadic 3/4, the
+    * textbook default) and the train/test doc split seed. */
+  private val KnD = 0.75
+  private val KnSeed = 113L
   private val Bm25Terms = Seq("join", "vector", "window", "dup")
   /** Inverted index: keep terms present in ≥1/20 of docs (integer test so
     * no float boundary), postings capped at the first 100 doc ids. */
@@ -505,6 +509,65 @@ object Pipeline {
         .agg(round(sum($"lpi").cast("double") / 1e6 /
             count(lit(1)), 4).as("avg_logprob"),
           count(lit(1)).as("n_bigrams"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- T43: interpolated Kneser–Ney bigram scoring --------------------
+    // The production LM smoothing (Kneser & Ney 1995; what KenLM-style
+    // CCNet filters actually run, where t12 is Laplace): held-out docs
+    // scored under P_KN(w2|w1) = max(c₁₂−D,0)/c₁ + D·N₁₊(w1·)/c₁ ·
+    // N₁₊(·w2)/N₁₊(··) — the continuation probability fixes exactly the
+    // "San Francisco" failure (frequent-but-unproductive unigrams stop
+    // leaking mass). Train/test split by the keyed LCG (the t34 rule);
+    // test transitions with an UNSEEN context or an unseen-as-
+    // continuation w2 are skipped and counted (stated contract — no
+    // epsilon hacks; docs with zero scorable transitions report NULL).
+    // Exactness: all five count tables are exact integers; P is one
+    // fixed-shape double expression on them; per-transition logs ride
+    // the t12 recipe (e6-quantized BIGINT, associativity-proof doc
+    // sums). 100 TB shape: count tables are vocabulary-sized JOINs
+    // (never broadcast, never collected), N₁₊(··) the only 1-row
+    // broadcast; the corpus stays explode → join → doc_id agg.
+    "t43_kneser_ney" -> ((s, dir) => {
+      import s.implicits._
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .withColumn("tr", Det.frac($"doc_id", KnSeed) < 0.5)
+        .localCheckpoint() // feeds the train counts AND the test explode
+      val trBi = docs.filter($"tr")
+        .select(explode(TextOps.wordNgrams($"toks", 2)).as("bg"))
+        .select(substring_index($"bg", " ", 1).as("w1"),
+          substring_index($"bg", " ", -1).as("w2"))
+      val cb = trBi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+        .localCheckpoint() // feeds cu, bw, the type total AND scoring
+      val cu = cb.groupBy($"w1")
+        .agg(sum($"cb").as("cu"), count(lit(1)).as("n1pfw"))
+      val bw = cb.groupBy($"w2").agg(count(lit(1)).as("n1pbw"))
+      val na = cb.agg(count(lit(1)).as("n1pall"))
+      docs.filter(!$"tr")
+        .select($"doc_id", explode(TextOps.wordNgrams($"toks", 2)).as("bg"))
+        .select($"doc_id", substring_index($"bg", " ", 1).as("w1"),
+          substring_index($"bg", " ", -1).as("w2"))
+        .join(cu, Seq("w1"), "left")
+        .join(bw, Seq("w2"), "left")
+        .join(cb, Seq("w1", "w2"), "left")
+        .crossJoin(broadcast(na))
+        .withColumn("ok", $"cu".isNotNull && $"n1pbw".isNotNull)
+        .withColumn("lpi", when($"ok", round(log(
+          greatest(coalesce(dbl($"cb"), lit(0.0)) - lit(KnD), lit(0.0)) /
+            dbl($"cu") +
+            ((lit(KnD) * dbl($"n1pfw")) / dbl($"cu")) *
+              (dbl($"n1pbw") / dbl($"n1pall"))) * 1e6).cast("long")))
+        .groupBy($"doc_id")
+        .agg(sum(when($"ok", 1L).otherwise(0L)).as("n_scored"),
+          sum(when(!$"ok", 1L).otherwise(0L)).as("n_skipped"),
+          sum(when($"ok", $"lpi").otherwise(0L)).as("slpi"))
+        .select($"doc_id", $"n_scored", $"n_skipped",
+          when($"n_scored" > 0L, round($"slpi".cast("double") / 1e6 /
+            $"n_scored".cast("double"), 4)).as("avg_logp"))
         .orderBy($"doc_id")
     }),
 
@@ -964,6 +1027,69 @@ object Pipeline {
            |    AS avg_logprob,
            |  count(*) AS n_bigrams
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t43_kneser_ney" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, tokens,
+           |    (${Det.fracSql("doc_id", KnSeed)} < 0.5) AS tr FROM
+           |    (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
+           |  WHERE len(tokens) >= 2),
+           |trbi AS (
+           |  SELECT split_part(bg, ' ', 1) AS w1,
+           |    split_part(bg, ' ', 2) AS w2 FROM (
+           |    SELECT unnest(list_transform(
+           |      generate_series(0, len(tokens) - 2),
+           |      i -> array_to_string(list_slice(tokens, i + 1, i + 2),
+           |        ' '))) AS bg
+           |    FROM toks WHERE tr)),
+           |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+           |       FROM trbi GROUP BY 1, 2),
+           |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+           |         CAST(count(*) AS BIGINT) AS n1pfw
+           |       FROM cb GROUP BY 1),
+           |bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1pbw
+           |       FROM cb GROUP BY 1),
+           |na AS (SELECT CAST(count(*) AS BIGINT) AS n1pall FROM cb),
+           |tb AS (
+           |  SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+           |    split_part(bg, ' ', 2) AS w2 FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      generate_series(0, len(tokens) - 2),
+           |      i -> array_to_string(list_slice(tokens, i + 1, i + 2),
+           |        ' '))) AS bg
+           |    FROM toks WHERE NOT tr)),
+           |j AS (
+           |  SELECT tb.doc_id,
+           |    (cu.cu IS NOT NULL AND bw.n1pbw IS NOT NULL) AS ok,
+           |    cb.cb, cu.cu, cu.n1pfw, bw.n1pbw, na.n1pall
+           |  FROM tb LEFT JOIN cu USING (w1) LEFT JOIN bw USING (w2)
+           |  LEFT JOIN cb ON cb.w1 = tb.w1 AND cb.w2 = tb.w2
+           |  CROSS JOIN na),
+           |sc AS (
+           |  SELECT doc_id, ok,
+           |    CASE WHEN ok THEN CAST(round(ln(
+           |      greatest(coalesce(CAST(cb AS DOUBLE), 0.0)
+           |          - CAST($KnD AS DOUBLE), 0.0)
+           |        / CAST(cu AS DOUBLE) +
+           |        ((CAST($KnD AS DOUBLE) * CAST(n1pfw AS DOUBLE))
+           |          / CAST(cu AS DOUBLE))
+           |        * (CAST(n1pbw AS DOUBLE) / CAST(n1pall AS DOUBLE)))
+           |      * 1000000) AS BIGINT) END AS lpi
+           |  FROM j),
+           |g AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_scored,
+           |    CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS n_skipped,
+           |    CAST(sum(CASE WHEN ok THEN lpi ELSE 0 END) AS BIGINT)
+           |      AS slpi
+           |  FROM sc GROUP BY doc_id)
+           |SELECT doc_id, n_scored, n_skipped,
+           |  CASE WHEN n_scored > 0 THEN
+           |    round(CAST(slpi AS DOUBLE) / 1000000
+           |      / CAST(n_scored AS DOUBLE), 4) END AS avg_logp
+           |FROM g ORDER BY doc_id""".stripMargin,
 
       "t39_excess_gain" ->
         s"""WITH toks AS (

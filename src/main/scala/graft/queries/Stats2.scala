@@ -40,9 +40,28 @@ object Stats2 {
   /** a61 Holt: dyadic smoothing constants (the w31 EwmaLam rule — every
     * product is an exactly-representable double built identically in
     * both engines) and the forecast horizon in hours. */
-  private val HoltAlpha = 0.5
-  private val HoltBeta = 0.25
+  private[graft] val HoltAlpha = 0.5
+  private[graft] val HoltBeta = 0.25
   private val HoltH = 3.0
+
+  /** a61's hourly cents-volume grid (event_type, hr, v — absent hours
+    * REAL zeros, the a57 rule) — ONE definition shared with
+    * [[graft.streaming.StreamJob.holtStream]]'s spec so the twin's
+    * series can never drift from the query's. */
+  private[graft] def holtHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .select(col("event_type"), Det.epochS(col("ts")).as("es"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(expr("es div 3600").as("hr"), col("event_type"))
+      .agg(sum(col("cents")).as("v"))
+      .localCheckpoint() // feeds the hour frame, type frame AND grid
+    val hours = hourly.select(col("hr")).distinct()
+    val types = hourly.select(col("event_type")).distinct()
+    hours.crossJoin(broadcast(types))
+      .join(hourly, Seq("hr", "event_type"), "left")
+      .select(col("hr"), col("event_type"),
+        coalesce(col("v"), lit(0L)).as("v"))
+  }
 
   /** a65's event projection — shared with
     * [[graft.streaming.StreamJob.pageHinkleyStream]] (the cusumEvents
@@ -247,17 +266,7 @@ object Stats2 {
     // while hourly volume < 2^53 — quantize to dollars beyond).
     "a61_holt" -> ((s, dir) => {
       import s.implicits._
-      val hourly = t(s, dir, "events")
-        .select($"event_type", Det.epochS($"ts").as("es"),
-          round($"value" * 100).cast("long").as("cents"))
-        .groupBy(expr("es div 3600").as("hr"), $"event_type")
-        .agg(sum($"cents").as("v"))
-        .localCheckpoint() // feeds the hour frame, type frame AND grid
-      val hours = hourly.select($"hr").distinct()
-      val types = hourly.select($"event_type").distinct()
-      val grid = hours.crossJoin(broadcast(types))
-        .join(hourly, Seq("hr", "event_type"), "left")
-        .select($"hr", $"event_type", coalesce($"v", lit(0L)).as("v"))
+      val grid = holtHourly(s, dir)
       // ARRAY accumulator [l, b, sse], not a struct: DuckDB's list_reduce
       // updates struct accumulator fields SEQUENTIALLY (later fields see
       // already-updated earlier ones) while Spark's aggregate() snapshots

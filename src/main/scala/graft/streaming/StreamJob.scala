@@ -247,6 +247,60 @@ object StreamJob {
       }
   }
 
+  case class HoltIn(event_type: String, hr: Long, v: Long)
+  case class HoltOut(event_type: String, n: Long, level: Double,
+                     trend: Double, sse: Double)
+  case class HoltState(n: Long, l: Double, b: Double, s: Double)
+
+  /** Streaming Holt smoothing — a61's level+trend recursion as a live
+    * per-key forecaster over CLOSED hourly buckets (build the bucket
+    * frame with the SHARED `Stats2.holtHourly`; a real deployment feeds
+    * it from a tumbling-window aggregation upstream). State is four
+    * scalars per key; each update replicates a61's fold step TERM FOR
+    * TERM in the same association (α/β are the shared dyadic constants),
+    * so the running (level, trend, SSE) is bit-identical to the batch
+    * array fold at every prefix. Emits the post-update state per bucket
+    * — the live h-step forecast is level + h·trend off any emission.
+    * Same per-key arrival-order contract as [[ewmaAlarmStream]] (order
+    * by hr); in-batch disorder is sorted. */
+  def holtStream(stream: DataFrame): org.apache.spark.sql.Dataset[HoltOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // serializable locals (the ewmaAlarmStream rule)
+    val alpha = graft.queries.Stats2.HoltAlpha
+    val beta = graft.queries.Stats2.HoltBeta
+    stream
+      .select(col("event_type").cast("string").as("event_type"),
+        col("hr").cast("long").as("hr"), col("v").cast("long").as("v"))
+      .as[HoltIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[HoltIn],
+         state: org.apache.spark.sql.streaming.GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0, 0.0))
+          val out = collection.mutable.ArrayBuffer[HoltOut]()
+          rows.toSeq.sortBy(_.hr).foreach { r =>
+            val x = r.v.toDouble
+            st =
+              if (st.n == 0L) HoltState(1L, x, 0.0, 0.0)
+              else {
+                // a61's fold step, same association: l' = α·x + (1−α)(l+b)
+                val nl = alpha * x + (1.0 - alpha) * (st.l + st.b)
+                val nb = beta * (alpha * x + (1.0 - alpha) *
+                  (st.l + st.b) - st.l) + (1.0 - beta) * st.b
+                val ns = st.s +
+                  (x - (st.l + st.b)) * (x - (st.l + st.b))
+                HoltState(st.n + 1, nl, nb, ns)
+              }
+            out += HoltOut(key, st.n, st.l, st.b, st.s)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class PhIn(user_id: Long, event_id: Long, es: Long, q: Long)
   case class PhOut(user_id: Long, decision: String,
                    n_at_decision: Long, ph_e9: Long)

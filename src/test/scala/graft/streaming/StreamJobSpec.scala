@@ -306,6 +306,48 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming Holt state ≡ the oracle-green a61 batch fold, across " +
+      "three batch-cut layouts") {
+    val dir = "/root/testdata/sf0.001"
+    val r6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val batch = graft.SparkEntry.queries("a61_holt")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(batch.nonEmpty)
+    val rows = graft.queries.Stats2.holtHourly(spark, dir)
+      .orderBy($"hr", $"event_type").collect()
+      .map(r => StreamJob.HoltIn(r.getString(1), r.getLong(0),
+        r.getLong(2)))
+    implicit val sq = spark.sqlContext
+    val layouts = Seq(Seq(rows.length), Seq(800, rows.length),
+      Seq(100, 1500, rows.length))
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[StreamJob.HoltIn]
+      val q = StreamJob.holtStream(mem.toDF())
+        .writeStream.format("memory").queryName(s"holt_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable(); prev = c
+      }
+      q.stop()
+      // the LAST emission per type (max n) carries the full-series fold;
+      // assemble a61's report columns from it with a61's rounding
+      val got = spark.table(s"holt_out_$i").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+        .groupBy(_._1).map { case (k, emitted) =>
+          val (_, n, l, b, s) = emitted.maxBy(_._2)
+          k -> ((n, r6(l / 100.0), r6(b / 100.0),
+            r6((l + 3.0 * b) / 100.0),
+            r6(math.sqrt(s / (n - 1).toDouble) / 100.0)))
+        }
+      assert(got == batch, s"cut layout $i diverged from batch")
+    }
+  }
+
   test("streaming Page–Hinkley decisions ≡ the oracle-green a65 drift " +
       "rows, across three batch-cut layouts") {
     val dir = "/root/testdata/sf0.001"
