@@ -298,6 +298,81 @@ object Stats2 {
         .orderBy($"event_type")
     }),
 
+    // ---- Q16: cohort retention matrix -----------------------------------
+    // The classic cohort table behind every product dashboard (and the
+    // general form of q9's fixed-window retention): users grouped by
+    // first-activity day, activity counted per (cohort, age-in-days),
+    // retention as the exact ppm ratio to cohort size. Exactness: days,
+    // counts and ratios are pure integers (the ledger's ppm rule).
+    // 100 TB shape: ONE user agg (min day) + a distinct over (user,
+    // cohort, age) + a cells agg — no window anywhere; output is
+    // ≤ cohorts×ages rows.
+    "q16_cohort_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", expr("CAST(ts AS LONG) div 86400").as("dd"))
+      val cohort = ev.groupBy($"user_id").agg(min($"dd").as("cd"))
+        .localCheckpoint() // feeds the age join AND cohort sizes
+      val cells = ev.join(cohort, Seq("user_id"))
+        .select($"user_id", $"cd", ($"dd" - $"cd").as("age"))
+        .distinct()
+        .groupBy($"cd", $"age").agg(count(lit(1)).as("n_active"))
+      val sizes = cohort.groupBy($"cd").agg(count(lit(1)).as("cohort_users"))
+      cells.join(sizes, Seq("cd"))
+        .select($"cd".as("cohort_day"), $"age", $"n_active",
+          $"cohort_users",
+          expr("(n_active * 1000000) div cohort_users").as("retention_ppm"))
+        .orderBy($"cohort_day", $"age")
+    }),
+
+    // ---- A66: Wilcoxon signed-rank test ----------------------------------
+    // The PAIRED nonparametric test completing the family (a40 MWU =
+    // unpaired two-group, a53 KW = k-group): per user, the click-vs-view
+    // mean-value difference is one pair; signed ranks of |d| across
+    // users, normal approximation with the full tie correction
+    // (Wilcoxon 1945). Exactness: the zero-pair drop and the SIGN use
+    // the exact integer cross-product s1·n2 − s2·n1; |d| doubles are
+    // identical in both engines (same expression shape) so tie GROUPS
+    // agree; tie-averaged ranks ride the DOUBLED-rank identity as exact
+    // integers (dr = 2·cum_before + t + 1 — the a51 rule) over a
+    // distributed prefix sum of the distinct-|d| frame (ops.Ranks — no
+    // unpartitioned window over users). Σdr ≤ 2n² stays BIGINT-exact
+    // while n ≲ 2.1e9 pairs; the z moments are evaluated in doubles
+    // (they reach n³). 100 TB shape: one user agg collapses the corpus;
+    // the rank machinery runs on the ≤distinct-|d| frame; one join back.
+    "a66_wilcoxon_signed" -> ((s, dir) => {
+      import s.implicits._
+      val pairsU = t(s, dir, "events")
+        .filter($"event_type".isin("click", "view"))
+        .select($"user_id", ($"event_type" === "click").as("isa"),
+          round($"value" * MilliScale).cast("long").as("q"))
+        .groupBy($"user_id")
+        .agg(sum(when($"isa", 1L).otherwise(0L)).as("n1"),
+          sum(when($"isa", $"q").otherwise(0L)).as("s1"),
+          sum(when(!$"isa", 1L).otherwise(0L)).as("n2"),
+          sum(when(!$"isa", $"q").otherwise(0L)).as("s2"))
+        .filter($"n1" > 0L && $"n2" > 0L)
+        .withColumn("dq", $"s1" * $"n2" - $"s2" * $"n1")
+        .filter($"dq" =!= 0L) // the standard zero-difference drop
+        .withColumn("ad", abs(d($"s1") / d($"n1") - d($"s2") / d($"n2")))
+        .localCheckpoint() // feeds the tie groups AND the rank join
+      val groups = pairsU.groupBy($"ad").agg(count(lit(1)).as("tc"))
+        .localCheckpoint() // feeds the prefix sum AND the tie correction
+      val cum = graft.ops.Ranks
+        .globalCumSum(groups, Seq($"ad"), $"tc", "cumt")
+        .withColumn("dr", lit(2L) * ($"cumt" - $"tc") + $"tc" + 1L)
+      val tie = groups.agg(
+        sum($"tc" * $"tc" * $"tc" - $"tc").as("t3t"))
+      pairsU.join(cum.select($"ad", $"dr"), Seq("ad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when($"dq" > 0L, $"dr").otherwise(0L)).as("w2p"))
+        .crossJoin(broadcast(tie))
+        .select($"n", $"w2p",
+          round((d($"w2p") - d($"n") * (d($"n") + 1.0) / 2.0) /
+            sqrt(d($"n") * (d($"n") + 1.0) * (lit(2.0) * d($"n") + 1.0) / 6.0 -
+              d($"t3t") / 12.0), 6).as("z"))
+    }),
+
     // ---- G11: Newman modularity of the g5 partition --------------------
     // Scores the community structure g5's LPA found on the trade graph
     // (Newman & Girvan 2004): Q = Σ_c [e_c/m − (d_c/2m)²], computed as
@@ -457,6 +532,66 @@ object Stats2 {
          |  round(h_source, 6) AS h_source,
          |  round(mi / sqrt(h_lang * h_source), 6) AS nmi
          |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin,
+
+    "q16_cohort_matrix" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ${Det.epochSSql("ts")} // 86400 AS dd
+         |  FROM events),
+         |cohort AS (
+         |  SELECT user_id, CAST(min(dd) AS BIGINT) AS cd
+         |  FROM ev GROUP BY 1),
+         |cells AS (
+         |  SELECT cd, age, CAST(count(*) AS BIGINT) AS n_active FROM (
+         |    SELECT DISTINCT ev.user_id, cohort.cd,
+         |      ev.dd - cohort.cd AS age
+         |    FROM ev JOIN cohort USING (user_id))
+         |  GROUP BY 1, 2),
+         |sizes AS (
+         |  SELECT cd, CAST(count(*) AS BIGINT) AS cohort_users
+         |  FROM cohort GROUP BY 1)
+         |SELECT cd AS cohort_day, age, n_active, cohort_users,
+         |  (n_active * 1000000) // cohort_users AS retention_ppm
+         |FROM cells JOIN sizes USING (cd)
+         |ORDER BY cohort_day, age""".stripMargin,
+
+    "a66_wilcoxon_signed" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, (event_type = 'click') AS isa,
+         |    CAST(round(value * 1000) AS BIGINT) AS q
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |u AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN isa THEN q ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN isa THEN 0 ELSE q END) AS BIGINT) AS s2
+         |  FROM ev GROUP BY user_id),
+         |p AS (
+         |  SELECT user_id, s1 * n2 - s2 * n1 AS dq,
+         |    abs(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS ad
+         |  FROM u WHERE n1 > 0 AND n2 > 0 AND s1 * n2 - s2 * n1 <> 0),
+         |g AS (SELECT ad, CAST(count(*) AS BIGINT) AS tc
+         |      FROM p GROUP BY ad),
+         |c AS (
+         |  SELECT ad, tc,
+         |    CAST(sum(tc) OVER (ORDER BY ad) AS BIGINT) AS cumt
+         |  FROM g),
+         |drk AS (SELECT ad, 2 * (cumt - tc) + tc + 1 AS dr FROM c),
+         |tie AS (SELECT CAST(sum(tc * tc * tc - tc) AS BIGINT) AS t3t
+         |        FROM g),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN p.dq > 0 THEN drk.dr ELSE 0 END)
+         |      AS BIGINT) AS w2p
+         |  FROM p JOIN drk USING (ad))
+         |SELECT n, w2p,
+         |  round((CAST(w2p AS DOUBLE)
+         |      - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+         |    / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+         |        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+         |      - CAST(t3t AS DOUBLE) / 12.0), 6) AS z
+         |FROM agg CROSS JOIN tie""".stripMargin,
 
     "a65_page_hinkley" ->
       s"""WITH ev AS (
