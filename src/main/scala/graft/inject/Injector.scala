@@ -150,6 +150,48 @@ object Injector {
     labeled.drop(s.columns.map(c => s"__mean_$c"): _*)
   }
 
+  /** Periodic (triangle-wave) anomaly — the daily/weekly load pattern the
+    * step/drift methods cannot express: within the window, value +=
+    * mean·magnitude·tri where tri = 1 − |2·phase/period − 1| rises 0→1→0
+    * over each period. The triangle is DELIBERATELY piecewise-linear
+    * rather than sinusoidal: every factor is rational arithmetic on an
+    * integer phase, so the oracle reproduces it bit-for-bit with no libm
+    * sin in the gate. CONTRACT: periodS > 0 (fail fast, the injectDrift
+    * rule). */
+  def injectSeasonal(df: DataFrame, idCol: String, tsCol: String,
+                     s: AnomalySetting, periodS: Long): DataFrame = {
+    require(periodS > 0, s"injectSeasonal needs periodS > 0 (got $periodS)")
+    val epochS = col(tsCol).cast("long")
+    val stats = df.select(s.columns.zipWithIndex.map { case (c, i) =>
+      val sel = selected(col(idCol), epochS, s, i)
+      avg(when(sel, col(c))).as(s"__mean_$c")
+    }: _*)
+    val withStats = df.crossJoin(broadcast(stats))
+    val touched = s.columns.zipWithIndex
+      .map { case (c, i) => selected(col(idCol), epochS, s, i) }
+      .reduce(_ || _)
+    val tri = lit(1.0) - abs(lit(2.0) *
+      (((epochS - lit(s.startEpoch)) % periodS).cast("double") /
+        lit(periodS.toDouble)) - lit(1.0))
+    val rewritten = s.columns.zipWithIndex.foldLeft(withStats) {
+      case (d, (c, i)) =>
+        val sel = selected(col(idCol), epochS, s, i)
+        d.withColumn(c, when(sel,
+          col(c) + col(s"__mean_$c") * s.magnitude * tri)
+          .otherwise(col(c)))
+    }
+    val flagged = rewritten
+      .withColumn("injected_anomaly",
+        when(touched, lit(true)).otherwise(
+          if (df.columns.contains("injected_anomaly"))
+            col("injected_anomaly") else lit(false)))
+    val labeled =
+      if (df.columns.contains("label"))
+        flagged.withColumn("label", when(touched, lit(1)).otherwise(col("label")))
+      else flagged.withColumn("label", when(touched, lit(1)).otherwise(lit(0)))
+    labeled.drop(s.columns.map(c => s"__mean_$c"): _*)
+  }
+
   /** Apply a list of settings in order (the reference iterates settings). */
   def injectAll(df: DataFrame, idCol: String, tsCol: String,
                 settings: Seq[AnomalySetting]): DataFrame =

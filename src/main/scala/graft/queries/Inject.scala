@@ -27,6 +27,9 @@ object Inject {
   private val offW     = (1705708800L, 1705795200L) // Jan 20 → 21
   private val customW  = (1706140800L, 1706227200L) // Jan 25 → 26
   private val driftW   = (1705449600L, 1705622400L) // Jan 17 → 19
+  private val seasW    = (1705104000L, 1705276800L) // Jan 13 → 15
+  /** i11 triangle period: daily. */
+  private val SeasPeriodS = 86400L
 
   private def setting(typ: String, w: (Long, Long), pct: Double,
                       mag: Double = 2.0): AnomalySetting =
@@ -72,6 +75,19 @@ object Inject {
       run(s, dir,
         setting("spike", spikeW, pct = 50.0, mag = 3.0),
         setting("step", stepW, pct = 100.0, mag = 2.0))),
+
+    // I11: periodic triangle-wave load pattern (Injector.injectSeasonal)
+    // — the seasonal signal neither step nor drift can express; the
+    // triangle keeps the whole factor rational (no libm sin in a gate)
+    "i11_inject_seasonal" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"ts", $"value")
+      Injector.injectSeasonal(ev, "event_id", "ts",
+          setting("seasonal", seasW, pct = 100.0, mag = 2.0), SeasPeriodS)
+        .select($"event_id", round($"value", 4).as("value_inj"),
+          $"injected_anomaly", $"label")
+        .orderBy($"event_id")
+    }),
 
     // I10: linear drift ramp (Injector.injectDrift) — the gradual
     // concept-drift signal the step method cannot express
@@ -126,9 +142,17 @@ object Inject {
       s" * (CAST(($es - ${driftW._1}) AS DOUBLE)" +
       s" / ${(driftW._2 - driftW._1).toDouble}) ELSE value END"
 
+    val seasSel = selSql(seasW, 100.0)
+    val seasMean = s"(SELECT avg(value) FILTER (WHERE $seasSel) FROM events)"
+    val seasTri = s"(1.0 - abs(2.0 * (CAST((($es - ${seasW._1}) % $SeasPeriodS)" +
+      s" AS DOUBLE) / ${SeasPeriodS.toDouble}) - 1.0))"
+    val seasVal =
+      s"CASE WHEN $seasSel THEN value + $seasMean * 2.0 * $seasTri ELSE value END"
+
     Map(
       "i1_inject_spike" -> oracle(spikeVal, spikeSel),
       "i10_inject_drift" -> oracle(driftVal, driftSel),
+      "i11_inject_seasonal" -> oracle(seasVal, seasSel),
       "i2_inject_lowered" -> oracle(lowerVal, lowerSel),
       "i3_inject_step" -> oracle(stepVal, stepSel),
       "i4_inject_offline" ->

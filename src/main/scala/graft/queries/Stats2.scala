@@ -298,6 +298,35 @@ object Stats2 {
         .orderBy($"event_type")
     }),
 
+    // ---- W34: lag / rolling feature generation ---------------------------
+    // The feature-engineering pass every tabular-ML training pipeline
+    // runs before fitting (and the batch twin of what w1's sliding
+    // sequences feed the detectors): per user in event order — lag-1 and
+    // lag-2 value, delta vs lag-1, and the trailing-5 rolling sum/count
+    // (the mean as the exact ppm ratio, never a float division per row).
+    // Exactness: everything is BIGINT window arithmetic on milli-
+    // quantized values; missing lags are NULL (both engines) — the W6
+    // warm-up contract. 100 TB shape: ONE user_id exchange shared by
+    // all five window columns (one sort, bounded frames).
+    "w34_lag_features" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"es", $"event_id")
+      val w5 = w.rowsBetween(-4, 0)
+      t(s, dir, "events")
+        .select($"user_id", $"event_id", Det.epochS($"ts").as("es"),
+          round($"value" * MilliScale).cast("long").as("q"))
+        .withColumn("lag1", lag($"q", 1).over(w))
+        .withColumn("lag2", lag($"q", 2).over(w))
+        .withColumn("delta1", $"q" - $"lag1")
+        .withColumn("roll_sum5", sum($"q").over(w5))
+        .withColumn("roll_n5", count(lit(1)).over(w5))
+        .select($"user_id", $"event_id", $"q", $"lag1", $"lag2",
+          $"delta1", $"roll_sum5", $"roll_n5",
+          expr("(roll_sum5 * 1000000) div roll_n5").as("roll_mean_ppm"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // ---- Q16: cohort retention matrix -----------------------------------
     // The classic cohort table behind every product dashboard (and the
     // general form of q9's fixed-window retention): users grouped by
@@ -532,6 +561,26 @@ object Stats2 {
          |  round(h_source, 6) AS h_source,
          |  round(mi / sqrt(h_lang * h_source), 6) AS nmi
          |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin,
+
+    "w34_lag_features" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ${Det.epochSSql("ts")} AS es,
+         |    CAST(round(value * 1000) AS BIGINT) AS q
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, q,
+         |    lag(q, 1) OVER win AS lag1,
+         |    lag(q, 2) OVER win AS lag2,
+         |    CAST(sum(q) OVER (win ROWS BETWEEN 4 PRECEDING AND
+         |      CURRENT ROW) AS BIGINT) AS roll_sum5,
+         |    CAST(count(*) OVER (win ROWS BETWEEN 4 PRECEDING AND
+         |      CURRENT ROW) AS BIGINT) AS roll_n5
+         |  FROM ev
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY es, event_id))
+         |SELECT user_id, event_id, q, lag1, lag2, q - lag1 AS delta1,
+         |  roll_sum5, roll_n5,
+         |  (roll_sum5 * 1000000) // roll_n5 AS roll_mean_ppm
+         |FROM f ORDER BY user_id, event_id""".stripMargin,
 
     "q16_cohort_matrix" ->
       s"""WITH ev AS (
