@@ -393,6 +393,105 @@ object Curate {
        |  FROM cch JOIN cdocs USING (doc_id))""".stripMargin
   }
 
+  /** d21's scored candidate frame (a_id, b_id, n_shared, agree_*, llr)
+    * — ONE definition shared by `d21_fellegi_sunter` and
+    * `z9_linkage_e2e`. See d21's scaladoc for the contract. */
+  private[queries] def fsScoredPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val docs = t(s, dir, "documents")
+      .filter(length($"text") >= 1)
+      .select($"doc_id", $"lang", $"source",
+        expr(s"CAST(length(text) div $FsLenBand AS LONG)").as("lb"))
+      .localCheckpoint() // feeds the three margins AND both pair sides
+    val tot = docs.agg(count(lit(1)).as("n"))
+    def uOf(c: String, out: String) =
+      docs.groupBy(col(c)).agg(count(lit(1)).as("cv"))
+        .agg(sum($"cv" * ($"cv" - 1L)).as("num"))
+        .crossJoin(tot)
+        .select((dbl($"num") / dbl($"n" * ($"n" - 1L))).as(out))
+    val us = uOf("lang", "u_lang").crossJoin(uOf("source", "u_source"))
+      .crossJoin(uOf("lb", "u_lb"))
+    val chunkDocs = cdcChunks(s, dir).select($"ch", $"doc_id").distinct()
+    val capped = graft.ops.Buckets.capMembers(chunkDocs,
+      Seq(col("ch")), cap = FsChunkCap, label = "fslink")
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.ch") === col("y.ch") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    def term(agree: org.apache.spark.sql.Column, m: Double, u: String) =
+      when(agree, log(lit(m) / col(u)))
+        .otherwise(log(lit(1.0 - m) / (lit(1.0) - col(u))))
+    pairs
+      .join(docs.select($"doc_id".as("a_id"), $"lang".as("la"),
+        $"source".as("sa"), $"lb".as("ba")), Seq("a_id"))
+      .join(docs.select($"doc_id".as("b_id"), $"lang".as("lbl"),
+        $"source".as("sb"), $"lb".as("bb")), Seq("b_id"))
+      .crossJoin(broadcast(us))
+      .select($"a_id", $"b_id", $"n_shared",
+        ($"la" === $"lbl").as("agree_lang"),
+        ($"sa" === $"sb").as("agree_source"),
+        ($"ba" === $"bb").as("agree_len"),
+        round((term($"la" === $"lbl", FsMLang, "u_lang") +
+          term($"sa" === $"sb", FsMSource, "u_source")) +
+          term($"ba" === $"bb", FsMLen, "u_lb"), 6).as("llr"))
+  }
+
+  /** The d21 oracle's CTE prefix ending at `scored` (a_id, b_id,
+    * n_shared, agree_*, llr) — shared verbatim with z9's oracle (the
+    * fsScoredPairs twin). u divisions and LLR terms mirror the Spark
+    * expression shapes exactly (single division; identical literal
+    * doubles). */
+  private[queries] def fsPairsOracleCtes: String = {
+    // ONE division (num/(N·(N−1))) — the identical IEEE shape to the
+    // Spark side's uOf
+    def uSql(c: String) =
+      s"""(SELECT CAST(sum(cv * (cv - 1)) AS DOUBLE)
+         |    / CAST((SELECT count(*) * (count(*) - 1) FROM fdocs)
+         |      AS DOUBLE)
+         |  FROM (SELECT count(*) AS cv FROM fdocs GROUP BY $c))"""
+        .stripMargin
+    def termSql(agree: String, m: Double, u: String) =
+      s"""CASE WHEN $agree
+         |  THEN ln(CAST($m AS DOUBLE) / $u)
+         |  ELSE ln(CAST(${1.0 - m} AS DOUBLE) / (1.0 - $u)) END"""
+        .stripMargin
+    s"""$cdcChunkCtes,
+       |fdocs AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(text) AS BIGINT) // $FsLenBand AS lb
+       |  FROM documents WHERE len(text) >= 1),
+       |us AS (
+       |  SELECT ${uSql("lang")} AS u_lang,
+       |    ${uSql("source")} AS u_source,
+       |    ${uSql("lb")} AS u_lb),
+       |cd AS (SELECT DISTINCT h, doc_id FROM chunks),
+       |capped AS (
+       |  SELECT h, doc_id FROM
+       |    (SELECT h, doc_id, count(*) OVER (PARTITION BY h) AS bsz
+       |     FROM cd)
+       |  WHERE bsz <= $FsChunkCap),
+       |pairs AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM capped x JOIN capped y
+       |    ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT a_id, b_id, n_shared,
+       |    (a.lang = b.lang) AS agree_lang,
+       |    (a.source = b.source) AS agree_source,
+       |    (a.lb = b.lb) AS agree_len,
+       |    round((${termSql("a.lang = b.lang", FsMLang, "u_lang")} +
+       |      ${termSql("a.source = b.source", FsMSource, "u_source")}) +
+       |      ${termSql("a.lb = b.lb", FsMLen, "u_lb")}, 6) AS llr
+       |  FROM pairs
+       |  JOIN fdocs a ON a.doc_id = a_id
+       |  JOIN fdocs b ON b.doc_id = b_id
+       |  CROSS JOIN us)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T21: domain-mix reweighting ----------------------------------
     // Composition control: target share of source s ∝ w_s (here w_s =
@@ -1549,45 +1648,27 @@ object Curate {
     // u-frame is a broadcast of 3 scalars.
     "d21_fellegi_sunter" -> ((s, dir) => {
       import s.implicits._
-      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
-      val docs = t(s, dir, "documents")
-        .filter(length($"text") >= 1)
-        .select($"doc_id", $"lang", $"source",
-          expr(s"CAST(length(text) div $FsLenBand AS LONG)").as("lb"))
-        .localCheckpoint() // feeds the three margins AND both pair sides
-      val tot = docs.agg(count(lit(1)).as("n"))
-      def uOf(c: String, out: String) =
-        docs.groupBy(col(c)).agg(count(lit(1)).as("cv"))
-          .agg(sum($"cv" * ($"cv" - 1L)).as("num"))
-          .crossJoin(tot)
-          .select((dbl($"num") / dbl($"n" * ($"n" - 1L))).as(out))
-      val us = uOf("lang", "u_lang").crossJoin(uOf("source", "u_source"))
-        .crossJoin(uOf("lb", "u_lb"))
-      val chunkDocs = cdcChunks(s, dir).select($"ch", $"doc_id").distinct()
-      val capped = graft.ops.Buckets.capMembers(chunkDocs,
-        Seq(col("ch")), cap = FsChunkCap, label = "fslink")
-      val pairs = capped.as("x").join(capped.as("y"),
-          col("x.ch") === col("y.ch") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("n_shared"))
-      def term(agree: org.apache.spark.sql.Column, m: Double, u: String) =
-        when(agree, log(lit(m) / col(u)))
-          .otherwise(log(lit(1.0 - m) / (lit(1.0) - col(u))))
-      pairs
-        .join(docs.select($"doc_id".as("a_id"), $"lang".as("la"),
-          $"source".as("sa"), $"lb".as("ba")), Seq("a_id"))
-        .join(docs.select($"doc_id".as("b_id"), $"lang".as("lbl"),
-          $"source".as("sb"), $"lb".as("bb")), Seq("b_id"))
-        .crossJoin(broadcast(us))
-        .select($"a_id", $"b_id", $"n_shared",
-          ($"la" === $"lbl").as("agree_lang"),
-          ($"sa" === $"sb").as("agree_source"),
-          ($"ba" === $"bb").as("agree_len"),
-          round((term($"la" === $"lbl", FsMLang, "u_lang") +
-            term($"sa" === $"sb", FsMSource, "u_source")) +
-            term($"ba" === $"bb", FsMLen, "u_lb"), 6).as("llr"))
-        .orderBy($"llr".desc, $"a_id", $"b_id")
+      fsScoredPairs(s, dir).orderBy($"llr".desc, $"a_id", $"b_id")
+    }),
+
+    // ---- Z9: entity-resolution chain gate --------------------------------
+    // The full linkage pipeline as ONE hash-gated seam (the z3/z7 rule:
+    // chains break at the seams, not inside oracle-green stages):
+    // cdcChunks blocking → d21 Fellegi–Sunter scoring (the SHARED
+    // fsScoredPairs — gate and chain provably score identical pairs) →
+    // positive-LLR links → connected components (ops.Components,
+    // O(diameter) checkpointed rounds; oracle = exact RECURSIVE closure)
+    // → per-entity summary with the min-id canonical pick. 100 TB shape:
+    // the d21 shape + CC over only the POSITIVE-link edge list (1,307
+    // edges at sf0.1 — links, not candidates) + one component agg.
+    "z9_linkage_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val links = fsScoredPairs(s, dir).filter($"llr" > 0.0)
+        .select($"a_id", $"b_id").localCheckpoint()
+      graft.ops.Components.connectedComponents(links, "a_id", "b_id")
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_docs"), min($"node").as("keep_id"))
+        .orderBy($"component")
     }),
 
     // ---- T36: winnowing fingerprints (Schleimer et al. 2003) ----------
@@ -2884,54 +2965,27 @@ object Curate {
          |FROM g ORDER BY source""".stripMargin
     },
 
-    "d21_fellegi_sunter" -> {
-      // ONE division (num/(N·(N−1))) — the identical IEEE shape to the
-      // Spark side's uOf
-      def uSql(c: String) =
-        s"""(SELECT CAST(sum(cv * (cv - 1)) AS DOUBLE)
-           |    / CAST((SELECT count(*) * (count(*) - 1) FROM fdocs)
-           |      AS DOUBLE)
-           |  FROM (SELECT count(*) AS cv FROM fdocs GROUP BY $c))"""
-          .stripMargin
-      def termSql(agree: String, m: Double, u: String) =
-        s"""CASE WHEN $agree
-           |  THEN ln(CAST($m AS DOUBLE) / $u)
-           |  ELSE ln(CAST(${1.0 - m} AS DOUBLE) / (1.0 - $u)) END"""
-          .stripMargin
-      s"""WITH $cdcChunkCtes,
-         |fdocs AS (
-         |  SELECT doc_id, lang, source,
-         |    CAST(len(text) AS BIGINT) // $FsLenBand AS lb
-         |  FROM documents WHERE len(text) >= 1),
-         |us AS (
-         |  SELECT ${uSql("lang")} AS u_lang,
-         |    ${uSql("source")} AS u_source,
-         |    ${uSql("lb")} AS u_lb),
-         |cd AS (SELECT DISTINCT h, doc_id FROM chunks),
-         |capped AS (
-         |  SELECT h, doc_id FROM
-         |    (SELECT h, doc_id, count(*) OVER (PARTITION BY h) AS bsz
-         |     FROM cd)
-         |  WHERE bsz <= $FsChunkCap),
-         |pairs AS (
-         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-         |    CAST(count(*) AS BIGINT) AS n_shared
-         |  FROM capped x JOIN capped y
-         |    ON x.h = y.h AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id, n_shared,
-         |  (a.lang = b.lang) AS agree_lang,
-         |  (a.source = b.source) AS agree_source,
-         |  (a.lb = b.lb) AS agree_len,
-         |  round((${termSql("a.lang = b.lang", FsMLang, "u_lang")} +
-         |    ${termSql("a.source = b.source", FsMSource, "u_source")}) +
-         |    ${termSql("a.lb = b.lb", FsMLen, "u_lb")}, 6) AS llr
-         |FROM pairs
-         |JOIN fdocs a ON a.doc_id = a_id
-         |JOIN fdocs b ON b.doc_id = b_id
-         |CROSS JOIN us
-         |ORDER BY llr DESC, a_id, b_id""".stripMargin
-    },
+    "d21_fellegi_sunter" ->
+      s"""WITH $fsPairsOracleCtes
+         |SELECT a_id, b_id, n_shared, agree_lang, agree_source,
+         |  agree_len, llr
+         |FROM scored ORDER BY llr DESC, a_id, b_id""".stripMargin,
+
+    "z9_linkage_e2e" ->
+      s"""WITH RECURSIVE $fsPairsOracleCtes,
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM scored WHERE llr > 0.0
+         |  UNION SELECT b_id, a_id FROM scored WHERE llr > 0.0),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION SELECT src, src FROM sym
+         |  UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |comp AS (
+         |  SELECT src AS node, min(dst) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(node) AS BIGINT) AS keep_id
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
 
     "t36_winnowing" -> {
       // 40-bit hash from 10 hex chars (the a13 hexFold recipe)
