@@ -283,6 +283,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(moved.isEmpty, moved.mkString("\n"))
   }
 
+  test("round-8 heavy additions: exchange / checkpoint-seam / " +
+      "join-strategy counts pinned for g11/t42/d21/z9 (pin at birth — " +
+      "no prose-only 'inherent' claims for new top-cost queries)") {
+    val moved = collection.mutable.ArrayBuffer[String]()
+    def pins(name: String, exchanges: Int, hashEx: Int, rddScans: Int,
+             smj: Int, bhj: Int): Unit = {
+      val p = plan(name)
+      def c(tok: String) = p.linesIterator.count(_.contains(tok))
+      val got = (c("Exchange "), c("Exchange hashpartitioning"),
+        c("Scan ExistingRDD"), c("SortMergeJoin"), c("BroadcastHashJoin"))
+      if (got != ((exchanges, hashEx, rddScans, smj, bhj)))
+        moved += s"$name: (exchanges, hashEx, rddScans, smj, bhj) = $got," +
+          s" pinned (${(exchanges, hashEx, rddScans, smj, bhj)})"
+      if (p.contains("CartesianProduct")) moved += s"$name: cartesian!"
+    }
+    // g11: LPA rounds collapse into the checkpointed label frame; the
+    // tail is the two label joins + degree agg + ≤communities agg
+    pins("g11_modularity", exchanges = 11, hashEx = 9, rddScans = 6,
+      smj = 4, bhj = 0)
+    // t42: chunk build ends at the cdcChunks window; the tail is the
+    // corpus-wide hash count join + source agg
+    pins("t42_cdc_chunks", exchanges = 10, hashEx = 7, rddScans = 6,
+      smj = 1, bhj = 2)
+    // d21: capped chunk-hash self-join + two doc_id field joins + the
+    // broadcast 3-scalar u frame
+    pins("d21_fellegi_sunter", exchanges = 27, hashEx = 10, rddScans = 14,
+      smj = 1, bhj = 4)
+    // z9: CC rounds collapse into the checkpointed label frame; the
+    // tail is one component agg
+    pins("z9_linkage_e2e", exchanges = 2, hashEx = 1, rddScans = 1,
+      smj = 0, bhj = 0)
+    assert(moved.isEmpty, moved.mkString("\n"))
+  }
+
   test("t38/a49/a50: every data-sized window rides Ranks' bucket " +
       "partitioning (no global rank/cumsum of the corpus); the only " +
       "other windowspecs are Ranks' bounded offset frames") {
