@@ -31,14 +31,20 @@ object Components {
     * Near-dup clusters are near-cliques (diameter 2–3); the default cap
     * covers pathological chains (diameter = chain length) with room. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 60): DataFrame = {
+                          maxIter: Int = 60,
+                          partitions: Int = 0): DataFrame = {
     // pre-partition the (static) edge list on the join key once: every
     // round's join then reuses this exchange and only the labels side
-    // shuffles
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // shuffles. `partitions` right-sizes the rounds when the edge list is
+    // orders smaller than the corpus (e.g. positive LINKS, not candidate
+    // pairs): each round's cost at small frames is per-partition
+    // scheduler overhead × rounds, not data. 0 = the session default
+    // (the corpus-scale choice).
+    val sym0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .repartition(col("dst"))
+    val sym = (if (partitions > 0) sym0.repartition(partitions, col("dst"))
+               else sym0.repartition(col("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))

@@ -1665,7 +1665,18 @@ object Curate {
       import s.implicits._
       val links = fsScoredPairs(s, dir).filter($"llr" > 0.0)
         .select($"a_id", $"b_id").localCheckpoint()
-      graft.ops.Components.connectedComponents(links, "a_id", "b_id")
+      // links (not candidates) are orders smaller than the corpus: 8
+      // partitions keeps the O(diameter) CC rounds scheduler-cheap and
+      // still holds millions of links per partition at scale. COST NOTE
+      // (probed at sf0.1): the 526-doc entity is a CHAIN of overlapping
+      // chunk buckets — 23 min-propagation rounds to converge (pointer
+      // jumping was probed and bought only 23→15 at double per-round
+      // cost, so plain min-prop stays) — at toy SF that is ~4 s of fixed
+      // per-round job latency; at corpus scale rounds are data-dominated
+      // and the round count is the true-duplicate chain depth, not
+      // corpus size.
+      graft.ops.Components.connectedComponents(links, "a_id", "b_id",
+          partitions = 8)
         .groupBy($"component")
         .agg(count(lit(1)).as("n_docs"), min($"node").as("keep_id"))
         .orderBy($"component")
