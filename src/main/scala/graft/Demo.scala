@@ -258,6 +258,25 @@ object Demo {
     println(s"ewma chart: ${ew.count()} alarm rows")
     assert(ew.count() > 0, "ewma chart must alarm on this corpus")
 
+    // round-8 legs: second-order diagnostics, online monitors, the
+    // linkage pipeline
+    val lb = SparkEntry.queries("a62_ljung_box")(spark, sfDir).head
+    println(f"ljung-box: Q = ${lb.getAs[Double]("q_lb")}%.3f on 3 df " +
+      "(white-noise check)")
+    val ph = SparkEntry.queries("a65_page_hinkley")(spark, sfDir)
+    println(s"page-hinkley: ${ph.filter($"decision" === "drift").count()}" +
+      s"/${ph.count()} users alarmed")
+    val mod = SparkEntry.queries("g11_modularity")(spark, sfDir).head
+    println(f"lpa partition modularity: " +
+      f"${mod.getAs[Double]("modularity")}%.4f " +
+      f"over ${mod.getAs[Long]("n_communities")} communities")
+    val ent = SparkEntry.queries("z9_linkage_e2e")(spark, sfDir)
+    println(s"entity resolution: ${ent.count()} entities from " +
+      s"${ent.agg(fsum($"n_docs")).head.getLong(0)} linked docs")
+    val holt = SparkEntry.queries("a61_holt")(spark, sfDir)
+    println(s"holt forecasts: ${holt.count()} event types, " +
+      "3-hour-ahead levels ready")
+
     println("DEMO_OK")
     spark.stop()
   }
