@@ -354,6 +354,39 @@ object Stats2 {
         .orderBy($"cohort_day", $"age")
     }),
 
+    // ---- Q17: Lorenz curve / revenue concentration -----------------------
+    // The Pareto report completing the segmentation family (q15 RFM,
+    // q16 cohorts, a28 Gini — this is the Gini's CURVE as data): users
+    // ranked by purchase spend desc, exact-decile buckets (the q15
+    // formula, never ntile), cumulative revenue share per decile in
+    // exact ppm. Output answers "what share do the top k% drive"
+    // directly. Exactness: cents/counts/ratios pure integers; the only
+    // windows are the two-pass Ranks machinery plus cumulative sums
+    // over the ≤10-row decile frame (driver-trivial, the a43 rule).
+    // 100 TB shape: one user agg collapses the corpus; one Ranks pass;
+    // ≤10-row arithmetic after.
+    "q17_lorenz_deciles" -> ((s, dir) => {
+      import s.implicits._
+      val u = t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"user_id", round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"user_id").agg(sum($"cents").as("m"))
+      val ranked = graft.ops.Ranks.globalRowNumberWithTotal(u,
+          Seq((-$"m").as("__negm"), $"user_id"), "rk", "n")
+        .withColumn("decile", expr("((rk - 1) * 10) div n + 1").cast("int"))
+      val dec = ranked.groupBy($"decile")
+        .agg(count(lit(1)).as("n_users"), sum($"m").as("cents"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy($"decile") // ≤10-row frame: driver-trivial
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = dec.agg(sum($"cents").as("tc"))
+      dec.withColumn("cum_cents", sum($"cents").over(wCum))
+        .crossJoin(broadcast(tot))
+        .select($"decile", $"n_users", $"cents", $"cum_cents",
+          expr("(cum_cents * 1000000) div tc").as("cum_share_ppm"))
+        .orderBy($"decile")
+    }),
+
     // ---- A66: Wilcoxon signed-rank test ----------------------------------
     // The PAIRED nonparametric test completing the family (a40 MWU =
     // unpaired two-group, a53 KW = k-group): per user, the click-vs-view
@@ -602,6 +635,29 @@ object Stats2 {
          |  (n_active * 1000000) // cohort_users AS retention_ppm
          |FROM cells JOIN sizes USING (cd)
          |ORDER BY cohort_day, age""".stripMargin,
+
+    "q17_lorenz_deciles" ->
+      s"""WITH u AS (
+         |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT))
+         |    AS BIGINT) AS m
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |r AS (
+         |  SELECT m, row_number() OVER (ORDER BY m DESC, user_id) AS rk,
+         |    count(*) OVER () AS n
+         |  FROM u),
+         |d AS (
+         |  SELECT CAST(((rk - 1) * 10) // n + 1 AS INTEGER) AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(m) AS BIGINT) AS cents
+         |  FROM r GROUP BY 1),
+         |c AS (
+         |  SELECT decile, n_users, cents,
+         |    CAST(sum(cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents,
+         |    CAST((SELECT sum(cents) FROM d) AS BIGINT) AS tc
+         |  FROM d)
+         |SELECT decile, n_users, cents, cum_cents,
+         |  (cum_cents * 1000000) // tc AS cum_share_ppm
+         |FROM c ORDER BY decile""".stripMargin,
 
     "a66_wilcoxon_signed" ->
       s"""WITH ev AS (

@@ -653,6 +653,43 @@ object TextDedup {
     // LSH contract); threshold est ≥ 0.25 admits the asymmetric pairs d6's
     // 0.5 gate drops. 100 TB shape identical to d6: checkpointed gram
     // frame, band-blocked candidates, per-pair projections only.
+    // ---- d22: dedup threshold sweep (the e17 probe-sweep idea applied
+    // to near-dup): for each Jaccard threshold τ, how many candidate
+    // pairs VERIFY and how many docs would a greedy keep-lowest-id
+    // policy drop? The tuning curve behind "which τ do we dedup at" —
+    // computed as DATA, not rerun-per-τ: one LSH candidate pass (the d3
+    // generator), ONE exact n-gram verify join, then the τ grid is a
+    // 5-row broadcast against the verified frame. The greedy drop count
+    // (distinct higher-id docs in passing pairs) upper-bounds the
+    // d7-style transitive-closure drop — stated estimator, not a claim
+    // of CC equality. 100 TB shape: d13's verify shape + a ≤5-row agg.
+    "d22_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N))
+            .as("g"))
+      val exact = lshPairs(s, dir).select($"a_id", $"b_id")
+        .join(grams.select($"doc_id".as("a_id"), $"g".as("ga")), Seq("a_id"))
+        .join(grams.select($"doc_id".as("b_id"), $"g".as("gb")), Seq("b_id"))
+        .select($"a_id", $"b_id",
+          size(array_intersect($"ga", $"gb")).cast("long").as("inter"),
+          (size($"ga") + size($"gb")).cast("long").as("__sum"))
+        .withColumn("uni", $"__sum" - $"inter")
+        .select($"a_id", $"b_id",
+          expr("(inter * 1000000) div uni").as("jac_ppm"))
+        .localCheckpoint() // ONE verify pass feeds all five thresholds
+      val taus = (5 to 9).map(t => t * 100000L)
+      val tauF = broadcast(s.createDataFrame(taus.map(Tuple1(_)))
+        .toDF("tau_ppm"))
+      tauF.join(exact, $"jac_ppm" >= $"tau_ppm", "left")
+        .groupBy($"tau_ppm")
+        .agg(count($"a_id").as("n_pairs"),
+          countDistinct($"b_id").as("n_docs_dropped"))
+        .orderBy($"tau_ppm")
+    }),
+
     "d13_containment" -> ((s, dir) => {
       import s.implicits._
       val grams = t(s, dir, "documents")
@@ -1417,6 +1454,29 @@ object TextDedup {
            |SELECT a_id, b_id, inter, uni, (inter * 1000000) // uni AS jac_ppm
            |FROM verified WHERE inter * $PFJ_DEN >= uni * $PFJ_NUM
            |ORDER BY a_id, b_id""".stripMargin,
+
+      "d22_threshold_sweep" ->
+        s"""WITH $lshPairsSql,
+           |tok AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(0, greatest(len(tokens) - $NGRAM_N, 0)),
+           |    i -> array_to_string(list_slice(tokens, i + 1, i + $NGRAM_N),
+           |      ' '))) AS ts
+           |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
+           |ver AS (
+           |  SELECT a_id, b_id,
+           |    (CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) * 1000000)
+           |      // CAST(len(ta.ts) + len(tb.ts)
+           |        - len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS jac_ppm
+           |  FROM pairs JOIN tok ta ON a_id = ta.doc_id
+           |             JOIN tok tb ON b_id = tb.doc_id)
+           |SELECT CAST(t.tau_ppm AS BIGINT) AS tau_ppm,
+           |  CAST(count(ver.a_id) AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT ver.b_id) AS BIGINT) AS n_docs_dropped
+           |FROM (VALUES (500000), (600000), (700000), (800000), (900000))
+           |  t(tau_ppm)
+           |LEFT JOIN ver ON ver.jac_ppm >= t.tau_ppm
+           |GROUP BY t.tau_ppm ORDER BY t.tau_ppm""".stripMargin,
 
       "d16_incremental_dedup" ->
         s"""WITH $sigSql,
