@@ -76,21 +76,28 @@ object Bench {
         s"[bench] $name ok=${times.size} reps=[${times.map(r3).mkString(",")}]" +
           s" min=${min.map(r3).getOrElse("FAILED")} s" +
           s" spread=${spread.map(r3).getOrElse("-")} s")
-      (name, min, spread)
+      (name, min, spread, times.size)
     }
+    // `reps` in the artifacts is the ATTEMPTED ceiling, not the achieved
+    // count: a query whose first-pass reps all failed never gets the
+    // escalation rep, and an escalation rep can itself fail (r8 ADVICE).
+    // The achieved per-query counts are the `ok` map in the detail file.
     val effReps = if (escalate) reps + 1 else reps
-    val failed = results.collect { case (k, None, _) => k }
+    val failed = results.collect { case (k, None, _, _) => k }
     val total = results.flatMap(_._2).sum
     val totalSpread = results.flatMap(_._3).sum
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _) =>
       "\"" + k + "\":" + v.map(r3).getOrElse("null")
     }.mkString("{", ",", "}")
-    val sp = results.map { case (k, _, s) =>
+    val sp = results.map { case (k, _, s, _) =>
       "\"" + k + "\":" + s.map(r3).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val okm = results.map { case (k, _, _, ok) =>
+      "\"" + k + "\":" + ok
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$effReps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"escalated":$escalate,"failed":$failedJson,"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps_attempted":$effReps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"escalated":$escalate,"failed":$failedJson,"queries":$qs,"spread":$sp,"ok":$okm,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
@@ -100,7 +107,7 @@ object Bench {
     System.err.println(detail)
     spark.stop()
     // SHORT final stdout line only — must survive the driver's ~2 KB tail cap
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"reps":$effReps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"escalated":$escalate,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"reps":$effReps,"reps_is_attempted_ceiling":true,"failures":${failed.size},"spread_total":${r3(totalSpread)},"escalated":$escalate,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

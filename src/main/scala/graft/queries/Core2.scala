@@ -278,11 +278,13 @@ object Core2 {
     "f8_sql_surface" -> ((s, dir) => {
       graft.expressions.GraftFunctions.register(s)
       t(s, dir, "events").createOrReplaceTempView("__events_sql")
-      // kernels are projected ABOVE the sort (subquery sorts the narrow
-      // frame): a range sort's sampling job re-executes its child, so the
-      // nine kernel columns under the ORDER BY ran twice (PLANS.md
-      // round-5 rule, d12 precedent) — column pruning still ships only
-      // (event_id, value, user_id, event_type) through the exchange
+      // NO sort anywhere: the gate compares row-order-insensitively
+      // (both the driver and tools/oracle_check.py sort rows before
+      // hashing), an outer ORDER BY would put the nine kernels under the
+      // range sampler's child re-execution (PLANS.md round-5 rule, d12
+      // precedent), and a subquery ORDER BY carries no SQL ordering
+      // guarantee — EliminateSorts may drop it (r8 ADVICE). Every output
+      // column is a pure per-row function, so order is immaterial.
       s.sql(
         """SELECT event_id,
           |  round(graft_frac(event_id, 42), 8) AS frac,
@@ -295,8 +297,7 @@ object Core2 {
           |    CAST(event_id % 7 AS STRING) || '/?utm_source=x&id=' ||
           |    CAST(event_id % 5 AS STRING)) AS urlc,
           |  graft_url_host('https://Sub.EXAMPLE.com/x') AS urlh
-          |FROM (SELECT event_id, value, user_id, event_type
-          |      FROM __events_sql ORDER BY event_id)""".stripMargin)
+          |FROM __events_sql""".stripMargin)
     }),
 
     // ---- A9: NDCG averaging across groups and k values -------------------

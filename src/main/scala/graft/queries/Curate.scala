@@ -196,13 +196,13 @@ object Curate {
   /** t42 content-defined chunking: boundary when the t36-style 40-bit
     * gram hash ≡ 0 (mod CdcMask) ⇒ expected chunk ≈ CdcMask + CdcK − 1
     * chars (≈ 69 on this corpus's ~300-char docs ⇒ ~5 chunks/doc). */
-  private val CdcK = 5
-  private val CdcMask = 64L
+  private[graft] val CdcK = 5
+  private[graft] val CdcMask = 64L
   /** d21 Fellegi–Sunter: chunk-block cap (hot chunks are boilerplate —
     * BINDS at sf0.1, 3 buckets, mirrored in the oracle per the g6
     * policy), length-band width, and the expert-set m-probabilities
     * (P(field agrees | same entity) — the EM-free variant, stated). */
-  private val FsChunkCap = 64
+  private[graft] val FsChunkCap = 64
   private val FsLenBand = 64L
   private val FsMLang = 0.95
   private val FsMSource = 0.9

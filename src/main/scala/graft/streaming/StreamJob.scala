@@ -260,7 +260,12 @@ object StreamJob {
     * TERM in the same association (α/β are the shared dyadic constants),
     * so the running (level, trend, SSE) is bit-identical to the batch
     * array fold at every prefix. Emits the post-update state per bucket
-    * — the live h-step forecast is level + h·trend off any emission.
+    * STARTING AT THE SECOND bucket per key (n ≥ 2): a single closed
+    * bucket carries no trend and no forecast error (a61 filters
+    * size(xs) ≥ 2 for the same reason), so emitting it would hand
+    * consumers an extra row whose rmse reconstruction is sqrt(0/0) —
+    * the state still initializes on bucket 1, it just stays silent.
+    * The live h-step forecast is level + h·trend off any emission.
     * Same per-key arrival-order contract as [[ewmaAlarmStream]] (order
     * by hr); in-batch disorder is sorted. */
   def holtStream(stream: DataFrame): org.apache.spark.sql.Dataset[HoltOut] = {
@@ -294,7 +299,8 @@ object StreamJob {
                   (x - (st.l + st.b)) * (x - (st.l + st.b))
                 HoltState(st.n + 1, nl, nb, ns)
               }
-            out += HoltOut(key, st.n, st.l, st.b, st.s)
+            // n = 1 is state-init only — no trend yet, rmse undefined
+            if (st.n >= 2L) out += HoltOut(key, st.n, st.l, st.b, st.s)
           }
           state.update(st)
           out.iterator

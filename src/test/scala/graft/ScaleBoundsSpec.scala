@@ -29,7 +29,10 @@ class ScaleBoundsSpec extends AnyFunSuite {
     "Curate.JsdVocabK" -> graft.queries.Curate.JsdVocabK.toDouble,
     "Stats.TsPairCap" -> graft.queries.Stats.TsPairCap.toDouble,
     "Stats2.PhDeltaE9" -> graft.queries.Stats2.PhDeltaE9.toDouble,
-    "Stats2.PhLambdaE9" -> graft.queries.Stats2.PhLambdaE9.toDouble)
+    "Stats2.PhLambdaE9" -> graft.queries.Stats2.PhLambdaE9.toDouble,
+    "Curate.CdcK" -> graft.queries.Curate.CdcK.toDouble,
+    "Curate.CdcMask" -> graft.queries.Curate.CdcMask.toDouble,
+    "Curate.FsChunkCap" -> graft.queries.Curate.FsChunkCap.toDouble)
 
   private def docRows: Seq[(String, Double)] = {
     val lines = scala.io.Source.fromFile("SCALE_BOUNDS.md", "UTF-8").getLines().toSeq

@@ -335,9 +335,13 @@ class StreamJobSpec extends SparkSpec {
       q.stop()
       // the LAST emission per type (max n) carries the full-series fold;
       // assemble a61's report columns from it with a61's rounding
-      val got = spark.table(s"holt_out_$i").collect()
+      val emitted0 = spark.table(s"holt_out_$i").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
           r.getDouble(3), r.getDouble(4)))
+      // n = 1 rows are suppressed at the source (trendless, rmse = 0/0)
+      // — the batch report is reconstructible with NO consumer filter
+      assert(emitted0.forall(_._2 >= 2L), s"layout $i emitted an n=1 row")
+      val got = emitted0
         .groupBy(_._1).map { case (k, emitted) =>
           val (_, n, l, b, s) = emitted.maxBy(_._2)
           k -> ((n, r6(l / 100.0), r6(b / 100.0),
