@@ -81,6 +81,37 @@ object Pipeline {
   private val CmD = 4
   private val CmW = 256
 
+
+  /** t43/t44's shared train/test split and bigram count tables:
+    * (docs, cb, cu, bw, na) — docs = (doc_id, toks, tr) over ≥2-token
+    * documents split by the keyed LCG; cb = train bigram counts
+    * (w1, w2 → cb); cu = per-context totals (w1 → cu, N₁₊(w1·) as
+    * n1pfw); bw = continuation type counts (w2 → N₁₊(·w2) as n1pbw);
+    * na = the 1-row N₁₊(··). ONE definition so the bigram model t43
+    * scores and the backoff level t44 interpolates are provably the
+    * SAME tables (and one oracle CTE prefix, [[knOracleCtes]]). */
+  private[queries] def knTables(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .withColumn("tr", Det.frac($"doc_id", KnSeed) < 0.5)
+      .localCheckpoint() // feeds the train counts AND the test explode
+    val trBi = docs.filter($"tr")
+      .select(explode(TextOps.wordNgrams($"toks", 2)).as("bg"))
+      .select(substring_index($"bg", " ", 1).as("w1"),
+        substring_index($"bg", " ", -1).as("w2"))
+    val cb = trBi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // feeds cu, bw, the type total AND scoring
+    val cu = cb.groupBy($"w1")
+      .agg(sum($"cb").as("cu"), count(lit(1)).as("n1pfw"))
+    val bw = cb.groupBy($"w2").agg(count(lit(1)).as("n1pbw"))
+    val na = cb.agg(count(lit(1)).as("n1pall"))
+    (docs, cb, cu, bw, na)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- backward as-of join: most recent prior error per user -----------
     // The union-and-carry AsOf operator: one shuffle on user_id, one sorted
@@ -531,22 +562,7 @@ object Pipeline {
     "t43_kneser_ney" -> ((s, dir) => {
       import s.implicits._
       val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
-      val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", TextOps.tokens($"text").as("toks"))
-        .filter(size($"toks") >= 2)
-        .withColumn("tr", Det.frac($"doc_id", KnSeed) < 0.5)
-        .localCheckpoint() // feeds the train counts AND the test explode
-      val trBi = docs.filter($"tr")
-        .select(explode(TextOps.wordNgrams($"toks", 2)).as("bg"))
-        .select(substring_index($"bg", " ", 1).as("w1"),
-          substring_index($"bg", " ", -1).as("w2"))
-      val cb = trBi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
-        .localCheckpoint() // feeds cu, bw, the type total AND scoring
-      val cu = cb.groupBy($"w1")
-        .agg(sum($"cb").as("cu"), count(lit(1)).as("n1pfw"))
-      val bw = cb.groupBy($"w2").agg(count(lit(1)).as("n1pbw"))
-      val na = cb.agg(count(lit(1)).as("n1pall"))
+      val (docs, cb, cu, bw, na) = knTables(s, dir)
       docs.filter(!$"tr")
         .select($"doc_id", explode(TextOps.wordNgrams($"toks", 2)).as("bg"))
         .select($"doc_id", substring_index($"bg", " ", 1).as("w1"),
@@ -568,6 +584,88 @@ object Pipeline {
         .select($"doc_id", $"n_scored", $"n_skipped",
           when($"n_scored" > 0L, round($"slpi".cast("double") / 1e6 /
             $"n_scored".cast("double"), 4)).as("avg_logp"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- T44: interpolated Kneser–Ney TRIGRAM scoring --------------------
+    // t43 extended one backoff level — the depth production KenLM-style
+    // quality filters actually run: P_KN(w3|w1w2) = max(c₁₂₃−D,0)/c₁₂· +
+    // D·N₁₊(w1w2·)/c₁₂· · P_KN(w3|w2), with the MIDDLE level on
+    // continuation counts (max(N₁₊(·w2w3)−D,0)/N₁₊(·w2·) +
+    // D·N₁₊(w2·)/N₁₊(·w2·) · N₁₊(·w3)/N₁₊(··) — raw counts only at the
+    // highest order, Chen & Goodman 1998 §4.1.6). Transitions whose
+    // trigram context (w1,w2) is unseen BACK OFF to the bigram model as
+    // the highest order (t43's exact formula over the SHARED tables);
+    // unseen (w2 context or w3 continuation) is skipped and counted —
+    // the t43 contract extended to the sparser trigram grid, where the
+    // skip/backoff paths actually exercise (n_backoff > 0 at every test
+    // SF). Same discount D at all orders (stated simplification).
+    // Exactness: five trigram tables + the SHARED knTables, all exact
+    // integers; both branch formulas are one fixed-shape double
+    // expression each; per-transition logs ride the t12 e6 recipe.
+    // 100 TB shape: every count table stays a vocabulary²/³-keyed JOIN
+    // (never broadcast, never collected); the corpus stays explode →
+    // 7 keyed joins → doc_id agg; na is the only 1-row broadcast.
+    "t44_kneser_ney3" -> ((s, dir) => {
+      import s.implicits._
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val (docs, cb, cu, bw, na) = knTables(s, dir)
+      val w2of = (c: org.apache.spark.sql.Column) =>
+        substring_index(substring_index(c, " ", 2), " ", -1)
+      val trTg = docs.filter($"tr" && size($"toks") >= 3)
+        .select(explode(TextOps.wordNgrams($"toks", 3)).as("tg"))
+        .select(substring_index($"tg", " ", 1).as("w1"),
+          w2of($"tg").as("w2"), substring_index($"tg", " ", -1).as("w3"))
+      val c3 = trTg.groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c3"))
+        .localCheckpoint() // feeds ctx, the continuation tables AND scoring
+      val ctx = c3.groupBy($"w1", $"w2")
+        .agg(sum($"c3").as("c2dot"), count(lit(1)).as("n1pfw12"))
+      val midn = c3.groupBy($"w2", $"w3").agg(count(lit(1)).as("n1pb23"))
+        .localCheckpoint() // feeds middot AND scoring
+      val middot = midn.groupBy($"w2").agg(sum($"n1pb23").as("middot"))
+      val cuw2 = cu.select($"w1".as("w2"), $"cu".as("cu2"),
+        $"n1pfw".as("n1pfw2"))
+      val cbf = cb.select($"w1".as("w2"), $"w2".as("w3"), $"cb".as("cb2"))
+      val bw3 = bw.select($"w2".as("w3"), $"n1pbw")
+      docs.filter(!$"tr" && size($"toks") >= 3)
+        .select($"doc_id", explode(TextOps.wordNgrams($"toks", 3)).as("tg"))
+        .select($"doc_id", substring_index($"tg", " ", 1).as("w1"),
+          w2of($"tg").as("w2"), substring_index($"tg", " ", -1).as("w3"))
+        .join(ctx, Seq("w1", "w2"), "left")
+        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(midn, Seq("w2", "w3"), "left")
+        .join(middot, Seq("w2"), "left")
+        .join(cuw2, Seq("w2"), "left")
+        .join(cbf, Seq("w2", "w3"), "left")
+        .join(bw3, Seq("w3"), "left")
+        .crossJoin(broadcast(na))
+        .withColumn("ok3", $"c2dot".isNotNull && $"middot".isNotNull &&
+          $"n1pfw2".isNotNull && $"n1pbw".isNotNull)
+        .withColumn("ok2", $"cu2".isNotNull && $"n1pbw".isNotNull)
+        .withColumn("p2c",
+          greatest(coalesce(dbl($"n1pb23"), lit(0.0)) - lit(KnD), lit(0.0)) /
+            dbl($"middot") +
+            ((lit(KnD) * dbl($"n1pfw2")) / dbl($"middot")) *
+              (dbl($"n1pbw") / dbl($"n1pall")))
+        .withColumn("lpi", when($"ok3", round(log(
+            greatest(coalesce(dbl($"c3"), lit(0.0)) - lit(KnD), lit(0.0)) /
+              dbl($"c2dot") +
+              ((lit(KnD) * dbl($"n1pfw12")) / dbl($"c2dot")) * $"p2c") * 1e6)
+            .cast("long"))
+          .when($"ok2", round(log(
+            greatest(coalesce(dbl($"cb2"), lit(0.0)) - lit(KnD), lit(0.0)) /
+              dbl($"cu2") +
+              ((lit(KnD) * dbl($"n1pfw2")) / dbl($"cu2")) *
+                (dbl($"n1pbw") / dbl($"n1pall"))) * 1e6).cast("long")))
+        .groupBy($"doc_id")
+        .agg(sum(when($"ok3", 1L).otherwise(0L)).as("n_tri"),
+          sum(when(!$"ok3" && $"ok2", 1L).otherwise(0L)).as("n_backoff"),
+          sum(when(!$"ok3" && !$"ok2", 1L).otherwise(0L)).as("n_skipped"),
+          sum(when($"ok3" || $"ok2", $"lpi").otherwise(0L)).as("slpi"))
+        .select($"doc_id", $"n_tri", $"n_backoff", $"n_skipped",
+          when($"n_tri" + $"n_backoff" > 0L,
+            round($"slpi".cast("double") / 1e6 /
+              ($"n_tri" + $"n_backoff").cast("double"), 4)).as("avg_logp"))
         .orderBy($"doc_id")
     }),
 
@@ -797,6 +895,32 @@ object Pipeline {
         .agg(count(lit(1)).as("n_users"))
         .orderBy($"cohort_week", $"week_offset")
     }))
+
+  /** The DuckDB twin of [[knTables]] — CTE prefix ending at na,
+    * shared verbatim by the t43 and t44 oracles. */
+  private[queries] def knOracleCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, tokens,
+       |    (${Det.fracSql("doc_id", KnSeed)} < 0.5) AS tr FROM
+       |    (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
+       |  WHERE len(tokens) >= 2),
+       |trbi AS (
+       |  SELECT split_part(bg, ' ', 1) AS w1,
+       |    split_part(bg, ' ', 2) AS w2 FROM (
+       |    SELECT unnest(list_transform(
+       |      generate_series(0, len(tokens) - 2),
+       |      i -> array_to_string(list_slice(tokens, i + 1, i + 2),
+       |        ' '))) AS bg
+       |    FROM toks WHERE tr)),
+       |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+       |       FROM trbi GROUP BY 1, 2),
+       |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+       |         CAST(count(*) AS BIGINT) AS n1pfw
+       |       FROM cb GROUP BY 1),
+       |bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1pbw
+       |       FROM cb GROUP BY 1),
+       |na AS (SELECT CAST(count(*) AS BIGINT) AS n1pall FROM cb)"""
+      .stripMargin
 
   def oracles: Map[String, String] = {
     val es = Det.epochSSql("ts")
@@ -1029,27 +1153,7 @@ object Pipeline {
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "t43_kneser_ney" ->
-        s"""WITH toks AS (
-           |  SELECT doc_id, tokens,
-           |    (${Det.fracSql("doc_id", KnSeed)} < 0.5) AS tr FROM
-           |    (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)
-           |  WHERE len(tokens) >= 2),
-           |trbi AS (
-           |  SELECT split_part(bg, ' ', 1) AS w1,
-           |    split_part(bg, ' ', 2) AS w2 FROM (
-           |    SELECT unnest(list_transform(
-           |      generate_series(0, len(tokens) - 2),
-           |      i -> array_to_string(list_slice(tokens, i + 1, i + 2),
-           |        ' '))) AS bg
-           |    FROM toks WHERE tr)),
-           |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
-           |       FROM trbi GROUP BY 1, 2),
-           |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
-           |         CAST(count(*) AS BIGINT) AS n1pfw
-           |       FROM cb GROUP BY 1),
-           |bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1pbw
-           |       FROM cb GROUP BY 1),
-           |na AS (SELECT CAST(count(*) AS BIGINT) AS n1pall FROM cb),
+        s"""WITH $knOracleCtes,
            |tb AS (
            |  SELECT doc_id, split_part(bg, ' ', 1) AS w1,
            |    split_part(bg, ' ', 2) AS w2 FROM (
@@ -1089,6 +1193,94 @@ object Pipeline {
            |  CASE WHEN n_scored > 0 THEN
            |    round(CAST(slpi AS DOUBLE) / 1000000
            |      / CAST(n_scored AS DOUBLE), 4) END AS avg_logp
+           |FROM g ORDER BY doc_id""".stripMargin,
+
+      "t44_kneser_ney3" ->
+        s"""WITH $knOracleCtes,
+           |trtg AS (
+           |  SELECT split_part(tg, ' ', 1) AS w1,
+           |    split_part(tg, ' ', 2) AS w2,
+           |    split_part(tg, ' ', 3) AS w3 FROM (
+           |    SELECT unnest(list_transform(
+           |      generate_series(0, len(tokens) - 3),
+           |      i -> array_to_string(list_slice(tokens, i + 1, i + 3),
+           |        ' '))) AS tg
+           |    FROM toks WHERE tr AND len(tokens) >= 3)),
+           |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+           |       FROM trtg GROUP BY 1, 2, 3),
+           |ctx AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2dot,
+           |          CAST(count(*) AS BIGINT) AS n1pfw12
+           |        FROM c3 GROUP BY 1, 2),
+           |midn AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1pb23
+           |         FROM c3 GROUP BY 1, 2),
+           |middot AS (SELECT w2, CAST(sum(n1pb23) AS BIGINT) AS middot
+           |           FROM midn GROUP BY 1),
+           |ttg AS (
+           |  SELECT doc_id, split_part(tg, ' ', 1) AS w1,
+           |    split_part(tg, ' ', 2) AS w2,
+           |    split_part(tg, ' ', 3) AS w3 FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      generate_series(0, len(tokens) - 3),
+           |      i -> array_to_string(list_slice(tokens, i + 1, i + 3),
+           |        ' '))) AS tg
+           |    FROM toks WHERE NOT tr AND len(tokens) >= 3)),
+           |j AS (
+           |  SELECT ttg.doc_id,
+           |    (ctx.c2dot IS NOT NULL AND middot.middot IS NOT NULL AND
+           |     cu.n1pfw IS NOT NULL AND bw.n1pbw IS NOT NULL) AS ok3,
+           |    (cu.cu IS NOT NULL AND bw.n1pbw IS NOT NULL) AS ok2,
+           |    c3.c3, ctx.c2dot, ctx.n1pfw12, midn.n1pb23, middot.middot,
+           |    cb.cb AS cb2, cu.cu AS cu2, cu.n1pfw AS n1pfw2, bw.n1pbw,
+           |    na.n1pall
+           |  FROM ttg
+           |  LEFT JOIN ctx ON ctx.w1 = ttg.w1 AND ctx.w2 = ttg.w2
+           |  LEFT JOIN c3 ON c3.w1 = ttg.w1 AND c3.w2 = ttg.w2
+           |    AND c3.w3 = ttg.w3
+           |  LEFT JOIN midn ON midn.w2 = ttg.w2 AND midn.w3 = ttg.w3
+           |  LEFT JOIN middot ON middot.w2 = ttg.w2
+           |  LEFT JOIN cu ON cu.w1 = ttg.w2
+           |  LEFT JOIN cb ON cb.w1 = ttg.w2 AND cb.w2 = ttg.w3
+           |  LEFT JOIN bw ON bw.w2 = ttg.w3
+           |  CROSS JOIN na),
+           |sc AS (
+           |  SELECT doc_id, ok3, ok2,
+           |    CASE WHEN ok3 THEN CAST(round(ln(
+           |      greatest(coalesce(CAST(c3 AS DOUBLE), 0.0)
+           |          - CAST($KnD AS DOUBLE), 0.0)
+           |        / CAST(c2dot AS DOUBLE) +
+           |        ((CAST($KnD AS DOUBLE) * CAST(n1pfw12 AS DOUBLE))
+           |          / CAST(c2dot AS DOUBLE))
+           |        * (greatest(coalesce(CAST(n1pb23 AS DOUBLE), 0.0)
+           |              - CAST($KnD AS DOUBLE), 0.0)
+           |            / CAST(middot AS DOUBLE) +
+           |          ((CAST($KnD AS DOUBLE) * CAST(n1pfw2 AS DOUBLE))
+           |            / CAST(middot AS DOUBLE))
+           |          * (CAST(n1pbw AS DOUBLE) / CAST(n1pall AS DOUBLE))))
+           |      * 1000000) AS BIGINT)
+           |    WHEN ok2 THEN CAST(round(ln(
+           |      greatest(coalesce(CAST(cb2 AS DOUBLE), 0.0)
+           |          - CAST($KnD AS DOUBLE), 0.0)
+           |        / CAST(cu2 AS DOUBLE) +
+           |        ((CAST($KnD AS DOUBLE) * CAST(n1pfw2 AS DOUBLE))
+           |          / CAST(cu2 AS DOUBLE))
+           |        * (CAST(n1pbw AS DOUBLE) / CAST(n1pall AS DOUBLE)))
+           |      * 1000000) AS BIGINT) END AS lpi
+           |  FROM j),
+           |g AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN ok3 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_tri,
+           |    CAST(sum(CASE WHEN NOT ok3 AND ok2 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_backoff,
+           |    CAST(sum(CASE WHEN NOT ok3 AND NOT ok2 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_skipped,
+           |    CAST(sum(CASE WHEN ok3 OR ok2 THEN lpi ELSE 0 END)
+           |      AS BIGINT) AS slpi
+           |  FROM sc GROUP BY doc_id)
+           |SELECT doc_id, n_tri, n_backoff, n_skipped,
+           |  CASE WHEN n_tri + n_backoff > 0 THEN
+           |    round(CAST(slpi AS DOUBLE) / 1000000
+           |      / CAST(n_tri + n_backoff AS DOUBLE), 4) END AS avg_logp
            |FROM g ORDER BY doc_id""".stripMargin,
 
       "t39_excess_gain" ->

@@ -354,6 +354,12 @@ class PlanAuditSpec extends SparkSpec {
     // side), then the global order for the report
     pins("d24_em_rescore", exchanges = 2, hashEx = 0, rddScans = 2,
       smj = 0, bhj = 0)
+    // t44: the shared kn tables collapse into the two checkpoints; the
+    // tail is the 7-way vocabulary-keyed join chain + the doc agg. At
+    // sf0.001 every count table sits under the auto-broadcast threshold
+    // (adaptive, not forced — at corpus scale they stay keyed joins)
+    pins("t44_kneser_ney3", exchanges = 15, hashEx = 5, rddScans = 9,
+      smj = 0, bhj = 7)
     assert(moved.isEmpty, moved.mkString("\n"))
   }
 
