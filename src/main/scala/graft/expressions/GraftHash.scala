@@ -112,4 +112,26 @@ object GraftHash {
     }
     new GenericArrayData(out)
   }
+
+  /** Gear CDC boundary scan — contract on [[GearBoundsExpr]]: ascending
+    * 1-based codepoint end positions i ≥ minPos with (h_i & mask) == 0,
+    * h ← h·2 + codepoint·2654435761 over the full prefix (wrapped Long —
+    * equal to the unwrapped value mod (mask+1)). ONE pass per doc, no
+    * digest; codepoint (not UTF-16-unit) indexing matches DuckDB
+    * substr/ascii. */
+  def gearEnds(text: UTF8String, minPos: Int, mask: Long): ArrayData = {
+    val s = text.toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var i = 0L // codepoint index (1-based after increment)
+    var ci = 0 // UTF-16 unit index
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      ci += Character.charCount(cp)
+      i += 1L
+      h = h * 2L + cp.toLong * 2654435761L
+      if (i >= minPos && (h & mask) == 0L) buf += i
+    }
+    new GenericArrayData(buf.toArray)
+  }
 }

@@ -198,6 +198,11 @@ object Curate {
     * chars (≈ 69 on this corpus's ~300-char docs ⇒ ~5 chunks/doc). */
   private[graft] val CdcK = 5
   private[graft] val CdcMask = 64L
+  /** t45 Gear CDC: boundary window = log₂(CdcMask) codepoints (the mask
+    * bit width — see GearBoundsExpr's locality note) ⇒ same expected
+    * chunk length as t42's md5 variant, so the two audits are directly
+    * comparable. Also the first possible boundary position. */
+  private[graft] val GearWin = 6
   /** d21 Fellegi–Sunter: chunk-block cap (hot chunks are boilerplate —
     * BINDS at sf0.1, 3 buckets, mirrored in the oracle per the g6
     * policy), length-band width, and the expert-set m-probabilities
@@ -355,7 +360,8 @@ object Curate {
   }
 
   /** The t42 oracle's CTE prefix ending at `chunks` (doc_id, source,
-    * clen, h) — shared verbatim with d21's oracle (the cdcChunks twin). */
+    * clen, h) — the [[cdcChunks]] twin (t42's own gate; the linkage
+    * family oracles compose [[gearChunkCtes]] since r9). */
   private[queries] def cdcChunkCtes: String = {
     // 40-bit hash from 10 hex chars (the a13 hexFold recipe)
     val hexFold = (0 until 10).map(i =>
@@ -392,6 +398,75 @@ object Curate {
        |      CAST(cch.clen AS INTEGER))) AS h
        |  FROM cch JOIN cdocs USING (doc_id))""".stripMargin
   }
+
+  /** t45's Gear chunk frame (doc_id, source, clen, ch) — ONE definition
+    * shared by `t45_gear_chunks` and the d21/d23/d24/z9 linkage family
+    * (whose blocking was REBASED from the md5 k-gram pass to this
+    * kernel in round 9: 4.3× faster at sf0.1, same expected chunk
+    * length — t42 keeps the md5 variant as its own audit gate).
+    * Boundary array built in-row by the codegen'd GearBoundsExpr ⇒ the
+    * whole chunk pass is map-only (no per-doc window, no shuffle). */
+  private[queries] def gearChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .filter(length($"text") >= 1)
+      .select($"doc_id", $"source", $"text",
+        length($"text").cast("long").as("ln"),
+        graft.expressions.GearBoundsExpr.gearBounds($"text", GearWin,
+          CdcMask - 1L).as("bs"))
+    // ends = ascending interior boundaries + the unconditional final
+    // end (array_distinct keeps first occurrence ⇒ still ascending;
+    // a boundary AT the doc end IS the final end — the t42 rule)
+    docs
+      .select($"doc_id", $"source", $"text",
+        array_distinct(concat($"bs", array($"ln"))).as("ends"))
+      .select($"doc_id", $"source", $"text", $"ends",
+        posexplode($"ends").as(Seq("idx", "e")))
+      .withColumn("st", when($"idx" === 0, lit(0L))
+        .otherwise(element_at($"ends", $"idx")) + 1L)
+      .select($"doc_id", $"source", ($"e" - $"st" + 1L).as("clen"),
+        md5(expr("substring(text, CAST(st AS INT), CAST(e - st + 1 AS INT))")
+          .cast("binary")).as("ch"))
+  }
+
+  /** The t45 oracle's CTE prefix ending at `gchunks` (doc_id, source,
+    * clen, h) — the [[gearChunks]] twin, shared verbatim with the
+    * d21/d23/d24/z9 oracles. Per-position recomputation rides the
+    * GearBoundsExpr window-locality identity: h_i mod 2^b from b
+    * ascii() terms, (T[c] mod 2^b)·2^j summed then mod 2^b — wrapped
+    * Long on the Spark side equals this since 2^b divides 2^64. */
+  private[queries] def gearChunkCtes: String = {
+    val gearFold = (0 until GearWin).map(j =>
+      s"((ascii(substr(text, CAST(i - $j AS INTEGER), 1)) * " +
+        s"2654435761) % $CdcMask) * ${1L << j}").mkString(" + ")
+    s"""gdocs AS (
+       |  SELECT doc_id, source, text, CAST(len(text) AS BIGINT) AS ln
+       |  FROM documents WHERE len(text) >= 1),
+       |gpos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range($GearWin, CAST(ln + 1 AS INTEGER))) AS i
+       |  FROM gdocs WHERE ln >= $GearWin),
+       |gb AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS e FROM (
+       |    SELECT doc_id, i, ($gearFold) % $CdcMask AS hv FROM gpos)
+       |  WHERE hv = 0),
+       |gends AS (
+       |  SELECT DISTINCT doc_id, e FROM
+       |    (SELECT doc_id, e FROM gb
+       |     UNION ALL SELECT doc_id, ln AS e FROM gdocs)),
+       |gch AS (
+       |  SELECT doc_id, st, e - st + 1 AS clen FROM (
+       |    SELECT doc_id, e,
+       |      coalesce(lag(e, 1) OVER (PARTITION BY doc_id ORDER BY e),
+       |        0) + 1 AS st
+       |    FROM gends)),
+       |gchunks AS (
+       |  SELECT gch.doc_id, gdocs.source, gch.clen,
+       |    md5(substr(gdocs.text, CAST(gch.st AS INTEGER),
+       |      CAST(gch.clen AS INTEGER))) AS h
+       |  FROM gch JOIN gdocs USING (doc_id))""".stripMargin
+  }
+
 
   /** d21's blocked-doc projection (doc_id, lang, source, len-band) —
     * ONE definition shared by `fsScoredPairs` (d21/z9) and the d23/d24
@@ -433,7 +508,7 @@ object Curate {
                                          docs: DataFrame): DataFrame = {
     import s.implicits._
     val us = fsUs(docs)
-    val chunkDocs = cdcChunks(s, dir).select($"ch", $"doc_id").distinct()
+    val chunkDocs = gearChunks(s, dir).select($"ch", $"doc_id").distinct()
     val capped = graft.ops.Buckets.capMembers(chunkDocs,
       Seq(col("ch")), cap = FsChunkCap, label = "fslink")
     val pairs = capped.as("x").join(capped.as("y"),
@@ -478,7 +553,7 @@ object Curate {
          |  THEN ln(CAST($m AS DOUBLE) / $u)
          |  ELSE ln(CAST(${1.0 - m} AS DOUBLE) / (1.0 - $u)) END"""
         .stripMargin
-    s"""$cdcChunkCtes,
+    s"""$gearChunkCtes,
        |fdocs AS (
        |  SELECT doc_id, lang, source,
        |    CAST(len(text) AS BIGINT) // $FsLenBand AS lb
@@ -487,7 +562,7 @@ object Curate {
        |  SELECT ${uSql("lang")} AS u_lang,
        |    ${uSql("source")} AS u_source,
        |    ${uSql("lb")} AS u_lb),
-       |cd AS (SELECT DISTINCT h, doc_id FROM chunks),
+       |cd AS (SELECT DISTINCT h, doc_id FROM gchunks),
        |capped AS (
        |  SELECT h, doc_id FROM
        |    (SELECT h, doc_id, count(*) OVER (PARTITION BY h) AS bsz
@@ -1762,23 +1837,54 @@ object Curate {
         .orderBy($"source")
     }),
 
+    // ---- T45: Gear rolling-hash CDC (t42's kernel, digest-free) ---------
+    // The same per-source chunk audit as t42 with the boundary test
+    // swapped from md5-of-every-5-gram (the r8 verdict's hottest
+    // constant factor: ~k× per-char work + a digest per POSITION) to
+    // the FastCDC Gear recurrence in ONE codegen'd pass per doc
+    // (GearBoundsExpr: h ← h·2 + cp·Det.K, boundary when the low
+    // log₂(CdcMask) bits hit 0 — md5 only per CHUNK, and no per-doc
+    // window/shuffle anywhere: the boundary array is built in-row, so
+    // the whole chunk pass is map-only until the stats agg). Same
+    // modulus as t42 ⇒ same expected chunk length (~CdcMask chars) —
+    // the two audits are directly comparable; boundaries differ (hash
+    // family), which is the point of keeping both gates. Oracle: the
+    // window-locality property (GearBoundsExpr doc) lets DuckDB
+    // recompute each boundary from GearWin ascii() terms — pure integer
+    // arithmetic per position, no fold. 100 TB shape: map-only scan →
+    // one hash-keyed count join → per-source agg (≤ sources rows).
+    "t45_gear_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = gearChunks(s, dir)
+      val cnt = chunks.groupBy($"ch").agg(count(lit(1)).as("nh"))
+      chunks.join(cnt, Seq("ch"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"), sum($"clen").as("n_chars"),
+          sum(when($"nh" > 1L, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select($"source", $"n_chunks", $"n_dup_chunks",
+          expr("(n_chars * 1000000) div n_chunks").as("mean_len_ppm"),
+          expr("(n_dup_chunks * 1000000) div n_chunks").as("dup_ppm"))
+        .orderBy($"source")
+    }),
+
     // ---- D21: Fellegi–Sunter probabilistic record linkage --------------
     // The decision-theoretic linkage score (Fellegi & Sunter 1969) the
     // raw-similarity dedup family lacks: candidate pairs BLOCKED on a
-    // shared content-defined chunk (the t42 cdcChunks twin — "two docs
-    // share a verbatim chunk" is the blocking key), scored by the
+    // shared content-defined chunk ("two docs share a verbatim chunk"
+    // is the blocking key — the SHARED gearChunks frame since r9; t42's
+    // md5-k-gram variant remains its own audit gate), scored by the
     // field-agreement log-likelihood ratio Σᵢ aᵢ·ln(mᵢ/uᵢ) +
     // (1−aᵢ)·ln((1−mᵢ)/(1−uᵢ)) over (lang, source, length-band).
     // u-probabilities are ESTIMATED FROM THE CORPUS as the random-pair
     // agreement rate Σᵥ nᵥ(nᵥ−1)/(N(N−1)) (exact BIGINT numerators, one
     // double division); m's are expert-set literals (the EM-free
-    // variant, stated in FsM*'s doc — a production EM fit would replace
-    // three literals, not the plan). Chunk blocks ride capMembers with
-    // the oracle MIRRORING the cap (it BINDS at sf0.1: 3 boilerplate
-    // chunks — the g6 policy, drop-accounted). Contract: every field
+    // variant, stated in FsM*'s doc — d23 IS that EM fit, and d24 the
+    // rescore). Chunk blocks ride capMembers with the oracle MIRRORING
+    // the cap (it BINDS at sf0.1: 9 boilerplate gear chunks, max bucket
+    // 863 — the g6 policy, drop-accounted). Contract: every field
     // has repeated AND distinct values (0 < uᵢ < 1 — holds by
     // construction on this corpus; degenerate fields would need the
-    // a50-style pre-filter). 100 TB shape: the t42 chunk pass + ONE
+    // a50-style pre-filter). 100 TB shape: the map-only gear pass + ONE
     // capped hash-keyed self-join + two doc_id-keyed field joins; the
     // u-frame is a broadcast of 3 scalars.
     "d21_fellegi_sunter" -> ((s, dir) => {
@@ -1791,9 +1897,9 @@ object Curate {
     // iterations over the 8 agreement-pattern counts of the SHARED
     // fsScoredPairs candidates (Fellegi & Sunter 1969 §3 / Winkler
     // 1988), init = (p 0.5, the d21 expert m's, the SHARED corpus u's).
-    // On this corpus the fit moves every parameter materially (sf0.1:
-    // m_lang 0.95 → 0.669, u_lang 0.256 → 0.232, p → 0.061) — the
-    // candidates are chunk-cohabitants, mostly NON-matches, which is
+    // On this corpus the fit moves every parameter materially (sf0.1,
+    // gear blocking: m_lang 0.95 → 0.687, u_lang → 0.243, p → 0.064) —
+    // the candidates are chunk-cohabitants, mostly NON-matches, which is
     // exactly what the expert literals could not know. Exactness: the
     // generated-SQL fold (see emInitExprs) — BIGINT pattern counts, one
     // IEEE shape per double op, identical text in both engines. 100 TB
@@ -1810,7 +1916,8 @@ object Curate {
     // scored with the EM-fitted (6dp-quantized) m/u, reported beside
     // the expert LLR with a `flipped` decision-change flag — the audit
     // a linkage operator runs before swapping parameters in production
-    // (sf0.1: the fit DEMOTES most expert-positive pairs — the expert
+    // (1,929/7,818 flips at sf0.1 — the fit DEMOTES expert-positive
+    // pairs: the expert
     // m's over-trusted field agreement among chunk-cohabitants).
     // Exactness: params enter at the 6dp ledger quantization so the
     // per-pair LLR is built from bit-identical inputs; term association
@@ -1837,12 +1944,12 @@ object Curate {
     // ---- Z9: entity-resolution chain gate --------------------------------
     // The full linkage pipeline as ONE hash-gated seam (the z3/z7 rule:
     // chains break at the seams, not inside oracle-green stages):
-    // cdcChunks blocking → d21 Fellegi–Sunter scoring (the SHARED
+    // gearChunks blocking → d21 Fellegi–Sunter scoring (the SHARED
     // fsScoredPairs — gate and chain provably score identical pairs) →
     // positive-LLR links → connected components (ops.Components,
     // O(diameter) checkpointed rounds; oracle = exact RECURSIVE closure)
     // → per-entity summary with the min-id canonical pick. 100 TB shape:
-    // the d21 shape + CC over only the POSITIVE-link edge list (1,307
+    // the d21 shape + CC over only the POSITIVE-link edge list (472
     // edges at sf0.1 — links, not candidates) + one component agg.
     "z9_linkage_e2e" -> ((s, dir) => {
       import s.implicits._
@@ -1851,13 +1958,13 @@ object Curate {
       // links (not candidates) are orders smaller than the corpus: 8
       // partitions keeps the O(diameter) CC rounds scheduler-cheap and
       // still holds millions of links per partition at scale. COST NOTE
-      // (probed at sf0.1): the 526-doc entity is a CHAIN of overlapping
-      // chunk buckets — 23 min-propagation rounds to converge (pointer
-      // jumping was probed and bought only 23→15 at double per-round
-      // cost, so plain min-prop stays) — at toy SF that is ~4 s of fixed
-      // per-round job latency; at corpus scale rounds are data-dominated
-      // and the round count is the true-duplicate chain depth, not
-      // corpus size.
+      // (re-probed at sf0.1 after the r9 gear rebase): the largest
+      // entity is now a 49-doc chain (the md5-chunk era's 526-doc chain
+      // probed 23 min-propagation rounds; pointer jumping was probed
+      // then and bought only 23→15 at double per-round cost, so plain
+      // min-prop stays) — at toy SF the rounds are fixed per-round job
+      // latency; at corpus scale they are data-dominated and the round
+      // count is the true-duplicate chain depth, not corpus size.
       graft.ops.Components.connectedComponents(links, "a_id", "b_id",
           partitions = 8)
         .groupBy($"component")
@@ -3157,6 +3264,22 @@ object Curate {
          |  (n_chars * 1000000) // n_chunks AS mean_len_ppm,
          |  (n_dup_chunks * 1000000) // n_chunks AS dup_ppm
          |FROM g ORDER BY source""".stripMargin
+    },
+
+    "t45_gear_chunks" -> {
+      s"""WITH $gearChunkCtes,
+         |gcnt AS (SELECT h, CAST(count(*) AS BIGINT) AS nh
+         |         FROM gchunks GROUP BY h),
+         |gg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(clen) AS BIGINT) AS n_chars,
+         |    CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_chunks
+         |  FROM gchunks JOIN gcnt USING (h) GROUP BY source)
+         |SELECT source, n_chunks, n_dup_chunks,
+         |  (n_chars * 1000000) // n_chunks AS mean_len_ppm,
+         |  (n_dup_chunks * 1000000) // n_chunks AS dup_ppm
+         |FROM gg ORDER BY source""".stripMargin
     },
 
     "d21_fellegi_sunter" ->

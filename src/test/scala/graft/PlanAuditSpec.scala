@@ -318,9 +318,11 @@ class PlanAuditSpec extends SparkSpec {
       if (c("Exchange ") > 27 || c("Scan ExistingRDD") > 14)
         moved += s"d21: exchanges=${c("Exchange ")} (≤27), " +
           s"rddScans=${c("Scan ExistingRDD")} (≤14) grew"
-      if ((c("SortMergeJoin"), c("BroadcastHashJoin")) != ((1, 4)))
+      // r9: the gear rebase removed the md5 chunk pass's sort-merge
+      // (the boundary array is built in-row — map-only) and one join
+      if ((c("SortMergeJoin"), c("BroadcastHashJoin")) != ((0, 3)))
         moved += s"d21: join strategies (smj, bhj) = " +
-          s"${(c("SortMergeJoin"), c("BroadcastHashJoin"))}, pinned (1, 4)"
+          s"${(c("SortMergeJoin"), c("BroadcastHashJoin"))}, pinned (0, 3)"
       if (p.contains("CartesianProduct")) moved += "d21: cartesian!"
     }
     // z9: CC rounds collapse into the checkpointed label frame; the
@@ -354,6 +356,10 @@ class PlanAuditSpec extends SparkSpec {
     // side), then the global order for the report
     pins("d24_em_rescore", exchanges = 2, hashEx = 0, rddScans = 2,
       smj = 0, bhj = 0)
+    // t45: ONE parquet scan (map-only chunking — no window, no rdd
+    // seam), the chunk-hash count join + the per-source agg
+    pins("t45_gear_chunks", exchanges = 4, hashEx = 2, rddScans = 0,
+      smj = 0, bhj = 1)
     // t44: the shared kn tables collapse into the two checkpoints; the
     // tail is the 7-way vocabulary-keyed join chain + the doc agg. At
     // sf0.001 every count table sits under the auto-broadcast threshold

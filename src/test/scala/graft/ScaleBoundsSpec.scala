@@ -32,7 +32,8 @@ class ScaleBoundsSpec extends AnyFunSuite {
     "Stats2.PhLambdaE9" -> graft.queries.Stats2.PhLambdaE9.toDouble,
     "Curate.CdcK" -> graft.queries.Curate.CdcK.toDouble,
     "Curate.CdcMask" -> graft.queries.Curate.CdcMask.toDouble,
-    "Curate.FsChunkCap" -> graft.queries.Curate.FsChunkCap.toDouble)
+    "Curate.FsChunkCap" -> graft.queries.Curate.FsChunkCap.toDouble,
+    "Curate.GearWin" -> graft.queries.Curate.GearWin.toDouble)
 
   private def docRows: Seq[(String, Double)] = {
     val lines = scala.io.Source.fromFile("SCALE_BOUNDS.md", "UTF-8").getLines().toSeq
