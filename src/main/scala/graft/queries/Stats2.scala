@@ -44,6 +44,15 @@ object Stats2 {
   private[graft] val HoltBeta = 0.25
   private val HoltH = 3.0
 
+  /** q16 / cohortStream's shared activity feed: (user_id, dd) with dd
+    * the integer activity day — ONE definition so the batch matrix and
+    * the streaming twin provably consume identical rows. */
+  private[graft] def cohortEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id", expr("CAST(ts AS LONG) div 86400").as("dd"))
+  }
+
   /** a61's hourly cents-volume grid (event_type, hr, v — absent hours
     * REAL zeros, the a57 rule) — ONE definition shared with
     * [[graft.streaming.StreamJob.holtStream]]'s spec so the twin's
@@ -338,8 +347,7 @@ object Stats2 {
     // ≤ cohorts×ages rows.
     "q16_cohort_matrix" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
-        .select($"user_id", expr("CAST(ts AS LONG) div 86400").as("dd"))
+      val ev = cohortEvents(s, dir)
       val cohort = ev.groupBy($"user_id").agg(min($"dd").as("cd"))
         .localCheckpoint() // feeds the age join AND cohort sizes
       val cells = ev.join(cohort, Seq("user_id"))

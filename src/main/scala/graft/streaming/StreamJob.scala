@@ -362,6 +362,51 @@ object StreamJob {
       }
   }
 
+  case class CohortIn(user_id: Long, dd: Long)
+  case class CohortOut(user_id: Long, cohort_day: Long, age: Long)
+  case class CohortState(cd: Long, seen: Seq[Long])
+
+  /** Streaming cohort-retention feed — q16's matrix as a live product
+    * metric (the canonical always-on dashboard counter). Keyed by user;
+    * state is the user's cohort day (first activity day — the arrival
+    * contract makes first = min) plus the set of ages already emitted,
+    * BOUNDED by distinct ages observed per user (≤ observation days).
+    * Emits exactly one (user, cohort_day, age) row per new age — the
+    * dedup q16's `distinct()` does in batch — so the consumer rebuilds
+    * the matrix with one counting agg: n_active(cd, age) = row count,
+    * cohort_users(cd) = the age-0 count (every user's first emission is
+    * age 0 by construction), retention = the same exact ppm ratio.
+    * Feed day-ordered per user (order by dd globally suffices — the
+    * ewmaAlarmStream contract); in-batch disorder is sorted. Build the
+    * input with the SHARED [[graft.queries.Stats2.cohortEvents]]. */
+  def cohortStream(stream: DataFrame): org.apache.spark.sql.Dataset[CohortOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream
+      .select(col("user_id").cast("long").as("user_id"),
+        col("dd").cast("long").as("dd"))
+      .as[CohortIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[CohortIn],
+         state: org.apache.spark.sql.streaming.GroupState[CohortState]) =>
+          var st = state.getOption.getOrElse(CohortState(-1L, Seq.empty))
+          val out = collection.mutable.ArrayBuffer[CohortOut]()
+          rows.toSeq.sortBy(_.dd).foreach { r =>
+            if (st.cd < 0L) st = CohortState(r.dd, Seq.empty)
+            val age = r.dd - st.cd
+            if (!st.seen.contains(age)) {
+              out += CohortOut(key, st.cd, age)
+              st = CohortState(st.cd, st.seen :+ age)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class CusumIn(user_id: Long, event_id: Long, es: Long, q: Long,
                      sq: Long, n_events: Long)
   case class CusumPeak(user_id: Long, n_events: Long, dabs: Long,

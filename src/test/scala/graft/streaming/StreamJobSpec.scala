@@ -352,6 +352,50 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming cohort feed ≡ the oracle-green q16 matrix, across " +
+      "three batch-cut layouts") {
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: (cohort_day, age) -> (n_active, cohort_users, ppm)
+    val batch = graft.SparkEntry.queries("q16_cohort_matrix")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(batch.nonEmpty)
+    // day-ordered global feed → per-user day order holds across cuts
+    val rows = graft.queries.Stats2.cohortEvents(spark, dir)
+      .orderBy($"dd", $"user_id").collect()
+      .map(r => StreamJob.CohortIn(r.getLong(0), r.getLong(1)))
+    implicit val sq = spark.sqlContext
+    val layouts = Seq(Seq(rows.length), Seq(700, rows.length),
+      Seq(100, 1200, rows.length))
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[StreamJob.CohortIn]
+      val q = StreamJob.cohortStream(mem.toDF())
+        .writeStream.format("memory").queryName(s"cohort_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable(); prev = c
+      }
+      q.stop()
+      val emitted = spark.table(s"cohort_out_$i").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // one row per (user, age) — the batch distinct(), never re-emitted
+      assert(emitted.length == emitted.distinct.length)
+      // rebuild the matrix: n_active = rows per (cd, age); cohort size =
+      // the age-0 count; retention = the same exact ppm integer ratio
+      val sizes = emitted.filter(_._3 == 0L)
+        .groupBy(_._2).map { case (cd, xs) => cd -> xs.length.toLong }
+      val got = emitted.groupBy(e => (e._2, e._3)).map { case ((cd, age), xs) =>
+        val n = xs.length.toLong
+        val cu = sizes(cd)
+        (cd, age) -> ((n, cu, n * 1000000L / cu))
+      }
+      assert(got == batch, s"cut layout $i diverged from batch")
+    }
+  }
+
   test("streaming Page–Hinkley decisions ≡ the oracle-green a65 drift " +
       "rows, across three batch-cut layouts") {
     val dir = "/root/testdata/sf0.001"
