@@ -502,20 +502,30 @@ object Curate {
   private[queries] def fsScoredPairs(s: SparkSession, dir: String): DataFrame =
     fsScoredPairsFrom(s, dir, fsDocs(s, dir))
 
+  /** The BLOCKED candidate set (a_id < b_id, n_shared) before any
+    * scoring — the capped gear-chunk self-join. Shared by
+    * [[fsScoredPairsFrom]] and d25's blocking audit (which must see
+    * exactly what the linker sees, cap included, without paying the
+    * scoring joins). */
+  private[queries] def fsCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunkDocs = gearChunks(s, dir).select($"ch", $"doc_id").distinct()
+    val capped = graft.ops.Buckets.capMembers(chunkDocs,
+      Seq(col("ch")), cap = FsChunkCap, label = "fslink")
+    capped.as("x").join(capped.as("y"),
+        col("x.ch") === col("y.ch") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** [[fsScoredPairs]] over a prebuilt [[fsDocs]] frame (lets d24 share
     * ONE docs checkpoint between the EM counts and the rescoring). */
   private[queries] def fsScoredPairsFrom(s: SparkSession, dir: String,
                                          docs: DataFrame): DataFrame = {
     import s.implicits._
     val us = fsUs(docs)
-    val chunkDocs = gearChunks(s, dir).select($"ch", $"doc_id").distinct()
-    val capped = graft.ops.Buckets.capMembers(chunkDocs,
-      Seq(col("ch")), cap = FsChunkCap, label = "fslink")
-    val pairs = capped.as("x").join(capped.as("y"),
-        col("x.ch") === col("y.ch") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
+    val pairs = fsCandidatePairs(s, dir)
     def term(agree: org.apache.spark.sql.Column, m: Double, u: String) =
       when(agree, log(lit(m) / col(u)))
         .otherwise(log(lit(1.0 - m) / (lit(1.0) - col(u))))

@@ -132,6 +132,35 @@ object TextDedup {
       .orderBy(col("new_id"))
   }
 
+  /** d22/d25's exact-verified candidate frame (a_id, b_id, jac_ppm):
+    * ONE LSH candidate pass + ONE exact n-gram Jaccard verify join —
+    * shared so the threshold sweep and the blocking audit provably
+    * score the same "true match" estimator (stated: LSH-candidate-
+    * verified, not all-pairs ground truth). */
+  private[queries] def jacVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id",
+        array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N))
+          .as("g"))
+    lshPairs(s, dir).select($"a_id", $"b_id")
+      .join(grams.select($"doc_id".as("a_id"), $"g".as("ga")), Seq("a_id"))
+      .join(grams.select($"doc_id".as("b_id"), $"g".as("gb")), Seq("b_id"))
+      .select($"a_id", $"b_id",
+        size(array_intersect($"ga", $"gb")).cast("long").as("inter"),
+        (size($"ga") + size($"gb")).cast("long").as("__sum"))
+      .withColumn("uni", $"__sum" - $"inter")
+      .select($"a_id", $"b_id",
+        expr("(inter * 1000000) div uni").as("jac_ppm"))
+  }
+
+  /** d25: the "true match" verification threshold (the d22 grid's 0.8
+    * point — where the sweep's knee sits on this corpus) and the
+    * contract that verified pairs exist at every test SF (n_true > 0 —
+    * d22's curve is flat through 0.8). */
+  private val BlockTauPpm = 800000L
+
   /** Candidate pairs sharing ≥1 of 4 LSH bands (2 slices per band), with
     * their 8-slice match count as estimated Jaccard. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
@@ -196,6 +225,24 @@ object TextDedup {
        |     (CASE WHEN xa.s7 = xb.s7 THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
        |  FROM cand JOIN sig xa ON a_id = xa.doc_id
        |            JOIN sig xb ON b_id = xb.doc_id)""".stripMargin
+
+  /** The DuckDB twin of [[jacVerifiedPairs]] — CTE chain ending at `ver`
+    * (a_id, b_id, jac_ppm), shared verbatim by the d22 and d25 oracles. */
+  private def jacVerifiedSql: String =
+    s"""$lshPairsSql,
+       |tok AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(0, greatest(len(tokens) - $NGRAM_N, 0)),
+       |    i -> array_to_string(list_slice(tokens, i + 1, i + $NGRAM_N),
+       |      ' '))) AS ts
+       |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
+       |ver AS (
+       |  SELECT a_id, b_id,
+       |    (CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) * 1000000)
+       |      // CAST(len(ta.ts) + len(tb.ts)
+       |        - len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS jac_ppm
+       |  FROM pairs JOIN tok ta ON a_id = ta.doc_id
+       |             JOIN tok tb ON b_id = tb.doc_id)""".stripMargin
 
   private val tokensSqlExpr =
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
@@ -665,20 +712,7 @@ object TextDedup {
     // of CC equality. 100 TB shape: d13's verify shape + a ≤5-row agg.
     "d22_threshold_sweep" -> ((s, dir) => {
       import s.implicits._
-      val grams = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id",
-          array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N))
-            .as("g"))
-      val exact = lshPairs(s, dir).select($"a_id", $"b_id")
-        .join(grams.select($"doc_id".as("a_id"), $"g".as("ga")), Seq("a_id"))
-        .join(grams.select($"doc_id".as("b_id"), $"g".as("gb")), Seq("b_id"))
-        .select($"a_id", $"b_id",
-          size(array_intersect($"ga", $"gb")).cast("long").as("inter"),
-          (size($"ga") + size($"gb")).cast("long").as("__sum"))
-        .withColumn("uni", $"__sum" - $"inter")
-        .select($"a_id", $"b_id",
-          expr("(inter * 1000000) div uni").as("jac_ppm"))
+      val exact = jacVerifiedPairs(s, dir)
         .localCheckpoint() // ONE verify pass feeds all five thresholds
       val taus = (5 to 9).map(t => t * 100000L)
       val tauF = broadcast(s.createDataFrame(taus.map(Tuple1(_)))
@@ -688,6 +722,44 @@ object TextDedup {
         .agg(count($"a_id").as("n_pairs"),
           countDistinct($"b_id").as("n_docs_dropped"))
         .orderBy($"tau_ppm")
+    }),
+
+    // ---- D25: blocking-quality audit (reduction ratio + pairs ----------
+    // completeness) — the standard linkage-blocking evaluation (Christen
+    // 2012 §7): how much of the quadratic pair space does the d21 gear-
+    // chunk blocker PRUNE (rr), and what fraction of true matches does
+    // it still COVER (pc)? "True matches" = the SHARED jacVerifiedPairs
+    // frame at jac ≥ 0.8 (the d22 grid's knee) — an LSH-verified
+    // estimator, stated, not all-pairs ground truth. Candidates = the
+    // SHARED fsCandidatePairs frame (d21/z9's exact blocked set, cap
+    // included, BEFORE the scoring joins the audit does not need —
+    // the audit sees what the linker sees). Both generators
+    // emit a_id < b_id, so the hit join is a plain two-key equi-join.
+    // Exactness: four BIGINT counts + two exact ppm ratios (total pair
+    // space N(N−1) div 2 — exact while N ≲ 4.3e9 docs). 100 TB shape:
+    // the two shared passes + ONE join on the (small) truth set + three
+    // 1-row broadcasts.
+    "d25_blocking_audit" -> ((s, dir) => {
+      import s.implicits._
+      val truth = jacVerifiedPairs(s, dir)
+        .filter($"jac_ppm" >= BlockTauPpm)
+        .select($"a_id", $"b_id")
+        .localCheckpoint() // feeds the count AND the hit join
+      val cand = graft.queries.Curate.fsCandidatePairs(s, dir)
+        .select($"a_id", $"b_id")
+        .localCheckpoint() // feeds the count AND the hit join
+      val nDocs = t(s, dir, "documents").filter(length($"text") >= 1)
+        .agg(count(lit(1)).as("n_docs"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nHit = truth.join(cand, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      nDocs.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCand))
+        .crossJoin(broadcast(nHit))
+        .selectExpr("n_docs", "n_true", "n_cand", "n_hit",
+          "(n_hit * 1000000) div n_true AS pc_ppm",
+          "((n_docs * (n_docs - 1) div 2 - n_cand) * 1000000) div " +
+            "(n_docs * (n_docs - 1) div 2) AS rr_ppm")
     }),
 
     "d13_containment" -> ((s, dir) => {
@@ -1456,20 +1528,7 @@ object TextDedup {
            |ORDER BY a_id, b_id""".stripMargin,
 
       "d22_threshold_sweep" ->
-        s"""WITH $lshPairsSql,
-           |tok AS (
-           |  SELECT doc_id, list_distinct(list_transform(
-           |    generate_series(0, greatest(len(tokens) - $NGRAM_N, 0)),
-           |    i -> array_to_string(list_slice(tokens, i + 1, i + $NGRAM_N),
-           |      ' '))) AS ts
-           |  FROM (SELECT doc_id, $tokensSqlExpr AS tokens FROM documents)),
-           |ver AS (
-           |  SELECT a_id, b_id,
-           |    (CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) * 1000000)
-           |      // CAST(len(ta.ts) + len(tb.ts)
-           |        - len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS jac_ppm
-           |  FROM pairs JOIN tok ta ON a_id = ta.doc_id
-           |             JOIN tok tb ON b_id = tb.doc_id)
+        s"""WITH $jacVerifiedSql
            |SELECT CAST(t.tau_ppm AS BIGINT) AS tau_ppm,
            |  CAST(count(ver.a_id) AS BIGINT) AS n_pairs,
            |  CAST(count(DISTINCT ver.b_id) AS BIGINT) AS n_docs_dropped
@@ -1477,6 +1536,27 @@ object TextDedup {
            |  t(tau_ppm)
            |LEFT JOIN ver ON ver.jac_ppm >= t.tau_ppm
            |GROUP BY t.tau_ppm ORDER BY t.tau_ppm""".stripMargin,
+
+      // nested WITHs keep the two shared prefixes' CTE namespaces apart
+      // (both define a `pairs` CTE); each is reused VERBATIM
+      "d25_blocking_audit" ->
+        s"""WITH truth AS (
+           |  WITH $jacVerifiedSql
+           |  SELECT a_id, b_id FROM ver WHERE jac_ppm >= $BlockTauPpm),
+           |cand AS (
+           |  WITH ${graft.queries.Curate.fsPairsOracleCtes}
+           |  SELECT a_id, b_id FROM pairs),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+           |       FROM documents WHERE len(text) >= 1),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+           |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+           |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+           |       FROM truth JOIN cand USING (a_id, b_id))
+           |SELECT n_docs, n_true, n_cand, n_hit,
+           |  (n_hit * 1000000) // n_true AS pc_ppm,
+           |  ((n_docs * (n_docs - 1) // 2 - n_cand) * 1000000) //
+           |    (n_docs * (n_docs - 1) // 2) AS rr_ppm
+           |FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh""".stripMargin,
 
       "d16_incremental_dedup" ->
         s"""WITH $sigSql,

@@ -360,6 +360,10 @@ class PlanAuditSpec extends SparkSpec {
     // seam), the chunk-hash count join + the per-source agg
     pins("t45_gear_chunks", exchanges = 4, hashEx = 2, rddScans = 0,
       smj = 0, bhj = 1)
+    // d25: the two shared heavy passes collapse into their checkpoints;
+    // the tail is the truth-cand hit join + three 1-row broadcasts
+    pins("d25_blocking_audit", exchanges = 9, hashEx = 2, rddScans = 4,
+      smj = 1, bhj = 0)
     // t44: the shared kn tables collapse into the two checkpoints; the
     // tail is the 7-way vocabulary-keyed join chain + the doc agg. At
     // sf0.001 every count table sits under the auto-broadcast threshold
