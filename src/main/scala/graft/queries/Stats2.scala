@@ -37,12 +37,24 @@ object Stats2 {
   private[graft] val PhDeltaE9 = 2000000000L
   private[graft] val PhLambdaE9 = 400000000000L
 
+  /** p27 skew audit: hot keys reported. */
+  private val SkewTopK = 5
+
+  /** q18 k-anonymity: quasi-identifier length-band width and the policy
+    * threshold ladder (the grid is data, not reruns — the d22 rule). */
+  private val KAnonBand = 64L
+  private val KAnonKs = Seq(2L, 5L, 10L, 20L)
+
   /** a61 Holt: dyadic smoothing constants (the w31 EwmaLam rule — every
     * product is an exactly-representable double built identically in
     * both engines) and the forecast horizon in hours. */
   private[graft] val HoltAlpha = 0.5
   private[graft] val HoltBeta = 0.25
   private val HoltH = 3.0
+  /** a67 Holt–Winters: additive-seasonal smoothing constant (dyadic,
+    * the HoltAlpha rule) and the season length in hours. */
+  private val HwGamma = 0.25
+  private val HwM = 24
 
   /** q16 / cohortStream's shared activity feed: (user_id, dd) with dd
     * the integer activity day — ONE definition so the batch matrix and
@@ -443,6 +455,137 @@ object Stats2 {
               d($"t3t") / 12.0), 6).as("z"))
     }),
 
+    // ---- Q18: k-anonymity risk audit -------------------------------------
+    // The re-identification risk report a privacy review runs BEFORE a
+    // corpus ships (Sweeney 2002): treat (lang, source, length-band) as
+    // the quasi-identifier, group docs into equivalence classes, and
+    // report — per policy threshold k — how many docs sit in classes
+    // smaller than k (the re-identifiable mass) plus its exact ppm. The
+    // k grid is the usual policy ladder (2, 5, 10, 20). Exactness: pure
+    // integer counts and the ledger's ppm rule. 100 TB shape: ONE
+    // map-side agg collapses the corpus to ≤ |lang|·|source|·bands
+    // equivalence classes; the k grid is a 4-row broadcast against that
+    // tiny frame; nothing data-sized ever joins.
+    "q18_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"lang", $"source",
+          expr(s"CAST(length(text) div $KAnonBand AS LONG)").as("lb"))
+      val cls = docs.groupBy($"lang", $"source", $"lb")
+        .agg(count(lit(1)).as("csz"))
+        .localCheckpoint() // feeds the totals AND the k grid join
+      val tot = cls.agg(sum($"csz").as("n_docs"),
+        count(lit(1)).as("n_classes"), min($"csz").as("min_class"))
+      val ks = broadcast(s.createDataFrame(
+        KAnonKs.map(Tuple1(_))).toDF("k"))
+      ks.join(cls, $"csz" < $"k", "left")
+        .groupBy($"k")
+        .agg(coalesce(sum($"csz"), lit(0L)).as("n_risky_docs"),
+          count($"csz").as("n_risky_classes"))
+        .crossJoin(broadcast(tot))
+        .select($"k", $"n_risky_docs", $"n_risky_classes",
+          $"n_classes", $"min_class",
+          expr("(n_risky_docs * 1000000) div n_docs").as("risky_ppm"))
+        .orderBy($"k")
+    }),
+
+    // ---- A67: Holt–Winters additive-seasonal smoothing --------------------
+    // a61 extended one component (Winters 1960; the NIST/ES textbook
+    // triple smoothing): level + trend + a 24-hour additive seasonal
+    // profile over the SHARED holtHourly grid. Init = the standard
+    // two-season recipe (l₀ = season-1 mean, b₀ = (season-2 mean −
+    // season-1 mean)/m, s = season-1 deviations); fold runs t = m+1..n
+    // with the one-step-ahead SSE accumulated against l+b+s. Exactness:
+    // the a61 snapshot-array recipe with the state widened to 3+m
+    // doubles — and DuckDB 1.0's list_reduce has NO initial-value arg,
+    // so the oracle encodes the init as the fold list's FIRST element
+    // and the t indices as 1-element arrays (element type = accumulator
+    // type; probed). All smoothing constants dyadic; every step's
+    // multiply-add association written identically in both engines.
+    // Reports level/trend/seasonal amplitude/3-step forecast (the
+    // seasonal slot of t+3)/1-step rmse, cents → dollars at 6dp.
+    // 100 TB shape: ONE (hour, type) map-side agg collapses the corpus;
+    // the fold runs on ≤hours elements per type (a61's 2^53 cents rule).
+    "a67_holt_winters" -> ((s, dir) => {
+      import s.implicits._
+      val m = HwM
+      val md = m.toDouble
+      val al = HoltAlpha; val be = HoltBeta; val ga = HwGamma
+      val ser = holtHourly(s, dir).groupBy($"event_type")
+        .agg(transform(sort_array(collect_list(struct($"hr", $"v"))),
+          x => x.getField("v").cast("double")).as("xs"))
+        .filter(size($"xs") >= 2 * m + 1) // two init seasons + ≥1 step
+        .withColumn("l0", aggregate(slice($"xs", 1, m), lit(0.0),
+          (ac, x) => ac + x) / lit(md))
+        .withColumn("m2", aggregate(slice($"xs", m + 1, m), lit(0.0),
+          (ac, x) => ac + x) / lit(md))
+        .withColumn("b0", ($"m2" - $"l0") / lit(md))
+        .withColumn("ini", concat(array($"l0", $"b0", lit(0.0)),
+          transform(slice($"xs", 1, m), x => x - $"l0")))
+      val fin = ser.withColumn("fin",
+        aggregate(sequence(lit(m + 1), size($"xs")), $"ini",
+          (acc, i) => {
+            val x = element_at($"xs", i)
+            val j = ((i - lit(1)) % lit(m)) + lit(1)
+            val sj = element_at(acc, j + lit(3))
+            val pl = element_at(acc, lit(1))
+            val pb = element_at(acc, lit(2))
+            val nl = lit(al) * (x - sj) + lit(1.0 - al) * (pl + pb)
+            val nb = lit(be) * (nl - pl) + lit(1.0 - be) * pb
+            val ns = lit(ga) * ((x - pl) - pb) + lit(1.0 - ga) * sj
+            val err = x - ((pl + pb) + sj)
+            concat(array(nl, nb, element_at(acc, lit(3)) + err * err),
+              transform(sequence(lit(1), lit(m)), k =>
+                when(k === j, ns).otherwise(element_at(acc, k + lit(3)))))
+          }))
+      fin.select($"event_type", size($"xs").cast("long").as("n_hours"),
+          round(element_at($"fin", 1) / 100.0, 6).as("level"),
+          round(element_at($"fin", 2) / 100.0, 6).as("trend"),
+          round((array_max(slice($"fin", 4, m)) -
+            array_min(slice($"fin", 4, m))) / 100.0, 6).as("s_amp"),
+          round(((element_at($"fin", 1) +
+            lit(HoltH) * element_at($"fin", 2)) +
+            element_at($"fin",
+              ((size($"xs") + lit(2)) % lit(m)) + lit(1) + lit(3))) / 100.0,
+            6).as("forecast_h3"),
+          round(sqrt(element_at($"fin", 3) /
+            (size($"xs") - m).cast("double")) / 100.0, 6).as("rmse_1step"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- P27: partition/key-skew audit -----------------------------------
+    // The report a Spark operator runs BEFORE choosing a shuffle key,
+    // salt factor or AQE skew threshold (the repo's own 100 TB design
+    // loop, turned into a queryable operator): per-key row counts over
+    // the candidate shuffle key, the top-K hot keys with their exact
+    // corpus share, and the max/mean skew factor in ppm — max/mean ≈ 1e6
+    // means a uniform key, ≫ 1e6 means the hottest partition is that
+    // many times the average (salt or isolate it). Exactness: integer
+    // counts + the ppm rule (max_cnt·n_keys·10⁶ < 2^63 ⇒ product
+    // ≲ 9.2e12 — ledgered). 100 TB shape: ONE map-side agg collapses
+    // the corpus to the key-cardinality frame; top-K is
+    // TakeOrderedAndProject (per-partition heads); the rank window
+    // runs on ≤ K rows (the q17 rule).
+    "p27_skew_audit" -> ((s, dir) => {
+      import s.implicits._
+      val keys = t(s, dir, "events").groupBy($"user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the totals AND the top-K
+      val tot = keys.agg(count(lit(1)).as("n_keys"),
+        sum($"cnt").as("n_rows"), max($"cnt").as("max_cnt"))
+      keys.orderBy($"cnt".desc, $"user_id").limit(SkewTopK)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"cnt".desc, $"user_id")).cast("long")) // ≤ K rows
+        .crossJoin(broadcast(tot))
+        .select($"rank", $"user_id", $"cnt",
+          expr("(cnt * 1000000) div n_rows").as("share_ppm"),
+          $"n_keys", $"n_rows",
+          expr("(max_cnt * n_keys * 1000000) div n_rows")
+            .as("max_over_mean_ppm"))
+        .orderBy($"rank")
+    }),
+
     // ---- G11: Newman modularity of the g5 partition --------------------
     // Scores the community structure g5's LPA found on the trade graph
     // (Newman & Girvan 2004): Q = Σ_c [e_c/m − (d_c/2m)²], computed as
@@ -782,6 +925,113 @@ object Stats2 {
          |    AS rmse_1step
          |FROM ser WHERE n_hours >= 2 ORDER BY event_type""".stripMargin
     },
+
+    "a67_holt_winters" -> {
+      val a = HoltAlpha
+      val b = HoltBeta
+      val g = HwGamma
+      val m = HwM
+      // the fold-step fragments, with i := CAST(e[1] AS BIGINT)
+      val i = "CAST(e[1] AS BIGINT)"
+      val x = s"xs[$i]"
+      val j = s"(($i - 1) % $m) + 1"
+      val sj = s"acc[(($i - 1) % $m) + 1 + 3]"
+      val nl = s"$a * ($x - $sj) + ${1.0 - a} * (acc[1] + acc[2])"
+      val nb = s"$b * (($nl) - acc[1]) + ${1.0 - b} * acc[2]"
+      val ns = s"$g * (($x - acc[1]) - acc[2]) + ${1.0 - g} * $sj"
+      val err = s"($x - ((acc[1] + acc[2]) + $sj))"
+      s"""WITH hourly AS (
+         |  SELECT ${Det.epochSSql("ts")} // 3600 AS hr, event_type,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT h.hr, t.event_type, COALESCE(hourly.v, 0) AS v
+         |  FROM (SELECT DISTINCT hr FROM hourly) h
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+         |  LEFT JOIN hourly
+         |    ON hourly.hr = h.hr AND hourly.event_type = t.event_type),
+         |ser AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |    list(CAST(v AS DOUBLE) ORDER BY hr) AS xs
+         |  FROM grid GROUP BY event_type),
+         |ini AS (
+         |  SELECT event_type, n_hours, xs,
+         |    list_reduce(xs[1:$m], (ac, x) -> ac + x)
+         |      / CAST($m.0 AS DOUBLE) AS l0,
+         |    list_reduce(xs[${m + 1}:${2 * m}], (ac, x) -> ac + x)
+         |      / CAST($m.0 AS DOUBLE) AS m2
+         |  FROM ser WHERE n_hours >= ${2 * m + 1}),
+         |ini2 AS (
+         |  SELECT event_type, n_hours, xs, l0,
+         |    (m2 - l0) / CAST($m.0 AS DOUBLE) AS b0
+         |  FROM ini),
+         |ini3 AS (
+         |  SELECT event_type, n_hours, xs,
+         |    list_concat(list_value(l0, b0, CAST(0.0 AS DOUBLE)),
+         |      list_transform(xs[1:$m], x -> x - l0)) AS ini
+         |  FROM ini2),
+         |fold AS (
+         |  SELECT event_type, n_hours, xs,
+         |    list_reduce(
+         |      list_concat([ini],
+         |        list_transform(range(${m + 1}, n_hours + 1),
+         |          ii -> [CAST(ii AS DOUBLE)])),
+         |      (acc, e) -> list_concat(
+         |        list_value($nl, $nb, acc[3] + $err * $err),
+         |        list_transform(range(1, ${m + 1}), k ->
+         |          CASE WHEN k = $j THEN $ns ELSE acc[k + 3] END))) AS fin
+         |  FROM ini3)
+         |SELECT event_type, n_hours,
+         |  round(fin[1] / 100.0, 6) AS level,
+         |  round(fin[2] / 100.0, 6) AS trend,
+         |  round((list_max(fin[4:${m + 3}]) - list_min(fin[4:${m + 3}]))
+         |    / 100.0, 6) AS s_amp,
+         |  round(((fin[1] + $HoltH * fin[2]) +
+         |    fin[((n_hours + 2) % $m) + 1 + 3]) / 100.0, 6) AS forecast_h3,
+         |  round(sqrt(fin[3] / CAST(n_hours - $m AS DOUBLE)) / 100.0, 6)
+         |    AS rmse_1step
+         |FROM fold ORDER BY event_type""".stripMargin
+    },
+
+    "p27_skew_audit" ->
+      s"""WITH kc AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |    CAST(max(cnt) AS BIGINT) AS max_cnt
+         |  FROM kc),
+         |top AS (
+         |  SELECT user_id, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+         |  FROM kc ORDER BY cnt DESC, user_id LIMIT $SkewTopK)
+         |SELECT rank, user_id, cnt,
+         |  (cnt * 1000000) // n_rows AS share_ppm, n_keys, n_rows,
+         |  (max_cnt * n_keys * 1000000) // n_rows AS max_over_mean_ppm
+         |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    "q18_k_anonymity" ->
+      s"""WITH cls AS (
+         |  SELECT lang, source, CAST(len(text) AS BIGINT) // $KAnonBand
+         |      AS lb, CAST(count(*) AS BIGINT) AS csz
+         |  FROM documents GROUP BY 1, 2, 3),
+         |tot AS (
+         |  SELECT CAST(sum(csz) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_classes,
+         |    CAST(min(csz) AS BIGINT) AS min_class
+         |  FROM cls)
+         |SELECT CAST(k.k AS BIGINT) AS k,
+         |  CAST(coalesce(sum(cls.csz), 0) AS BIGINT) AS n_risky_docs,
+         |  CAST(count(cls.csz) AS BIGINT) AS n_risky_classes,
+         |  any_value(tot.n_classes) AS n_classes,
+         |  any_value(tot.min_class) AS min_class,
+         |  (CAST(coalesce(sum(cls.csz), 0) AS BIGINT) * 1000000)
+         |    // any_value(tot.n_docs) AS risky_ppm
+         |FROM (VALUES (2), (5), (10), (20)) k(k)
+         |LEFT JOIN cls ON cls.csz < k.k
+         |CROSS JOIN tot
+         |GROUP BY k.k ORDER BY k.k""".stripMargin,
 
     "g11_modularity" ->
       s"""WITH ${Analytics.lpaOracleCtes},
