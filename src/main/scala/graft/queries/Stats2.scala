@@ -40,6 +40,13 @@ object Stats2 {
   /** p27 skew audit: hot keys reported. */
   private val SkewTopK = 5
 
+  /** q19 A/B power: two-sided α = 0.05 and power = 0.8 normal quantiles
+    * (shortest-repr double literals — identical parses in both
+    * engines; the Welch-MDE convention of every experimentation
+    * platform). */
+  private val Z975 = 1.959963984540054
+  private val Z80 = 0.8416212335729143
+
   /** q18 k-anonymity: quasi-identifier length-band width and the policy
     * threshold ladder (the grid is data, not reruns — the d22 rule). */
   private val KAnonBand = 64L
@@ -489,6 +496,116 @@ object Stats2 {
         .orderBy($"k")
     }),
 
+    // ---- Q19: A/B experiment power / minimal detectable effect ------------
+    // The pre-readout every experimentation platform computes (and the
+    // decision layer over a39's Welch test): treating each event_type
+    // as a treatment arm against the 'view' control, the Welch standard
+    // error from exact milli-moments, the minimal detectable effect at
+    // two-sided α = 0.05 / power 0.8 (MDE = (z_{.975} + z_{.80})·se),
+    // the observed mean difference, and whether the observed effect
+    // clears the MDE ("powered" — compared on the UNROUNDED doubles,
+    // bit-identical in both engines). Exactness: BIGINT milli-moments
+    // (the a19/a39 family bound), one fixed-shape double formula.
+    // 100 TB shape: ONE map-side moment agg collapses the corpus; the
+    // control row broadcasts.
+    "q19_ab_power" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: Column) => c.cast("double")
+      val mom = t(s, dir, "events")
+        .select($"event_type",
+          round($"value" * MilliScale).cast("long").as("q"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"q").as("sq"),
+          sum($"q" * $"q").as("sq2"))
+        .localCheckpoint() // feeds the control row AND the arm rows
+      val ctrl = mom.filter($"event_type" === "view")
+        .select($"n".as("n_c"), $"sq".as("sq_c"), $"sq2".as("sq2_c"))
+      mom.filter($"event_type" =!= "view")
+        .crossJoin(broadcast(ctrl))
+        .withColumn("var_t",
+          (d($"sq2") - d($"sq") * d($"sq") / d($"n")) / d($"n" - 1L))
+        .withColumn("var_c",
+          (d($"sq2_c") - d($"sq_c") * d($"sq_c") / d($"n_c")) /
+            d($"n_c" - 1L))
+        .withColumn("se", sqrt($"var_t" / d($"n") + $"var_c" / d($"n_c")))
+        .withColumn("diff", d($"sq") / d($"n") - d($"sq_c") / d($"n_c"))
+        .withColumn("mde", (lit(Z975) + lit(Z80)) * $"se")
+        .select($"event_type", $"n".as("n_treat"), $"n_c".as("n_ctrl"),
+          round($"diff" / 1000.0, 6).as("mean_diff"),
+          round($"mde" / 1000.0, 6).as("mde_abs"),
+          (abs($"diff") >= $"mde").as("powered"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- A68: one-step forecast backtest (model selection) ----------------
+    // The M-competition question the a61/a67 family begs: WHICH
+    // forecaster earns its keep on this series? Per event_type, the
+    // one-step-ahead SSE of (i) the naive carry-forward x_{t−1}, (ii)
+    // the seasonal naive x_{t−m}, and (iii) a61's Holt smoother, all
+    // over the SAME evaluation range t = m+1..n of the SHARED
+    // holtHourly grid, plus the argmin winner. Exactness: the two
+    // naive SSEs are EXACT BIGINT (integer cents diffs squared,
+    // order-free sums — no fold needed); Holt's SSE rides the a61
+    // snapshot-array fold widened with the position so accumulation
+    // starts at t = m+1 (the a67 index-encoding for DuckDB's init-less
+    // list_reduce); the winner CASE compares bit-identical doubles
+    // with a fixed tie precedence (holt ≤ seasonal ≤ naive).
+    // 100 TB shape: ONE (hour, type) agg + one type-keyed window pass
+    // for the lags + the per-type fold.
+    "a68_forecast_backtest" -> ((s, dir) => {
+      import s.implicits._
+      val m = HwM
+      val al = HoltAlpha; val be = HoltBeta
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"hr")
+      val grid = holtHourly(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("d1", $"v" - lag($"v", 1).over(w))
+        .withColumn("dm", $"v" - lag($"v", m).over(w))
+        .localCheckpoint() // feeds the naive sums AND the fold series
+      val naive = grid.filter($"rn" > m)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum($"d1" * $"d1").as("sse_naive_c2"),
+          sum($"dm" * $"dm").as("sse_snaive_c2"))
+      val holt = grid.groupBy($"event_type")
+        .agg(transform(sort_array(collect_list(struct($"hr", $"v"))),
+          x => x.getField("v").cast("double")).as("xs"))
+        .filter(size($"xs") >= 2 * m + 1)
+        .withColumn("fin", aggregate(
+          sequence(lit(2), size($"xs")),
+          array(element_at($"xs", 1), lit(0.0), lit(0.0)),
+          (acc, i) => {
+            val x = element_at($"xs", i)
+            val pl = element_at(acc, lit(1))
+            val pb = element_at(acc, lit(2))
+            val nl = lit(al) * x + lit(1.0 - al) * (pl + pb)
+            val err = x - (pl + pb)
+            array(nl,
+              lit(be) * (nl - pl) + lit(1.0 - be) * pb,
+              when(i >= lit(m + 1),
+                element_at(acc, lit(3)) + err * err)
+                .otherwise(element_at(acc, lit(3))))
+          }))
+        .select($"event_type", element_at($"fin", 3).as("sse_holt"))
+      naive.join(holt, Seq("event_type"))
+        .withColumn("rmse_naive",
+          sqrt($"sse_naive_c2".cast("double") / $"n_eval".cast("double")) / 100.0)
+        .withColumn("rmse_snaive",
+          sqrt($"sse_snaive_c2".cast("double") / $"n_eval".cast("double")) / 100.0)
+        .withColumn("rmse_holt",
+          sqrt($"sse_holt" / $"n_eval".cast("double")) / 100.0)
+        .select($"event_type", $"n_eval",
+          round($"rmse_naive", 6).as("rmse_naive"),
+          round($"rmse_snaive", 6).as("rmse_snaive"),
+          round($"rmse_holt", 6).as("rmse_holt"),
+          when($"rmse_holt" <= $"rmse_snaive" &&
+              $"rmse_holt" <= $"rmse_naive", "holt")
+            .when($"rmse_snaive" <= $"rmse_naive", "seasonal_naive")
+            .otherwise("naive").as("winner"))
+        .orderBy($"event_type")
+    }),
+
     // ---- A67: Holt–Winters additive-seasonal smoothing --------------------
     // a61 extended one component (Winters 1960; the NIST/ES textbook
     // triple smoothing): level + trend + a 24-hour additive seasonal
@@ -924,6 +1041,102 @@ object Stats2 {
          |  round(sqrt(fin[3] / CAST(n_hours - 1 AS DOUBLE)) / 100.0, 6)
          |    AS rmse_1step
          |FROM ser WHERE n_hours >= 2 ORDER BY event_type""".stripMargin
+    },
+
+    "q19_ab_power" ->
+      s"""WITH mom AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(q) AS BIGINT) AS sq,
+         |    CAST(sum(q * q) AS BIGINT) AS sq2
+         |  FROM (SELECT event_type,
+         |          CAST(round(value * 1000.0) AS BIGINT) AS q
+         |        FROM events)
+         |  GROUP BY 1),
+         |ctrl AS (SELECT n AS n_c, sq AS sq_c, sq2 AS sq2_c
+         |         FROM mom WHERE event_type = 'view'),
+         |r AS (
+         |  SELECT event_type, n, n_c,
+         |    (CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_t,
+         |    (CAST(sq2_c AS DOUBLE) - CAST(sq_c AS DOUBLE)
+         |      * CAST(sq_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+         |      / CAST(n_c - 1 AS DOUBLE) AS var_c,
+         |    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - CAST(sq_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS diff
+         |  FROM mom CROSS JOIN ctrl WHERE event_type <> 'view'),
+         |r2 AS (
+         |  SELECT event_type, n, n_c, diff,
+         |    ($Z975 + $Z80) * sqrt(var_t / CAST(n AS DOUBLE)
+         |      + var_c / CAST(n_c AS DOUBLE)) AS mde
+         |  FROM r)
+         |SELECT event_type, n AS n_treat, n_c AS n_ctrl,
+         |  round(diff / 1000.0, 6) AS mean_diff,
+         |  round(mde / 1000.0, 6) AS mde_abs,
+         |  (abs(diff) >= mde) AS powered
+         |FROM r2 ORDER BY event_type""".stripMargin,
+
+    "a68_forecast_backtest" -> {
+      val a = HoltAlpha
+      val b = HoltBeta
+      val m = HwM
+      val x = "e[1]"
+      val nl = s"$a * $x + ${1.0 - a} * (acc[1] + acc[2])"
+      s"""WITH hourly AS (
+         |  SELECT ${Det.epochSSql("ts")} // 3600 AS hr, event_type,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT h.hr, t.event_type, COALESCE(hourly.v, 0) AS v
+         |  FROM (SELECT DISTINCT hr FROM hourly) h
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+         |  LEFT JOIN hourly
+         |    ON hourly.hr = h.hr AND hourly.event_type = t.event_type),
+         |lagd AS (
+         |  SELECT event_type, hr, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+         |    v - lag(v, 1) OVER (PARTITION BY event_type ORDER BY hr) AS d1,
+         |    v - lag(v, $m) OVER (PARTITION BY event_type ORDER BY hr) AS dm
+         |  FROM grid),
+         |nv AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+         |    CAST(sum(d1 * d1) AS BIGINT) AS sse_naive_c2,
+         |    CAST(sum(dm * dm) AS BIGINT) AS sse_snaive_c2
+         |  FROM lagd WHERE rn > $m GROUP BY 1),
+         |ser AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |    list(CAST(v AS DOUBLE) ORDER BY hr) AS xs
+         |  FROM grid GROUP BY event_type),
+         |ho AS (
+         |  SELECT event_type,
+         |    list_reduce(
+         |      list_concat([[xs[1], CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]],
+         |        list_transform(range(2, n_hours + 1),
+         |          ii -> [xs[ii], CAST(ii AS DOUBLE)])),
+         |      (acc, e) -> [
+         |        $nl,
+         |        $b * (($nl) - acc[1]) + ${1.0 - b} * acc[2],
+         |        CASE WHEN CAST(e[2] AS BIGINT) >= ${m + 1}
+         |          THEN acc[3] + ($x - (acc[1] + acc[2]))
+         |            * ($x - (acc[1] + acc[2]))
+         |          ELSE acc[3] END])[3] AS sse_holt
+         |  FROM ser WHERE n_hours >= ${2 * m + 1}),
+         |r AS (
+         |  SELECT nv.event_type, n_eval,
+         |    sqrt(CAST(sse_naive_c2 AS DOUBLE) / CAST(n_eval AS DOUBLE))
+         |      / 100.0 AS rmse_naive,
+         |    sqrt(CAST(sse_snaive_c2 AS DOUBLE) / CAST(n_eval AS DOUBLE))
+         |      / 100.0 AS rmse_snaive,
+         |    sqrt(sse_holt / CAST(n_eval AS DOUBLE)) / 100.0 AS rmse_holt
+         |  FROM nv JOIN ho ON nv.event_type = ho.event_type)
+         |SELECT event_type, n_eval,
+         |  round(rmse_naive, 6) AS rmse_naive,
+         |  round(rmse_snaive, 6) AS rmse_snaive,
+         |  round(rmse_holt, 6) AS rmse_holt,
+         |  CASE WHEN rmse_holt <= rmse_snaive AND rmse_holt <= rmse_naive
+         |    THEN 'holt'
+         |    WHEN rmse_snaive <= rmse_naive THEN 'seasonal_naive'
+         |    ELSE 'naive' END AS winner
+         |FROM r ORDER BY event_type""".stripMargin
     },
 
     "a67_holt_winters" -> {
