@@ -60,8 +60,8 @@ object Stats2 {
   private val HoltH = 3.0
   /** a67 Holt–Winters: additive-seasonal smoothing constant (dyadic,
     * the HoltAlpha rule) and the season length in hours. */
-  private val HwGamma = 0.25
-  private val HwM = 24
+  private[graft] val HwGamma = 0.25
+  private[graft] val HwM = 24
 
   /** q16 / cohortStream's shared activity feed: (user_id, dd) with dd
     * the integer activity day — ONE definition so the batch matrix and

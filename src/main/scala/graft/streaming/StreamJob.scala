@@ -362,6 +362,90 @@ object StreamJob {
       }
   }
 
+  case class HwIn(event_type: String, hr: Long, v: Long)
+  case class HwOut(event_type: String, n: Long, level: Double,
+                   trend: Double, sse: Double, s_amp: Double,
+                   s_next3: Double)
+  case class HwState(n: Long, buf: Seq[Double], l: Double, b: Double,
+                     sse: Double, sea: Seq[Double])
+
+  /** Streaming Holt–Winters — a67's triple smoothing as a live per-key
+    * forecaster over CLOSED hourly buckets (feed with the SHARED
+    * `Stats2.holtHourly`, ordered by hr — the holtStream contract).
+    * Phase 1 buffers the first 2m buckets (state ≤ 2m doubles,
+    * bounded); on the 2m-th arrival it computes a67's two-season init
+    * TERM FOR TERM (fold-left sums with the 0.0 seed, the same
+    * association as the batch `aggregate`), replays buckets m+1..2m
+    * through the step, and switches to live mode: per bucket, the
+    * level/trend/seasonal/SSE update replicates a67's fold step in the
+    * same association, so the running state is bit-identical to the
+    * batch array fold at every prefix. Emits from bucket 2m+1 (the
+    * batch filter's n ≥ 2m+1 floor — the holtStream n≥2 rule), carrying
+    * everything a67's report needs: the seasonal amplitude and the
+    * t+3 seasonal slot ride along so consumers rebuild the full report
+    * (level + h·trend + s) without holding the 24-slot state. */
+  def holtWintersStream(stream: DataFrame): org.apache.spark.sql.Dataset[HwOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // serializable locals (the ewmaAlarmStream rule)
+    val al = graft.queries.Stats2.HoltAlpha
+    val be = graft.queries.Stats2.HoltBeta
+    val ga = graft.queries.Stats2.HwGamma
+    val m = graft.queries.Stats2.HwM
+    stream
+      .select(col("event_type").cast("string").as("event_type"),
+        col("hr").cast("long").as("hr"), col("v").cast("long").as("v"))
+      .as[HwIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[HwIn],
+         state: org.apache.spark.sql.streaming.GroupState[HwState]) =>
+          var st = state.getOption
+            .getOrElse(HwState(0L, Vector.empty, 0.0, 0.0, 0.0, Vector.empty))
+          val out = collection.mutable.ArrayBuffer[HwOut]()
+          // a67's fold step, same association; j0 = 0-based seasonal slot
+          def step(cur: HwState, x: Double): HwState = {
+            val j0 = ((cur.n.toInt) % m) // slot of bucket t = n+1: (t−1) % m
+            val sj = cur.sea(j0)
+            val nl = al * (x - sj) + (1.0 - al) * (cur.l + cur.b)
+            val nb = be * (nl - cur.l) + (1.0 - be) * cur.b
+            val ns = ga * ((x - cur.l) - cur.b) + (1.0 - ga) * sj
+            val err = x - ((cur.l + cur.b) + sj)
+            HwState(cur.n + 1, cur.buf, nl, nb,
+              cur.sse + err * err, cur.sea.updated(j0, ns))
+          }
+          rows.toSeq.sortBy(_.hr).foreach { r =>
+            val x = r.v.toDouble
+            if (st.sea.isEmpty) {
+              // phase 1: buffer until the two init seasons are closed
+              val buf = st.buf :+ x
+              if (buf.length < 2 * m) st = HwState(buf.length.toLong, buf,
+                0.0, 0.0, 0.0, Vector.empty)
+              else {
+                // a67's init: fold-left sums seeded 0.0 (the batch shape)
+                val l0 = buf.take(m).foldLeft(0.0)(_ + _) / m.toDouble
+                val m2 = buf.slice(m, 2 * m).foldLeft(0.0)(_ + _) / m.toDouble
+                val b0 = (m2 - l0) / m.toDouble
+                var cur = HwState(m.toLong, Vector.empty, l0, b0, 0.0,
+                  buf.take(m).map(_ - l0).toVector)
+                // replay the second init season through the fold
+                buf.slice(m, 2 * m).foreach(xr => cur = step(cur, xr))
+                st = cur // n = 2m; emissions start with the NEXT bucket
+              }
+            } else {
+              st = step(st, x)
+              out += HwOut(key, st.n, st.l, st.b, st.sse,
+                st.sea.max - st.sea.min,
+                st.sea(((st.n.toInt + 2) % m)))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class CohortIn(user_id: Long, dd: Long)
   case class CohortOut(user_id: Long, cohort_day: Long, age: Long)
   case class CohortState(cd: Long, seen: Seq[Long])

@@ -352,6 +352,53 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming Holt–Winters state ≡ the oracle-green a67 batch fold, " +
+      "across three batch-cut layouts") {
+    val dir = "/root/testdata/sf0.001"
+    val r6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val batch = graft.SparkEntry.queries("a67_holt_winters")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(batch.nonEmpty)
+    val rows = graft.queries.Stats2.holtHourly(spark, dir)
+      .orderBy($"hr", $"event_type").collect()
+      .map(r => StreamJob.HwIn(r.getString(1), r.getLong(0), r.getLong(2)))
+    implicit val sq = spark.sqlContext
+    val layouts = Seq(Seq(rows.length), Seq(800, rows.length),
+      Seq(90, 1500, rows.length)) // 90 < 2m·types: cuts INSIDE phase 1
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[StreamJob.HwIn]
+      val q = StreamJob.holtWintersStream(mem.toDF())
+        .writeStream.format("memory").queryName(s"hw_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable(); prev = c
+      }
+      q.stop()
+      val emitted = spark.table(s"hw_out_$i").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      // emissions start at bucket 2m+1 (the batch n ≥ 2m+1 floor)
+      assert(emitted.forall(_._2 >= 2L * graft.queries.Stats2.HwM + 1L),
+        s"layout $i emitted during the init window")
+      // the LAST emission per type carries the full-series fold;
+      // rebuild a67's report columns with a67's rounding
+      val m = graft.queries.Stats2.HwM
+      val got = emitted.groupBy(_._1).map { case (k, es) =>
+        val (_, n, l, b, sse, amp, s3) = es.maxBy(_._2)
+        k -> ((n, r6(l / 100.0), r6(b / 100.0), r6(amp / 100.0),
+          r6(((l + 3.0 * b) + s3) / 100.0),
+          r6(math.sqrt(sse / (n - m).toDouble) / 100.0)))
+      }
+      assert(got == batch, s"cut layout $i diverged from batch")
+    }
+  }
+
   test("streaming cohort feed ≡ the oracle-green q16 matrix, across " +
       "three batch-cut layouts") {
     val dir = "/root/testdata/sf0.001"
