@@ -102,6 +102,48 @@ object Embed {
   private val KnnSeed2 = SEED + 100L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- E23: per-dimension embedding health audit -----------------------
+    // The collapse check an embedding pipeline runs BEFORE trusting any
+    // ANN/cluster result on a new model drop: per-dimension mean and
+    // variance (e6-quantized exact BIGINT moments), each dim's share of
+    // total variance, and the participation ratio (Σλ)²/Σλ² — the
+    // standard effective-dimensionality proxy (PR ≈ d ⇒ isotropic,
+    // PR ≪ d ⇒ collapsed/anisotropic; Gao et al. 2019's representation-
+    // degeneration failure is exactly a low-PR embedding). Exactness:
+    // BIGINT per-dim moments (|q| ≤ 1e6 ⇒ Σq² exact to ~9e6 vectors per
+    // dim at this width; DECIMAL(38,0) beyond, the a40 rule); the two
+    // cross-dim sums fold SORTED over exactly d doubles (the t30 rule).
+    // 100 TB shape: ONE posexplode → (dim) agg collapses the corpus to
+    // d rows; everything after is d-row arithmetic + a 1-row broadcast.
+    "e23_dim_audit" -> ((s, dir) => {
+      import s.implicits._
+      val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val mom = t(s, dir, "embeddings")
+        .select(posexplode($"embedding").as(Seq("dim0", "x")))
+        .select($"dim0".cast("long").as("dim"),
+          round($"x".cast("double") * 1000000.0).cast("long").as("v"))
+        .groupBy($"dim")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          sum($"v" * $"v").as("sv2"))
+        .withColumn("mu", dd($"sv") / dd($"n"))
+        .withColumn("vr", (dd($"sv2") - dd($"sv") * dd($"sv") / dd($"n")) /
+          dd($"n" - 1L))
+        .localCheckpoint() // feeds the cross-dim totals AND the report
+      val tot = mom.agg(
+        aggregate(sort_array(collect_list($"vr")), lit(0.0),
+          (a, x) => a + x).as("sv_all"),
+        aggregate(sort_array(collect_list($"vr" * $"vr")), lit(0.0),
+          (a, x) => a + x).as("sv2_all"))
+      mom.crossJoin(broadcast(tot))
+        .select($"dim", $"n",
+          round($"mu" / 1000000.0, 6).as("mean"),
+          round($"vr" / 1000000000000.0, 6).as("variance"),
+          round($"vr" / $"sv_all", 6).as("var_share"),
+          round($"sv_all" * $"sv_all" / $"sv2_all", 4)
+            .as("participation_ratio"))
+        .orderBy($"dim")
+    }),
+
     // ---- brute-force cosine top-5 per query vector -----------------------
     "e1_cosine_topk" -> ((s, dir) => {
       import s.implicits._
@@ -860,6 +902,34 @@ object Embed {
     }))
 
   def oracles: Map[String, String] = {
+    val e23Oracle =
+      s"""WITH dims AS (SELECT unnest(generate_series(1, $DIM)) AS i),
+         |qv AS (
+         |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+         |      AS BIGINT) AS v
+         |  FROM embeddings CROSS JOIN dims),
+         |mom AS (
+         |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sv,
+         |    CAST(sum(v * v) AS BIGINT) AS sv2
+         |  FROM qv GROUP BY 1),
+         |mm AS (
+         |  SELECT dim, n, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    (CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS vr
+         |  FROM mom),
+         |tot AS (
+         |  SELECT list_reduce(list_sort(list(vr)), (a, x) -> a + x)
+         |      AS sv_all,
+         |    list_reduce(list_sort(list(vr * vr)), (a, x) -> a + x)
+         |      AS sv2_all
+         |  FROM mm)
+         |SELECT dim, n, round(mu / 1000000.0, 6) AS mean,
+         |  round(vr / 1000000000000.0, 6) AS variance,
+         |  round(vr / sv_all, 6) AS var_share,
+         |  round(sv_all * sv_all / sv2_all, 4) AS participation_ratio
+         |FROM mm CROSS JOIN tot ORDER BY dim""".stripMargin
     val bucketSql = Vectors.lshBucketSql("embedding", DIM, NBITS, SEED)
     val cosQC = Vectors.cosineSql("qv", "cv", DIM)
     val cosXY = Vectors.cosineSql("xe", "ye", DIM)
@@ -885,6 +955,8 @@ object Embed {
       "(CAST(cenv[i] AS DOUBLE) + cwv[i]) * (CAST(cenv[i] AS DOUBLE) + cwv[i])")
 
     Map(
+      "e23_dim_audit" -> e23Oracle,
+
       "e1_cosine_topk" ->
         s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
            |           FROM embeddings WHERE vec_id < 10),

@@ -496,6 +496,50 @@ object Stats2 {
         .orderBy($"k")
     }),
 
+    // ---- A69: seasonal-strength decomposition -----------------------------
+    // The "why" behind a68's winner column: per event_type, how much of
+    // the hourly variance does the hour-of-day profile explain?
+    // strength = 1 − SS_resid/SS_total with SS_resid summed over the
+    // ≤24 hour-of-day cells (Hyndman & Athanasopoulos's STL seasonal-
+    // strength measure, on the mean-profile decomposition) — near 0
+    // here, which is exactly why the seasonal naive loses the a68
+    // backtest. Also reports the peak hour and its mean via ONE packed
+    // BIGINT argmax key (mean_ppm·32 + (31 − hod): exact while
+    // mean_ppm < 2^58 ≈ 2.9e17 — cents·10⁶ per hour, ledgered; ties →
+    // smallest hod). Exactness: BIGINT cents moments; per-cell residual
+    // terms fold SORTED over ≤24 doubles (the t30 rule). 100 TB shape:
+    // the SHARED hourly agg + a ≤24·types cell agg; nothing data-sized
+    // after the first collapse.
+    "a69_seasonal_strength" -> ((s, dir) => {
+      import s.implicits._
+      val d = (c: Column) => c.cast("double")
+      val grid = holtHourly(s, dir)
+        .withColumn("hod", expr("hr % 24"))
+        .localCheckpoint() // feeds the total AND the cell moments
+      val tot = grid.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sx"),
+          sum($"v" * $"v").as("sx2"))
+      val cells = grid.groupBy($"event_type", $"hod")
+        .agg(count(lit(1)).as("nh"), sum($"v").as("sxh"),
+          sum($"v" * $"v").as("sx2h"))
+        .withColumn("resid",
+          d($"sx2h") - d($"sxh") * d($"sxh") / d($"nh"))
+        .withColumn("pk",
+          expr("(sxh * 1000000) div nh") * 32L + (lit(31L) - $"hod"))
+      val agg = cells.groupBy($"event_type")
+        .agg(aggregate(sort_array(collect_list($"resid")), lit(0.0),
+          (a, x) => a + x).as("ssr"),
+          max($"pk").as("pk"))
+      tot.join(agg, Seq("event_type"))
+        .withColumn("sst", d($"sx2") - d($"sx") * d($"sx") / d($"n"))
+        .select($"event_type", $"n".as("n_hours"),
+          round(lit(1.0) - $"ssr" / $"sst", 6).as("seasonal_strength"),
+          (lit(31L) - ($"pk" % 32L)).as("peak_hod"),
+          round(expr("(pk div 32)").cast("double") / 100000000.0, 6)
+            .as("peak_mean"))
+        .orderBy($"event_type")
+    }),
+
     // ---- Q19: A/B experiment power / minimal detectable effect ------------
     // The pre-readout every experimentation platform computes (and the
     // decision layer over a39's Welch test): treating each event_type
@@ -1042,6 +1086,48 @@ object Stats2 {
          |    AS rmse_1step
          |FROM ser WHERE n_hours >= 2 ORDER BY event_type""".stripMargin
     },
+
+    "a69_seasonal_strength" ->
+      s"""WITH hourly AS (
+         |  SELECT ${Det.epochSSql("ts")} // 3600 AS hr, event_type,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT h.hr, t.event_type, COALESCE(hourly.v, 0) AS v,
+         |    h.hr % 24 AS hod
+         |  FROM (SELECT DISTINCT hr FROM hourly) h
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+         |  LEFT JOIN hourly
+         |    ON hourly.hr = h.hr AND hourly.event_type = t.event_type),
+         |tot AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sx,
+         |    CAST(sum(v * v) AS BIGINT) AS sx2
+         |  FROM grid GROUP BY 1),
+         |cells AS (
+         |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS nh,
+         |    CAST(sum(v) AS BIGINT) AS sxh,
+         |    CAST(sum(v * v) AS BIGINT) AS sx2h
+         |  FROM grid GROUP BY 1, 2),
+         |c2 AS (
+         |  SELECT event_type,
+         |    CAST(sx2h AS DOUBLE) - CAST(sxh AS DOUBLE)
+         |      * CAST(sxh AS DOUBLE) / CAST(nh AS DOUBLE) AS resid,
+         |    ((sxh * 1000000) // nh) * 32 + (31 - hod) AS pk
+         |  FROM cells),
+         |ag AS (
+         |  SELECT event_type,
+         |    list_reduce(list_sort(list(resid)), (a, x) -> a + x) AS ssr,
+         |    CAST(max(pk) AS BIGINT) AS pk
+         |  FROM c2 GROUP BY 1)
+         |SELECT tot.event_type, n AS n_hours,
+         |  round(1.0 - ssr / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+         |    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |    AS seasonal_strength,
+         |  CAST(31 - (pk % 32) AS BIGINT) AS peak_hod,
+         |  round(CAST(pk // 32 AS DOUBLE) / 100000000.0, 6) AS peak_mean
+         |FROM tot JOIN ag ON tot.event_type = ag.event_type
+         |ORDER BY tot.event_type""".stripMargin,
 
     "q19_ab_power" ->
       s"""WITH mom AS (
