@@ -496,6 +496,42 @@ object Stats2 {
         .orderBy($"k")
     }),
 
+    // ---- Q20: signup → purchase time-to-convert ---------------------------
+    // The activation-latency report between q8's funnel (does the user
+    // convert?) and q16's cohorts (when did they arrive?): per signed-up
+    // user, the delay from FIRST signup to the FIRST purchase at-or-
+    // after it; the latency distribution as exact deciles (the q17
+    // formula — never ntile), with the conversion rate riding along.
+    // Exactness: integer epoch seconds end-to-end; the rank pass is the
+    // two-pass distributed Ranks (no global window); deciles/ppm ride
+    // the ledger rules. 100 TB shape: two per-user aggs collapse the
+    // corpus; ONE Ranks pass over the converted-user frame; a ≤10-row
+    // report.
+    "q20_time_to_convert" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_type", Det.epochS($"ts").as("es"))
+      val su = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"es").as("s_es"))
+        .localCheckpoint() // feeds the purchase join AND the signup count
+      val pu = ev.filter($"event_type" === "purchase")
+        .join(su, Seq("user_id"))
+        .filter($"es" >= $"s_es")
+        .groupBy($"user_id").agg(min($"es" - $"s_es").as("delta_s"))
+        .localCheckpoint() // feeds the converted count AND the rank pass
+      val nSign = su.agg(count(lit(1)).as("n_signup"))
+      val nConv = pu.agg(count(lit(1)).as("n_converted"))
+      graft.ops.Ranks.globalRowNumberWithTotal(pu,
+          Seq($"delta_s", $"user_id"), "rk", "n")
+        .withColumn("decile", expr("((rk - 1) * 10) div n + 1").cast("int"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_users"), max($"delta_s").as("max_delta_s"))
+        .crossJoin(broadcast(nSign)).crossJoin(broadcast(nConv))
+        .withColumn("conv_ppm",
+          expr("(n_converted * 1000000) div n_signup"))
+        .orderBy($"decile")
+    }),
+
     // ---- A69: seasonal-strength decomposition -----------------------------
     // The "why" behind a68's winner column: per event_type, how much of
     // the hourly variance does the hour-of-day profile explain?
@@ -1086,6 +1122,33 @@ object Stats2 {
          |    AS rmse_1step
          |FROM ser WHERE n_hours >= 2 ORDER BY event_type""".stripMargin
     },
+
+    "q20_time_to_convert" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, ${Det.epochSSql("ts")} AS es
+         |  FROM events),
+         |su AS (
+         |  SELECT user_id, CAST(min(es) AS BIGINT) AS s_es
+         |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         |pu AS (
+         |  SELECT ev.user_id, CAST(min(es - s_es) AS BIGINT) AS delta_s
+         |  FROM ev JOIN su ON ev.user_id = su.user_id
+         |  WHERE event_type = 'purchase' AND es >= s_es GROUP BY 1),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_signup FROM su),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_converted FROM pu),
+         |rk AS (
+         |  SELECT delta_s,
+         |    row_number() OVER (ORDER BY delta_s, user_id) AS rk,
+         |    count(*) OVER () AS n
+         |  FROM pu),
+         |dec AS (
+         |  SELECT CAST(((rk - 1) * 10) // n + 1 AS INTEGER) AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(max(delta_s) AS BIGINT) AS max_delta_s
+         |  FROM rk GROUP BY 1)
+         |SELECT decile, n_users, max_delta_s, n_signup, n_converted,
+         |  (n_converted * 1000000) // n_signup AS conv_ppm
+         |FROM dec CROSS JOIN ns CROSS JOIN nc ORDER BY decile""".stripMargin,
 
     "a69_seasonal_strength" ->
       s"""WITH hourly AS (

@@ -275,6 +275,36 @@ object TextDedup {
         .orderBy($"doc_id")
     }),
 
+    // ---- T46: tokenizer fertility audit -----------------------------------
+    // The budgeting pass run before choosing/locking a tokenizer: per
+    // language, how many chars buy one whitespace word, and what the
+    // subword estimate costs RELATIVE to words (fertility — the MT-era
+    // subwords-per-word measure; a high-fertility language pays more
+    // context window per sentence, which is exactly what per-language
+    // token budgets must correct for). Counts ride the SHARED
+    // TextOps.tokenCounts kernel (t3's columns, aggregated); ratios are
+    // the exact ppm rule. 100 TB shape: ONE map-side (lang) agg
+    // collapses the corpus; output is ≤ languages rows.
+    "t46_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val (ws, bpe) = TextOps.tokenCounts($"text")
+      t(s, dir, "documents")
+        .select($"lang", length($"text").cast("long").as("nc"),
+          ws.cast("long").as("nw"), bpe.as("nb"))
+        .filter($"nw" > 0L) // empty docs buy nothing (stated)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"nc").as("n_chars"),
+          sum($"nw").as("n_ws_tokens"), sum($"nb").as("n_bpe_est"))
+        .select($"lang", $"n_docs", $"n_ws_tokens", $"n_bpe_est",
+          expr("(n_chars * 1000000) div n_ws_tokens")
+            .as("chars_per_word_ppm"),
+          expr("(n_bpe_est * 1000000) div n_ws_tokens")
+            .as("fertility_ppm"),
+          expr("(n_ws_tokens * 1000000) div n_docs")
+            .as("words_per_doc_ppm"))
+        .orderBy($"lang")
+    }),
+
     // ---- document fingerprint (canonical bag-of-words md5) ---------------
     "t4_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -1158,6 +1188,24 @@ object TextDedup {
         s"""SELECT doc_id, CAST(len($tokensSqlExpr) AS INTEGER) AS n_ws_tokens,
            |  CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "t46_fertility" ->
+        s"""WITH d AS (
+           |  SELECT lang, CAST(len(text) AS BIGINT) AS nc,
+           |    CAST(len($tokensSqlExpr) AS BIGINT) AS nw,
+           |    CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS nb
+           |  FROM documents),
+           |g AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(nc) AS BIGINT) AS n_chars,
+           |    CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+           |    CAST(sum(nb) AS BIGINT) AS n_bpe_est
+           |  FROM d WHERE nw > 0 GROUP BY 1)
+           |SELECT lang, n_docs, n_ws_tokens, n_bpe_est,
+           |  (n_chars * 1000000) // n_ws_tokens AS chars_per_word_ppm,
+           |  (n_bpe_est * 1000000) // n_ws_tokens AS fertility_ppm,
+           |  (n_ws_tokens * 1000000) // n_docs AS words_per_doc_ppm
+           |FROM g ORDER BY lang""".stripMargin,
 
       "t4_fingerprint" ->
         s"""SELECT doc_id,
