@@ -18,7 +18,7 @@ object SparkEntry {
       graft.queries.Core2.queries ++ graft.queries.Lifecycle.queries ++
       graft.queries.Pipeline.queries ++ graft.queries.Mm.queries ++
       graft.queries.Analytics.queries ++ graft.queries.Stats.queries ++
-      graft.queries.Stats2.queries ++
+      graft.queries.Stats2.queries ++ graft.queries.Stats3.queries ++
       graft.queries.Curate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,6 +29,6 @@ object SparkEntry {
       graft.queries.Core2.oracles ++ graft.queries.Lifecycle.oracles ++
       graft.queries.Pipeline.oracles ++ graft.queries.Mm.oracles ++
       graft.queries.Analytics.oracles ++ graft.queries.Stats.oracles ++
-      graft.queries.Stats2.oracles ++
+      graft.queries.Stats2.oracles ++ graft.queries.Stats3.oracles ++
       graft.queries.Curate.oracles
 }

@@ -29,6 +29,7 @@ class EntryContractSpec extends AnyFunSuite {
       "Analytics" -> queries.Analytics.queries.keySet,
       "Stats" -> queries.Stats.queries.keySet,
       "Stats2" -> queries.Stats2.queries.keySet,
+      "Stats3" -> queries.Stats3.queries.keySet,
       "Curate" -> queries.Curate.queries.keySet)
     val dups = packs.combinations(2).flatMap {
       case Seq((na, a), (nb, b)) => (a & b).map(k => s"$k ($na ∩ $nb)")
