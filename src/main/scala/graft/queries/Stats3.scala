@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
 import graft.functions.Det
 
@@ -90,6 +91,69 @@ object Stats3 {
        |  FROM ev CROSS JOIN bounds
        |  GROUP BY user_id, d_mid)""".stripMargin
 
+  /** a70 packed-argmax shift: pk = |D|·2²⁰ + (2²⁰ − 1 − t). Exact while
+    * |D| < 2^43 · 2²⁰ = 2^63 ⇒ |D| ≲ 8.8e12 (ledgered); ties → smallest
+    * t wins (complement index under MAX — the a69 rule). */
+  private[graft] val CpPackShift = 1048576L
+
+  /** The a61/a67 hourly grid's DuckDB twin (hourly cents volume per
+    * (hr, event_type) with absent hours REAL zeros) — the same CTE text
+    * the Stats2 forecast oracles carry, shared here by a70/a71. */
+  private val hourlyGridSql =
+    s"""hourly AS (
+       |  SELECT ${Det.epochSSql("ts")} // 3600 AS hr, event_type,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT h.hr, t.event_type, COALESCE(hourly.v, 0) AS v
+       |  FROM (SELECT DISTINCT hr FROM hourly) h
+       |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+       |  LEFT JOIN hourly
+       |    ON hourly.hr = h.hr AND hourly.event_type = t.event_type)""".stripMargin
+
+  /** a71 Granger F-test, assembled from the ten exact-BIGINT lag moments
+    * by ONE formula text evaluated verbatim by BOTH engines (the d23
+    * generated-SQL recipe — identical parse ⇒ identical IEEE DAG).
+    * Inputs: np (usable rows), sy/sy1/sx1 (sums), syy/sy1y1/sx1x1
+    * (squares), syy1/syx1/sy1x1 (cross products), all pre-cast to
+    * DOUBLE under f_-prefixed names by [[grangerCastSql]]. Restricted
+    * model y_t ~ 1 + y_{t−1}; unrestricted adds x_{t−1}; coefficients
+    * by Cramer's rule on the 3×3 normal equations. */
+  private val grangerCastCols: Seq[String] =
+    Seq("np", "sy", "sy1", "sx1", "syy", "sy1y1", "sx1x1", "syy1",
+      "syx1", "sy1x1")
+      .map(m => s"CAST($m AS DOUBLE) AS f_$m")
+
+  private val grangerFormulaSql: Seq[(String, String)] = {
+    // restricted slope/intercept and SSE_r
+    val br = "((f_np * f_syy1 - f_sy * f_sy1) / " +
+      "(f_np * f_sy1y1 - f_sy1 * f_sy1))"
+    val ar = s"((f_sy - $br * f_sy1) / f_np)"
+    val sseR = s"(f_syy - $ar * f_sy - $br * f_syy1)"
+    // unrestricted 3×3 Cramer determinants: A·[a b c]ᵀ = rhs with
+    // A = [[n, sy1, sx1], [sy1, sy1y1, sy1x1], [sx1, sy1x1, sx1x1]],
+    // rhs = [sy, syy1, syx1]
+    val det = "(f_np * (f_sy1y1 * f_sx1x1 - f_sy1x1 * f_sy1x1) " +
+      "- f_sy1 * (f_sy1 * f_sx1x1 - f_sy1x1 * f_sx1) " +
+      "+ f_sx1 * (f_sy1 * f_sy1x1 - f_sy1y1 * f_sx1))"
+    val detA = "(f_sy * (f_sy1y1 * f_sx1x1 - f_sy1x1 * f_sy1x1) " +
+      "- f_sy1 * (f_syy1 * f_sx1x1 - f_sy1x1 * f_syx1) " +
+      "+ f_sx1 * (f_syy1 * f_sy1x1 - f_sy1y1 * f_syx1))"
+    val detB = "(f_np * (f_syy1 * f_sx1x1 - f_sy1x1 * f_syx1) " +
+      "- f_sy * (f_sy1 * f_sx1x1 - f_sy1x1 * f_sx1) " +
+      "+ f_sx1 * (f_sy1 * f_syx1 - f_syy1 * f_sx1))"
+    val detC = "(f_np * (f_sy1y1 * f_syx1 - f_syy1 * f_sy1x1) " +
+      "- f_sy1 * (f_sy1 * f_syx1 - f_syy1 * f_sx1) " +
+      "+ f_sy * (f_sy1 * f_sy1x1 - f_sy1y1 * f_sx1))"
+    val (au, bu, cu) = (s"($detA / $det)", s"($detB / $det)", s"($detC / $det)")
+    val sseU = s"(f_syy - $au * f_sy - $bu * f_syy1 - $cu * f_syx1)"
+    Seq(
+      "ar_coef" -> s"round($br, 6)",
+      "xlag_coef" -> s"round($cu, 6)",
+      "sse_drop_pct" -> s"round(($sseR - $sseU) / $sseR * 100.0, 6)",
+      "f_stat" -> s"round(($sseR - $sseU) / ($sseU / (f_np - 3.0)), 6)")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Q21: CUPED variance-reduced A/B readout -----------------------
@@ -154,9 +218,180 @@ object Stats3 {
           d(($"n1" - $"n0") * ($"n1" - $"n0")) / d($"n1" + $"n0"), 6))
         .select($"n1", $"n0", ($"n1" - $"n0").as("delta"), $"chi2",
           ($"chi2" > Chi2Crit1df).as("srm_alarm"))
+    }),
+
+    // ---- A70: offline changepoint (centered-CUSUM argmax) ---------------
+    // The OFFLINE companion to a65's online Page–Hinkley and w28's CUSUM:
+    // given the whole series, WHERE did the level shift? Estimator
+    // t̂ = argmax_t |S_t − (t/n)·S_n| (Page 1954's CUSUM read backward;
+    // Hinkley 1970's ML changepoint for a mean shift), carried ×n so
+    // D_t = n·S_t − t·S_n stays an exact BIGINT — no division until the
+    // two segment means. Reports, per event_type: the split hour, the
+    // exact |D| peak, and the pre/post means with their shift. On this
+    // corpus the shift is ~flat (no injected level change in the raw
+    // volume series — i3's STEP injection is per-row, not hourly):
+    // stated honestly; the estimator is what's under test.
+    // Exactness: prefix sums and D are BIGINT (|D| ≤ n·S_n, ledgered
+    // with the ×2²⁰ packed-argmax headroom); means divide in double,
+    // round 6. Ties → smallest t (complement-index pack, the a69 rule).
+    // 100 TB shape: the SHARED hourly collapse (map-side combine) is
+    // the only corpus-sized pass; the per-type window runs on the
+    // ≤ types·n_hours frame; the argmax is a types-row agg.
+    "a70_changepoint" -> ((s, dir) => {
+      import s.implicits._
+      val grid = Stats2.holtHourly(s, dir)
+        .localCheckpoint() // feeds the prefix window AND the totals
+      val w = Window.partitionBy($"event_type").orderBy($"hr")
+      val pre = grid
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("st", sum($"v").over(w))
+        .localCheckpoint() // feeds the D scan AND the argmax join-back
+      val tot = grid.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sn"))
+      val dd = pre.join(broadcast(tot), Seq("event_type"))
+        .filter($"t" < $"n")
+        .withColumn("dabs", abs($"n" * $"st" - $"t" * $"sn"))
+      val arg = dd.groupBy($"event_type")
+        .agg(max($"dabs" * CpPackShift +
+          (lit(CpPackShift - 1L) - $"t")).as("pk"))
+        .select($"event_type", expr(s"pk div $CpPackShift").as("dmax"),
+          (lit(CpPackShift - 1L) - expr(s"pk % $CpPackShift")).as("t"))
+      arg.join(pre, Seq("event_type", "t"))
+        .join(broadcast(tot), Seq("event_type"))
+        .select($"event_type", $"n".as("n_hours"), $"t".as("split_t"),
+          $"hr".as("split_hr"), $"dmax",
+          round(d($"st") / d($"t") / 100.0, 6).as("pre_mean"),
+          round((d($"sn") - d($"st")) / (d($"n") - d($"t")) / 100.0, 6)
+            .as("post_mean"),
+          round(((d($"sn") - d($"st")) / (d($"n") - d($"t")) -
+            d($"st") / d($"t")) / 100.0, 6).as("shift"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- A71: Granger causality (lag-1 F-test) ---------------------------
+    // Does one hourly series help FORECAST another beyond its own past
+    // (Granger 1969)? Both directions over the click/purchase pair:
+    // restricted y_t ~ 1 + y_{t−1} vs unrestricted + x_{t−1};
+    // F = (SSE_r − SSE_u)/(SSE_u/(n−3)) with 1 numerator df. The
+    // companion to a60's partial correlation (same hourly frame;
+    // Granger adds the TEMPORAL direction a correlation can't see).
+    // Exactness: the ten moments are exact BIGINTs (products ≤ v_max²,
+    // ledgered with the a60 hourly bound); the coefficient/SSE assembly
+    // is ONE shared formula text evaluated verbatim by both engines
+    // (the d23 generated-SQL recipe), round 6. 100 TB shape: the
+    // SHARED hourly collapse; the pivot/lag window runs on the
+    // ≤ n_hours collapsed frame (bounded-frame exception, one task by
+    // design); two 1-row moment aggs union to the 2-row report.
+    "a71_granger" -> ((s, dir) => {
+      import s.implicits._
+      val xy = Stats2.holtHourly(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"hr")
+        .agg(max(when($"event_type" === "click", $"v")).as("vc"),
+          max(when($"event_type" === "purchase", $"v")).as("vp"))
+      val w = Window.orderBy($"hr") // ≤ n_hours rows: bounded frame
+      val lagged = xy
+        .withColumn("vc1", lag($"vc", 1).over(w))
+        .withColumn("vp1", lag($"vp", 1).over(w))
+        .filter($"vc1".isNotNull)
+        .localCheckpoint() // feeds both direction aggs
+      def moments(label: String, y: Column, y1: Column, x1: Column) =
+        lagged.agg(count(lit(1)).as("np"),
+            sum(y).as("sy"), sum(y1).as("sy1"), sum(x1).as("sx1"),
+            sum(y * y).as("syy"), sum(y1 * y1).as("sy1y1"),
+            sum(x1 * x1).as("sx1x1"), sum(y * y1).as("syy1"),
+            sum(y * x1).as("syx1"), sum(y1 * x1).as("sy1x1"))
+          .selectExpr(s"'$label' AS direction" +: "np" +:
+            grangerCastCols: _*)
+          .selectExpr(Seq("direction", "np AS n_used") ++
+            grangerFormulaSql.map { case (a, f) => s"$f AS $a" }: _*)
+      moments("click->purchase", $"vp", $"vp1", $"vc1")
+        .unionByName(moments("purchase->click", $"vc", $"vc1", $"vp1"))
+        .orderBy($"direction")
     }))
 
+  /** DuckDB twin of one a71 direction's moment agg (generated so the
+    * ten products can't drift from the Spark agg's). */
+  private def grangerMomentsSql(label: String, y: String, y1: String,
+      x1: String): String =
+    s"""SELECT '$label' AS direction, CAST(count(*) AS BIGINT) AS np,
+       |    CAST(sum($y) AS BIGINT) AS sy,
+       |    CAST(sum($y1) AS BIGINT) AS sy1,
+       |    CAST(sum($x1) AS BIGINT) AS sx1,
+       |    CAST(sum($y * $y) AS BIGINT) AS syy,
+       |    CAST(sum($y1 * $y1) AS BIGINT) AS sy1y1,
+       |    CAST(sum($x1 * $x1) AS BIGINT) AS sx1x1,
+       |    CAST(sum($y * $y1) AS BIGINT) AS syy1,
+       |    CAST(sum($y * $x1) AS BIGINT) AS syx1,
+       |    CAST(sum($y1 * $x1) AS BIGINT) AS sy1x1
+       |  FROM lf""".stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    "a70_changepoint" ->
+      s"""WITH $hourlyGridSql,
+         |pre AS (
+         |  SELECT event_type, hr, v,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+         |      AS BIGINT) AS t,
+         |    CAST(sum(v) OVER (PARTITION BY event_type ORDER BY hr)
+         |      AS BIGINT) AS st
+         |  FROM grid),
+         |tot AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sn
+         |  FROM grid GROUP BY 1),
+         |dd AS (
+         |  SELECT pre.event_type, pre.hr, pre.t, pre.st, tot.n, tot.sn,
+         |    abs(tot.n * pre.st - pre.t * tot.sn) AS dabs
+         |  FROM pre JOIN tot USING (event_type)
+         |  WHERE pre.t < tot.n),
+         |arg AS (
+         |  SELECT event_type,
+         |    max(dabs * $CpPackShift + (${CpPackShift - 1L} - t)) AS pk
+         |  FROM dd GROUP BY 1),
+         |sel AS (
+         |  SELECT event_type, pk // $CpPackShift AS dmax,
+         |    ${CpPackShift - 1L} - (pk % $CpPackShift) AS t
+         |  FROM arg)
+         |SELECT d.event_type, d.n AS n_hours, d.t AS split_t,
+         |  d.hr AS split_hr, sel.dmax,
+         |  round(CAST(d.st AS DOUBLE) / CAST(d.t AS DOUBLE) / 100.0, 6)
+         |    AS pre_mean,
+         |  round((CAST(d.sn AS DOUBLE) - CAST(d.st AS DOUBLE))
+         |    / (CAST(d.n AS DOUBLE) - CAST(d.t AS DOUBLE)) / 100.0, 6)
+         |    AS post_mean,
+         |  round(((CAST(d.sn AS DOUBLE) - CAST(d.st AS DOUBLE))
+         |    / (CAST(d.n AS DOUBLE) - CAST(d.t AS DOUBLE))
+         |    - CAST(d.st AS DOUBLE) / CAST(d.t AS DOUBLE)) / 100.0, 6)
+         |    AS shift
+         |FROM sel JOIN dd d
+         |  ON d.event_type = sel.event_type AND d.t = sel.t
+         |ORDER BY d.event_type""".stripMargin,
+
+    "a71_granger" ->
+      s"""WITH $hourlyGridSql,
+         |xy AS (
+         |  SELECT hr,
+         |    max(CASE WHEN event_type = 'click' THEN v END) AS vc,
+         |    max(CASE WHEN event_type = 'purchase' THEN v END) AS vp
+         |  FROM grid WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY hr),
+         |lagged AS (
+         |  SELECT hr, vc, vp,
+         |    lag(vc) OVER (ORDER BY hr) AS vc1,
+         |    lag(vp) OVER (ORDER BY hr) AS vp1
+         |  FROM xy),
+         |lf AS (SELECT * FROM lagged WHERE vc1 IS NOT NULL),
+         |m1 AS (${grangerMomentsSql("click->purchase", "vp", "vp1", "vc1")}),
+         |m2 AS (${grangerMomentsSql("purchase->click", "vc", "vc1", "vp1")}),
+         |mm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+         |cc AS (SELECT direction, np, ${grangerCastCols.mkString(",\n    ")}
+         |  FROM mm)
+         |SELECT direction, np AS n_used,
+         |  ${grangerFormulaSql.map { case (a, f) => s"$f AS $a" }
+            .mkString(",\n  ")}
+         |FROM cc ORDER BY direction""".stripMargin,
 
     "q21_cuped" ->
       s"""WITH $abUsersSql,

@@ -33,7 +33,8 @@ class ScaleBoundsSpec extends AnyFunSuite {
     "Curate.CdcK" -> graft.queries.Curate.CdcK.toDouble,
     "Curate.CdcMask" -> graft.queries.Curate.CdcMask.toDouble,
     "Curate.FsChunkCap" -> graft.queries.Curate.FsChunkCap.toDouble,
-    "Curate.GearWin" -> graft.queries.Curate.GearWin.toDouble)
+    "Curate.GearWin" -> graft.queries.Curate.GearWin.toDouble,
+    "Stats3.CpPackShift" -> graft.queries.Stats3.CpPackShift.toDouble)
 
   private def docRows: Seq[(String, Double)] = {
     val lines = scala.io.Source.fromFile("SCALE_BOUNDS.md", "UTF-8").getLines().toSeq
