@@ -34,8 +34,40 @@ object Analytics {
     * both engines. Every 3rd part keeps the oracle's canonical 3-way
     * self-join light while the Spark side exercises the full
     * degree-ordered wedge machinery (ops/Triangles.scala). */
-  private val TriPartMod = 3
+  private[queries] val TriPartMod = 3
   private val TriTopK = 20
+
+  /** The co-purchase part graph g3/g13 share (parts appearing in the same
+    * order, canonical a < b distinct edges) — ONE definition so the g13
+    * clustering coefficients provably score the graph g3 counts triangles
+    * on. 100 TB shape: one orderkey self-join of the distinct
+    * (order, part) list + one distinct; the TriPartMod filter is the
+    * corpus-size knob, not a correctness cap. */
+  private[queries] def coPurchaseEdges(s: SparkSession,
+                                       dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .filter($"l_partkey" % TriPartMod === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .filter($"pk" < $"pk2")
+      .select($"pk".as("a"), $"pk2".as("b")).distinct()
+  }
+
+  /** DuckDB twin of [[coPurchaseEdges]] (+ the canonical a<b<c triangle
+    * list) — shared verbatim by the g3 and g13 oracles. */
+  private[queries] val coPurchaseEdgesSql: String =
+    s"""li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem WHERE l_partkey % $TriPartMod = 0),
+       |edges AS (
+       |  SELECT DISTINCT x.pk AS a, y.pk AS b
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+       |tris AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.a = e1.b
+       |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)""".stripMargin
 
   /** EWMA lag depth: α = 1/2 over the last [[EwmaLags]]+1 points with
     * power-of-two integer weights 2^([[EwmaLags]]−k), renormalized at the
@@ -236,13 +268,7 @@ object Analytics {
     // bit-identical.
     "g3_triangles" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-        .filter($"l_partkey" % TriPartMod === 0)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-      val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
-        .filter($"pk" < $"pk2")
-        .select($"pk".as("a"), $"pk2".as("b")).distinct()
-      graft.ops.Triangles.perNode(edges)
+      graft.ops.Triangles.perNode(coPurchaseEdges(s, dir))
         .orderBy($"tri".desc, $"node").limit(TriTopK)
     }),
 
@@ -1439,17 +1465,7 @@ object Analytics {
     },
 
     "g3_triangles" ->
-      s"""WITH li AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-         |  FROM lineitem WHERE l_partkey % $TriPartMod = 0),
-         |edges AS (
-         |  SELECT DISTINCT x.pk AS a, y.pk AS b
-         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-         |tris AS (
-         |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
-         |  FROM edges e1
-         |  JOIN edges e2 ON e2.a = e1.b
-         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+      s"""WITH $coPurchaseEdgesSql
          |SELECT node, count(*) AS tri FROM (
          |  SELECT a AS node FROM tris
          |  UNION ALL SELECT b FROM tris

@@ -308,6 +308,76 @@ object Stats3 {
       moments("click->purchase", $"vp", $"vp1", $"vc1")
         .unionByName(moments("purchase->click", $"vc", $"vc1", $"vp1"))
         .orderBy($"direction")
+    }),
+
+    // ---- G12: community conductance ---------------------------------------
+    // Per-community cut quality for the g5 LPA partition (Kannan, Vempala
+    // & Vetta 2004; the NCP lens of Leskovec et al. 2008): φ(S) =
+    // cut(S) / min(vol(S), 2m − vol(S)) — the internal complement to
+    // g11's modularity (g11 scores the partition against a null model;
+    // φ says how leaky each community is in absolute terms). Directed
+    // counts over the both-directions edge list, so cut/vol need no ÷2.
+    // Exactness: pure integer counts; φ as exact ppm (NULL when a
+    // community holds every edge — min = 0, φ undefined; the identical
+    // CASE in both engines). 100 TB shape: the shared trade graph + two
+    // label joins (the g11 pass) + a ≤communities-row agg.
+    // On this corpus φ = 1.0 for EVERY community — the conductance view
+    // of g11's finding (Q = −0.42): synchronous LPA on a bipartite
+    // graph collapses to side-alternating labels, so every edge is a
+    // cut edge. Stated honestly; the two gates corroborate each other.
+    "g12_conductance" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Analytics.tradeGraphEdges(s, dir)
+        .localCheckpoint() // feeds LPA, the 2m agg AND the label joins
+      val lab = graft.ops.Lpa.propagate(edges, Analytics.LpaRounds)
+        .localCheckpoint() // feeds both endpoint joins AND the size agg
+      val m2 = edges.agg(count(lit(1)).as("e2"))
+      val comm = edges
+        .join(lab.select($"node".as("src"), $"lbl".as("ls")), Seq("src"))
+        .join(lab.select($"node".as("dst"), $"lbl".as("ld")), Seq("dst"))
+        .groupBy($"ls".as("lbl"))
+        .agg(count(lit(1)).as("vol"),
+          sum(($"ls" =!= $"ld").cast("long")).as("cut"))
+      val nn = lab.groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
+      comm.join(nn, Seq("lbl")).crossJoin(broadcast(m2))
+        .withColumn("mn", least($"vol", $"e2" - $"vol"))
+        .select($"lbl", $"n_nodes", $"vol", $"cut",
+          when($"mn" > 0, expr("(cut * 1000000) div mn")).as("phi_ppm"))
+        .orderBy($"lbl")
+    }),
+
+    // ---- G13: clustering coefficient report --------------------------------
+    // The Watts–Strogatz 1998 average local clustering coefficient and
+    // Newman 2003 global transitivity over the g3 co-purchase graph —
+    // the one-row "is this graph clumpy or random" diagnostic beside
+    // g10's assortativity. cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) over
+    // nodes with deg ≥ 2 (triangle-free nodes carry REAL zeros);
+    // transitivity = Σtri / Σwedges = 3T/W. Exactness: per-node cc as
+    // exact ppm (integer div — deg(deg−1) is even so wedges divide
+    // exactly); both summary ratios assemble from exact BIGINTs, the
+    // readable avg_cc in double round 6. 100 TB shape: the SHARED
+    // degree-ordered triangle pass (O(√m) wedge bound, ops/Triangles)
+    // + one node agg; nothing beyond g3's cost.
+    "g13_clustering" -> ((s, dir) => {
+      import s.implicits._
+      val e = Analytics.coPurchaseEdges(s, dir)
+        .localCheckpoint() // feeds the degree agg AND the triangle pass
+      val deg = e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      deg.filter($"deg" >= 2)
+        .join(graft.ops.Triangles.perNode(e), Seq("node"), "left")
+        .select($"deg", coalesce($"tri", lit(0L)).as("tri0"))
+        .withColumn("cc_ppm", expr("(tri0 * 2000000) div (deg * (deg - 1))"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(($"tri0" > 0).cast("long")).as("n_closed"),
+          max($"deg").as("max_deg"),
+          sum($"tri0").as("tri3"),
+          sum(expr("(deg * (deg - 1)) div 2")).as("wedges"),
+          sum($"cc_ppm").as("s_ccppm"))
+        .select($"n_nodes", $"n_closed", $"max_deg",
+          expr("tri3 div 3").as("n_triangles"), $"wedges",
+          expr("(tri3 * 1000000) div wedges").as("trans_ppm"),
+          round(d($"s_ccppm") / d($"n_nodes") / 1e6, 6).as("avg_cc"))
     }))
 
   /** DuckDB twin of one a71 direction's moment agg (generated so the
@@ -428,6 +498,61 @@ object Stats3 {
          |  round(theta, 6) AS theta,
          |  round(rho2, 6) AS var_reduction
          |FROM arms CROSS JOIN pt ORDER BY grp""".stripMargin,
+
+    "g12_conductance" ->
+      s"""WITH ${Analytics.lpaOracleCtes},
+         |lab AS (SELECT node, lbl FROM l${Analytics.LpaRounds}),
+         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM edges),
+         |el AS (
+         |  SELECT ls.lbl AS lbl,
+         |    CASE WHEN ls.lbl <> ld.lbl THEN 1 ELSE 0 END AS x
+         |  FROM edges e
+         |  JOIN lab ls ON ls.node = e.src
+         |  JOIN lab ld ON ld.node = e.dst),
+         |comm AS (
+         |  SELECT lbl, CAST(count(*) AS BIGINT) AS vol,
+         |    CAST(sum(x) AS BIGINT) AS cut
+         |  FROM el GROUP BY 1),
+         |nn AS (
+         |  SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM lab GROUP BY 1)
+         |SELECT comm.lbl, nn.n_nodes, comm.vol, comm.cut,
+         |  CASE WHEN least(comm.vol, m2.e2 - comm.vol) > 0
+         |    THEN (comm.cut * 1000000)
+         |      // least(comm.vol, m2.e2 - comm.vol) END AS phi_ppm
+         |FROM comm JOIN nn USING (lbl) CROSS JOIN m2
+         |ORDER BY comm.lbl""".stripMargin,
+
+    "g13_clustering" ->
+      s"""WITH ${Analytics.coPurchaseEdgesSql},
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM edges
+         |    UNION ALL SELECT b FROM edges)
+         |  GROUP BY node),
+         |tri AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT a AS node FROM tris
+         |    UNION ALL SELECT b FROM tris
+         |    UNION ALL SELECT c FROM tris)
+         |  GROUP BY node),
+         |nn AS (
+         |  SELECT deg.deg, COALESCE(tri.tri, 0) AS tri0,
+         |    (COALESCE(tri.tri, 0) * 2000000)
+         |      // (deg.deg * (deg.deg - 1)) AS cc_ppm
+         |  FROM deg LEFT JOIN tri ON tri.node = deg.node
+         |  WHERE deg.deg >= 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(CASE WHEN tri0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_closed,
+         |  max(deg) AS max_deg,
+         |  CAST(sum(tri0) AS BIGINT) // 3 AS n_triangles,
+         |  CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS wedges,
+         |  (CAST(sum(tri0) AS BIGINT) * 1000000)
+         |    // CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS trans_ppm,
+         |  round(CAST(sum(cc_ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    / 1e6, 6) AS avg_cc
+         |FROM nn""".stripMargin,
 
     "q22_srm" ->
       s"""WITH $abUsersSql,
