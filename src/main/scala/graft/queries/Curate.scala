@@ -216,8 +216,9 @@ object Curate {
   private val WinShared = 3L
   private[graft] val WinCap = 20
 
-  /** DuckDB twin of [[TextOps.tokens]] (the Pipeline-pack expression). */
-  private val tokensSqlExpr =
+  /** DuckDB twin of [[TextOps.tokens]] (the Pipeline-pack expression;
+    * shared with the Stats3 corpus-law oracles). */
+  private[queries] val tokensSqlExpr =
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
   /** t26: overlap n-gram width (the t9 decontamination convention) and

@@ -378,6 +378,99 @@ object Stats3 {
           expr("tri3 div 3").as("n_triangles"), $"wedges",
           expr("(tri3 * 1000000) div wedges").as("trans_ppm"),
           round(d($"s_ccppm") / d($"n_nodes") / 1e6, 6).as("avg_cc"))
+    }),
+
+    // ---- T47: readability report -------------------------------------------
+    // Flesch 1948 reading ease per language, from the two corpus ratios
+    // (words/sentence and syllables/word), with BOTH proxies stated:
+    // this corpus carries NO sentence punctuation (verified: zero
+    // [.!?] in every doc), so each document counts as one sentence —
+    // words_per_doc IS the sentence-length term; syllables are vowel
+    // runs ([aeiouy]+ on the lowercased text, the standard
+    // dictionary-free proxy). The absolute FRE is therefore far below
+    // the human scale (~60-word "sentences") — the per-language DELTAS
+    // are the signal, like t2's quality score. Exactness: all three
+    // counts are exact BIGINTs; the formula assembles in double,
+    // round 6. 100 TB shape: ONE map-side-combined lang agg; the regex
+    // and tokenizer run inside whole-stage codegen.
+    "t47_readability" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang",
+          size(graft.text.TextOps.tokens($"text")).cast("long").as("w"),
+          size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"),
+            lit(0))).cast("long").as("vg"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"w").as("words"),
+          sum($"vg").as("vgroups"))
+        .select($"lang", $"n_docs", $"words", $"vgroups",
+          round(d($"words") / d($"n_docs"), 6).as("words_per_doc"),
+          round(d($"vgroups") / d($"words"), 6).as("syll_per_word"),
+          round(lit(206.835) - lit(1.015) * (d($"words") / d($"n_docs"))
+            - lit(84.6) * (d($"vgroups") / d($"words")), 6).as("fre"))
+        .orderBy($"lang")
+    }),
+
+    // ---- T48: Heaps' law vocabulary-growth fit ------------------------------
+    // Heaps 1978 / Herdan: V(N) ≈ K·N^β — the vocabulary-growth twin of
+    // t41's Zipf rank-frequency fit (the two laws are duals; natural
+    // text sits near β ≈ 0.5–0.7, template/boilerplate corpora flatten).
+    // Ten checkpoints at exact doc-rank deciles (doc_id order — the
+    // corpus's stable ingest order): N_k = tokens in the first k/10 of
+    // docs, V_k = distinct tokens FIRST seen there (first-occurrence
+    // rank ≤ cut — a min-agg, never a windowed COUNT DISTINCT); log-log
+    // OLS over the 10 points via the t41 e6-quantized recipe. Output:
+    // the checkpoint curve with the fitted (β, K, R²) riding along (the
+    // q20 ride-along convention). On THIS corpus the vocabulary is
+    // CLOSED (~31 generator words): V saturates at the first decile, so
+    // β = 0 exactly and R² is undefined (vy = 0 → NULL under the same
+    // CASE guard in both engines — ANSI Spark throws on /0 even for
+    // doubles). Stated honestly: the flat curve IS the boilerplate
+    // signal the fit exists to flag. 100 TB shape: the two-pass
+    // distributed rank (no global window), ONE token-keyed min-agg for
+    // first occurrences, a broadcast 10-row cut grid joined to the
+    // per-doc and per-token frames, and a 10-row fit agg.
+    "t48_heaps" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", graft.text.TextOps.tokens($"text").as("tk"))
+      val ranked = graft.ops.Ranks.globalRowNumberWithTotal(
+          docs.select($"doc_id", size($"tk").cast("long").as("ntok")),
+          Seq($"doc_id"), "rk", "nn")
+        .localCheckpoint() // feeds the cut grid, N_k agg AND first ranks
+      val nn1 = ranked.agg(max($"nn").as("nn"))
+      val cuts = broadcast(
+        s.createDataFrame((1L to 10L).map(Tuple1(_))).toDF("k")
+          .crossJoin(nn1).withColumn("cut", expr("(k * nn) div 10")))
+      val ntokK = ranked.join(cuts, $"rk" <= $"cut")
+        .groupBy($"k").agg(sum($"ntok").as("n_tokens"))
+      val firsts = docs
+        .join(ranked.select($"doc_id", $"rk"), Seq("doc_id"))
+        .select(explode($"tk").as("w"), $"rk")
+        .groupBy($"w").agg(min($"rk").as("frk"))
+      val vocabK = firsts.join(cuts, $"frk" <= $"cut")
+        .groupBy($"k").agg(count(lit(1)).as("vocab"))
+      val pts = ntokK.join(vocabK, Seq("k"))
+        .withColumn("x", round(log(d($"n_tokens")) * 1e6).cast("long"))
+        .withColumn("y", round(log(d($"vocab")) * 1e6).cast("long"))
+        .localCheckpoint() // feeds the fit agg AND the report
+      val fit = pts
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        .withColumn("cov", d($"n") * d($"sxy") - d($"sx") * d($"sy"))
+        .withColumn("vx", d($"n") * d($"sxx") - d($"sx") * d($"sx"))
+        .withColumn("vy", d($"n") * d($"syy") - d($"sy") * d($"sy"))
+        .select(
+          when($"vx" > 0, round($"cov" / $"vx", 6)).as("heaps_beta"),
+          when($"vx" > 0, round(exp((d($"sy") - $"cov" / $"vx" * d($"sx"))
+            / d($"n") / 1e6), 6)).as("heaps_k"),
+          when($"vx" > 0 && $"vy" > 0,
+            round($"cov" * $"cov" / ($"vx" * $"vy"), 6)).as("r2"))
+      pts.crossJoin(broadcast(fit))
+        .select($"k".as("decile"), $"n_tokens", $"vocab",
+          $"heaps_beta", $"heaps_k", $"r2")
+        .orderBy($"decile")
     }))
 
   /** DuckDB twin of one a71 direction's moment agg (generated so the
@@ -553,6 +646,89 @@ object Stats3 {
          |  round(CAST(sum(cc_ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    / 1e6, 6) AS avg_cc
          |FROM nn""".stripMargin,
+
+    "t47_readability" ->
+      s"""WITH pd AS (
+         |  SELECT lang,
+         |    CAST(len(${Curate.tokensSqlExpr}) AS BIGINT) AS w,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |      AS BIGINT) AS vg
+         |  FROM documents),
+         |ag AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS words,
+         |    CAST(sum(vg) AS BIGINT) AS vgroups
+         |  FROM pd GROUP BY lang)
+         |SELECT lang, n_docs, words, vgroups,
+         |  round(CAST(words AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS words_per_doc,
+         |  round(CAST(vgroups AS DOUBLE) / CAST(words AS DOUBLE), 6)
+         |    AS syll_per_word,
+         |  round(206.835
+         |    - 1.015 * (CAST(words AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |    - 84.6 * (CAST(vgroups AS DOUBLE) / CAST(words AS DOUBLE)),
+         |    6) AS fre
+         |FROM ag ORDER BY lang""".stripMargin,
+
+    "t48_heaps" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, ${Curate.tokensSqlExpr} AS tk FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS ntok,
+         |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER () AS BIGINT) AS nn
+         |  FROM docs),
+         |cuts AS (
+         |  SELECT CAST(t.k AS BIGINT) AS k,
+         |    (CAST(t.k AS BIGINT) * (SELECT max(nn) FROM ranked)) // 10
+         |      AS cut
+         |  FROM range(1, 11) t(k)),
+         |ntok_k AS (
+         |  SELECT c.k, CAST(sum(r.ntok) AS BIGINT) AS n_tokens
+         |  FROM ranked r JOIN cuts c ON r.rk <= c.cut GROUP BY c.k),
+         |firsts AS (
+         |  SELECT w, CAST(min(rk) AS BIGINT) AS frk FROM (
+         |    SELECT unnest(d.tk) AS w, r.rk
+         |    FROM docs d JOIN ranked r USING (doc_id))
+         |  GROUP BY w),
+         |vocab_k AS (
+         |  SELECT c.k, CAST(count(*) AS BIGINT) AS vocab
+         |  FROM firsts f JOIN cuts c ON f.frk <= c.cut GROUP BY c.k),
+         |pts AS (
+         |  SELECT k, n_tokens, vocab,
+         |    CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS x,
+         |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM ntok_k JOIN vocab_k USING (k)),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM pts),
+         |f AS (
+         |  SELECT n, sx, sy,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+         |  FROM st),
+         |fit AS (
+         |  SELECT
+         |    CASE WHEN vx > 0 THEN round(cov / vx, 6) END AS heaps_beta,
+         |    CASE WHEN vx > 0 THEN
+         |      round(exp((CAST(sy AS DOUBLE) - cov / vx
+         |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6), 6)
+         |      END AS heaps_k,
+         |    CASE WHEN vx > 0 AND vy > 0
+         |      THEN round(cov * cov / (vx * vy), 6) END AS r2
+         |  FROM f)
+         |SELECT pts.k AS decile, pts.n_tokens, pts.vocab,
+         |  fit.heaps_beta, fit.heaps_k, fit.r2
+         |FROM pts CROSS JOIN fit ORDER BY decile""".stripMargin,
 
     "q22_srm" ->
       s"""WITH $abUsersSql,
