@@ -491,6 +491,44 @@ object StreamJob {
       }
   }
 
+  case class SrmIn(user_id: Long)
+  case class SrmOut(user_id: Long, grp: Int)
+
+  /** Streaming sample-ratio-mismatch feed — `q22_srm`'s randomization
+    * audit as a live guardrail (the experimentation platform's
+    * always-on check: a broken assignment must page BEFORE anyone
+    * reads a metric). Emits each user's (user_id, arm) exactly once,
+    * on FIRST sight (state = one presence bit per user — the
+    * cohortStream state class, bounded by distinct users, NOT stream
+    * length); the arm is the host twin of the SAME keyed LCG + seed
+    * q21/q22 use (`Det.fracHost` ≡ `Det.frac` by DetSpec), so the
+    * emitted frame is definitionally `abUsers`' (user_id, grp)
+    * projection at every prefix. Consumers keep the 2-row arm counts
+    * and the χ² = (n1−n0)²/n readout per trigger on that tiny frame —
+    * counting users needs the dedup, and streaming COUNT DISTINCT
+    * isn't incremental; first-touch emission is. */
+  def srmStream(stream: DataFrame): org.apache.spark.sql.Dataset[SrmOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val seed = graft.queries.Stats3.AbSeed // serializable local
+    stream
+      .select(col("user_id").cast("long").as("user_id"))
+      .as[SrmIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[SrmIn],
+         state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists || rows.isEmpty) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(SrmOut(key,
+              if (graft.functions.Det.fracHost(key, seed) < 0.5) 1 else 0))
+          }
+      }
+  }
+
   case class CusumIn(user_id: Long, event_id: Long, es: Long, q: Long,
                      sq: Long, n_events: Long)
   case class CusumPeak(user_id: Long, n_events: Long, dabs: Long,

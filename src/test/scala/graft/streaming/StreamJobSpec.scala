@@ -443,6 +443,52 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming SRM feed ≡ the oracle-green q22 guardrail at every " +
+      "cut, across three batch-cut layouts") {
+    val dir = "/root/testdata/sf0.001"
+    val batchRow = graft.SparkEntry.queries("q22_srm")(spark, dir).head
+    val batch = (batchRow.getLong(0), batchRow.getLong(1))
+    // the batch (user -> arm) truth the live feed must reproduce
+    val arms = graft.queries.Stats3.abUsers(spark, dir)
+      .select($"user_id", $"grp").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // time-ordered global feed (the guardrail watches the raw stream)
+    val rows = graft.Tables.t(spark, dir, "events")
+      .select($"user_id", $"ts".cast("long").as("es"), $"event_id")
+      .orderBy($"es", $"event_id").collect()
+      .map(r => StreamJob.SrmIn(r.getLong(0)))
+    implicit val sq = spark.sqlContext
+    val layouts = Seq(Seq(rows.length), Seq(500, rows.length),
+      Seq(100, 650, rows.length))
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[StreamJob.SrmIn]
+      val q = StreamJob.srmStream(mem.toDF())
+        .writeStream.format("memory").queryName(s"srm_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable()
+        // LIVE property: at every cut the emitted frame is exactly the
+        // prefix's distinct users with the batch arm mapping
+        val emitted = spark.table(s"srm_out_$i").collect()
+          .map(r => (r.getLong(0), r.getInt(1)))
+        assert(emitted.length == emitted.map(_._1).distinct.length)
+        val prefixUsers = rows.take(c).map(_.user_id).distinct.toSet
+        assert(emitted.map(_._1).toSet == prefixUsers, s"cut $c")
+        emitted.foreach { case (u, g) => assert(g == arms(u), s"user $u") }
+        prev = c
+      }
+      q.stop()
+      // final readout = the oracle-green q22 counts
+      val fin = spark.table(s"srm_out_$i").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val n1 = fin.count(_._2 == 1).toLong
+      val n0 = fin.count(_._2 == 0).toLong
+      assert((n1, n0) == batch, s"cut layout $i diverged from q22")
+    }
+  }
+
   test("streaming Page–Hinkley decisions ≡ the oracle-green a65 drift " +
       "rows, across three batch-cut layouts") {
     val dir = "/root/testdata/sf0.001"
