@@ -373,6 +373,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(moved.isEmpty, moved.mkString("\n"))
   }
 
+  test("round-9 continuation heavy additions: plan shapes pinned for " +
+      "g12/g13/a70/t48 (pin at birth)") {
+    val moved = collection.mutable.ArrayBuffer[String]()
+    def pins(name: String, exchanges: Int, hashEx: Int, rddScans: Int,
+             smj: Int, bhj: Int): Unit = {
+      val p = plan(name)
+      def c(tok: String) = p.linesIterator.count(_.contains(tok))
+      val got = (c("Exchange "), c("Exchange hashpartitioning"),
+        c("Scan ExistingRDD"), c("SortMergeJoin"), c("BroadcastHashJoin"))
+      if (got != ((exchanges, hashEx, rddScans, smj, bhj)))
+        moved += s"$name: (exchanges, hashEx, rddScans, smj, bhj) = $got," +
+          s" pinned (${(exchanges, hashEx, rddScans, smj, bhj)})"
+      if (p.contains("CartesianProduct")) moved += s"$name: cartesian!"
+    }
+    // g12: LPA collapses into its per-round checkpoints (the rddScans);
+    // the tail is the two node-keyed label SMJs + the size agg — the
+    // g11 shape (node frames are data-sized at scale: SMJ is correct,
+    // AQE converts at toy SF)
+    pins("g12_conductance", exchanges = 9, hashEx = 6, rddScans = 5,
+      smj = 3, bhj = 0)
+    // g13: the Triangles pass (degree join ×2, wedge self-join, closure
+    // join) + the deg/tri node joins — all node/edge-sized equi-joins,
+    // never broadcast by design; the final agg is 1-row
+    pins("g13_clustering", exchanges = 15, hashEx = 14, rddScans = 11,
+      smj = 7, bhj = 0)
+    // a70: the shared hourly checkpoint + per-type prefix window; the
+    // argmax join-back and totals ride two broadcasts + one tiny SMJ
+    // (AQE converts on the ≤types·hours frame)
+    pins("a70_changepoint", exchanges = 8, hashEx = 5, rddScans = 4,
+      smj = 1, bhj = 2)
+    // t48: the two-pass rank + cut-grid joins collapse into the two
+    // checkpoints; the tail is the 10-row fit agg + report cross
+    pins("t48_heaps", exchanges = 3, hashEx = 0, rddScans = 2,
+      smj = 0, bhj = 0)
+    assert(moved.isEmpty, moved.mkString("\n"))
+  }
+
   test("t38/a49/a50: every data-sized window rides Ranks' bucket " +
       "partitioning (no global rank/cumsum of the corpus); the only " +
       "other windowspecs are Ranks' bounded offset frames") {
