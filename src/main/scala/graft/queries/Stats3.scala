@@ -96,6 +96,10 @@ object Stats3 {
     * t wins (complement index under MAX — the a69 rule). */
   private[graft] val CpPackShift = 1048576L
 
+  /** a72 R/S block sizes (dyadic — 4 octaves inside the 720-hour span,
+    * so every m has ≥ 5 blocks and the log-log fit has real spread). */
+  private val HurstMs = Seq(16L, 32L, 64L, 128L)
+
   /** The a61/a67 hourly grid's DuckDB twin (hourly cents volume per
     * (hr, event_type) with absent hours REAL zeros) — the same CTE text
     * the Stats2 forecast oracles carry, shared here by a70/a71. */
@@ -471,6 +475,102 @@ object Stats3 {
         .select($"k".as("decile"), $"n_tokens", $"vocab",
           $"heaps_beta", $"heaps_k", $"r2")
         .orderBy($"decile")
+    }),
+
+    // ---- A72: Hurst exponent (rescaled-range analysis) ---------------------
+    // Long-range dependence — the diagnostic a38/a62 can't see (short
+    // correlograms miss slow power-law memory): Hurst 1951's R/S over
+    // dyadic block sizes (Mandelbrot & Wallis 1969), H = slope of
+    // ln(avg R/S) vs ln(m). H ≈ 0.5 = memoryless, > 0.5 = persistent.
+    // Per block of m consecutive hours: R = range of the cumulative
+    // mean deviation, S = population std; both are carried ×m so the
+    // range numerator m·S_k − k·S_m stays an exact BIGINT — R/S is ONE
+    // double division per block, e6-quantized so the per-m average is
+    // an exact integer sum (the a45 summand rule; zero-variance blocks
+    // are excluded under the identical guard in both engines). On this
+    // corpus H ≈ 0.5 — memoryless, consistent with a62's white-noise
+    // verdict and a69's ~0 seasonal strength; honest null. 100 TB
+    // shape: the SHARED hourly collapse × a 4-row m-grid, one
+    // per-(type, m, block) window + two tiny aggs; the fit is 4 points
+    // per type.
+    "a72_hurst" -> ((s, dir) => {
+      import s.implicits._
+      val ms = broadcast(s.createDataFrame(HurstMs.map(Tuple1(_)))
+        .toDF("m"))
+      val w = Window.partitionBy($"event_type").orderBy($"hr")
+      val g = Stats2.holtHourly(s, dir)
+        .withColumn("t", row_number().over(w).cast("long"))
+        .crossJoin(ms)
+        .withColumn("blk", expr("(t - 1) div m"))
+        .withColumn("k", $"t" - lit(1L) - $"m" * $"blk" + lit(1L))
+      val wb = Window.partitionBy($"event_type", $"m", $"blk")
+      val wbk = wb.orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = g
+        .withColumn("nb", count(lit(1)).over(wb))
+        .filter($"nb" === $"m") // drop the ragged tail block
+        .withColumn("sk", sum($"v").over(wbk))
+        .withColumn("sm", sum($"v").over(wb))
+        .withColumn("sx2", sum($"v" * $"v").over(wb))
+        .withColumn("dev", $"m" * $"sk" - $"k" * $"sm")
+        .groupBy($"event_type", $"m", $"blk")
+        .agg(max($"dev").as("dmax"), min($"dev").as("dmin"),
+          max($"m" * $"sx2" - $"sm" * $"sm").as("varm2"))
+        .filter($"varm2" > 0)
+        .select($"event_type", $"m",
+          round((d($"dmax") - d($"dmin"))
+            / sqrt(d($"varm2")) * 1e6).cast("long").as("rs_e6"))
+      val perM = blocks.groupBy($"event_type", $"m")
+        .agg(count(lit(1)).as("n_blocks"), sum($"rs_e6").as("s_rs"))
+        .withColumn("x", round(log(d($"m")) * 1e6).cast("long"))
+        .withColumn("y", round(log(d($"s_rs") / d($"n_blocks") / 1e6)
+          * 1e6).cast("long"))
+        .localCheckpoint() // feeds the fit agg AND the report
+      val fit = perM.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .withColumn("cov", d($"n") * d($"sxy") - d($"sx") * d($"sy"))
+        .withColumn("vx", d($"n") * d($"sxx") - d($"sx") * d($"sx"))
+        .select($"event_type",
+          when($"vx" > 0, round($"cov" / $"vx", 6)).as("hurst_h"))
+      perM.join(broadcast(fit), Seq("event_type"))
+        .select($"event_type", $"m", $"n_blocks",
+          round(d($"s_rs") / d($"n_blocks") / 1e6, 6).as("avg_rs"),
+          $"hurst_h")
+        .orderBy($"event_type", $"m")
+    }),
+
+    // ---- Q23: DAU/MAU stickiness curve --------------------------------------
+    // The engagement ratio every product dashboard leads with (the
+    // "stickiness" convention popularized by Facebook's growth team):
+    // per day, DAU / MAU with MAU = distinct users active in the
+    // trailing 30 days INCLUSIVE. Computed without any distinct-over-
+    // window: each (user, active-day) row contributes to the 30
+    // forward days' MAU via one bounded explode + dedup — linear, one
+    // shuffle, no per-day rescan. Partial-window days at the stream
+    // head are reported as-is (days_observed rides along so consumers
+    // can mask warm-up). Exactness: integer day arithmetic + exact ppm.
+    // 100 TB shape: ONE distinct user-day collapse (map-side combine),
+    // a ×30 bounded fan-out + dedup, two day aggs, one day join.
+    "q23_stickiness" -> ((s, dir) => {
+      import s.implicits._
+      val ud = t(s, dir, "events")
+        .select($"user_id", expr("CAST(ts AS LONG) div 86400").as("dd"))
+        .distinct()
+        .localCheckpoint() // feeds DAU, the MAU fan-out AND day bounds
+      val d0 = ud.agg(min($"dd").as("d_min"))
+      val dau = ud.groupBy($"dd").agg(count(lit(1)).as("dau"))
+      val mau = ud
+        .select($"user_id",
+          explode(sequence(lit(0L), lit(29L))).as("o"), $"dd")
+        .select($"user_id", ($"dd" + $"o").as("dd"))
+        .distinct()
+        .groupBy($"dd").agg(count(lit(1)).as("mau"))
+      dau.join(mau, Seq("dd")).crossJoin(broadcast(d0))
+        .select($"dd", $"dau", $"mau",
+          least($"dd" - $"d_min" + 1L, lit(30L)).as("days_observed"),
+          expr("(dau * 1000000) div mau").as("stick_ppm"))
+        .orderBy($"dd")
     }))
 
   /** DuckDB twin of one a71 direction's moment agg (generated so the
@@ -646,6 +746,92 @@ object Stats3 {
          |  round(CAST(sum(cc_ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    / 1e6, 6) AS avg_cc
          |FROM nn""".stripMargin,
+
+    "a72_hurst" ->
+      s"""WITH $hourlyGridSql,
+         |ser AS (
+         |  SELECT event_type, hr, v,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+         |      AS BIGINT) AS t
+         |  FROM grid),
+         |gm AS (
+         |  SELECT ser.event_type, ser.v, ser.t, CAST(mm.m AS BIGINT) AS m,
+         |    (ser.t - 1) // CAST(mm.m AS BIGINT) AS blk,
+         |    ser.t - 1 - CAST(mm.m AS BIGINT)
+         |      * ((ser.t - 1) // CAST(mm.m AS BIGINT)) + 1 AS k
+         |  FROM ser CROSS JOIN (VALUES ${HurstMs.map(m => s"($m)")
+            .mkString(", ")}) mm(m)),
+         |wins AS (
+         |  SELECT event_type, m, blk, k,
+         |    CAST(count(*) OVER (PARTITION BY event_type, m, blk)
+         |      AS BIGINT) AS nb,
+         |    CAST(sum(v) OVER (PARTITION BY event_type, m, blk ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS sk,
+         |    CAST(sum(v) OVER (PARTITION BY event_type, m, blk)
+         |      AS BIGINT) AS sm,
+         |    CAST(sum(v * v) OVER (PARTITION BY event_type, m, blk)
+         |      AS BIGINT) AS sx2
+         |  FROM gm),
+         |blocks AS (
+         |  SELECT event_type, m,
+         |    CAST(round((CAST(max(m * sk - k * sm) AS DOUBLE)
+         |        - CAST(min(m * sk - k * sm) AS DOUBLE))
+         |      / sqrt(CAST(max(m * sx2 - sm * sm) AS DOUBLE)) * 1e6)
+         |      AS BIGINT) AS rs_e6
+         |  FROM wins WHERE nb = m
+         |  GROUP BY event_type, m, blk
+         |  HAVING max(m * sx2 - sm * sm) > 0),
+         |per_m AS (
+         |  SELECT event_type, m, CAST(count(*) AS BIGINT) AS n_blocks,
+         |    CAST(sum(rs_e6) AS BIGINT) AS s_rs,
+         |    CAST(round(ln(CAST(m AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |    CAST(round(ln(CAST(sum(rs_e6) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) / 1e6) * 1e6) AS BIGINT) AS y
+         |  FROM blocks GROUP BY event_type, m),
+         |st AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM per_m GROUP BY event_type),
+         |fit AS (
+         |  SELECT event_type,
+         |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         |      THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |      END AS hurst_h
+         |  FROM st)
+         |SELECT p.event_type, p.m, p.n_blocks,
+         |  round(CAST(p.s_rs AS DOUBLE) / CAST(p.n_blocks AS DOUBLE)
+         |    / 1e6, 6) AS avg_rs,
+         |  fit.hurst_h
+         |FROM per_m p JOIN fit USING (event_type)
+         |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "q23_stickiness" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id,
+         |    ${Det.epochSSql("ts")} // 86400 AS dd
+         |  FROM events),
+         |d0 AS (SELECT min(dd) AS d_min FROM ud),
+         |dau AS (
+         |  SELECT dd, CAST(count(*) AS BIGINT) AS dau
+         |  FROM ud GROUP BY dd),
+         |contrib AS (
+         |  SELECT DISTINCT user_id, dd + o AS dd FROM (
+         |    SELECT user_id, dd, unnest(range(0, 30)) AS o FROM ud)),
+         |mau AS (
+         |  SELECT dd, CAST(count(*) AS BIGINT) AS mau
+         |  FROM contrib GROUP BY dd)
+         |SELECT dau.dd, dau.dau, mau.mau,
+         |  least(dau.dd - d0.d_min + 1, 30) AS days_observed,
+         |  (dau.dau * 1000000) // mau.mau AS stick_ppm
+         |FROM dau JOIN mau USING (dd) CROSS JOIN d0
+         |ORDER BY dau.dd""".stripMargin,
 
     "t47_readability" ->
       s"""WITH pd AS (
