@@ -100,6 +100,13 @@ object Stats3 {
     * so every m has ≥ 5 blocks and the log-log fit has real spread). */
   private val HurstMs = Seq(16L, 32L, 64L, 128L)
 
+  /** e24 power-iteration depth and the embedding width (the corpus
+    * contract e23 pins). 10 iterations is the STATED estimate depth —
+    * the gate compares the identical 10-step fold in both engines, so
+    * convergence is a reporting concern, not a correctness one. */
+  private val PowIters = 10
+  private val EDim = 64
+
   /** The a61/a67 hourly grid's DuckDB twin (hourly cents volume per
     * (hr, event_type) with absent hours REAL zeros) — the same CTE text
     * the Stats2 forecast oracles carry, shared here by a70/a71. */
@@ -571,7 +578,117 @@ object Stats3 {
           least($"dd" - $"d_min" + 1L, lit(30L)).as("days_observed"),
           expr("(dau * 1000000) div mau").as("stick_ppm"))
         .orderBy($"dd")
+    }),
+
+    // ---- E24: top principal component (in-query power iteration) ----------
+    // The eigen-view of e23's isotropy audit: the covariance matrix's
+    // top eigenpair by 10 von-Mises power iterations (Mises &
+    // Pollaczek-Geiringer 1929) run INSIDE the query on a 1-row
+    // array-state frame — the d23 EM-chain recipe generalized from
+    // scalars to arrays, with every fold a left fold from an exact-0.0
+    // seed in a fixed element order, so the whole iteration is
+    // bit-identical in both engines (the a67 association contract).
+    // Matrix: the e6-quantized centered-covariance NUMERATOR
+    // M = n·Σqq' − (Σq)(Σq)' — BIGINT moments until the one double
+    // assembly (t41 shape); M is PSD so the positive start never
+    // flips sign. Reports λ/(n²·10¹²) in unit², the explained-variance
+    // share λ/tr(M), and the top loading dim (packed argmax). On this
+    // ISOTROPIC corpus there is no eigengap, so 10 iterations yield a
+    // LOWER-BOUND estimate ≈ tr/64 with explained ≈ 1/64 — exactly
+    // e23's PR = 63.94/64 finding from the eigen side; stated. 100 TB
+    // shape: ONE map-only upper-triangle pair explode collapsed by a
+    // map-side-combined (j,k) agg to 2080 rows; the iteration chain is
+    // 1-row jobs (localCheckpoint per step, the EM-fold rule).
+    "e24_top_component" -> ((s, dir) => {
+      import s.implicits._
+      val D = EDim
+      val q = t(s, dir, "embeddings")
+        .select($"vec_id", expr(
+          "transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))")
+          .as("q"))
+        .localCheckpoint() // feeds the pair, sum AND count aggs
+      val pairs = q.select(explode(expr(
+          s"flatten(transform(sequence(0, ${D - 1}), j -> " +
+            s"transform(sequence(j, ${D - 1}), k -> " +
+            "struct(j AS j, k AS k, " +
+            "element_at(q, j + 1) * element_at(q, k + 1) AS p))))"))
+          .as("e"))
+        .select($"e.j", $"e.k", $"e.p")
+        .groupBy($"j", $"k").agg(sum($"p").as("s2"))
+      val sums = q.select(posexplode($"q").as(Seq("j", "qj")))
+        .groupBy($"j").agg(sum($"qj").as("s1"))
+        .localCheckpoint() // joins BOTH triangle sides
+      val nrow = q.agg(count(lit(1)).as("n"))
+      val mjk = pairs
+        .join(broadcast(sums.select($"j", $"s1".as("s1j"))), Seq("j"))
+        .join(broadcast(sums.select($"j".as("k"), $"s1".as("s1k"))),
+          Seq("k"))
+        .crossJoin(broadcast(nrow))
+        .select($"j", $"k",
+          (d($"n") * d($"s2") - d($"s1j") * d($"s1k")).as("m"))
+      val mfull = mjk.select(($"j" * D + $"k").as("idx"), $"m")
+        .unionAll(mjk.filter($"j" =!= $"k")
+          .select(($"k" * D + $"j").as("idx"), $"m"))
+      var st = mfull
+        .agg(expr("transform(sort_array(collect_list(struct(idx, m))), " +
+          "e -> e.m)").as("am"))
+        .crossJoin(broadcast(nrow))
+        .selectExpr("am", "n",
+          s"transform(sequence(0, ${D - 1}), " +
+            "x -> CAST(0.125 AS DOUBLE)) AS v", // 1/√64 — exact dyadic
+          "CAST(0.0 AS DOUBLE) AS nrm")
+        .localCheckpoint()
+      for (_ <- 1 to PowIters)
+        st = st
+          .selectExpr("am", "n",
+            s"transform(sequence(0, ${D - 1}), j -> " +
+              s"aggregate(transform(sequence(0, ${D - 1}), k -> " +
+              s"element_at(am, j * $D + k + 1) * element_at(v, k + 1)), " +
+              "CAST(0.0 AS DOUBLE), (a, b) -> a + b)) AS w")
+          .selectExpr("am", "n", "w",
+            "sqrt(aggregate(transform(w, x -> x * x), " +
+              "CAST(0.0 AS DOUBLE), (a, b) -> a + b)) AS nrm")
+          .selectExpr("am", "n", "nrm",
+            "transform(w, x -> x / nrm) AS v")
+          .localCheckpoint() // 1-row; keeps iterations un-inlined
+      st.selectExpr("n", "nrm", "v",
+          s"aggregate(transform(sequence(0, ${D - 1}), j -> " +
+            s"element_at(am, j * $D + j + 1)), " +
+            "CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS tr",
+          s"array_max(transform(sequence(0, ${D - 1}), j -> " +
+            "CAST(round(abs(element_at(v, j + 1)) * 1000000) AS BIGINT) " +
+            s"* $D + ${D - 1} - j)) AS pk")
+        .selectExpr("n AS n_vecs", s"$D AS dim",
+          "round(nrm / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6)" +
+            " AS top_eigenvalue",
+          "round(nrm / tr, 6) AS explained_ratio",
+          s"CAST(${D - 1} - pk % $D AS INT) AS top_dim",
+          s"round(CAST(pk div $D AS DOUBLE) / 1e6, 6) AS top_loading")
     }))
+
+  /** e24's DuckDB iteration chain — the d23 emOracleCtes pattern over
+    * ARRAY state: per iteration, the matvec (left fold from an exact
+    * 0.0 seed, k ascending — DuckDB's init-less list_reduce seeded via
+    * list_prepend, the a67 recipe), the norm, and the normalization,
+    * mirroring the Spark selectExpr chain operation for operation. */
+  private def powIterCtes: String = (1 to PowIters).map { i =>
+    val prev = if (i == 1) "p0" else s"p${i - 1}"
+    s"""p${i}w AS (
+       |  SELECT am, n, list_transform(range(0, $EDim), j ->
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(0, $EDim), k ->
+       |        am[j * $EDim + k + 1] * v[k + 1])),
+       |      (a, b) -> a + b)) AS w
+       |  FROM $prev),
+       |p${i}n AS (
+       |  SELECT am, n, w,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(w, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |  FROM p${i}w),
+       |p$i AS (
+       |  SELECT am, n, nrm, list_transform(w, x -> x / nrm) AS v
+       |  FROM p${i}n)""".stripMargin
+  }.mkString(",\n")
 
   /** DuckDB twin of one a71 direction's moment agg (generated so the
     * ten products can't drift from the Spark agg's). */
@@ -811,6 +928,61 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "e24_top_component" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT u[1] AS j, u[2] AS k, u[3] AS p FROM (
+         |    SELECT unnest(flatten(list_transform(range(0, $EDim), j ->
+         |      list_transform(range(j, $EDim), k ->
+         |        [j, k, q[j + 1] * q[k + 1]])))) AS u
+         |    FROM q)),
+         |pairs AS (
+         |  SELECT j, k, CAST(sum(p) AS BIGINT) AS s2
+         |  FROM pr GROUP BY j, k),
+         |sums AS (
+         |  SELECT j, CAST(sum(qj) AS BIGINT) AS s1 FROM (
+         |    SELECT unnest(range(0, $EDim)) AS j, unnest(q) AS qj FROM q)
+         |  GROUP BY j),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         |mm AS (
+         |  SELECT p.j, p.k,
+         |    (CAST(nn.n AS DOUBLE) * CAST(p.s2 AS DOUBLE)
+         |      - CAST(sj.s1 AS DOUBLE) * CAST(sk.s1 AS DOUBLE)) AS m
+         |  FROM pairs p
+         |  JOIN sums sj ON sj.j = p.j
+         |  JOIN sums sk ON sk.j = p.k
+         |  CROSS JOIN nn),
+         |mfull AS (
+         |  SELECT j * $EDim + k AS idx, m FROM mm
+         |  UNION ALL SELECT k * $EDim + j, m FROM mm WHERE j <> k),
+         |p0 AS (
+         |  SELECT list(m ORDER BY idx) AS am,
+         |    (SELECT n FROM nn) AS n,
+         |    list_transform(range(0, $EDim),
+         |      x -> CAST(0.125 AS DOUBLE)) AS v,
+         |    CAST(0.0 AS DOUBLE) AS nrm
+         |  FROM mfull),
+         |$powIterCtes,
+         |fin AS (
+         |  SELECT n, nrm, v,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, $EDim),
+         |        j -> am[j * $EDim + j + 1])), (a, b) -> a + b) AS tr,
+         |    list_aggregate(list_transform(range(0, $EDim), j ->
+         |      CAST(round(abs(v[j + 1]) * 1000000) AS BIGINT) * $EDim
+         |        + ${EDim - 1} - j), 'max') AS pk
+         |  FROM p$PowIters)
+         |SELECT n AS n_vecs, $EDim AS dim,
+         |  round(nrm / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6)
+         |    AS top_eigenvalue,
+         |  round(nrm / tr, 6) AS explained_ratio,
+         |  CAST(${EDim - 1} - pk % $EDim AS INT) AS top_dim,
+         |  round(CAST(pk // $EDim AS DOUBLE) / 1e6, 6) AS top_loading
+         |FROM fin""".stripMargin,
 
     "q23_stickiness" ->
       s"""WITH ud AS (
