@@ -44,8 +44,8 @@ object Stats2 {
     * (shortest-repr double literals — identical parses in both
     * engines; the Welch-MDE convention of every experimentation
     * platform). */
-  private val Z975 = 1.959963984540054
-  private val Z80 = 0.8416212335729143
+  private[queries] val Z975 = 1.959963984540054
+  private[queries] val Z80 = 0.8416212335729143
 
   /** q18 k-anonymity: quasi-identifier length-band width and the policy
     * threshold ladder (the grid is data, not reruns — the d22 rule). */

@@ -664,7 +664,118 @@ object Stats3 {
           "round(nrm / tr, 6) AS explained_ratio",
           s"CAST(${D - 1} - pk % $D AS INT) AS top_dim",
           s"round(CAST(pk div $D AS DOUBLE) / 1e6, 6) AS top_loading")
+    }),
+
+    // ---- A73: Bartlett variance-homogeneity test ---------------------------
+    // The variance sibling the mean-test family (a35/a39/a53/a66) was
+    // missing (Bartlett 1937): are the per-event-type value variances
+    // equal? χ² = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C with the
+    // Box 1953 correction C. Exactness: group moments are exact BIGINT
+    // milli-units; each ln s_i² is e6-quantized so the k-term weighted
+    // sum is an exact BIGINT (the a45 summand rule); C's Σ1/(n_i−1) is
+    // e12-quantized (documented — the only sub-ulp deviation from the
+    // textbook formula, identical in both engines and ~1e-8 relative
+    // at these n). One conditional-agg pass; the k-row frame does the
+    // rest. 100 TB shape: ONE map-side-combined type agg (k rows),
+    // then k-row arithmetic.
+    "a73_bartlett" -> ((s, dir) => {
+      import s.implicits._
+      val g = t(s, dir, "events")
+        .select($"event_type",
+          round($"value" * 1000).cast("long").as("q"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"q").as("sq"),
+          sum($"q" * $"q").as("sq2"))
+        .withColumn("v",
+          (d($"sq2") - d($"sq") * d($"sq") / d($"n")) / (d($"n") - 1.0))
+        .withColumn("l6", round(log($"v") * 1e6).cast("long"))
+        // (n−1)·s² rounded to 1 milli² unit: an exact-BIGINT carry so
+        // the k-group sum is order-free (a raw double sum would
+        // re-associate across partitions) — ~1e-16 relative, documented
+        .withColumn("wv",
+          round(d($"sq2") - d($"sq") * d($"sq") / d($"n")).cast("long"))
+        .withColumn("r12",
+          round(lit(1e12) / (d($"n") - 1.0)).cast("long"))
+      val ag = g.agg(count(lit(1)).as("k"), sum($"n").as("nn"),
+          sum(($"n" - 1L) * $"l6").as("swl"),
+          sum($"wv").as("swv"),
+          sum($"r12").as("sr12"))
+        .withColumn("spv", d($"swv") / (d($"nn") - d($"k")))
+        .withColumn("num",
+          (d($"nn") - d($"k")) * log($"spv")
+            - d($"swl") / 1e6)
+        .withColumn("cc", lit(1.0) +
+          (d($"sr12") / 1e12 - lit(1.0) / (d($"nn") - d($"k")))
+            / (lit(3.0) * (d($"k") - 1.0)))
+      ag.select($"k".cast("int").as("k_groups"), $"nn".as("n_total"),
+        ($"k" - 1L).as("df"),
+        round($"num" / $"cc", 6).as("chi2"))
+    }),
+
+    // ---- Z10: experiment-readout chain gate --------------------------------
+    // The z1/z3/z9 treatment for the experimentation family: SRM
+    // guardrail (q22), raw and CUPED-adjusted lift (q21), the Welch t
+    // (a39's shape on per-user totals), and the q19 MDE/power verdict —
+    // ONE hash-gated query over ONE shared per-user pass, so the seams
+    // between the individually-green stages are oracle-covered. All
+    // thirteen sufficient statistics come from a single conditional
+    // agg; every readout is generated ONCE as SQL text and evaluated
+    // verbatim by both engines (the d23 recipe). The flags keep their
+    // sources' conventions (srm on the rounded χ², powered on
+    // unrounded bit-identical doubles). 100 TB shape: the shared
+    // per-user collapse + one 1-row agg; the readout is scalar.
+    "z10_experiment_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val g1 = $"grp" === 1
+      abUsers(s, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(when(g1, 1L).otherwise(0L)).as("n1"),
+          sum(when(!g1, 1L).otherwise(0L)).as("n0"),
+          sum(when(g1, $"x").otherwise(0L)).as("sx1g"),
+          sum(when(!g1, $"x").otherwise(0L)).as("sx0g"),
+          sum(when(g1, $"y").otherwise(0L)).as("sy1g"),
+          sum(when(!g1, $"y").otherwise(0L)).as("sy0g"),
+          sum(when(g1, $"y" * $"y").otherwise(0L)).as("syy1g"),
+          sum(when(!g1, $"y" * $"y").otherwise(0L)).as("syy0g"),
+          sum($"x").as("sxa"), sum($"y").as("sya"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .selectExpr("n" +: "n1" +: "n0" +: zxCast: _*)
+        .selectExpr(zxReadout.map { case (a, e) => s"$e AS $a" }: _*)
     }))
+
+  /** z10's double casts + readout formulas — generated ONCE and
+    * evaluated verbatim by both engines (the d23/a71 recipe), so the
+    * chain gate's scalar assembly cannot drift. */
+  private val zxCast: Seq[String] =
+    Seq("n", "n1", "n0", "sx1g", "sx0g", "sy1g", "sy0g", "syy1g",
+      "syy0g", "sxa", "sya", "sxy", "sxx")
+      .map(m => s"CAST($m AS DOUBLE) AS f_$m")
+
+  private val zxReadout: Seq[(String, String)] = {
+    val theta = "((f_n * f_sxy - f_sxa * f_sya) " +
+      "/ (f_n * f_sxx - f_sxa * f_sxa))"
+    val m1 = "(f_sy1g / f_n1)"
+    val m0 = "(f_sy0g / f_n0)"
+    val mx1 = "(f_sx1g / f_n1)"
+    val mx0 = "(f_sx0g / f_n0)"
+    val v1 = "((f_syy1g - f_sy1g * f_sy1g / f_n1) / (f_n1 - 1.0))"
+    val v0 = "((f_syy0g - f_sy0g * f_sy0g / f_n0) / (f_n0 - 1.0))"
+    val se = s"sqrt($v1 / f_n1 + $v0 / f_n0)"
+    val chi2 = "round((f_n1 - f_n0) * (f_n1 - f_n0) / f_n, 6)"
+    val diff = s"($m1 - $m0)"
+    val cdiff = s"($diff - $theta * ($mx1 - $mx0))"
+    val mde = s"((${Stats2.Z975} + ${Stats2.Z80}) * $se)"
+    Seq(
+      "n_users" -> "n", "n1" -> "n1", "n0" -> "n0",
+      "srm_chi2" -> chi2,
+      "srm_alarm" -> s"($chi2 > $Chi2Crit1df)",
+      "diff" -> s"round($diff / 100.0, 6)",
+      "cuped_diff" -> s"round($cdiff / 100.0, 6)",
+      "theta" -> s"round($theta, 6)",
+      "welch_t" -> s"round($diff / $se, 6)",
+      "mde_abs" -> s"round($mde / 100.0, 6)",
+      "powered" -> s"(abs($diff) > $mde)")
+  }
 
   /** e24's DuckDB iteration chain — the d23 emOracleCtes pattern over
     * ARRAY state: per iteration, the matvec (left fold from an exact
@@ -928,6 +1039,80 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "z10_experiment_e2e" ->
+      s"""WITH $abUsersSql,
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT)
+         |      AS sx1g,
+         |    CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT)
+         |      AS sx0g,
+         |    CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT)
+         |      AS sy1g,
+         |    CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT)
+         |      AS sy0g,
+         |    CAST(sum(CASE WHEN grp = 1 THEN y * y ELSE 0 END) AS BIGINT)
+         |      AS syy1g,
+         |    CAST(sum(CASE WHEN grp = 0 THEN y * y ELSE 0 END) AS BIGINT)
+         |      AS syy0g,
+         |    CAST(sum(x) AS BIGINT) AS sxa,
+         |    CAST(sum(y) AS BIGINT) AS sya,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM users),
+         |c AS (SELECT n, n1, n0, ${zxCast.mkString(",\n    ")} FROM m)
+         |SELECT ${zxReadout.map { case (a, e) => s"$e AS $a" }
+            .mkString(",\n  ")}
+         |FROM c""".stripMargin,
+
+    "a73_bartlett" ->
+      s"""WITH g0 AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(q) AS BIGINT) AS sq,
+         |    CAST(sum(q * q) AS BIGINT) AS sq2
+         |  FROM (SELECT event_type,
+         |      CAST(round(value * 1000) AS BIGINT) AS q FROM events)
+         |  GROUP BY event_type),
+         |g AS (
+         |  SELECT event_type, n, sq, sq2,
+         |    (CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v,
+         |    CAST(round(ln((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE)
+         |      * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0)) * 1e6) AS BIGINT) AS l6,
+         |    CAST(round(CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE)
+         |      * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS wv,
+         |    CAST(round(1e12 / (CAST(n AS DOUBLE) - 1.0)) AS BIGINT) AS r12
+         |  FROM g0),
+         |ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum((n - 1) * l6) AS BIGINT) AS swl,
+         |    CAST(sum(wv) AS BIGINT) AS swv,
+         |    CAST(sum(r12) AS BIGINT) AS sr12
+         |  FROM g),
+         |f AS (
+         |  SELECT k, nn,
+         |    CAST(swv AS DOUBLE) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+         |      AS spv,
+         |    swl, sr12
+         |  FROM ag),
+         |f2 AS (
+         |  SELECT k, nn,
+         |    (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) * ln(spv)
+         |      - CAST(swl AS DOUBLE) / 1e6 AS num,
+         |    1.0 + (CAST(sr12 AS DOUBLE) / 1e12
+         |      - 1.0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+         |      / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS cc
+         |  FROM f)
+         |SELECT CAST(k AS INT) AS k_groups, nn AS n_total,
+         |  k - 1 AS df, round(num / cc, 6) AS chi2
+         |FROM f2""".stripMargin,
 
     "e24_top_component" ->
       s"""WITH q AS (
