@@ -741,7 +741,70 @@ object Stats3 {
           sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
         .selectExpr("n" +: "n1" +: "n0" +: zxCast: _*)
         .selectExpr(zxReadout.map { case (a, e) => s"$e AS $a" }: _*)
+    }),
+
+    // ---- A74: autocorrelation-robust (Newey–West) standard error -----------
+    // The gap between a35/a39 (iid standard errors) and a38/a62 (which
+    // PROVE the hourly series carries autocorrelation): the HAC
+    // variance of the hourly-mean estimate (Newey & West 1987, Bartlett
+    // kernel, L = 3 — the Box–Jenkins depth a38/a56/a62 share), beside
+    // the iid se and the inflation factor an experimenter must apply
+    // before trusting a time-aggregated metric. Exactness: the per-lag
+    // moments (Σv_t·v_{t−k}, head/tail sums) are exact BIGINTs off ONE
+    // lag pass; each γ_k assembles in double (n²·Σ crosses int64 first)
+    // from generated formula text shared verbatim by both engines; the
+    // kernel weights are exact dyadics (0.75/0.5/0.25). 100 TB shape:
+    // the SHARED hourly collapse + one per-type window pass + a types-
+    // row agg; the readout is scalar.
+    "a74_hac_se" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"hr")
+      var g = Stats2.holtHourly(s, dir)
+      for (k <- 1 to HacL) g = g.withColumn(s"l$k", lag($"v", k).over(w))
+      val aggs = Seq(count(lit(1)).as("n"), sum($"v").as("sv")) ++
+        (0 to HacL).flatMap { k =>
+          val lk = if (k == 0) $"v" else col(s"l$k")
+          Seq(
+            sum(when(lk.isNotNull, $"v" * lk).otherwise(0L)).as(s"sp$k"),
+            sum(when(lk.isNotNull, $"v").otherwise(0L)).as(s"h$k"),
+            sum(when(lk.isNotNull, lk).otherwise(0L)).as(s"tl$k"))
+        }
+      g.groupBy($"event_type").agg(aggs.head, aggs.tail: _*)
+        .selectExpr("event_type" +: "n" +: hacCast: _*)
+        .selectExpr("event_type" +:
+          hacReadout.map { case (a, e) => s"$e AS $a" }: _*)
+        .orderBy($"event_type")
     }))
+
+  /** a74 Newey–West truncation lag (Bartlett kernel, w_k = 1 − k/(L+1));
+    * 3 matches the a38/a62 Box–Jenkins identification depth. */
+  private val HacL = 3
+
+  /** a74's per-lag moment names and the γ/se assembly — generated ONCE
+    * (the d23/a71/z10 recipe). Inputs per type: n, sv (Σv), and per
+    * k ∈ 0..L: sp_k (Σ v_t·v_{t−k} over the lag window), h_k
+    * (Σ_{t>k} v_t), tl_k (Σ_{t≤n−k} v_t) — all exact BIGINT, pre-cast
+    * to DOUBLE under f_ names. γ_k = A_k/n³ with A_k assembled in
+    * double (n²·Σ crosses int64 first — the t41 rule). */
+  private val hacMoments: Seq[String] =
+    "n" +: "sv" +: (0 to HacL).flatMap(k =>
+      Seq(s"sp$k", s"h$k", s"tl$k"))
+  private val hacCast: Seq[String] =
+    hacMoments.map(m => s"CAST($m AS DOUBLE) AS f_$m")
+  private val hacReadout: Seq[(String, String)] = {
+    def gam(k: Int): String =
+      s"((f_n * f_n * f_sp$k - f_n * f_sv * (f_h$k + f_tl$k) " +
+        s"+ (f_n - $k.0) * f_sv * f_sv) / (f_n * f_n * f_n))"
+    val varHac = (1 to HacL)
+      .map(k => s"(2.0 * ${1.0 - k.toDouble / (HacL + 1)} * ${gam(k)})")
+      .foldLeft(gam(0))((acc, t) => s"($acc + $t)")
+    Seq(
+      "n_hours" -> "n",
+      "mean_v" -> "round(f_sv / f_n / 100.0, 6)",
+      "se_iid" -> s"round(sqrt(${gam(0)} / f_n) / 100.0, 6)",
+      "se_hac" -> s"round(sqrt($varHac / f_n) / 100.0, 6)",
+      "inflation" -> s"round(sqrt($varHac / f_n) / sqrt(${gam(0)} / f_n), 6)")
+  }
 
   /** z10's double casts + readout formulas — generated ONCE and
     * evaluated verbatim by both engines (the d23/a71 recipe), so the
@@ -1039,6 +1102,35 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "a74_hac_se" ->
+      s"""WITH $hourlyGridSql,
+         |lagd AS (
+         |  SELECT event_type, hr, v,
+         |${(1 to HacL).map(k => s"    lag(v, $k) OVER (PARTITION BY " +
+            s"event_type ORDER BY hr) AS l$k").mkString(",\n")}
+         |  FROM grid),
+         |m AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sv,
+         |${(0 to HacL).flatMap { k =>
+            val lk = if (k == 0) "v" else s"l$k"
+            Seq(
+              s"    CAST(sum(CASE WHEN $lk IS NOT NULL THEN v * $lk " +
+                s"ELSE 0 END) AS BIGINT) AS sp$k",
+              s"    CAST(sum(CASE WHEN $lk IS NOT NULL THEN v " +
+                s"ELSE 0 END) AS BIGINT) AS h$k",
+              s"    CAST(sum(CASE WHEN $lk IS NOT NULL THEN $lk " +
+                s"ELSE 0 END) AS BIGINT) AS tl$k")
+          }.mkString(",\n")}
+         |  FROM lagd GROUP BY event_type),
+         |c AS (SELECT event_type, n, ${hacCast.mkString(",\n    ")}
+         |  FROM m)
+         |SELECT event_type,
+         |  ${hacReadout.map { case (a, e) => s"$e AS $a" }
+            .mkString(",\n  ")}
+         |FROM c ORDER BY event_type""".stripMargin,
 
     "z10_experiment_e2e" ->
       s"""WITH $abUsersSql,
