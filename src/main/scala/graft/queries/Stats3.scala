@@ -774,6 +774,59 @@ object Stats3 {
         .selectExpr("event_type" +:
           hacReadout.map { case (a, e) => s"$e AS $a" }: _*)
         .orderBy($"event_type")
+    }),
+
+    // ---- A75: Friedman repeated-measures rank test --------------------------
+    // The BLOCKED k-group test the family was missing: a53's
+    // Kruskal–Wallis treats users as noise; Friedman 1937 blocks on
+    // them — each user ranks their own k per-type spends, so
+    // between-user level differences cancel. Tie-corrected via the
+    // a51/a66 doubled-rank identity (dr = 2·min-rank + eq − 1, exact
+    // integer) and the Σ(t³−t) correction; users missing any of the k
+    // types are EXCLUDED (complete-block design, the count reported).
+    // χ²_F = [3·ΣSD_j²/(n·k·(k+1)) − 3·n·(k+1)] / C with
+    // C = 1 − Σ(t³−t)/(n·k·(k²−1)) — every sum an exact BIGINT, one
+    // double assembly with the identical shape in both engines.
+    // 100 TB shape: ONE (user, type) agg collapses the corpus; the
+    // rank window is user-local (k rows per partition); two tiny aggs.
+    "a75_friedman" -> ((s, dir) => {
+      import s.implicits._
+      val k = 5 // event types — the complete-block width
+      val ut = t(s, dir, "events")
+        .select($"user_id", $"event_type",
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"user_id", $"event_type")
+        .agg(sum($"cents").as("v"))
+      val wu = Window.partitionBy($"user_id")
+      val complete = ut
+        .withColumn("kk", count(lit(1)).over(wu))
+        .filter($"kk" === k)
+      val nAll = ut.select($"user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val ranked = complete
+        .withColumn("rmin", rank().over(wu.orderBy($"v")))
+        .withColumn("eq", count(lit(1))
+          .over(Window.partitionBy($"user_id", $"v")))
+        .withColumn("dr", lit(2L) * $"rmin" + $"eq" - lit(1L))
+        .localCheckpoint() // feeds the type sums AND the tie terms
+      val sd = ranked.groupBy($"event_type").agg(sum($"dr").as("sdj"))
+        .agg(count(lit(1)).as("kk"), sum($"sdj" * $"sdj").as("s2"))
+      val ties = ranked.groupBy($"user_id", $"v")
+        .agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum($"t" * $"t" * $"t" - $"t"), lit(0L)).as("st3"))
+      val nComp = ranked.select($"user_id").distinct()
+        .agg(count(lit(1)).as("n"))
+      sd.crossJoin(broadcast(ties.select($"st3")))
+        .crossJoin(broadcast(nComp)).crossJoin(broadcast(nAll))
+        .selectExpr("kk", "n", "n_users - n AS n_dropped",
+          "CAST(s2 AS DOUBLE) AS f_s2", "CAST(n AS DOUBLE) AS f_n",
+          "CAST(kk AS DOUBLE) AS f_k", "CAST(st3 AS DOUBLE) AS f_t3")
+        .selectExpr("CAST(kk AS INT) AS k_groups", "n AS n_complete",
+          "n_dropped", "kk - 1 AS df",
+          "round((3.0 * f_s2 / (f_n * f_k * (f_k + 1.0)) " +
+            "- 3.0 * f_n * (f_k + 1.0)) " +
+            "/ (1.0 - f_t3 / (f_n * f_k * (f_k * f_k - 1.0))), 6) " +
+            "AS chi2_f")
     }))
 
   /** a74 Newey–West truncation lag (Bartlett kernel, w_k = 1 − k/(L+1));
@@ -1102,6 +1155,51 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "a75_friedman" ->
+      s"""WITH ut AS (
+         |  SELECT user_id, event_type,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY user_id, event_type),
+         |comp AS (
+         |  SELECT user_id, event_type, v,
+         |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS kk2
+         |  FROM ut),
+         |nall AS (
+         |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |  FROM ut),
+         |ranked AS (
+         |  SELECT user_id, event_type, v,
+         |    CAST(rank() OVER (PARTITION BY user_id ORDER BY v)
+         |      AS BIGINT) AS rmin,
+         |    CAST(count(*) OVER (PARTITION BY user_id, v) AS BIGINT) AS eq
+         |  FROM comp WHERE kk2 = 5),
+         |dr AS (
+         |  SELECT user_id, event_type, v, 2 * rmin + eq - 1 AS dr
+         |  FROM ranked),
+         |sd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS kk,
+         |    CAST(sum(sdj * sdj) AS BIGINT) AS s2
+         |  FROM (SELECT event_type, CAST(sum(dr) AS BIGINT) AS sdj
+         |        FROM dr GROUP BY event_type)),
+         |ties AS (
+         |  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS st3
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+         |        FROM dr GROUP BY user_id, v)),
+         |ncomp AS (
+         |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM dr),
+         |c AS (
+         |  SELECT kk, n, n_users - n AS n_dropped,
+         |    CAST(s2 AS DOUBLE) AS f_s2, CAST(n AS DOUBLE) AS f_n,
+         |    CAST(kk AS DOUBLE) AS f_k, CAST(st3 AS DOUBLE) AS f_t3
+         |  FROM sd CROSS JOIN ties CROSS JOIN ncomp CROSS JOIN nall)
+         |SELECT CAST(kk AS INT) AS k_groups, n AS n_complete, n_dropped,
+         |  kk - 1 AS df,
+         |  round((3.0 * f_s2 / (f_n * f_k * (f_k + 1.0))
+         |    - 3.0 * f_n * (f_k + 1.0))
+         |    / (1.0 - f_t3 / (f_n * f_k * (f_k * f_k - 1.0))), 6)
+         |    AS chi2_f
+         |FROM c""".stripMargin,
 
     "a74_hac_se" ->
       s"""WITH $hourlyGridSql,

@@ -504,6 +504,33 @@ object TextDedup {
         .orderBy($"doc_id")
     }),
 
+    // ---- D26: dup-cluster size profile ------------------------------------
+    // The dedup planner's skew read (the p27 treatment for d7's
+    // clusters): the cluster-size histogram plus the totals that size a
+    // dedup job — how many docs sit in near-dup clusters, the largest
+    // cluster (one mega-cluster = a boilerplate template, not true
+    // duplication), and the singleton complement. Pure integer counts
+    // over the SHARED d7 component frame; one size agg + one histogram
+    // agg. 100 TB shape: d7's cost + two tiny aggs — nothing new is
+    // corpus-sized.
+    "d26_cluster_profile" -> ((s, dir) => {
+      import s.implicits._
+      val sizes = graft.ops.Components.connectedComponents(
+          sim64Pairs(s, dir), "a_id", "b_id")
+        .groupBy($"component").agg(count(lit(1)).as("csize"))
+        .localCheckpoint() // feeds the totals AND the histogram
+      val tot = sizes.agg(sum($"csize").as("n_clustered"),
+        count(lit(1)).as("n_clusters"), max($"csize").as("max_size"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      sizes.groupBy($"csize").agg(count(lit(1)).as("n_clusters_of_size"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(nd))
+        .select($"csize", $"n_clusters_of_size",
+          ($"csize" * $"n_clusters_of_size").as("n_docs_of_size"),
+          $"n_clusters", $"n_clustered",
+          ($"n_docs" - $"n_clustered").as("n_singletons"), $"max_size")
+        .orderBy($"csize")
+    }),
+
     // ---- quality-aware canonical selection -------------------------------
     // What production dedup actually keeps: the BEST doc per near-dup
     // cluster (max quality, min-id tiebreak), not the arbitrary min-id
@@ -1312,6 +1339,37 @@ object TextDedup {
            |  UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
            |SELECT src AS doc_id, min(dst) AS component
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      "d26_cluster_profile" ->
+        s"""WITH RECURSIVE $sim64PairsCte,
+           |sym AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs64
+           |  UNION SELECT b_id, a_id FROM pairs64),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM sym
+           |  UNION SELECT src, src FROM sym
+           |  UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+           |comp AS (
+           |  SELECT src AS doc_id, min(dst) AS component
+           |  FROM reach GROUP BY src),
+           |sizes AS (
+           |  SELECT component, CAST(count(*) AS BIGINT) AS csize
+           |  FROM comp GROUP BY component),
+           |tot AS (
+           |  SELECT CAST(sum(csize) AS BIGINT) AS n_clustered,
+           |    CAST(count(*) AS BIGINT) AS n_clusters,
+           |    CAST(max(csize) AS BIGINT) AS max_size
+           |  FROM sizes),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+           |SELECT s.csize, CAST(count(*) AS BIGINT) AS n_clusters_of_size,
+           |  s.csize * CAST(count(*) AS BIGINT) AS n_docs_of_size,
+           |  any_value(t.n_clusters) AS n_clusters,
+           |  any_value(t.n_clustered) AS n_clustered,
+           |  any_value(nd.n_docs) - any_value(t.n_clustered)
+           |    AS n_singletons,
+           |  any_value(t.max_size) AS max_size
+           |FROM sizes s CROSS JOIN tot t CROSS JOIN nd
+           |GROUP BY s.csize ORDER BY s.csize""".stripMargin,
 
       "d19_best_of_cluster" -> {
         val allStop = TextOps.langWords.flatMap(_._2)
