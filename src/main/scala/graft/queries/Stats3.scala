@@ -107,6 +107,13 @@ object Stats3 {
   private val PowIters = 10
   private val EDim = 64
 
+  /** t49 split seed + train fraction (keyed-LCG doc split — the p15
+    * pattern) and the overlap gram width (the t9/t26 decontamination
+    * convention). */
+  private val SplitSeed = 97L
+  private val TrainFrac = 0.8
+  private val LeakN = 8
+
   /** The a61/a67 hourly grid's DuckDB twin (hourly cents volume per
     * (hr, event_type) with absent hours REAL zeros) — the same CTE text
     * the Stats2 forecast oracles carry, shared here by a70/a71. */
@@ -827,6 +834,49 @@ object Stats3 {
             "- 3.0 * f_n * (f_k + 1.0)) " +
             "/ (1.0 - f_t3 / (f_n * f_k * (f_k * f_k - 1.0))), 6) " +
             "AS chi2_f")
+    }),
+
+    // ---- T49: train/test split-leakage audit --------------------------------
+    // The audit BEFORE t9's decontamination filter: given the standard
+    // keyed-LCG 80/20 doc split (the p15 pattern), how much of the test
+    // side's 8-gram content already sits in train (the memorization-
+    // risk / eval-inflation read — Lee et al. 2022's "train-test
+    // overlap" measurement)? Reports split sizes, test docs with ≥1
+    // train-shared gram (count + exact ppm), and the distinct shared
+    // grams. Docs shorter than the gram width are excluded on both
+    // engines (the t9/t26 convention). At sf0.1: 8.2% of test docs
+    // leak — the d7 near-dup clusters straddling the split, which is
+    // precisely why dedup must run BEFORE splitting (the operator's
+    // actionable readout). 100 TB shape: ONE gram explode
+    // with per-doc dedup, a gram-keyed semi-join (no fan-out — semi
+    // joins never multiply), and four 1-row aggs.
+    "t49_split_leakage" -> ((s, dir) => {
+      import s.implicits._
+      val tk = graft.text.TextOps.tokens($"text")
+      val g = t(s, dir, "documents")
+        .filter(size(tk) >= LeakN)
+        .select($"doc_id",
+          (Det.frac($"doc_id", SplitSeed) < TrainFrac).as("is_train"),
+          explode(graft.text.TextOps.wordNgrams(tk, LeakN)).as("gram"))
+        .distinct()
+        .localCheckpoint() // feeds both split sides AND the doc counts
+      val trainG = g.filter($"is_train").select($"gram").distinct()
+        .localCheckpoint() // feeds the doc semi-join AND the gram count
+      val testG = g.filter(!$"is_train")
+      val nTr = g.filter($"is_train").select($"doc_id").distinct()
+        .agg(count(lit(1)).as("n_train"))
+      val nTe = testG.select($"doc_id").distinct()
+        .agg(count(lit(1)).as("n_test"))
+      val leaky = testG.join(trainG, Seq("gram"), "left_semi")
+        .select($"doc_id").distinct().agg(count(lit(1)).as("n_leaky"))
+      val shared = testG.select($"gram").distinct()
+        .join(trainG, Seq("gram"), "left_semi")
+        .agg(count(lit(1)).as("n_shared_grams"))
+      nTr.crossJoin(broadcast(nTe)).crossJoin(broadcast(leaky))
+        .crossJoin(broadcast(shared))
+        .selectExpr("n_train", "n_test", "n_leaky",
+          "(n_leaky * 1000000) div n_test AS leak_ppm",
+          "n_shared_grams")
     }))
 
   /** a74 Newey–West truncation lag (Bartlett kernel, w_k = 1 − k/(L+1));
@@ -1155,6 +1205,40 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "t49_split_leakage" ->
+      s"""WITH g AS (
+         |  SELECT DISTINCT doc_id,
+         |    (${Det.fracSql("doc_id", SplitSeed)} < $TrainFrac)
+         |      AS is_train,
+         |    gram
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(0, greatest(len(tk) - $LeakN, 0)),
+         |      i -> array_to_string(list_slice(tk, i + 1, i + $LeakN),
+         |        ' '))) AS gram
+         |    FROM (SELECT doc_id, ${Curate.tokensSqlExpr} AS tk
+         |          FROM documents)
+         |    WHERE len(tk) >= $LeakN)),
+         |train_g AS (SELECT DISTINCT gram FROM g WHERE is_train),
+         |test_g AS (SELECT doc_id, gram FROM g WHERE NOT is_train),
+         |n_tr AS (
+         |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train
+         |  FROM g WHERE is_train),
+         |n_te AS (
+         |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_test
+         |  FROM test_g),
+         |leaky AS (
+         |  SELECT CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_leaky
+         |  FROM test_g t SEMI JOIN train_g tr ON t.gram = tr.gram),
+         |shared AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_shared_grams FROM (
+         |    SELECT DISTINCT t.gram FROM test_g t
+         |    SEMI JOIN train_g tr ON t.gram = tr.gram))
+         |SELECT n_train, n_test, n_leaky,
+         |  (n_leaky * 1000000) // n_test AS leak_ppm, n_shared_grams
+         |FROM n_tr CROSS JOIN n_te CROSS JOIN leaky
+         |CROSS JOIN shared""".stripMargin,
 
     "a75_friedman" ->
       s"""WITH ut AS (
