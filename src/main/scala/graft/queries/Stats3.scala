@@ -877,6 +877,49 @@ object Stats3 {
         .selectExpr("n_train", "n_test", "n_leaky",
           "(n_leaky * 1000000) div n_test AS leak_ppm",
           "n_shared_grams")
+    }),
+
+    // ---- Q24: experiment sample-size planner ---------------------------------
+    // The PLANNING step the q22→a39→q19→q21 chain starts from: for a
+    // grid of relative MDEs, the per-arm sample size a two-arm test
+    // needs at α = 0.05 / power 0.8 (n = 2(z_α/2+z_β)²σ²/Δ², the q19
+    // arithmetic inverted), and the days to reach it at the observed
+    // user-arrival rate. σ² and the mean come from the CONTROL arm of
+    // the shared abUsers frame (plan with the data you have — the
+    // platform convention). Exactness: control moments exact BIGINT;
+    // one double assembly with identical text; ceil()s compare on
+    // bit-identical doubles. 100 TB shape: the shared per-user
+    // collapse + a 1-row agg × a 4-row broadcast grid.
+    "q24_sample_size" -> ((s, dir) => {
+      import s.implicits._
+      val ctl = abUsers(s, dir).filter($"grp" === 0)
+        .agg(count(lit(1)).as("n0"), sum($"y").as("sy0"),
+          sum($"y" * $"y").as("syy0"))
+      val days = t(s, dir, "events")
+        .select(expr("CAST(ts AS LONG) div 86400").as("dd"),
+          $"user_id")
+        .agg((max($"dd") - min($"dd") + 1L).as("n_days"),
+          countDistinct($"user_id").as("n_users"))
+      val grid = broadcast(s.createDataFrame(
+        Seq(1L, 2L, 5L, 10L).map(Tuple1(_))).toDF("rel_mde_pct"))
+      grid.crossJoin(broadcast(ctl)).crossJoin(broadcast(days))
+        .selectExpr("rel_mde_pct", "n_days", "n_users",
+          "CAST(n0 AS DOUBLE) AS f_n", "CAST(sy0 AS DOUBLE) AS f_sy",
+          "CAST(syy0 AS DOUBLE) AS f_syy",
+          "CAST(rel_mde_pct AS DOUBLE) AS f_rel")
+        .selectExpr("rel_mde_pct",
+          "round(f_sy / f_n / 100.0, 6) AS control_mean",
+          s"round(2.0 * (${Stats2.Z975} + ${Stats2.Z80}) " +
+            s"* (${Stats2.Z975} + ${Stats2.Z80}) " +
+            "* ((f_syy - f_sy * f_sy / f_n) / (f_n - 1.0)) " +
+            "/ ((f_rel / 100.0 * f_sy / f_n) " +
+            "* (f_rel / 100.0 * f_sy / f_n)), 6) AS n_req",
+          "n_days", "n_users")
+        .selectExpr("rel_mde_pct", "control_mean",
+          "CAST(ceil(n_req) AS BIGINT) AS n_per_arm",
+          "CAST(ceil(2.0 * n_req / (CAST(n_users AS DOUBLE) " +
+            "/ CAST(n_days AS DOUBLE))) AS BIGINT) AS days_to_power")
+        .orderBy($"rel_mde_pct")
     }))
 
   /** a74 Newey–West truncation lag (Bartlett kernel, w_k = 1 − k/(L+1));
@@ -1205,6 +1248,40 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "q24_sample_size" ->
+      s"""WITH $abUsersSql,
+         |ctl AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(y) AS BIGINT) AS sy0,
+         |    CAST(sum(y * y) AS BIGINT) AS syy0
+         |  FROM users WHERE grp = 0),
+         |days AS (
+         |  SELECT CAST(max(dd) - min(dd) + 1 AS BIGINT) AS n_days,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |  FROM ev),
+         |c AS (
+         |  SELECT CAST(g.r AS BIGINT) AS rel_mde_pct, n_days, n_users,
+         |    CAST(n0 AS DOUBLE) AS f_n, CAST(sy0 AS DOUBLE) AS f_sy,
+         |    CAST(syy0 AS DOUBLE) AS f_syy,
+         |    CAST(CAST(g.r AS BIGINT) AS DOUBLE) AS f_rel
+         |  FROM (VALUES (1), (2), (5), (10)) g(r)
+         |  CROSS JOIN ctl CROSS JOIN days),
+         |r AS (
+         |  SELECT rel_mde_pct,
+         |    round(f_sy / f_n / 100.0, 6) AS control_mean,
+         |    round(2.0 * (${Stats2.Z975} + ${Stats2.Z80})
+         |      * (${Stats2.Z975} + ${Stats2.Z80})
+         |      * ((f_syy - f_sy * f_sy / f_n) / (f_n - 1.0))
+         |      / ((f_rel / 100.0 * f_sy / f_n)
+         |      * (f_rel / 100.0 * f_sy / f_n)), 6) AS n_req,
+         |    n_days, n_users
+         |  FROM c)
+         |SELECT rel_mde_pct, control_mean,
+         |  CAST(ceil(n_req) AS BIGINT) AS n_per_arm,
+         |  CAST(ceil(2.0 * n_req / (CAST(n_users AS DOUBLE)
+         |    / CAST(n_days AS DOUBLE))) AS BIGINT) AS days_to_power
+         |FROM r ORDER BY rel_mde_pct""".stripMargin,
 
     "t49_split_leakage" ->
       s"""WITH g AS (
