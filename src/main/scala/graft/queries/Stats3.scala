@@ -114,6 +114,11 @@ object Stats3 {
   private val TrainFrac = 0.8
   private val LeakN = 8
 
+  /** z11 canary selection (keyed LCG; ~2% of docs carry a planted
+    * marker). */
+  private val CanarySeed = 131L
+  private val CanaryFrac = 0.02
+
   /** The a61/a67 hourly grid's DuckDB twin (hourly cents volume per
     * (hr, event_type) with absent hours REAL zeros) — the same CTE text
     * the Stats2 forecast oracles carry, shared here by a70/a71. */
@@ -920,6 +925,54 @@ object Stats3 {
           "CAST(ceil(2.0 * n_req / (CAST(n_users AS DOUBLE) " +
             "/ CAST(n_days AS DOUBLE))) AS BIGINT) AS days_to_power")
         .orderBy($"rel_mde_pct")
+    }),
+
+    // ---- Z11: decontamination canary end-to-end ------------------------------
+    // The self-test a production decontamination path ships with (the
+    // a45 PSI-self-check idea at pipeline scale): PLANT doc-unique
+    // 8-token canary markers into a keyed-LCG 2% of the corpus, build
+    // the eval set from the markers themselves, run the t9-style exact
+    // 8-gram matcher over the MODIFIED corpus, and audit what comes
+    // back — planted count, caught count, misses, false catches, and
+    // recall. Expected 100% recall / 0 false catches BY CONSTRUCTION
+    // (doc-unique markers); the value is the seam coverage: tokenizer,
+    // gram generator, and matcher are proven to compose — a tokenizer
+    // regression that splits 'cy123' differently, or a gram-width
+    // drift, turns this row red while every per-stage gate stays
+    // green. 100 TB shape: one map-only marker append, the t9 gram
+    // explode, gram-keyed semi/anti joins, four 1-row aggs.
+    "z11_canary_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val marked = t(s, dir, "documents")
+        .select($"doc_id", $"text",
+          (Det.frac($"doc_id", CanarySeed) < CanaryFrac).as("plant"))
+        .withColumn("ctext", expr("array_join(transform(" +
+          s"sequence(0, ${LeakN - 1}), " +
+          s"i -> concat('cy', CAST(doc_id * $LeakN + i AS STRING))), ' ')"))
+        .withColumn("text2",
+          when($"plant", concat($"text", lit(" "), $"ctext"))
+            .otherwise($"text"))
+        .localCheckpoint() // feeds the corpus grams AND the eval set
+      val tk2 = graft.text.TextOps.tokens($"text2")
+      val corpusG = marked.filter(size(tk2) >= LeakN)
+        .select($"doc_id", $"plant",
+          explode(graft.text.TextOps.wordNgrams(tk2, LeakN)).as("gram"))
+        .distinct()
+      val evalG = marked.filter($"plant")
+        .select($"ctext".as("gram")).distinct()
+        .localCheckpoint() // feeds the semi-join AND the planted count
+      val caught = corpusG.join(evalG, Seq("gram"), "left_semi")
+        .select($"doc_id", $"plant").distinct()
+        .localCheckpoint() // feeds the two catch counts
+      val nPlant = marked.filter($"plant").agg(count(lit(1)).as("n_planted"))
+      val nCaught = caught.filter($"plant")
+        .agg(count(lit(1)).as("n_caught"))
+      val nFalse = caught.filter(!$"plant")
+        .agg(count(lit(1)).as("n_false_catch"))
+      nPlant.crossJoin(broadcast(nCaught)).crossJoin(broadcast(nFalse))
+        .selectExpr("n_planted", "n_caught",
+          "n_planted - n_caught AS n_missed", "n_false_catch",
+          "(n_caught * 1000000) div n_planted AS recall_ppm")
     }))
 
   /** a74 Newey–West truncation lag (Bartlett kernel, w_k = 1 − k/(L+1));
@@ -1248,6 +1301,49 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "z11_canary_e2e" ->
+      s"""WITH marked AS (
+         |  SELECT doc_id, text,
+         |    (${Det.fracSql("doc_id", CanarySeed)} < $CanaryFrac)
+         |      AS plant,
+         |    array_to_string(list_transform(range(0, $LeakN),
+         |      i -> 'cy' || CAST(doc_id * $LeakN + i AS VARCHAR)), ' ')
+         |      AS ctext
+         |  FROM documents),
+         |m2 AS (
+         |  SELECT doc_id, plant, ctext,
+         |    CASE WHEN plant THEN text || ' ' || ctext ELSE text END
+         |      AS text2
+         |  FROM marked),
+         |cg AS (
+         |  SELECT DISTINCT doc_id, plant, gram FROM (
+         |    SELECT doc_id, plant, unnest(list_transform(
+         |      generate_series(0, greatest(len(tk) - $LeakN, 0)),
+         |      i -> array_to_string(list_slice(tk, i + 1, i + $LeakN),
+         |        ' '))) AS gram
+         |    FROM (SELECT doc_id, plant,
+         |          list_filter(string_split(text2, ' '),
+         |            x -> len(x) > 0) AS tk
+         |          FROM m2)
+         |    WHERE len(tk) >= $LeakN)),
+         |eg AS (SELECT DISTINCT ctext AS gram FROM m2 WHERE plant),
+         |caught AS (
+         |  SELECT DISTINCT c.doc_id, c.plant
+         |  FROM cg c SEMI JOIN eg ON c.gram = eg.gram),
+         |np AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_planted
+         |  FROM m2 WHERE plant),
+         |nc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_caught
+         |  FROM caught WHERE plant),
+         |nf AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_false_catch
+         |  FROM caught WHERE NOT plant)
+         |SELECT n_planted, n_caught, n_planted - n_caught AS n_missed,
+         |  n_false_catch,
+         |  (n_caught * 1000000) // n_planted AS recall_ppm
+         |FROM np CROSS JOIN nc CROSS JOIN nf""".stripMargin,
 
     "q24_sample_size" ->
       s"""WITH $abUsersSql,
