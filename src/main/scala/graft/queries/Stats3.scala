@@ -973,6 +973,60 @@ object Stats3 {
         .selectExpr("n_planted", "n_caught",
           "n_planted - n_caught AS n_missed", "n_false_catch",
           "(n_caught * 1000000) div n_planted AS recall_ppm")
+    }),
+
+    // ---- W35: Western Electric control-chart rules ---------------------------
+    // The classic SPC rule set (Western Electric 1956) over the hourly
+    // volume chart — the pattern alarms w31's EWMA chart doesn't
+    // encode: R1 one point beyond 3σ; R2 two of three consecutive
+    // beyond 2σ, same side; R3 four of five beyond 1σ, same side;
+    // R4 eight consecutive on one side of center. Center/σ are the
+    // series' own population moments (the w31 self-calibration
+    // convention). Reports, per (event_type, rule): violations and the
+    // first violating hour. Exactness: moments are exact BIGINT cents;
+    // z thresholds compare on bit-identical doubles (the q19 flag
+    // convention; no rounding before comparison); rolling rule counts
+    // are integer window sums over fixed frames, evaluated only where
+    // the frame is FULL. 100 TB shape: the SHARED hourly collapse, one
+    // per-type moment agg (broadcast), ONE per-type window pass, a
+    // ≤types·4-row report agg.
+    "w35_we_rules" -> ((s, dir) => {
+      import s.implicits._
+      val grid = Stats2.holtHourly(s, dir)
+        .localCheckpoint() // feeds the moments AND the chart pass
+      val mom = grid.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          sum($"v" * $"v").as("sv2"))
+        .select($"event_type", (d($"sv") / d($"n")).as("mu"),
+          sqrt(d($"sv2") / d($"n")
+            - (d($"sv") / d($"n")) * (d($"sv") / d($"n"))).as("sig"))
+      val w = Window.partitionBy($"event_type").orderBy($"hr")
+      def fr(k: Int) = w.rowsBetween(-(k - 1), 0)
+      val z = grid.join(broadcast(mom), Seq("event_type"))
+        .withColumn("zz", (d($"v") - $"mu") / $"sig")
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("r1", ($"zz" > 3.0 || $"zz" < -3.0).cast("long"))
+        .withColumn("r2",
+          (($"t" >= 3) && (sum(($"zz" > 2.0).cast("long")).over(fr(3)) >= 2
+            || sum(($"zz" < -2.0).cast("long")).over(fr(3)) >= 2))
+            .cast("long"))
+        .withColumn("r3",
+          (($"t" >= 5) && (sum(($"zz" > 1.0).cast("long")).over(fr(5)) >= 4
+            || sum(($"zz" < -1.0).cast("long")).over(fr(5)) >= 4))
+            .cast("long"))
+        .withColumn("r4",
+          (($"t" >= 8) && (sum(($"zz" > 0.0).cast("long")).over(fr(8)) === 8
+            || sum(($"zz" < 0.0).cast("long")).over(fr(8)) === 8))
+            .cast("long"))
+      val rules = Seq("r1", "r2", "r3", "r4")
+      rules.map { r =>
+        z.filter(col(r) === 1L)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_violations"), min($"hr").as("first_hr"))
+          .withColumn("rule", lit(r))
+      }.reduce(_ unionByName _)
+        .select($"event_type", $"rule", $"n_violations", $"first_hr")
+        .orderBy($"event_type", $"rule")
     }))
 
   /** a74 Newey–West truncation lag (Bartlett kernel, w_k = 1 − k/(L+1));
@@ -1301,6 +1355,56 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "w35_we_rules" -> {
+      val ruleSel = Seq("r1", "r2", "r3", "r4").map { r =>
+        s"""SELECT event_type, '$r' AS rule,
+           |    CAST(count(*) AS BIGINT) AS n_violations,
+           |    min(hr) AS first_hr
+           |  FROM rr WHERE $r = 1 GROUP BY event_type""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $hourlyGridSql,
+         |mom AS (
+         |  SELECT event_type,
+         |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+         |    sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      - (CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |      * (CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+         |      AS sig
+         |  FROM grid GROUP BY event_type),
+         |z AS (
+         |  SELECT g.event_type, g.hr,
+         |    (CAST(g.v AS DOUBLE) - m.mu) / m.sig AS zz,
+         |    CAST(row_number() OVER (PARTITION BY g.event_type
+         |      ORDER BY g.hr) AS BIGINT) AS t
+         |  FROM grid g JOIN mom m USING (event_type)),
+         |rr AS (
+         |  SELECT event_type, hr,
+         |    CASE WHEN zz > 3.0 OR zz < -3.0 THEN 1 ELSE 0 END AS r1,
+         |    CASE WHEN t >= 3 AND (
+         |      sum(CASE WHEN zz > 2.0 THEN 1 ELSE 0 END) OVER w3 >= 2 OR
+         |      sum(CASE WHEN zz < -2.0 THEN 1 ELSE 0 END) OVER w3 >= 2)
+         |      THEN 1 ELSE 0 END AS r2,
+         |    CASE WHEN t >= 5 AND (
+         |      sum(CASE WHEN zz > 1.0 THEN 1 ELSE 0 END) OVER w5 >= 4 OR
+         |      sum(CASE WHEN zz < -1.0 THEN 1 ELSE 0 END) OVER w5 >= 4)
+         |      THEN 1 ELSE 0 END AS r3,
+         |    CASE WHEN t >= 8 AND (
+         |      sum(CASE WHEN zz > 0.0 THEN 1 ELSE 0 END) OVER w8 = 8 OR
+         |      sum(CASE WHEN zz < 0.0 THEN 1 ELSE 0 END) OVER w8 = 8)
+         |      THEN 1 ELSE 0 END AS r4
+         |  FROM z
+         |  WINDOW
+         |    w3 AS (PARTITION BY event_type ORDER BY hr
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         |    w5 AS (PARTITION BY event_type ORDER BY hr
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |    w8 AS (PARTITION BY event_type ORDER BY hr
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, rule, n_violations, first_hr FROM (
+         |  $ruleSel)
+         |ORDER BY event_type, rule""".stripMargin
+    },
 
     "z11_canary_e2e" ->
       s"""WITH marked AS (
