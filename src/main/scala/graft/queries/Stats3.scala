@@ -1027,6 +1027,47 @@ object Stats3 {
       }.reduce(_ unionByName _)
         .select($"event_type", $"rule", $"n_violations", $"first_hr")
         .orderBy($"event_type", $"rule")
+    }),
+
+    // ---- A76: Grubbs maximum-outlier test -----------------------------------
+    // The FORMAL single-outlier test behind a24's MAD screen (Grubbs
+    // 1950): G = max|x − x̄|/s per hourly series, with the suspect hour
+    // identified. The deviation argmax is exact: |v·n − S| is a pure
+    // BIGINT (no division until the final G), packed with the
+    // complement-hour-index tie rule (the a69/a70 pack). 100 TB shape:
+    // the SHARED hourly collapse + one per-type window pass + one agg
+    // with the packed argmax + a types-row readout join.
+    "a76_grubbs" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"hr")
+      val wp = Window.partitionBy($"event_type")
+      val g = Stats2.holtHourly(s, dir)
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("dev",
+          abs($"v" * count(lit(1)).over(wp) - sum($"v").over(wp)))
+        .localCheckpoint() // feeds the moment agg AND the argmax decode
+      val agg = g.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          sum($"v" * $"v").as("sv2"),
+          max($"dev" * CpPackShift +
+            (lit(CpPackShift - 1L) - $"t")).as("pk"))
+        .localCheckpoint() // feeds the decode AND the moment join
+      agg
+        .select($"event_type",
+          expr(s"pk div $CpPackShift").as("dmax"),
+          (lit(CpPackShift - 1L) - expr(s"pk % $CpPackShift")).as("t"))
+        .join(g.select($"event_type", $"t", $"hr", $"v"),
+          Seq("event_type", "t"))
+        .join(broadcast(agg.select($"event_type", $"n", $"sv", $"sv2")),
+          Seq("event_type"))
+        .selectExpr("event_type", "n", "hr AS outlier_hr",
+          "round(CAST(v AS DOUBLE) / 100.0, 6) AS outlier_v",
+          "CAST(n AS DOUBLE) AS f_n", "CAST(sv AS DOUBLE) AS f_sv",
+          "CAST(sv2 AS DOUBLE) AS f_sv2", "CAST(dmax AS DOUBLE) AS f_d")
+        .selectExpr("event_type", "n", "outlier_hr", "outlier_v",
+          "round(f_d / f_n / sqrt((f_sv2 - f_sv * f_sv / f_n) / f_n), 6)" +
+            " AS g_stat")
+        .orderBy($"event_type")
     }))
 
   /** a74 Newey–West truncation lag (Bartlett kernel, w_k = 1 − k/(L+1));
@@ -1355,6 +1396,40 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "a76_grubbs" ->
+      s"""WITH $hourlyGridSql,
+         |g AS (
+         |  SELECT event_type, hr, v,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+         |      AS BIGINT) AS t,
+         |    abs(v * CAST(count(*) OVER (PARTITION BY event_type)
+         |        AS BIGINT)
+         |      - CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT))
+         |      AS dev
+         |  FROM grid),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sv,
+         |    CAST(sum(v * v) AS BIGINT) AS sv2,
+         |    max(dev * $CpPackShift + (${CpPackShift - 1L} - t)) AS pk
+         |  FROM g GROUP BY event_type),
+         |sel AS (
+         |  SELECT event_type, n, sv, sv2, pk // $CpPackShift AS dmax,
+         |    ${CpPackShift - 1L} - (pk % $CpPackShift) AS t
+         |  FROM agg),
+         |j AS (
+         |  SELECT sel.event_type, sel.n, g.hr, g.v,
+         |    CAST(sel.n AS DOUBLE) AS f_n, CAST(sel.sv AS DOUBLE) AS f_sv,
+         |    CAST(sel.sv2 AS DOUBLE) AS f_sv2,
+         |    CAST(sel.dmax AS DOUBLE) AS f_d
+         |  FROM sel JOIN g ON g.event_type = sel.event_type
+         |    AND g.t = sel.t)
+         |SELECT event_type, n, hr AS outlier_hr,
+         |  round(CAST(v AS DOUBLE) / 100.0, 6) AS outlier_v,
+         |  round(f_d / f_n / sqrt((f_sv2 - f_sv * f_sv / f_n) / f_n), 6)
+         |    AS g_stat
+         |FROM j ORDER BY event_type""".stripMargin,
 
     "w35_we_rules" -> {
       val ruleSel = Seq("r1", "r2", "r3", "r4").map { r =>
