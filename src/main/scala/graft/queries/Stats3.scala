@@ -994,12 +994,7 @@ object Stats3 {
       import s.implicits._
       val grid = Stats2.holtHourly(s, dir)
         .localCheckpoint() // feeds the moments AND the chart pass
-      val mom = grid.groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
-          sum($"v" * $"v").as("sv2"))
-        .select($"event_type", (d($"sv") / d($"n")).as("mu"),
-          sqrt(d($"sv2") / d($"n")
-            - (d($"sv") / d($"n")) * (d($"sv") / d($"n"))).as("sig"))
+      val mom = weCalib(grid)
       val w = Window.partitionBy($"event_type").orderBy($"hr")
       def fr(k: Int) = w.rowsBetween(-(k - 1), 0)
       val z = grid.join(broadcast(mom), Seq("event_type"))
@@ -1069,6 +1064,20 @@ object Stats3 {
             " AS g_stat")
         .orderBy($"event_type")
     }))
+
+  /** w35's chart calibration (per-type population mean/σ from exact
+    * BIGINT moments) — ONE definition shared with
+    * [[graft.streaming.StreamJob.weRulesStream]]'s spec so the twin's
+    * center lines can never drift from the batch chart's. */
+  private[graft] def weCalib(grid: DataFrame): DataFrame =
+    grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("sv2"))
+      .select(col("event_type"),
+        (d(col("sv")) / d(col("n"))).as("mu"),
+        sqrt(d(col("sv2")) / d(col("n"))
+          - (d(col("sv")) / d(col("n")))
+          * (d(col("sv")) / d(col("n")))).as("sig"))
 
   /** a74 Newey–West truncation lag (Bartlett kernel, w_k = 1 − k/(L+1));
     * 3 matches the a38/a62 Box–Jenkins identification depth. */

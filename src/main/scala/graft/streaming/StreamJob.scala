@@ -491,6 +491,61 @@ object StreamJob {
       }
   }
 
+  case class WeIn(event_type: String, hr: Long, v: Long,
+                  mu: Double, sig: Double)
+  case class WeOut(event_type: String, hr: Long, rule: String)
+  case class WeState(t: Long, ring: Seq[Double])
+
+  /** Streaming Western Electric rules — `w35_we_rules`' pattern alarms
+    * as a live SPC monitor over CLOSED hourly buckets (feed with the
+    * SHARED `Stats2.holtHourly`, hr-ordered per key — the holtStream
+    * contract). Calibration (per-type μ/σ — build with the SHARED
+    * `Stats3.weCalib` over the reference window) joins as a DATAFRAME
+    * (stream-static equi-join, the cusumStream pattern), so the center
+    * lines are the batch chart's doubles bit-for-bit. State per type is
+    * the bucket counter + the trailing ≤8 z-values (the widest rule
+    * frame) — bounded regardless of stream length. z and every rule
+    * predicate replicate the batch expressions' IEEE shape (cast,
+    * subtract, divide; thresholds on unrounded doubles), so each
+    * emitted (type, hr, rule) row is definitionally a batch violation
+    * row, and rules only fire once their frame is FULL (the batch
+    * t ≥ k guard). */
+  def weRulesStream(stream: DataFrame,
+                    calib: DataFrame): org.apache.spark.sql.Dataset[WeOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream.join(calib, Seq("event_type"))
+      .select(col("event_type"), col("hr").cast("long").as("hr"),
+        col("v").cast("long").as("v"), col("mu"), col("sig"))
+      .as[WeIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[WeIn],
+         state: org.apache.spark.sql.streaming.GroupState[WeState]) =>
+          var st = state.getOption.getOrElse(WeState(0L, Seq.empty))
+          val out = collection.mutable.ArrayBuffer[WeOut]()
+          rows.toSeq.sortBy(_.hr).foreach { r =>
+            val zz = (r.v.toDouble - r.mu) / r.sig
+            val t = st.t + 1
+            val ring = (st.ring :+ zz).takeRight(8)
+            def cnt(k: Int, p: Double => Boolean) =
+              ring.takeRight(k).count(p)
+            if (zz > 3.0 || zz < -3.0) out += WeOut(key, r.hr, "r1")
+            if (t >= 3 && (cnt(3, _ > 2.0) >= 2 || cnt(3, _ < -2.0) >= 2))
+              out += WeOut(key, r.hr, "r2")
+            if (t >= 5 && (cnt(5, _ > 1.0) >= 4 || cnt(5, _ < -1.0) >= 4))
+              out += WeOut(key, r.hr, "r3")
+            if (t >= 8 && (cnt(8, _ > 0.0) == 8 || cnt(8, _ < 0.0) == 8))
+              out += WeOut(key, r.hr, "r4")
+            st = WeState(t, ring)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class SrmIn(user_id: Long)
   case class SrmOut(user_id: Long, grp: Int)
 

@@ -16,6 +16,7 @@ case class EwRow(user_id: Long, event_id: Long, es: Long, vc: Long)
 case class SeasRow(event_type: String, es: Long, q: Long)
 case class SurvRow(user_id: Long, event_type: String, es: Long)
 case class CuRow(user_id: Long, event_id: Long, es: Long, q: Long)
+case class WeFeed(event_type: String, hr: Long, v: Long)
 
 class StreamJobSpec extends SparkSpec {
   import spark.implicits._
@@ -440,6 +441,46 @@ class StreamJobSpec extends SparkSpec {
         (cd, age) -> ((n, cu, n * 1000000L / cu))
       }
       assert(got == batch, s"cut layout $i diverged from batch")
+    }
+  }
+
+  test("streaming WE-rule alarms ≡ the oracle-green w35 chart rows, " +
+      "across three batch-cut layouts") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("w35_we_rules")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(batch.nonEmpty)
+    val grid = graft.queries.Stats2.holtHourly(spark, dir)
+      .localCheckpoint()
+    val calib = graft.queries.Stats3.weCalib(grid).localCheckpoint()
+    // hr-ordered global feed → per-type bucket order holds across cuts
+    val rows = grid.orderBy($"hr", $"event_type").collect()
+      .map(r => WeFeed(r.getString(1), r.getLong(0), r.getLong(2)))
+    implicit val sq = spark.sqlContext
+    val layouts = Seq(Seq(rows.length), Seq(500, rows.length),
+      Seq(100, 900, rows.length))
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[WeFeed]
+      val q = StreamJob.weRulesStream(mem.toDF(), calib)
+        .writeStream.format("memory").queryName(s"we_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable(); prev = c
+      }
+      q.stop()
+      val emitted = spark.table(s"we_out_$i").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      // at most one emission per (type, hr, rule), never re-emitted
+      assert(emitted.length == emitted.distinct.length)
+      val got = emitted.groupBy(e => (e._1, e._3)).map {
+        case ((ty, rule), xs) =>
+          (ty, rule) -> ((xs.length.toLong, xs.map(_._2).min))
+      }
+      assert(got == batch, s"cut layout $i diverged from w35")
     }
   }
 
