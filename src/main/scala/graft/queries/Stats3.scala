@@ -1063,6 +1063,34 @@ object Stats3 {
           "round(f_d / f_n / sqrt((f_sv2 - f_sv * f_sv / f_n) / f_n), 6)" +
             " AS g_stat")
         .orderBy($"event_type")
+    }),
+
+    // ---- A77: Jarque–Bera normality test --------------------------------------
+    // The normality gate the test family assumed implicitly (a35/a39's
+    // z/t readings lean on CLT; a47 checks randomness, not shape):
+    // JB = n/6·(S² + (K−3)²/4) from exact raw moments of the per-event
+    // milli-values (Jarque & Bera 1980). Σq³ and Σq⁴ ride
+    // DECIMAL(38,0)/HUGEINT (the per-row q³ fits int64; the corpus
+    // SUM does not, measured at sf0.1) — the a40 escape path as the
+    // production path (the t38 precedent) — and every moment casts to
+    // DOUBLE before the one generated-text assembly (identical IEEE
+    // both engines; m2^1.5 written sqrt·m2, never pow). 100 TB shape:
+    // ONE map-side-combined type agg; the readout is scalar.
+    "a77_jarque_bera" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type",
+          round($"value" * 1000).cast("long").as("q"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"q").as("s1"),
+          sum($"q" * $"q").as("s2"),
+          sum(($"q" * $"q").cast("decimal(38,0)") * $"q").as("s3"),
+          sum(($"q" * $"q").cast("decimal(38,0)") * ($"q" * $"q"))
+            .as("s4"))
+        .selectExpr("event_type" +: "n" +: jbCast: _*)
+        .selectExpr(Seq("event_type", "n") ++
+          jbReadout.map { case (a, e) => s"$e AS $a" }: _*)
+        .orderBy($"event_type")
     }))
 
   /** w35's chart calibration (per-type population mean/σ from exact
@@ -1107,6 +1135,32 @@ object Stats3 {
       "se_iid" -> s"round(sqrt(${gam(0)} / f_n) / 100.0, 6)",
       "se_hac" -> s"round(sqrt($varHac / f_n) / 100.0, 6)",
       "inflation" -> s"round(sqrt($varHac / f_n) / sqrt(${gam(0)} / f_n), 6)")
+  }
+
+  /** a77's moment casts + the skew/kurtosis/JB assembly — generated
+    * ONCE (the z10/a74 recipe). Inputs: n, s1..s4 = Σq^k (s3 AND s4
+    * carried as DECIMAL(38,0)/HUGEINT — the per-row q³ fits int64 but
+    * the corpus SUM does not; the a40 escape path IS the production
+    * path here, the t38 precedent — and cast to DOUBLE before any
+    * arithmetic). Population central
+    * moments by the standard raw-moment expansion; m2^1.5 is written
+    * sqrt(m2)·m2 (no pow — identical IEEE in both engines). */
+  private val jbCast: Seq[String] =
+    Seq("n", "s1", "s2", "s3", "s4").map(m => s"CAST($m AS DOUBLE) AS f_$m")
+  private val jbReadout: Seq[(String, String)] = {
+    val mu = "(f_s1 / f_n)"
+    val m2 = s"(f_s2 / f_n - $mu * $mu)"
+    val m3 = s"(f_s3 / f_n - 3.0 * $mu * (f_s2 / f_n) " +
+      s"+ 2.0 * $mu * $mu * $mu)"
+    val m4 = s"(f_s4 / f_n - 4.0 * $mu * (f_s3 / f_n) " +
+      s"+ 6.0 * $mu * $mu * (f_s2 / f_n) - 3.0 * $mu * $mu * $mu * $mu)"
+    val sk = s"($m3 / (sqrt($m2) * $m2))"
+    val ku = s"($m4 / ($m2 * $m2))"
+    Seq(
+      "skewness" -> s"round($sk, 6)",
+      "kurtosis" -> s"round($ku, 6)",
+      "jb_stat" -> (s"round(f_n / 6.0 * ($sk * $sk " +
+        s"+ ($ku - 3.0) * ($ku - 3.0) / 4.0), 6)"))
   }
 
   /** z10's double casts + readout formulas — generated ONCE and
@@ -1405,6 +1459,25 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "a77_jarque_bera" ->
+      s"""WITH m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(q) AS BIGINT) AS s1,
+         |    CAST(sum(q * q) AS BIGINT) AS s2,
+         |    CAST(sum(CAST(q * q AS HUGEINT) * q)
+         |      AS DECIMAL(38, 0)) AS s3,
+         |    CAST(sum(CAST(q * q AS HUGEINT) * (q * q))
+         |      AS DECIMAL(38, 0)) AS s4
+         |  FROM (SELECT event_type,
+         |      CAST(round(value * 1000) AS BIGINT) AS q FROM events)
+         |  GROUP BY event_type),
+         |c AS (SELECT event_type, n, ${jbCast.mkString(",\n    ")}
+         |  FROM m)
+         |SELECT event_type, n,
+         |  ${jbReadout.map { case (a, e) => s"$e AS $a" }
+            .mkString(",\n  ")}
+         |FROM c ORDER BY event_type""".stripMargin,
 
     "a76_grubbs" ->
       s"""WITH $hourlyGridSql,
