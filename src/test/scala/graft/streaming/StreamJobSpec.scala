@@ -444,6 +444,39 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("q23 stickiness is reconstructible from cohortStream's emitted " +
+      "rows (the live engagement path covers the batch metric)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q23_stickiness")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4)))).toMap
+    assert(batch.nonEmpty)
+    val rows = graft.queries.Stats2.cohortEvents(spark, dir)
+      .orderBy($"dd", $"user_id").collect()
+      .map(r => StreamJob.CohortIn(r.getLong(0), r.getLong(1)))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamJob.CohortIn]
+    val q = StreamJob.cohortStream(mem.toDF())
+      .writeStream.format("memory").queryName("q23_rebuild")
+      .outputMode("append").start()
+    mem.addData(rows.toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    // emitted (user, cohort_day, age) rows ARE the distinct user-days:
+    // DAU(d) = rows with cohort_day + age = d; MAU(d) = distinct users
+    // with an active day in (d-29..d] — the q23 definitions verbatim
+    val ud = spark.table("q23_rebuild").collect()
+      .map(r => (r.getLong(0), r.getLong(1) + r.getLong(2)))
+    assert(ud.length == ud.distinct.length)
+    val dau = ud.groupBy(_._2).map { case (d, xs) => d -> xs.length.toLong }
+    val got = dau.keys.map { d =>
+      val mau = ud.filter(x => x._2 > d - 30 && x._2 <= d)
+        .map(_._1).distinct.length.toLong
+      d -> ((dau(d), mau, dau(d) * 1000000L / mau))
+    }.toMap
+    assert(got == batch, "cohortStream-rebuilt stickiness diverged")
+  }
+
   test("streaming WE-rule alarms ≡ the oracle-green w35 chart rows, " +
       "across three batch-cut layouts") {
     val dir = "/root/testdata/sf0.001"
