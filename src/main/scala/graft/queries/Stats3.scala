@@ -1091,6 +1091,52 @@ object Stats3 {
         .selectExpr(Seq("event_type", "n") ++
           jbReadout.map { case (a, e) => s"$e AS $a" }: _*)
         .orderBy($"event_type")
+    }),
+
+    // ---- A78: Brown–Forsythe robust variance test -----------------------------
+    // The test a77 says to USE: Bartlett (a73) is notoriously
+    // normality-sensitive, and a77 just measured skew ≈ 2 / kurtosis
+    // ≈ 9 — Brown & Forsythe 1974's median-centered Levene variant is
+    // the robust alternative: one-way ANOVA F on z = |q − median_g|.
+    // Medians are EXACT lower medians computed on the value-domain
+    // frame (counts per (type, q), cumulative over distinct values —
+    // the a32 recipe, never a one-task data window). Exactness: z and
+    // its group moments are exact BIGINTs; the one fractional
+    // per-group term S_g²/n_g is rounded to 1 milli² (the a73 wv
+    // carry) so the k-group sum is order-free; the F assembles in
+    // double from generated text. Same verdict as a73 here (variances
+    // differ) — now robust to the measured non-normality. 100 TB
+    // shape: ONE (type, q) collapse for the medians + ONE event pass
+    // for the z moments + k-row arithmetic.
+    "a78_brown_forsythe" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type",
+          round($"value" * 1000).cast("long").as("q"))
+      val win = Window.partitionBy($"event_type").orderBy($"q")
+      val med = ev.groupBy($"event_type", $"q")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(win))
+        .withColumn("tot", sum($"c").over(Window.partitionBy($"event_type")))
+        .filter($"cum" >= expr("(tot + 1) div 2")) // lower-median position
+        .groupBy($"event_type").agg(min($"q").as("med"))
+      val g = ev.join(broadcast(med), Seq("event_type"))
+        .select($"event_type", abs($"q" - $"med").as("z"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("ng"), sum($"z").as("sg"),
+          sum($"z" * $"z").as("z2g"))
+        .withColumn("wg",
+          round(d($"sg") * d($"sg") / d($"ng")).cast("long"))
+      g.agg(count(lit(1)).as("k"), sum($"ng").as("nn"),
+          sum($"sg").as("ss"), sum($"wg").as("sw"), sum($"z2g").as("sz2"))
+        .selectExpr("k", "nn", "k - 1 AS df1", "nn - k AS df2",
+          "CAST(k AS DOUBLE) AS f_k", "CAST(nn AS DOUBLE) AS f_n",
+          "CAST(ss AS DOUBLE) AS f_ss", "CAST(sw AS DOUBLE) AS f_sw",
+          "CAST(sz2 AS DOUBLE) AS f_z2")
+        .selectExpr("CAST(k AS INT) AS k_groups", "nn AS n_total",
+          "df1", "df2",
+          "round(((f_sw - f_ss * f_ss / f_n) / (f_k - 1.0)) " +
+            "/ ((f_z2 - f_sw) / (f_n - f_k)), 6) AS f_stat")
     }))
 
   /** w35's chart calibration (per-type population mean/σ from exact
@@ -1459,6 +1505,53 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "a78_brown_forsythe" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS q
+         |  FROM events),
+         |vc AS (
+         |  SELECT event_type, q, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY event_type, q),
+         |cw AS (
+         |  SELECT event_type, q,
+         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY q)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+         |  FROM vc),
+         |med AS (
+         |  SELECT event_type, CAST(min(q) AS BIGINT) AS med
+         |  FROM cw WHERE cum >= (tot + 1) // 2
+         |  GROUP BY event_type),
+         |g AS (
+         |  SELECT ev.event_type, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(abs(ev.q - med.med)) AS BIGINT) AS sg,
+         |    CAST(sum(abs(ev.q - med.med) * abs(ev.q - med.med))
+         |      AS BIGINT) AS z2g
+         |  FROM ev JOIN med ON med.event_type = ev.event_type
+         |  GROUP BY ev.event_type),
+         |g2 AS (
+         |  SELECT event_type, ng, sg, z2g,
+         |    CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+         |      / CAST(ng AS DOUBLE)) AS BIGINT) AS wg
+         |  FROM g),
+         |ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(ng) AS BIGINT) AS nn,
+         |    CAST(sum(sg) AS BIGINT) AS ss,
+         |    CAST(sum(wg) AS BIGINT) AS sw,
+         |    CAST(sum(z2g) AS BIGINT) AS sz2
+         |  FROM g2),
+         |c AS (
+         |  SELECT k, nn, k - 1 AS df1, nn - k AS df2,
+         |    CAST(k AS DOUBLE) AS f_k, CAST(nn AS DOUBLE) AS f_n,
+         |    CAST(ss AS DOUBLE) AS f_ss, CAST(sw AS DOUBLE) AS f_sw,
+         |    CAST(sz2 AS DOUBLE) AS f_z2
+         |  FROM ag)
+         |SELECT CAST(k AS INT) AS k_groups, nn AS n_total, df1, df2,
+         |  round(((f_sw - f_ss * f_ss / f_n) / (f_k - 1.0))
+         |    / ((f_z2 - f_sw) / (f_n - f_k)), 6) AS f_stat
+         |FROM c""".stripMargin,
 
     "a77_jarque_bera" ->
       s"""WITH m AS (
