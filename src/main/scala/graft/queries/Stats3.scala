@@ -737,22 +737,25 @@ object Stats3 {
     // unrounded bit-identical doubles). 100 TB shape: the shared
     // per-user collapse + one 1-row agg; the readout is scalar.
     "z10_experiment_e2e" -> ((s, dir) => {
-      import s.implicits._
-      val g1 = $"grp" === 1
-      abUsers(s, dir)
-        .agg(count(lit(1)).as("n"),
-          sum(when(g1, 1L).otherwise(0L)).as("n1"),
-          sum(when(!g1, 1L).otherwise(0L)).as("n0"),
-          sum(when(g1, $"x").otherwise(0L)).as("sx1g"),
-          sum(when(!g1, $"x").otherwise(0L)).as("sx0g"),
-          sum(when(g1, $"y").otherwise(0L)).as("sy1g"),
-          sum(when(!g1, $"y").otherwise(0L)).as("sy0g"),
-          sum(when(g1, $"y" * $"y").otherwise(0L)).as("syy1g"),
-          sum(when(!g1, $"y" * $"y").otherwise(0L)).as("syy0g"),
-          sum($"x").as("sxa"), sum($"y").as("sya"),
-          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
-        .selectExpr("n" +: "n1" +: "n0" +: zxCast: _*)
+      abMoments(s, dir)
         .selectExpr(zxReadout.map { case (a, e) => s"$e AS $a" }: _*)
+    }),
+
+    // ---- Q25: TOST equivalence test --------------------------------------------
+    // The test a platform runs when the HOPE is "no difference" (a
+    // migration, a refactor, a cheaper model): two one-sided tests
+    // against a ±5%-of-control-mean margin (Schuirmann 1987) — the
+    // experiment is EQUIVALENT only if BOTH one-sided t's clear the
+    // one-sided z at α = 0.05. Same shared moment pass as z10 (ONE
+    // helper, so the superiority and equivalence readouts provably
+    // score the same experiment); readouts generated as shared text;
+    // the verdict compares bit-identical doubles. On this corpus: NOT
+    // demonstrably equivalent (t_lower ≈ 0.9 < 1.645) — with n = 750
+    // per arm the data can't even prove sameness; the honest twin of
+    // q19's under-powered verdict. 100 TB shape: identical to z10.
+    "q25_tost" -> ((s, dir) => {
+      abMoments(s, dir)
+        .selectExpr(tostReadout.map { case (a, e) => s"$e AS $a" }: _*)
     }),
 
     // ---- A74: autocorrelation-robust (Newey–West) standard error -----------
@@ -1209,6 +1212,54 @@ object Stats3 {
         s"+ ($ku - 3.0) * ($ku - 3.0) / 4.0), 6)"))
   }
 
+  /** z10/q25's shared per-user experiment moment pass: the 13
+    * sufficient statistics in ONE conditional agg off [[abUsers]],
+    * pre-cast under f_ names — ONE definition so the superiority
+    * chain gate and the equivalence test provably score the same
+    * experiment. */
+  private def abMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g1 = $"grp" === 1
+    abUsers(s, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(g1, 1L).otherwise(0L)).as("n1"),
+        sum(when(!g1, 1L).otherwise(0L)).as("n0"),
+        sum(when(g1, $"x").otherwise(0L)).as("sx1g"),
+        sum(when(!g1, $"x").otherwise(0L)).as("sx0g"),
+        sum(when(g1, $"y").otherwise(0L)).as("sy1g"),
+        sum(when(!g1, $"y").otherwise(0L)).as("sy0g"),
+        sum(when(g1, $"y" * $"y").otherwise(0L)).as("syy1g"),
+        sum(when(!g1, $"y" * $"y").otherwise(0L)).as("syy0g"),
+        sum($"x").as("sxa"), sum($"y").as("sya"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .selectExpr("n" +: "n1" +: "n0" +: zxCast: _*)
+  }
+
+  /** q25 margin (fraction of the control mean) and the one-sided 5%
+    * normal quantile (shortest-repr double literal). */
+  private val TostMarginFrac = 0.05
+  private val Z95 = 1.6448536269514722
+
+  /** q25's TOST readout — generated once (the zxReadout recipe). */
+  private val tostReadout: Seq[(String, String)] = {
+    val m1 = "(f_sy1g / f_n1)"
+    val m0 = "(f_sy0g / f_n0)"
+    val v1 = "((f_syy1g - f_sy1g * f_sy1g / f_n1) / (f_n1 - 1.0))"
+    val v0 = "((f_syy0g - f_sy0g * f_sy0g / f_n0) / (f_n0 - 1.0))"
+    val se = s"sqrt($v1 / f_n1 + $v0 / f_n0)"
+    val diff = s"($m1 - $m0)"
+    val marg = s"($TostMarginFrac * $m0)"
+    val tLo = s"(($diff + $marg) / $se)"
+    val tHi = s"(($marg - $diff) / $se)"
+    Seq(
+      "n1" -> "n1", "n0" -> "n0",
+      "diff" -> s"round($diff / 100.0, 6)",
+      "margin_abs" -> s"round($marg / 100.0, 6)",
+      "t_lower" -> s"round($tLo, 6)",
+      "t_upper" -> s"round($tHi, 6)",
+      "equivalent" -> s"($tLo > $Z95 AND $tHi > $Z95)")
+  }
+
   /** z10's double casts + readout formulas — generated ONCE and
     * evaluated verbatim by both engines (the d23/a71 recipe), so the
     * chain gate's scalar assembly cannot drift. */
@@ -1505,6 +1556,36 @@ object Stats3 {
          |  fit.hurst_h
          |FROM per_m p JOIN fit USING (event_type)
          |ORDER BY p.event_type, p.m""".stripMargin,
+
+    "q25_tost" ->
+      s"""WITH $abUsersSql,
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT)
+         |      AS sx1g,
+         |    CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT)
+         |      AS sx0g,
+         |    CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT)
+         |      AS sy1g,
+         |    CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT)
+         |      AS sy0g,
+         |    CAST(sum(CASE WHEN grp = 1 THEN y * y ELSE 0 END) AS BIGINT)
+         |      AS syy1g,
+         |    CAST(sum(CASE WHEN grp = 0 THEN y * y ELSE 0 END) AS BIGINT)
+         |      AS syy0g,
+         |    CAST(sum(x) AS BIGINT) AS sxa,
+         |    CAST(sum(y) AS BIGINT) AS sya,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM users),
+         |c AS (SELECT n, n1, n0, ${zxCast.mkString(",\n    ")} FROM m)
+         |SELECT ${tostReadout.map { case (a, e) => s"$e AS $a" }
+            .mkString(",\n  ")}
+         |FROM c""".stripMargin,
 
     "a78_brown_forsythe" ->
       s"""WITH ev AS (
