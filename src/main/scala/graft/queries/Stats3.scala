@@ -119,6 +119,29 @@ object Stats3 {
   private val CanarySeed = 131L
   private val CanaryFrac = 0.02
 
+  /** z12 MCAR mask (keyed LCG; 10% of events hide their value). */
+  private val MaskSeed = 137L
+  private val MaskFrac = 0.1
+
+  /** z12's error-readout text: bias/RMSE of mean-imputation against
+    * the held-out truth, assembled PURELY from exact moments — never a
+    * per-row error sum (which would re-associate doubles): with
+    * μ = S_obs/n_obs, Σe = n_m·μ − S_m and Σe² = n_m·μ² − 2·μ·S_m +
+    * Z2_m, all from BIGINT carries (generated once, the zx recipe). */
+  private val impCast: Seq[String] =
+    Seq("n_obs", "s_obs", "n_m", "s_m", "z2_m")
+      .map(m => s"CAST($m AS DOUBLE) AS f_$m")
+  private val impReadout: Seq[(String, String)] = {
+    val mu = "(f_s_obs / f_n_obs)"
+    val bias = s"($mu - f_s_m / f_n_m)"
+    val mse = s"($mu * $mu - 2.0 * $mu * (f_s_m / f_n_m) " +
+      "+ f_z2_m / f_n_m)"
+    Seq(
+      "obs_mean" -> s"round($mu / 100.0, 6)",
+      "bias" -> s"round($bias / 100.0, 6)",
+      "rmse" -> s"round(sqrt($mse) / 100.0, 6)")
+  }
+
   /** The a61/a67 hourly grid's DuckDB twin (hourly cents volume per
     * (hr, event_type) with absent hours REAL zeros) — the same CTE text
     * the Stats2 forecast oracles carry, shared here by a70/a71. */
@@ -756,6 +779,36 @@ object Stats3 {
     "q25_tost" -> ((s, dir) => {
       abMoments(s, dir)
         .selectExpr(tostReadout.map { case (a, e) => s"$e AS $a" }: _*)
+    }),
+
+    // ---- Z12: imputation-quality chain gate -------------------------------------
+    // The a2 imputer's honest scorecard as one query: hide a keyed-LCG
+    // 10% of event values (MCAR — the i-pack injection idea applied to
+    // MISSINGNESS), mean-impute per event_type from the OBSERVED rows
+    // only (the a2 semantics), and audit against the held-out truth.
+    // Bias and RMSE assemble PURELY from exact moments (never a
+    // per-row double error sum — see impReadout), so the audit is
+    // bit-exact: bias ≈ 0 by MCAR, RMSE ≈ the per-type σ — the
+    // textbook mean-imputation floor, which is WHY w22's ffill and the
+    // model-based detectors exist. 100 TB shape: ONE conditional
+    // map-side agg per type; the readout is scalar.
+    "z12_impute_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val masked = Det.frac($"event_id", MaskSeed) < MaskFrac
+      t(s, dir, "events")
+        .select($"event_type", $"event_id",
+          round($"value" * 100).cast("long").as("cents"),
+          masked.as("m"))
+        .groupBy($"event_type")
+        .agg(sum(when(!$"m", 1L).otherwise(0L)).as("n_obs"),
+          sum(when(!$"m", $"cents").otherwise(0L)).as("s_obs"),
+          sum(when($"m", 1L).otherwise(0L)).as("n_m"),
+          sum(when($"m", $"cents").otherwise(0L)).as("s_m"),
+          sum(when($"m", $"cents" * $"cents").otherwise(0L)).as("z2_m"))
+        .selectExpr("event_type" +: "n_obs" +: "n_m" +: impCast: _*)
+        .selectExpr(Seq("event_type", "n_obs", "n_m") ++
+          impReadout.map { case (a, e) => s"$e AS $a" }: _*)
+        .orderBy($"event_type")
     }),
 
     // ---- A74: autocorrelation-robust (Newey–West) standard error -----------
@@ -1586,6 +1639,31 @@ object Stats3 {
          |SELECT ${tostReadout.map { case (a, e) => s"$e AS $a" }
             .mkString(",\n  ")}
          |FROM c""".stripMargin,
+
+    "z12_impute_e2e" ->
+      s"""WITH m AS (
+         |  SELECT event_type,
+         |    CAST(sum(CASE WHEN NOT mk THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_obs,
+         |    CAST(sum(CASE WHEN NOT mk THEN cents ELSE 0 END) AS BIGINT)
+         |      AS s_obs,
+         |    CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_m,
+         |    CAST(sum(CASE WHEN mk THEN cents ELSE 0 END) AS BIGINT)
+         |      AS s_m,
+         |    CAST(sum(CASE WHEN mk THEN cents * cents ELSE 0 END)
+         |      AS BIGINT) AS z2_m
+         |  FROM (
+         |    SELECT event_type,
+         |      CAST(round(value * 100) AS BIGINT) AS cents,
+         |      (${Det.fracSql("event_id", MaskSeed)} < $MaskFrac) AS mk
+         |    FROM events)
+         |  GROUP BY event_type),
+         |c AS (SELECT event_type, n_obs, n_m,
+         |  ${impCast.mkString(",\n  ")} FROM m)
+         |SELECT event_type, n_obs, n_m,
+         |  ${impReadout.map { case (a, e) => s"$e AS $a" }
+            .mkString(",\n  ")}
+         |FROM c ORDER BY event_type""".stripMargin,
 
     "a78_brown_forsythe" ->
       s"""WITH ev AS (
