@@ -639,7 +639,7 @@ object Stats3 {
       val D = EDim
       val q = t(s, dir, "embeddings")
         .select($"vec_id", expr(
-          "transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))")
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
           .as("q"))
         .localCheckpoint() // feeds the pair, sum AND count aggs
       val pairs = q.select(explode(expr(
@@ -1149,6 +1149,51 @@ object Stats3 {
         .orderBy($"event_type")
     }),
 
+    // ---- E25: per-dimension Fisher discriminant ratio ---------------------------
+    // Supervised feature selection over the labeled embeddings (the
+    // one-way ANOVA F per dimension — Fisher 1936's criterion applied
+    // coordinate-wise): which dims separate the label classes at all?
+    // Completes the embedding audit triad's unsupervised view (e23
+    // isotropy, e24 top component) with the SUPERVISED one. Exactness:
+    // e6-quantized per-(label, dim) moments are exact BIGINTs; the one
+    // fractional per-class term S²/n is the a73 rounded carry (1 e6²
+    // unit) so per-dim sums are order-free; F assembles in double with
+    // identical text. On these isotropic synthetic embeddings F ≈ 1
+    // everywhere (labels don't live in single coordinates) — honest;
+    // the operator is the screen that PROVES you need the learned
+    // projection (e24) rather than coordinate picks. 100 TB shape: ONE
+    // map-only (vec → 64 rows) explode, two map-side-combined aggs
+    // (≤ labels·64 and ≤ 64 rows), one dim join.
+    "e25_fisher_ratio" -> ((s, dir) => {
+      import s.implicits._
+      val ex = t(s, dir, "embeddings")
+        .select($"label", posexplode(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+          .as(Seq("j", "q")))
+        .localCheckpoint() // feeds the class agg AND the dim agg
+      // wlj = ⌊slj²/nl⌋ in PURE integer arithmetic (slj² fits int64 at
+      // this corpus — ledgered): the a73 rounded-double carry showed a
+      // 1-ulp round-tie divergence here (DuckDB half-even vs Spark
+      // half-up on an exactly-representable .5), so the fractional
+      // term is truncated identically in both engines instead
+      val cls = ex.groupBy($"label", $"j")
+        .agg(count(lit(1)).as("nl"), sum($"q").as("slj"))
+        .withColumn("wlj", expr("(slj * slj) div nl"))
+      val perDim = cls.groupBy($"j")
+        .agg(count(lit(1)).as("k"), sum($"nl").as("n"),
+          sum($"slj").as("s"), sum($"wlj").as("sw"))
+      val z2 = ex.groupBy($"j").agg(sum($"q" * $"q").as("z2"))
+      perDim.join(z2, Seq("j"))
+        .selectExpr("j AS dim", "k", "n",
+          "CAST(k AS DOUBLE) AS f_k", "CAST(n AS DOUBLE) AS f_n",
+          "CAST(s AS DOUBLE) AS f_s", "CAST(sw AS DOUBLE) AS f_sw",
+          "CAST(z2 AS DOUBLE) AS f_z2")
+        .selectExpr("dim", "CAST(k AS INT) AS k_classes", "n AS n_vecs",
+          "round(((f_sw - f_s * f_s / f_n) / (f_k - 1.0)) " +
+            "/ ((f_z2 - f_sw) / (f_n - f_k)), 6) AS f_ratio")
+        .orderBy($"dim")
+    }),
+
     // ---- A78: Brown–Forsythe robust variance test -----------------------------
     // The test a77 says to USE: Bartlett (a73) is notoriously
     // normality-sensitive, and a77 just measured skew ≈ 2 / kurtosis
@@ -1370,6 +1415,34 @@ object Stats3 {
        |  SELECT am, n, nrm, list_transform(w, x -> x / nrm) AS v
        |  FROM p${i}n)""".stripMargin
   }.mkString(",\n")
+
+  /** DuckDB twin of [[abMoments]]' conditional agg — ONE text shared by
+    * the z10 and q25 oracles (mirroring the one shared Spark helper). */
+  private val abMomentsSql: String =
+    s"""m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n1,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n0,
+       |    CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT)
+       |      AS sx1g,
+       |    CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT)
+       |      AS sx0g,
+       |    CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT)
+       |      AS sy1g,
+       |    CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT)
+       |      AS sy0g,
+       |    CAST(sum(CASE WHEN grp = 1 THEN y * y ELSE 0 END) AS BIGINT)
+       |      AS syy1g,
+       |    CAST(sum(CASE WHEN grp = 0 THEN y * y ELSE 0 END) AS BIGINT)
+       |      AS syy0g,
+       |    CAST(sum(x) AS BIGINT) AS sxa,
+       |    CAST(sum(y) AS BIGINT) AS sya,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM users),
+       |c AS (SELECT n, n1, n0, ${zxCast.mkString(",\n    ")} FROM m)""".stripMargin
 
   /** DuckDB twin of one a71 direction's moment agg (generated so the
     * ten products can't drift from the Spark agg's). */
@@ -1612,33 +1685,45 @@ object Stats3 {
 
     "q25_tost" ->
       s"""WITH $abUsersSql,
-         |m AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n1,
-         |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n0,
-         |    CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT)
-         |      AS sx1g,
-         |    CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT)
-         |      AS sx0g,
-         |    CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT)
-         |      AS sy1g,
-         |    CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT)
-         |      AS sy0g,
-         |    CAST(sum(CASE WHEN grp = 1 THEN y * y ELSE 0 END) AS BIGINT)
-         |      AS syy1g,
-         |    CAST(sum(CASE WHEN grp = 0 THEN y * y ELSE 0 END) AS BIGINT)
-         |      AS syy0g,
-         |    CAST(sum(x) AS BIGINT) AS sxa,
-         |    CAST(sum(y) AS BIGINT) AS sya,
-         |    CAST(sum(x * y) AS BIGINT) AS sxy,
-         |    CAST(sum(x * x) AS BIGINT) AS sxx
-         |  FROM users),
-         |c AS (SELECT n, n1, n0, ${zxCast.mkString(",\n    ")} FROM m)
+         |$abMomentsSql
          |SELECT ${tostReadout.map { case (a, e) => s"$e AS $a" }
             .mkString(",\n  ")}
          |FROM c""".stripMargin,
+
+    "e25_fisher_ratio" ->
+      s"""WITH ex AS (
+         |  SELECT label, j, q FROM (
+         |    SELECT label,
+         |      unnest(range(0, $EDim)) AS j,
+         |      unnest(list_transform(embedding,
+         |        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS q
+         |    FROM embeddings)),
+         |cls AS (
+         |  SELECT label, j, CAST(count(*) AS BIGINT) AS nl,
+         |    CAST(sum(q) AS BIGINT) AS slj
+         |  FROM ex GROUP BY label, j),
+         |cls2 AS (
+         |  SELECT label, j, nl, slj, (slj * slj) // nl AS wlj
+         |  FROM cls),
+         |per_dim AS (
+         |  SELECT j, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(nl) AS BIGINT) AS n,
+         |    CAST(sum(slj) AS BIGINT) AS s,
+         |    CAST(sum(wlj) AS BIGINT) AS sw
+         |  FROM cls2 GROUP BY j),
+         |z2 AS (
+         |  SELECT j, CAST(sum(q * q) AS BIGINT) AS z2
+         |  FROM ex GROUP BY j),
+         |c AS (
+         |  SELECT CAST(per_dim.j AS INT) AS dim, k, n,
+         |    CAST(k AS DOUBLE) AS f_k, CAST(n AS DOUBLE) AS f_n,
+         |    CAST(s AS DOUBLE) AS f_s, CAST(sw AS DOUBLE) AS f_sw,
+         |    CAST(z2.z2 AS DOUBLE) AS f_z2
+         |  FROM per_dim JOIN z2 ON z2.j = per_dim.j)
+         |SELECT dim, CAST(k AS INT) AS k_classes, n AS n_vecs,
+         |  round(((f_sw - f_s * f_s / f_n) / (f_k - 1.0))
+         |    / ((f_z2 - f_sw) / (f_n - f_k)), 6) AS f_ratio
+         |FROM c ORDER BY dim""".stripMargin,
 
     "z12_impute_e2e" ->
       s"""WITH m AS (
@@ -2002,30 +2087,7 @@ object Stats3 {
 
     "z10_experiment_e2e" ->
       s"""WITH $abUsersSql,
-         |m AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n1,
-         |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n0,
-         |    CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT)
-         |      AS sx1g,
-         |    CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT)
-         |      AS sx0g,
-         |    CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT)
-         |      AS sy1g,
-         |    CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT)
-         |      AS sy0g,
-         |    CAST(sum(CASE WHEN grp = 1 THEN y * y ELSE 0 END) AS BIGINT)
-         |      AS syy1g,
-         |    CAST(sum(CASE WHEN grp = 0 THEN y * y ELSE 0 END) AS BIGINT)
-         |      AS syy0g,
-         |    CAST(sum(x) AS BIGINT) AS sxa,
-         |    CAST(sum(y) AS BIGINT) AS sya,
-         |    CAST(sum(x * y) AS BIGINT) AS sxy,
-         |    CAST(sum(x * x) AS BIGINT) AS sxx
-         |  FROM users),
-         |c AS (SELECT n, n1, n0, ${zxCast.mkString(",\n    ")} FROM m)
+         |$abMomentsSql
          |SELECT ${zxReadout.map { case (a, e) => s"$e AS $a" }
             .mkString(",\n  ")}
          |FROM c""".stripMargin,
@@ -2077,7 +2139,7 @@ object Stats3 {
     "e24_top_component" ->
       s"""WITH q AS (
          |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
          |  FROM embeddings),
          |pr AS (
          |  SELECT u[1] AS j, u[2] AS k, u[3] AS p FROM (
