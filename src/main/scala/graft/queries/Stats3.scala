@@ -251,17 +251,18 @@ object Stats3 {
     // (the two-cell goodness-of-fit closed form). A triggered SRM means
     // the assignment or logging pipeline is broken and every downstream
     // readout (a35/a39/q19/q21) is void. Exactness: integer counts;
-    // the statistic's one division happens in double from exact
-    // BIGINTs; the alarm flag compares the ROUNDED χ² to the critical
-    // literal so both engines decide on identical inputs. 100 TB
-    // shape: the shared per-user collapse + a 1-row agg.
+    // (n1−n0) casts to DOUBLE BEFORE squaring (the ledgered shape —
+    // exact at any n < 2^63 users, never an int64 square) and the
+    // alarm flag compares the ROUNDED χ² to the critical literal so
+    // both engines decide on identical inputs. 100 TB shape: the
+    // shared per-user collapse + a 1-row agg.
     "q22_srm" -> ((s, dir) => {
       import s.implicits._
       abUsers(s, dir)
         .agg(sum($"grp").cast("long").as("n1"),
           sum(lit(1L) - $"grp").cast("long").as("n0"))
         .withColumn("chi2", round(
-          d(($"n1" - $"n0") * ($"n1" - $"n0")) / d($"n1" + $"n0"), 6))
+          d($"n1" - $"n0") * d($"n1" - $"n0") / d($"n1" + $"n0"), 6))
         .select($"n1", $"n0", ($"n1" - $"n0").as("delta"), $"chi2",
           ($"chi2" > Chi2Crit1df).as("srm_alarm"))
     }),
@@ -724,13 +725,15 @@ object Stats3 {
         .withColumn("v",
           (d($"sq2") - d($"sq") * d($"sq") / d($"n")) / (d($"n") - 1.0))
         .withColumn("l6", round(log($"v") * 1e6).cast("long"))
-        // (n−1)·s² rounded to 1 milli² unit: an exact-BIGINT carry so
-        // the k-group sum is order-free (a raw double sum would
-        // re-associate across partitions) — ~1e-16 relative, documented
+        // (n−1)·s² truncated to 1 milli² unit by a PURE-INTEGER div
+        // (sq² rides DECIMAL(38,0)/HUGEINT — the a40 escape path): an
+        // exact-BIGINT carry so the k-group sum is order-free AND
+        // tie-free (a rounded-double carry can land exactly on .5 and
+        // split Spark half-up vs DuckDB half-even — the e25 lesson)
         .withColumn("wv",
-          round(d($"sq2") - d($"sq") * d($"sq") / d($"n")).cast("long"))
+          expr("sq2 - (CAST(sq AS DECIMAL(38,0)) * sq) div n"))
         .withColumn("r12",
-          round(lit(1e12) / (d($"n") - 1.0)).cast("long"))
+          expr("1000000000000 div (n - 1)"))
       val ag = g.agg(count(lit(1)).as("k"), sum($"n").as("nn"),
           sum(($"n" - 1L) * $"l6").as("swl"),
           sum($"wv").as("swv"),
@@ -852,23 +855,34 @@ object Stats3 {
     // a51/a66 doubled-rank identity (dr = 2·min-rank + eq − 1, exact
     // integer) and the Σ(t³−t) correction; users missing any of the k
     // types are EXCLUDED (complete-block design, the count reported).
-    // χ²_F = [3·ΣSD_j²/(n·k·(k+1)) − 3·n·(k+1)] / C with
+    // The block width k is DERIVED from the data (countDistinct of
+    // event_type, shared by both engines) — a hardcoded k on a corpus
+    // with different type cardinality would silently drop every user
+    // and divide by zero; with the derived k the n_complete = 0 case
+    // can still occur (no user touches all types), so the χ²_F
+    // assembly is CASE-guarded to NULL identically in both engines
+    // (ANSI Spark would throw where DuckDB yields inf — the verify
+    // gotcha). χ²_F = [3·ΣSD_j²/(n·k·(k+1)) − 3·n·(k+1)] / C with
     // C = 1 − Σ(t³−t)/(n·k·(k²−1)) — every sum an exact BIGINT, one
     // double assembly with the identical shape in both engines.
     // 100 TB shape: ONE (user, type) agg collapses the corpus; the
     // rank window is user-local (k rows per partition); two tiny aggs.
     "a75_friedman" -> ((s, dir) => {
       import s.implicits._
-      val k = 5 // event types — the complete-block width
       val ut = t(s, dir, "events")
         .select($"user_id", $"event_type",
           round($"value" * 100).cast("long").as("cents"))
         .groupBy($"user_id", $"event_type")
         .agg(sum($"cents").as("v"))
+        .localCheckpoint() // feeds the width probe AND the block filter
+      val kTot = ut.select($"event_type").distinct()
+        .agg(count(lit(1)).as("ktot"))
       val wu = Window.partitionBy($"user_id")
       val complete = ut
         .withColumn("kk", count(lit(1)).over(wu))
-        .filter($"kk" === k)
+        .crossJoin(broadcast(kTot))
+        .filter($"kk" === $"ktot")
+        .drop("kk", "ktot")
       val nAll = ut.select($"user_id").distinct()
         .agg(count(lit(1)).as("n_users"))
       val ranked = complete
@@ -891,10 +905,11 @@ object Stats3 {
           "CAST(kk AS DOUBLE) AS f_k", "CAST(st3 AS DOUBLE) AS f_t3")
         .selectExpr("CAST(kk AS INT) AS k_groups", "n AS n_complete",
           "n_dropped", "kk - 1 AS df",
-          "round((3.0 * f_s2 / (f_n * f_k * (f_k + 1.0)) " +
+          "CASE WHEN n > 0 THEN " +
+            "round((3.0 * f_s2 / (f_n * f_k * (f_k + 1.0)) " +
             "- 3.0 * f_n * (f_k + 1.0)) " +
             "/ (1.0 - f_t3 / (f_n * f_k * (f_k * f_k - 1.0))), 6) " +
-            "AS chi2_f")
+            "END AS chi2_f")
     }),
 
     // ---- T49: train/test split-leakage audit --------------------------------
@@ -1083,8 +1098,10 @@ object Stats3 {
     // ---- A76: Grubbs maximum-outlier test -----------------------------------
     // The FORMAL single-outlier test behind a24's MAD screen (Grubbs
     // 1950): G = max|x − x̄|/s per hourly series, with the suspect hour
-    // identified. The deviation argmax is exact: |v·n − S| is a pure
-    // BIGINT (no division until the final G), packed with the
+    // identified; s is the SAMPLE standard deviation (n−1 denominator,
+    // as Grubbs defines it — so G is comparable to the published
+    // critical tables). The deviation argmax is exact: |v·n − S| is a
+    // pure BIGINT (no division until the final G), packed with the
     // complement-hour-index tie rule (the a69/a70 pack). 100 TB shape:
     // the SHARED hourly collapse + one per-type window pass + one agg
     // with the packed argmax + a types-row readout join.
@@ -1116,8 +1133,8 @@ object Stats3 {
           "CAST(n AS DOUBLE) AS f_n", "CAST(sv AS DOUBLE) AS f_sv",
           "CAST(sv2 AS DOUBLE) AS f_sv2", "CAST(dmax AS DOUBLE) AS f_d")
         .selectExpr("event_type", "n", "outlier_hr", "outlier_v",
-          "round(f_d / f_n / sqrt((f_sv2 - f_sv * f_sv / f_n) / f_n), 6)" +
-            " AS g_stat")
+          "round(f_d / f_n / sqrt((f_sv2 - f_sv * f_sv / f_n) " +
+            "/ (f_n - 1.0)), 6) AS g_stat")
         .orderBy($"event_type")
     }),
 
@@ -1203,8 +1220,9 @@ object Stats3 {
     // frame (counts per (type, q), cumulative over distinct values —
     // the a32 recipe, never a one-task data window). Exactness: z and
     // its group moments are exact BIGINTs; the one fractional
-    // per-group term S_g²/n_g is rounded to 1 milli² (the a73 wv
-    // carry) so the k-group sum is order-free; the F assembles in
+    // per-group term S_g²/n_g is truncated to 1 milli² by a pure
+    // DECIMAL(38,0) integer div (the a73 wv carry — tie-free, never a
+    // rounded double) so the k-group sum is order-free; F assembles in
     // double from generated text. Same verdict as a73 here (variances
     // differ) — now robust to the measured non-normality. 100 TB
     // shape: ONE (type, q) collapse for the medians + ONE event pass
@@ -1227,7 +1245,7 @@ object Stats3 {
         .agg(count(lit(1)).as("ng"), sum($"z").as("sg"),
           sum($"z" * $"z").as("z2g"))
         .withColumn("wg",
-          round(d($"sg") * d($"sg") / d($"ng")).cast("long"))
+          expr("(CAST(sg AS DECIMAL(38,0)) * sg) div ng"))
       g.agg(count(lit(1)).as("k"), sum($"ng").as("nn"),
           sum($"sg").as("ss"), sum($"wg").as("sw"), sum($"z2g").as("sz2"))
         .selectExpr("k", "nn", "k - 1 AS df1", "nn - k AS df2",
@@ -1776,8 +1794,7 @@ object Stats3 {
          |  GROUP BY ev.event_type),
          |g2 AS (
          |  SELECT event_type, ng, sg, z2g,
-         |    CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
-         |      / CAST(ng AS DOUBLE)) AS BIGINT) AS wg
+         |    CAST((CAST(sg AS HUGEINT) * sg) // ng AS BIGINT) AS wg
          |  FROM g),
          |ag AS (
          |  SELECT CAST(count(*) AS BIGINT) AS k,
@@ -1846,8 +1863,8 @@ object Stats3 {
          |    AND g.t = sel.t)
          |SELECT event_type, n, hr AS outlier_hr,
          |  round(CAST(v AS DOUBLE) / 100.0, 6) AS outlier_v,
-         |  round(f_d / f_n / sqrt((f_sv2 - f_sv * f_sv / f_n) / f_n), 6)
-         |    AS g_stat
+         |  round(f_d / f_n / sqrt((f_sv2 - f_sv * f_sv / f_n)
+         |    / (f_n - 1.0)), 6) AS g_stat
          |FROM j ORDER BY event_type""".stripMargin,
 
     "w35_we_rules" -> {
@@ -2016,6 +2033,9 @@ object Stats3 {
          |  SELECT user_id, event_type,
          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
          |  FROM events GROUP BY user_id, event_type),
+         |ktot AS (
+         |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS ktot
+         |  FROM ut),
          |comp AS (
          |  SELECT user_id, event_type, v,
          |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS kk2
@@ -2028,7 +2048,7 @@ object Stats3 {
          |    CAST(rank() OVER (PARTITION BY user_id ORDER BY v)
          |      AS BIGINT) AS rmin,
          |    CAST(count(*) OVER (PARTITION BY user_id, v) AS BIGINT) AS eq
-         |  FROM comp WHERE kk2 = 5),
+         |  FROM comp WHERE kk2 = (SELECT ktot FROM ktot)),
          |dr AS (
          |  SELECT user_id, event_type, v, 2 * rmin + eq - 1 AS dr
          |  FROM ranked),
@@ -2050,10 +2070,11 @@ object Stats3 {
          |  FROM sd CROSS JOIN ties CROSS JOIN ncomp CROSS JOIN nall)
          |SELECT CAST(kk AS INT) AS k_groups, n AS n_complete, n_dropped,
          |  kk - 1 AS df,
-         |  round((3.0 * f_s2 / (f_n * f_k * (f_k + 1.0))
-         |    - 3.0 * f_n * (f_k + 1.0))
-         |    / (1.0 - f_t3 / (f_n * f_k * (f_k * f_k - 1.0))), 6)
-         |    AS chi2_f
+         |  CASE WHEN n > 0 THEN
+         |    round((3.0 * f_s2 / (f_n * f_k * (f_k + 1.0))
+         |      - 3.0 * f_n * (f_k + 1.0))
+         |      / (1.0 - f_t3 / (f_n * f_k * (f_k * f_k - 1.0))), 6)
+         |    END AS chi2_f
          |FROM c""".stripMargin,
 
     "a74_hac_se" ->
@@ -2107,9 +2128,8 @@ object Stats3 {
          |    CAST(round(ln((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE)
          |      * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
          |      / (CAST(n AS DOUBLE) - 1.0)) * 1e6) AS BIGINT) AS l6,
-         |    CAST(round(CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE)
-         |      * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS wv,
-         |    CAST(round(1e12 / (CAST(n AS DOUBLE) - 1.0)) AS BIGINT) AS r12
+         |    sq2 - CAST((CAST(sq AS HUGEINT) * sq) // n AS BIGINT) AS wv,
+         |    1000000000000 // (n - 1) AS r12
          |  FROM g0),
          |ag AS (
          |  SELECT CAST(count(*) AS BIGINT) AS k,
@@ -2303,7 +2323,7 @@ object Stats3 {
          |  FROM users),
          |f AS (
          |  SELECT n1, n0, n1 - n0 AS delta,
-         |    round(CAST((n1 - n0) * (n1 - n0) AS DOUBLE)
+         |    round(CAST(n1 - n0 AS DOUBLE) * CAST(n1 - n0 AS DOUBLE)
          |      / CAST(n1 + n0 AS DOUBLE), 6) AS chi2
          |  FROM c)
          |SELECT n1, n0, delta, chi2,
