@@ -49,7 +49,7 @@ object Stats2 {
 
   /** q18 k-anonymity: quasi-identifier length-band width and the policy
     * threshold ladder (the grid is data, not reruns — the d22 rule). */
-  private val KAnonBand = 64L
+  private[graft] val KAnonBand = 64L
   private val KAnonKs = Seq(2L, 5L, 10L, 20L)
 
   /** a61 Holt: dyadic smoothing constants (the w31 EwmaLam rule — every

@@ -34,7 +34,8 @@ class ScaleBoundsSpec extends AnyFunSuite {
     "Curate.CdcMask" -> graft.queries.Curate.CdcMask.toDouble,
     "Curate.FsChunkCap" -> graft.queries.Curate.FsChunkCap.toDouble,
     "Curate.GearWin" -> graft.queries.Curate.GearWin.toDouble,
-    "Stats3.CpPackShift" -> graft.queries.Stats3.CpPackShift.toDouble)
+    "Stats3.CpPackShift" -> graft.queries.Stats3.CpPackShift.toDouble,
+    "Stats2.KAnonBand" -> graft.queries.Stats2.KAnonBand.toDouble)
 
   private def docRows: Seq[(String, Double)] = {
     val lines = scala.io.Source.fromFile("SCALE_BOUNDS.md", "UTF-8").getLines().toSeq
