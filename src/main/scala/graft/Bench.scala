@@ -16,7 +16,11 @@ import org.apache.spark.sql.SparkSession
   * noise) every query gets ONE extra rep and the min re-takes
   * (`"escalated":true` in the JSON). Queries are fully materialized
   * through the `noop` sink — a bare `count()` would let Catalyst prune
-  * the projections we mean to measure. */
+  * the projections we mean to measure. A fixed single-partition
+  * calibration probe runs 3× at the start, every 25 queries, and 3× at
+  * the end; its min/median/max land in the detail file's
+  * `calibration` block (and `calib_min`/`calib_med` on stdout) so
+  * cross-round per-query comparisons can be contention-normalized. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,6 +43,22 @@ object Bench {
     // 172.9–201.0 s across runs) rides the artifact instead of being
     // adjudicated from memory; a large spread flags a noisy measurement,
     // not a plan change.
+    // Contention calibration probe: a FIXED tiny single-partition job
+    // (8M-id arithmetic agg — scheduler + one core, no IO, no shuffle)
+    // interleaved through the run. Its min is this box's uncontended
+    // floor for the probe; the per-probe spread over that min is the
+    // run's external-contention factor, so cross-round per-query diffs
+    // can finally be normalized instead of adjudicated from memory
+    // (the r9 g11 4.1-vs-8.1 s ambiguity). The probe's plan is constant
+    // across rounds by construction — spark.range of literals.
+    val calibTimes = collection.mutable.ArrayBuffer[Double]()
+    def calibRep(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, 1)
+        .selectExpr("sum(id * 2 + 1) AS s")
+        .write.format("noop").mode("overwrite").save()
+      calibTimes += (System.nanoTime() - t0) / 1e9
+    }
     def runRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                rep: Int): Option[Double] = {
       spark.catalog.clearCache() // drop per-query cached frames between runs
@@ -52,7 +72,9 @@ object Bench {
       }
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val firstPass = sorted.map { case (name, fn) =>
+    calibRep(); calibRep(); calibRep() // 3 at start (first = codegen warmup)
+    val firstPass = sorted.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 25 == 0) calibRep() // interleaved every 25 queries
       (name, fn, (1 to reps).flatMap(runRep(name, fn, _)))
     }
     // Contention escalation: when the per-query spreads sum to >25% of the
@@ -95,9 +117,19 @@ object Bench {
     val okm = results.map { case (k, _, _, ok) =>
       "\"" + k + "\":" + ok
     }.mkString("{", ",", "}")
+    calibRep(); calibRep(); calibRep() // 3 at end
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // calibration block: drop the very first probe (codegen warmup tax,
+    // not contention), report min / median / max / all times. The
+    // contention factor a reader should use is median/min WITHIN the
+    // run, and min-vs-min ACROSS rounds for box drift.
+    val calib = calibTimes.drop(1).toSeq.sorted
+    val calibJson = if (calib.isEmpty) "null" else {
+      val med = calib(calib.size / 2)
+      s"""{"n":${calib.size},"min":${r3(calib.head)},"median":${r3(med)},"max":${r3(calib.last)},"times":[${calibTimes.map(r3).mkString(",")}]}"""
+    }
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps_attempted":$effReps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"escalated":$escalate,"failed":$failedJson,"queries":$qs,"spread":$sp,"ok":$okm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps_attempted":$effReps,"failures":${failed.size},"spread_total":${r3(totalSpread)},"escalated":$escalate,"calibration":$calibJson,"failed":$failedJson,"queries":$qs,"spread":$sp,"ok":$okm,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
@@ -107,7 +139,9 @@ object Bench {
     System.err.println(detail)
     spark.stop()
     // SHORT final stdout line only — must survive the driver's ~2 KB tail cap
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"reps":$effReps,"reps_is_attempted_ceiling":true,"failures":${failed.size},"spread_total":${r3(totalSpread)},"escalated":$escalate,"sf":"$sfDir"}""")
+    val calibShort = if (calib.isEmpty) "" else
+      s""","calib_min":${r3(calib.head)},"calib_med":${r3(calib(calib.size / 2))}"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"reps":$effReps,"reps_is_attempted_ceiling":true,"failures":${failed.size},"spread_total":${r3(totalSpread)},"escalated":$escalate$calibShort,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

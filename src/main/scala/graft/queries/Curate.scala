@@ -667,24 +667,58 @@ object Curate {
     "round(mu_l, 6) AS m_lang", "round(nu_l, 6) AS u_lang",
     "round(mu_s, 6) AS m_source", "round(nu_s, 6) AS u_source",
     "round(mu_b, 6) AS m_len", "round(nu_b, 6) AS u_len")
-  /** The Spark leg of the EM chain: pattern counts off a scored-pairs
-    * frame (ONE map-side agg collapses the candidates), the shared u
-    * frame as init, then the generated 1-row selectExpr fold — with a
-    * localCheckpoint per iteration so CollapseProject can never inline
-    * one iteration into the next (bit-exactness is unaffected; the
-    * checkpoints are 1-row). */
-  private def emFit(s: SparkSession, pairs: DataFrame,
-                    us: DataFrame): DataFrame = {
+  /** d27's probe depth — deep enough past EmIters = 3 that the
+    * per-iteration deltas make the stopping point a queryable fact
+    * instead of a pinned constant (the r9 verdict's convergence ask). */
+  private[queries] val EmProbeIters = 8
+  /** Previous-iteration parameter carries for the convergence probe:
+    * stage W reads the CURRENT params, so aliasing them to o_* there
+    * snapshots "before this iteration" through the S/D stages. */
+  private def emPrevCarry: Seq[String] = Seq(
+    "pp AS o_pp", "mu_l AS o_ml", "mu_s AS o_ms", "mu_b AS o_mb",
+    "nu_l AS o_nl", "nu_s AS o_ns", "nu_b AS o_nb")
+  private def emPrevNames: Seq[String] =
+    Seq("o_pp", "o_ml", "o_ms", "o_mb", "o_nl", "o_ns", "o_nb")
+  private[queries] def emStageWP: Seq[String] = emStageW ++ emPrevCarry
+  private[queries] def emStageSP: Seq[String] = emStageS ++ emPrevNames
+  private[queries] def emStageDP: Seq[String] = emStageD ++ emPrevNames
+  /** d27's per-iteration row: the fitted params at the d23 ledger
+    * quantization plus this iteration's max absolute parameter move —
+    * ONE text, evaluated verbatim by both engines (greatest/abs on
+    * bit-identical doubles). */
+  private[queries] def emIterReport(i: Int): Seq[String] = Seq(
+    s"$i AS iter", "n_tot AS n_pairs", "round(pp, 6) AS p_em",
+    "round(mu_l, 6) AS m_lang", "round(mu_s, 6) AS m_source",
+    "round(mu_b, 6) AS m_len",
+    "round(nu_l, 6) AS u_lang", "round(nu_s, 6) AS u_source",
+    "round(nu_b, 6) AS u_len",
+    "round(greatest(abs(pp - o_pp), abs(mu_l - o_ml), abs(mu_s - o_ms), " +
+      "abs(mu_b - o_mb), abs(nu_l - o_nl), abs(nu_s - o_ns), " +
+      "abs(nu_b - o_nb)), 6) AS max_delta")
+  /** The shared E0 state: pattern counts off a scored-pairs frame (ONE
+    * map-side agg collapses the candidates) × the shared u frame —
+    * feeds both the d23 fit and the d27 convergence probe. */
+  private def emInitState(s: SparkSession, pairs: DataFrame,
+                          us: DataFrame): DataFrame = {
     import s.implicits._
     val aggs = EmKeys.map { k =>
       sum(when(($"agree_lang" === (k(0) == '1')) &&
         ($"agree_source" === (k(1) == '1')) &&
         ($"agree_len" === (k(2) == '1')), 1L).otherwise(0L)).as("c" + k)
     } :+ count(lit(1)).as("n_tot")
-    var st = pairs.agg(aggs.head, aggs.tail: _*)
+    pairs.agg(aggs.head, aggs.tail: _*)
       .crossJoin(broadcast(us))
       .localCheckpoint() // ONE heavy pass; the EM fold is 1-row jobs
       .selectExpr(emInitExprs: _*)
+  }
+  /** The Spark leg of the EM chain: the shared E0 state, then the
+    * generated 1-row selectExpr fold — with a localCheckpoint per
+    * iteration so CollapseProject can never inline one iteration into
+    * the next (bit-exactness is unaffected; the checkpoints are
+    * 1-row). */
+  private def emFit(s: SparkSession, pairs: DataFrame,
+                    us: DataFrame): DataFrame = {
+    var st = emInitState(s, pairs, us)
     for (_ <- 1 to EmIters)
       st = st.selectExpr(emStageW: _*).selectExpr(emStageS: _*)
         .selectExpr(emStageD: _*).localCheckpoint()
@@ -693,24 +727,39 @@ object Curate {
   /** The DuckDB leg: the identical expression text as CTEs ecnt0/ecnt
     * → e0 → (e{i}w, e{i}s, e{i}) × EmIters; compose after
     * [[fsPairsOracleCtes]] (needs `scored` and `us`). */
-  private[queries] def emOracleCtes: String = {
-    def sel(exprs: Seq[String], from: String) =
-      s"SELECT ${exprs.mkString(", ")} FROM $from"
+  private def emSel(exprs: Seq[String], from: String) =
+    s"SELECT ${exprs.mkString(", ")} FROM $from"
+  /** The shared e0 CTE prefix (pattern counts × u frame + init). */
+  private def emInitCtes: String = {
     val cntSums = EmKeys.map { k =>
       def b(c: Char) = if (c == '1') "true" else "false"
       s"CAST(sum(CASE WHEN agree_lang = ${b(k(0))} AND " +
         s"agree_source = ${b(k(1))} AND agree_len = ${b(k(2))} " +
         s"THEN 1 ELSE 0 END) AS BIGINT) AS c$k"
     } :+ "CAST(count(*) AS BIGINT) AS n_tot"
-    val iters = (1 to EmIters).map { i =>
-      val prev = if (i == 1) "e0" else s"e${i - 1}"
-      s"e${i}w AS (${sel(emStageW, prev)}),\n" +
-        s"e${i}s AS (${sel(emStageS, s"e${i}w")}),\n" +
-        s"e$i AS (${sel(emStageD, s"e${i}s")})"
-    }.mkString(",\n")
     s"ecnt0 AS (SELECT ${cntSums.mkString(", ")} FROM scored),\n" +
       "ecnt AS (SELECT * FROM ecnt0 CROSS JOIN us),\n" +
-      s"e0 AS (${sel(emInitExprs, "ecnt")}),\n$iters"
+      s"e0 AS (${emSel(emInitExprs, "ecnt")})"
+  }
+  private[queries] def emOracleCtes: String = {
+    val iters = (1 to EmIters).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"e${i}w AS (${emSel(emStageW, prev)}),\n" +
+        s"e${i}s AS (${emSel(emStageS, s"e${i}w")}),\n" +
+        s"e$i AS (${emSel(emStageD, s"e${i}s")})"
+    }.mkString(",\n")
+    s"$emInitCtes,\n$iters"
+  }
+  /** The d27 twin: the SAME e0 prefix, the prev-carrying stage texts,
+    * EmProbeIters deep. */
+  private[queries] def emConvOracleCtes: String = {
+    val iters = (1 to EmProbeIters).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"e${i}w AS (${emSel(emStageWP, prev)}),\n" +
+        s"e${i}s AS (${emSel(emStageSP, s"e${i}w")}),\n" +
+        s"e$i AS (${emSel(emStageDP, s"e${i}s")})"
+    }.mkString(",\n")
+    s"$emInitCtes,\n$iters"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1920,6 +1969,32 @@ object Curate {
     "d23_em_linkage" -> ((s, dir) => {
       val docs = fsDocs(s, dir)
       emFit(s, fsScoredPairsFrom(s, dir, docs), fsUs(docs))
+    }),
+
+    // ---- D27: EM convergence report --------------------------------------
+    // Makes d23's stopping point QUERYABLE data (the r9 verdict ask):
+    // the same generated E/M stage texts run EmProbeIters = 8 deep with
+    // the previous iteration's parameters carried alongside, emitting
+    // one row per iteration — fitted params at the d23 quantization
+    // plus max_delta, the iteration's largest absolute parameter move.
+    // "EmIters = 3 suffices" is now a row comparison: on this corpus
+    // the fit moves hard in iterations 1–2 and the tail deltas shrink
+    // monotonically (read the max_delta column, per SF). Exactness:
+    // the d23 recipe verbatim — BIGINT pattern counts, identical
+    // expression text per iteration, greatest/abs on bit-identical
+    // doubles, round 6. 100 TB shape: the SAME single heavy pass as
+    // d23 (the candidate pattern-count agg); the probe itself is 8
+    // chained 1-row jobs regardless of corpus size.
+    "d27_em_convergence" -> ((s, dir) => {
+      import s.implicits._
+      val docs = fsDocs(s, dir)
+      var st = emInitState(s, fsScoredPairsFrom(s, dir, docs), fsUs(docs))
+      val rows = (1 to EmProbeIters).map { i =>
+        st = st.selectExpr(emStageWP: _*).selectExpr(emStageSP: _*)
+          .selectExpr(emStageDP: _*).localCheckpoint()
+        st.selectExpr(emIterReport(i): _*)
+      }
+      rows.reduce(_ unionByName _).orderBy($"iter")
     }),
 
     // ---- D24: re-score the candidates with the fitted parameters --------
@@ -3303,6 +3378,15 @@ object Curate {
       s"""WITH $fsPairsOracleCtes,
          |$emOracleCtes
          |SELECT ${emFinalExprs.mkString(", ")} FROM e$EmIters""".stripMargin,
+
+    "d27_em_convergence" ->
+      s"""WITH $fsPairsOracleCtes,
+         |$emConvOracleCtes
+         |SELECT * FROM (
+         |  ${(1 to EmProbeIters).map(i =>
+              s"SELECT ${emIterReport(i).mkString(", ")} FROM e$i")
+              .mkString("\n  UNION ALL\n  ")})
+         |ORDER BY iter""".stripMargin,
 
     "d24_em_rescore" ->
       s"""WITH $fsPairsOracleCtes,
