@@ -36,6 +36,10 @@ object Pipeline {
   /** Documents kept by the t39 contextual-gain selector. */
   private val ExcessTopK = 25
 
+  /** t50 perplexity buckets per source (= Curate's CcnetBuckets — the
+    * CCNet head/middle/tail tercile convention). */
+  private val PplBuckets = 3
+
   /** Consistent-hash split fences over a 256-way md5 bucket: [0,230) →
     * train (~90%), [230,243) → val (~5%), [243,256) → test. Hashing the
     * KEY (not a random()) makes the split stable under reprocessing,
@@ -112,7 +116,8 @@ object Pipeline {
     (docs, cb, cu, bw, na)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // ---- backward as-of join: most recent prior error per user -----------
     // The union-and-carry AsOf operator: one shuffle on user_id, one sorted
     // pass — no range-join candidate blowup (ops/AsOf.scala).
@@ -608,6 +613,54 @@ object Pipeline {
     // 7 keyed joins → doc_id agg; na is the only 1-row broadcast.
     "t44_kneser_ney3" -> ((s, dir) => {
       import s.implicits._
+      kn3DocScores(s, dir)
+        .select($"doc_id", $"n_tri", $"n_backoff", $"n_skipped",
+          when($"n_tri" + $"n_backoff" > 0L,
+            round($"slpi".cast("double") / 1e6 /
+              ($"n_tri" + $"n_backoff").cast("double"), 4)).as("avg_logp"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- T50: CCNet buckets under the KN LM (production recipe) ----------
+    // t32's bucketing with the LM production CCNet actually uses: the
+    // t44 trigram interpolated Kneser–Ney model TRAINED ON THE HELD-IN
+    // HALF (the keyed-LCG train split = the "reference corpus"; Wenzek
+    // et al. 2020 train on Wikipedia and bucket CommonCrawl), scoring
+    // the held-out half and cutting each source into perplexity
+    // terciles. Rides the SHARED knTables + kn3DocScores — zero new
+    // kernels; docs with no scorable transition are excluded (they
+    // have no perplexity to bucket — stated; t44 reports them).
+    // Exactness: avg_logp is the t44 4dp value (hash-gated identical
+    // cross-engine), so the tercile ranks (doc_id tiebreak) agree
+    // exactly — the t32 recipe on the better model. 100 TB shape:
+    // the t44 shape + one doc_id-keyed source join + the t32
+    // per-source rank window (S source partitions).
+    "t50_perplexity_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val scored = kn3DocScores(s, dir)
+        .filter($"n_tri" + $"n_backoff" > 0L)
+        .select($"doc_id",
+          round($"slpi".cast("double") / 1e6 /
+            ($"n_tri" + $"n_backoff").cast("double"), 4).as("avg_logp"))
+      val src = t(s, dir, "documents").select($"doc_id", $"source")
+      val wR = Window.partitionBy($"source")
+        .orderBy($"avg_logp".desc, $"doc_id")
+      scored.join(src, Seq("doc_id"))
+        .withColumn("__rn", row_number().over(wR))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy($"source")))
+        .select($"doc_id", $"source", $"avg_logp",
+          expr(s"CAST(((__rn - 1) * $PplBuckets) div __n + 1 AS INT)")
+            .as("ppl_bucket"))
+        .orderBy($"doc_id")
+    })) ++ queriesB
+
+  /** t44's per-doc score table (doc_id, n_tri, n_backoff, n_skipped,
+    * slpi) — ONE definition shared by the t44 gate and the t50
+    * bucketing, over the SHARED [[knTables]]. */
+  private[queries] def kn3DocScores(s: SparkSession, dir: String)
+      : DataFrame = {
+      import s.implicits._
       val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
       val (docs, cb, cu, bw, na) = knTables(s, dir)
       val w2of = (c: org.apache.spark.sql.Column) =>
@@ -662,12 +715,11 @@ object Pipeline {
           sum(when(!$"ok3" && $"ok2", 1L).otherwise(0L)).as("n_backoff"),
           sum(when(!$"ok3" && !$"ok2", 1L).otherwise(0L)).as("n_skipped"),
           sum(when($"ok3" || $"ok2", $"lpi").otherwise(0L)).as("slpi"))
-        .select($"doc_id", $"n_tri", $"n_backoff", $"n_skipped",
-          when($"n_tri" + $"n_backoff" > 0L,
-            round($"slpi".cast("double") / 1e6 /
-              ($"n_tri" + $"n_backoff").cast("double"), 4)).as("avg_logp"))
-        .orderBy($"doc_id")
-    }),
+  }
+
+  /** Continuation of the query pack (split around [[kn3DocScores]]). */
+  private def queriesB: Map[String, (SparkSession, String) => DataFrame]
+      = Map(
 
     // ---- T39: contextual-gain (excess-logprob) selection ---------------
     // Excess-loss data selection in the spirit of RHO-loss (Mindermann
@@ -1197,7 +1249,37 @@ object Pipeline {
 
       "t44_kneser_ney3" ->
         s"""WITH $knOracleCtes,
-           |trtg AS (
+           |$kn3OracleCtes
+           |SELECT doc_id, n_tri, n_backoff, n_skipped,
+           |  CASE WHEN n_tri + n_backoff > 0 THEN
+           |    round(CAST(slpi AS DOUBLE) / 1000000
+           |      / CAST(n_tri + n_backoff AS DOUBLE), 4) END AS avg_logp
+           |FROM g ORDER BY doc_id""".stripMargin,
+
+      "t50_perplexity_buckets" ->
+        s"""WITH $knOracleCtes,
+           |$kn3OracleCtes,
+           |sc2 AS (
+           |  SELECT doc_id,
+           |    round(CAST(slpi AS DOUBLE) / 1000000
+           |      / CAST(n_tri + n_backoff AS DOUBLE), 4) AS avg_logp
+           |  FROM g WHERE n_tri + n_backoff > 0),
+           |r AS (
+           |  SELECT sc2.doc_id, d.source, sc2.avg_logp,
+           |    CAST(row_number() OVER (PARTITION BY d.source
+           |      ORDER BY sc2.avg_logp DESC, sc2.doc_id) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS n
+           |  FROM sc2 JOIN documents d USING (doc_id))
+           |SELECT doc_id, source, avg_logp,
+           |  CAST((rn - 1) * $PplBuckets // n + 1 AS INT) AS ppl_bucket
+           |FROM r ORDER BY doc_id""".stripMargin) ++ oraclesB
+  }
+
+  /** The DuckDB twin of [[kn3DocScores]] — the trigram count tables +
+    * per-doc score CTE chain ending at `g`, shared verbatim by the t44
+    * and t50 oracles (composes after [[knOracleCtes]]). */
+  private def kn3OracleCtes: String =
+        s"""trtg AS (
            |  SELECT split_part(tg, ' ', 1) AS w1,
            |    split_part(tg, ' ', 2) AS w2,
            |    split_part(tg, ' ', 3) AS w3 FROM (
@@ -1276,13 +1358,13 @@ object Pipeline {
            |      AS BIGINT) AS n_skipped,
            |    CAST(sum(CASE WHEN ok3 OR ok2 THEN lpi ELSE 0 END)
            |      AS BIGINT) AS slpi
-           |  FROM sc GROUP BY doc_id)
-           |SELECT doc_id, n_tri, n_backoff, n_skipped,
-           |  CASE WHEN n_tri + n_backoff > 0 THEN
-           |    round(CAST(slpi AS DOUBLE) / 1000000
-           |      / CAST(n_tri + n_backoff AS DOUBLE), 4) END AS avg_logp
-           |FROM g ORDER BY doc_id""".stripMargin,
+           |  FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** Continuation of the oracle pack (split around [[kn3OracleCtes]]). */
+  private def oraclesB: Map[String, String] = {
+    val es = Det.epochSSql("ts")
+    locally(es) // some continuation oracles use it; silence when unused
+    Map(
       "t39_excess_gain" ->
         s"""WITH toks AS (
            |  SELECT doc_id, tokens FROM
