@@ -72,6 +72,40 @@ object Stats2 {
       .select($"user_id", expr("CAST(ts AS LONG) div 86400").as("dd"))
   }
 
+  /** q20 / timeToConvertStream's shared signup frame: (user_id, s_es)
+    * with s_es the user's FIRST signup epoch second — ONE definition so
+    * the batch report's denominator and the twin spec's provably
+    * match. */
+  private[graft] def ttcSignups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .filter($"event_type" === "signup")
+      .select($"user_id", Det.epochS($"ts").as("es"))
+      .groupBy($"user_id").agg(min($"es").as("s_es"))
+  }
+
+  /** q20's decile report from a converted-pairs frame (user_id,
+    * delta_s) — ONE definition shared with the
+    * [[graft.streaming.StreamJob.timeToConvertStream]] spec, which
+    * rebuilds the report from the stream's emitted pairs: deciles via
+    * the two-pass distributed rank (never ntile / a one-task window),
+    * conversion rate as the exact ppm rule. */
+  private[graft] def ttcReport(s: SparkSession, pu: DataFrame,
+                               nSign: DataFrame): DataFrame = {
+    import s.implicits._
+    val nConv = pu.agg(count(lit(1)).as("n_converted"))
+    graft.ops.Ranks.globalRowNumberWithTotal(
+        pu.select($"user_id", $"delta_s"),
+        Seq($"delta_s", $"user_id"), "rk", "n")
+      .withColumn("decile", expr("((rk - 1) * 10) div n + 1").cast("int"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), max($"delta_s").as("max_delta_s"))
+      .crossJoin(broadcast(nSign)).crossJoin(broadcast(nConv))
+      .withColumn("conv_ppm",
+        expr("(n_converted * 1000000) div n_signup"))
+      .orderBy($"decile")
+  }
+
   /** a61's hourly cents-volume grid (event_type, hr, v — absent hours
     * REAL zeros, the a57 rule) — ONE definition shared with
     * [[graft.streaming.StreamJob.holtStream]]'s spec so the twin's
@@ -509,27 +543,16 @@ object Stats2 {
     // report.
     "q20_time_to_convert" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
-        .select($"user_id", $"event_type", Det.epochS($"ts").as("es"))
-      val su = ev.filter($"event_type" === "signup")
-        .groupBy($"user_id").agg(min($"es").as("s_es"))
+      val su = ttcSignups(s, dir)
         .localCheckpoint() // feeds the purchase join AND the signup count
-      val pu = ev.filter($"event_type" === "purchase")
+      val pu = t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"user_id", Det.epochS($"ts").as("es"))
         .join(su, Seq("user_id"))
         .filter($"es" >= $"s_es")
         .groupBy($"user_id").agg(min($"es" - $"s_es").as("delta_s"))
         .localCheckpoint() // feeds the converted count AND the rank pass
-      val nSign = su.agg(count(lit(1)).as("n_signup"))
-      val nConv = pu.agg(count(lit(1)).as("n_converted"))
-      graft.ops.Ranks.globalRowNumberWithTotal(pu,
-          Seq($"delta_s", $"user_id"), "rk", "n")
-        .withColumn("decile", expr("((rk - 1) * 10) div n + 1").cast("int"))
-        .groupBy($"decile")
-        .agg(count(lit(1)).as("n_users"), max($"delta_s").as("max_delta_s"))
-        .crossJoin(broadcast(nSign)).crossJoin(broadcast(nConv))
-        .withColumn("conv_ppm",
-          expr("(n_converted * 1000000) div n_signup"))
-        .orderBy($"decile")
+      ttcReport(s, pu, su.agg(count(lit(1)).as("n_signup")))
     }),
 
     // ---- A69: seasonal-strength decomposition -----------------------------

@@ -584,6 +584,57 @@ object StreamJob {
       }
   }
 
+  case class TtcIn(user_id: Long, event_type: String, es: Long)
+  case class TtcOut(user_id: Long, s_es: Long, delta_s: Long)
+  case class TtcState(sEs: Long, done: Boolean)
+
+  /** Streaming time-to-convert — `q20_time_to_convert`'s activation
+    * pair (FIRST signup → FIRST qualifying purchase) as a live feed:
+    * the latency metric a product team pages on, emitted exactly once
+    * per user ON the purchase that closes the pair. State is two facts
+    * per user (first-signup epoch + a done bit — the srmStream
+    * first-touch class, bounded by distinct users, NOT stream length).
+    * Semantics ≡ batch under the family's per-key arrival-order
+    * contract (es non-decreasing per user across batches; in-batch
+    * disorder is sorted, signup-before-purchase on an es tie so a
+    * same-second conversion counts, matching batch's es ≥ s_es).
+    * A purchase before any signup is dropped exactly as the batch
+    * filter drops it. Consumers keep q20's decile report per trigger
+    * from the emitted pairs + the signup count (the spec rebuilds it
+    * via the SHARED `Stats2.ttcReport`). */
+  def timeToConvertStream(stream: DataFrame)
+      : org.apache.spark.sql.Dataset[TtcOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("es").cast("long").as("es"))
+      .as[TtcIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[TtcIn],
+         state: org.apache.spark.sql.streaming.GroupState[TtcState]) =>
+          var st = state.getOption.getOrElse(TtcState(-1L, false))
+          val out = collection.mutable.ArrayBuffer[TtcOut]()
+          rows.toSeq
+            .sortBy(r => (r.es, if (r.event_type == "signup") 0 else 1))
+            .foreach { r =>
+              if (r.event_type == "signup" && st.sEs < 0L)
+                st = TtcState(r.es, st.done)
+              else if (r.event_type == "purchase" && !st.done &&
+                st.sEs >= 0L && r.es >= st.sEs) {
+                out += TtcOut(key, st.sEs, r.es - st.sEs)
+                st = TtcState(st.sEs, true)
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class CusumIn(user_id: Long, event_id: Long, es: Long, q: Long,
                      sq: Long, n_events: Long)
   case class CusumPeak(user_id: Long, n_events: Long, dabs: Long,

@@ -563,6 +563,52 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming time-to-convert pairs rebuild the oracle-green q20 " +
+      "report, across three batch-cut layouts") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q20_time_to_convert")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    val nSign = graft.queries.Stats2.ttcSignups(spark, dir)
+      .agg(count(lit(1)).as("n_signup"))
+      .localCheckpoint()
+    // es-ordered global feed, signup-first on ties — so a cross-batch
+    // cut can never land a tied purchase in an earlier batch than its
+    // signup (the stream's in-batch sort handles same-batch ties)
+    val rows = graft.Tables.t(spark, dir, "events")
+      .select($"user_id", $"event_type",
+        graft.functions.Det.epochS($"ts").as("es"))
+      .orderBy($"es",
+        when($"event_type" === "signup", 0).otherwise(1), $"user_id")
+      .collect()
+      .map(r => StreamJob.TtcIn(r.getLong(0), r.getString(1), r.getLong(2)))
+    implicit val sq = spark.sqlContext
+    val layouts = Seq(Seq(rows.length), Seq(700, rows.length),
+      Seq(150, 900, rows.length))
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[StreamJob.TtcIn]
+      val q = StreamJob.timeToConvertStream(mem.toDF())
+        .writeStream.format("memory").queryName(s"ttc_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable(); prev = c
+      }
+      q.stop()
+      val emitted = spark.table(s"ttc_out_$i")
+      val got = emitted.collect().map(r => (r.getLong(0), r.getLong(2)))
+      // exactly one pair per converted user, never re-emitted
+      assert(got.length == got.map(_._1).distinct.length)
+      // the report rebuilt from the emitted pairs via the SHARED
+      // ttcReport ≡ the oracle-green q20 rows
+      val rebuilt = graft.queries.Stats2.ttcReport(spark,
+          emitted.select($"user_id", $"delta_s"), nSign)
+        .collect().map(_.toSeq).toSeq
+      assert(rebuilt == batch, s"cut layout $i diverged from q20")
+    }
+  }
+
   test("streaming Page–Hinkley decisions ≡ the oracle-green a65 drift " +
       "rows, across three batch-cut layouts") {
     val dir = "/root/testdata/sf0.001"
