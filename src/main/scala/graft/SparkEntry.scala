@@ -19,7 +19,7 @@ object SparkEntry {
       graft.queries.Pipeline.queries ++ graft.queries.Mm.queries ++
       graft.queries.Analytics.queries ++ graft.queries.Stats.queries ++
       graft.queries.Stats2.queries ++ graft.queries.Stats3.queries ++
-      graft.queries.Curate.queries
+      graft.queries.Curate.queries ++ graft.queries.Survival.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       graft.queries.Pipeline.oracles ++ graft.queries.Mm.oracles ++
       graft.queries.Analytics.oracles ++ graft.queries.Stats.oracles ++
       graft.queries.Stats2.oracles ++ graft.queries.Stats3.oracles ++
-      graft.queries.Curate.oracles
+      graft.queries.Curate.oracles ++ graft.queries.Survival.oracles
 }

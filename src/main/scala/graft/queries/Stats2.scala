@@ -72,6 +72,22 @@ object Stats2 {
       .select($"user_id", expr("CAST(ts AS LONG) div 86400").as("dd"))
   }
 
+  /** q19 / q28's shared per-arm milli-moment pass (event_type, n, sq,
+    * sq2 — exact BIGINTs, the a19/a39 class): ONE map-side agg
+    * collapses the corpus for both the power readout and the BH-FDR
+    * step over it. */
+  private[graft] def abPowerMoments(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        round($"value" * MilliScale).cast("long").as("q"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sq"),
+        sum($"q" * $"q").as("sq2"))
+      .localCheckpoint() // feeds the control row AND the arm rows
+  }
+
   /** q20 / timeToConvertStream's shared signup frame: (user_id, s_es)
     * with s_es the user's FIRST signup epoch second — ONE definition so
     * the batch report's denominator and the twin spec's provably
@@ -614,13 +630,7 @@ object Stats2 {
     "q19_ab_power" -> ((s, dir) => {
       import s.implicits._
       val d = (c: Column) => c.cast("double")
-      val mom = t(s, dir, "events")
-        .select($"event_type",
-          round($"value" * MilliScale).cast("long").as("q"))
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), sum($"q").as("sq"),
-          sum($"q" * $"q").as("sq2"))
-        .localCheckpoint() // feeds the control row AND the arm rows
+      val mom = abPowerMoments(s, dir)
       val ctrl = mom.filter($"event_type" === "view")
         .select($"n".as("n_c"), $"sq".as("sq_c"), $"sq2".as("sq2_c"))
       mom.filter($"event_type" =!= "view")

@@ -1,0 +1,427 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.Det
+
+/** Survival analysis over the activation funnel + the multiple-testing
+  * close of the experimentation layer — beyond-reference operators a
+  * product/experimentation platform runs daily, each with an exact
+  * DuckDB oracle:
+  *
+  *   - q26 Kaplan–Meier survival (Kaplan & Meier 1958) with Greenwood
+  *     1926 standard errors — time from first signup to the first
+  *     HIGH-VALUE purchase, under administrative right-censoring at a
+  *     fixed study horizon (the textbook design; q20's uncensored
+  *     time-to-convert is the d=1 subset of this frame).
+  *   - a79 Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978)
+  *     with the Fleming–Harrington survivor exp(−H) riding along.
+  *   - q27 log-rank test (Mantel 1966) comparing the two keyed-LCG
+  *     arms' survival — "does treatment speed activation?", the
+  *     time-to-event sibling of a39/q19.
+  *   - q28 Benjamini–Hochberg FDR (1995) over the q19 family's per-arm
+  *     Welch tests — the step every platform runs once it reads more
+  *     than one metric; Φ via Abramowitz & Stegun 26.2.17 generated
+  *     ONCE as text for both engines (|ε| < 7.5e-8, identical IEEE).
+  *
+  * House exactness recipe throughout: integer epoch seconds and counts;
+  * per-time summands carried as pure-integer divs (e6/e9/e12, DECIMAL
+  * where the product can cross int64); log/exp on bit-identical doubles
+  * from exact integers; every degenerate division CASE-guarded the same
+  * way in both engines. */
+object Survival {
+
+  /** Terminal event: a purchase of ≥ $200 (cents) — rare enough that
+    * administrative censoring BINDS at every test SF (events/censored:
+    * 3/12 at sf0.001, 16/134 at sf0.01, 165/1333 at sf0.1), so both
+    * branches of the estimator are exercised. */
+  private[queries] val KmThrCents = 20000L
+
+  /** Study horizon: min + 3(max−min)/5 of the corpus event range, in
+    * exact integer seconds (identical floor-div in both engines). */
+  private def kmHorizon(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(min(Det.epochS(col("ts"))).as("mn"),
+        max(Det.epochS(col("ts"))).as("mx"))
+      .selectExpr("mn + (3 * (mx - mn)) div 5 AS tc")
+
+  /** The shared observation frame: per cohort user (first signup at or
+    * before the horizon) the observed time t = min(delta, tc − s_es),
+    * the event flag d (1 = high-value purchase inside the window), and
+    * the q22 keyed-LCG arm. 100 TB shape: two per-user aggs collapse
+    * the corpus; the horizon is a 1-row broadcast. */
+  private def kmObs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val coh = Stats2.ttcSignups(s, dir)
+      .crossJoin(broadcast(kmHorizon(s, dir)))
+      .filter($"s_es" <= $"tc")
+      .localCheckpoint() // feeds the purchase join AND the left side
+    val pu = t(s, dir, "events")
+      .filter($"event_type" === "purchase" &&
+        round($"value" * 100).cast("long") >= KmThrCents)
+      .select($"user_id", Det.epochS($"ts").as("es"))
+      .join(coh.select($"user_id", $"s_es"), Seq("user_id"))
+      .filter($"es" >= $"s_es")
+      .groupBy($"user_id").agg(min($"es" - $"s_es").as("delta"))
+    val ev = ($"delta".isNotNull && $"delta" <= $"tc" - $"s_es")
+    coh.join(pu, Seq("user_id"), "left")
+      .select($"user_id",
+        (Det.frac($"user_id", Stats3.AbSeed) < 0.5).cast("long").as("grp"),
+        when(ev, $"delta").otherwise($"tc" - $"s_es").as("t"),
+        when(ev, 1L).otherwise(0L).as("d"))
+  }
+
+  /** Per-event-time risk table (t, d, r): value-domain collapse of the
+    * observation frame + a DISTRIBUTED prefix sum (Ranks.globalCumSum,
+    * never a one-task global window — censoring times are O(users)
+    * distinct) + the 1-row cohort broadcast; r = n − #{t_i < t}. */
+  private def kmRiskTable(s: SparkSession, obs: DataFrame): DataFrame = {
+    import s.implicits._
+    val nc = obs.agg(count(lit(1)).as("n_cohort"))
+    val vt = obs.groupBy($"t")
+      .agg(sum($"d").as("d"), count(lit(1)).as("c"))
+    graft.ops.Ranks.globalCumSum(vt, Seq($"t"), $"c", "cumc")
+      .crossJoin(broadcast(nc))
+      .withColumn("r", $"n_cohort" - ($"cumc" - $"c"))
+      .filter($"d" > 0L)
+  }
+
+  /** Two-sided normal p-value 2·Q(|z|) via Abramowitz & Stegun
+    * 26.2.17 (Horner form, fixed association) — ONE text evaluated
+    * verbatim by both engines; √(2π) as a literal so no engine computes
+    * it. Valid for the x ≥ 0 domain |z| lives in; |ε| < 7.5e-8. */
+  private def normTwoSidedP(z: String): String = {
+    val az = s"abs($z)"
+    val tt = s"(1.0 / (1.0 + 0.2316419 * $az))"
+    val pdf = s"(exp(-($az * $az) / 2.0) / 2.5066282746310002)"
+    val poly = s"(((((1.330274429 * $tt - 1.821255978) * $tt " +
+      s"+ 1.781477937) * $tt - 0.356563782) * $tt + 0.319381530) * $tt)"
+    s"(2.0 * $pdf * $poly)"
+  }
+
+  /** BH false-discovery-rate level. */
+  private val BhAlpha = "0.05"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Q26: Kaplan–Meier survival with Greenwood se --------------------
+    // S(t) = Π_{t_i ≤ t} (1 − d_i/r_i) over event times, with
+    // administrative right-censoring at the fixed horizon; q20 answers
+    // "how fast do converters convert", this answers the question q20
+    // CANNOT: "what fraction will EVER convert by t, given censoring".
+    // Exactness: per-time ln((r−d)/r) e6-quantized BIGINT (the a73 l6
+    // rule) and the Greenwood summand d/(r(r−d)) as a PURE-INTEGER e12
+    // div — both cumulated by the distributed prefix sum, so the
+    // product/variance at every t is built from exact integers; exp on
+    // bit-identical doubles, round 6. The d = r terminal row (everyone
+    // at risk dies) is CASE-guarded to S = 0 / se NULL identically in
+    // both engines. 100 TB shape: two per-user aggs + a value-domain
+    // collapse + two-pass distributed cumsums; no data-sized window.
+    "q26_km_survival" -> ((s, dir) => {
+      import s.implicits._
+      val ev = kmRiskTable(s, kmObs(s, dir))
+        .withColumn("l6", when($"d" < $"r",
+          round(log(($"r" - $"d").cast("double") / $"r".cast("double"))
+            * 1e6).cast("long")).otherwise(0L))
+        .withColumn("gw12", when($"d" < $"r",
+          expr("(d * 1000000000000) div (r * (r - d))")).otherwise(0L))
+      val s1 = graft.ops.Ranks.globalCumSum(ev, Seq($"t"), $"l6", "cl6")
+      val s2 = graft.ops.Ranks.globalCumSum(s1, Seq($"t"), $"gw12", "cgw")
+      s2.select($"t".as("t_s"), $"d".as("n_events"), $"r".as("n_risk"),
+        when($"d" === $"r", lit(0.0))
+          .otherwise(round(exp($"cl6".cast("double") / 1e6), 6))
+          .as("survival"),
+        when($"d" === $"r", lit(null).cast("double"))
+          .otherwise(round(exp($"cl6".cast("double") / 1e6) *
+            sqrt($"cgw".cast("double") / 1e12), 6)).as("greenwood_se"))
+        .orderBy($"t_s")
+    }),
+
+    // ---- A79: Nelson–Aalen cumulative hazard ------------------------------
+    // H(t) = Σ_{t_i ≤ t} d_i/r_i on the SAME risk table as q26, with
+    // the Fleming–Harrington survivor exp(−H) riding along (FH ≥ KM
+    // pointwise — the classic small-sample comparison, queryable here).
+    // Exactness: the hazard summand is a PURE-INTEGER e12 div cumulated
+    // by the distributed prefix sum; exp on bit-identical doubles.
+    // 100 TB shape: the q26 shape minus one scan.
+    "a79_nelson_aalen" -> ((s, dir) => {
+      import s.implicits._
+      val ev = kmRiskTable(s, kmObs(s, dir))
+        .withColumn("h12", expr("(d * 1000000000000) div r"))
+      graft.ops.Ranks.globalCumSum(ev, Seq($"t"), $"h12", "ch")
+        .select($"t".as("t_s"), $"d".as("n_events"), $"r".as("n_risk"),
+          round($"ch".cast("double") / 1e12, 6).as("na_cumhaz"),
+          round(exp(-$"ch".cast("double") / 1e12), 6).as("fh_survival"))
+        .orderBy($"t_s")
+    }),
+
+    // ---- Q27: log-rank test (arm A vs arm B time-to-event) ---------------
+    // "Does treatment speed activation?" — the time-to-event sibling of
+    // a39's Welch test, on the SAME keyed-LCG arms as q21/q22: at each
+    // event time the observed arm-1 events vs the hypergeometric
+    // expectation d·r₁/r and variance d(r₁/r)(1−r₁/r)(r−d)/(r−1);
+    // χ² = (O₁−E₁)²/V with 1 df (Mantel 1966). Exactness: per-time E
+    // and V summands as pure-integer divs (e6 / e9, the V numerator
+    // riding DECIMAL(38,0)/HUGEINT — d·r₁·(r−r₁)·(r−d)·10⁹ crosses
+    // int64 near this corpus size, measured), so the sums are
+    // order-free BIGINTs; r = 1 and V = 0 CASE-guarded identically.
+    // 100 TB shape: the q26 collapse with two cumsums (total + arm-1)
+    // and a 1-row readout.
+    "q27_logrank" -> ((s, dir) => {
+      import s.implicits._
+      val obs = kmObs(s, dir).localCheckpoint() // feeds counts AND collapse
+      val nc = obs.agg(count(lit(1)).as("n_cohort"),
+        sum($"grp").as("n_arm1"))
+      val vt = obs.groupBy($"t")
+        .agg(sum($"d").as("d"), count(lit(1)).as("c"),
+          sum($"d" * $"grp").as("d1"), sum($"grp").as("c1"))
+      val c0 = graft.ops.Ranks.globalCumSum(vt, Seq($"t"), $"c", "cumc")
+      val c1 = graft.ops.Ranks.globalCumSum(c0, Seq($"t"), $"c1", "cumc1")
+      c1.crossJoin(broadcast(nc))
+        .withColumn("r", $"n_cohort" - ($"cumc" - $"c"))
+        .withColumn("r1", $"n_arm1" - ($"cumc1" - $"c1"))
+        .filter($"d" > 0L)
+        .withColumn("e1_6", expr("(d * r1 * 1000000) div r"))
+        .withColumn("v9", expr("CASE WHEN r > 1 THEN " +
+          "(CAST(d AS DECIMAL(38,0)) * r1 * (r - r1) * (r - d) " +
+          "* 1000000000) div (r * r * (r - 1)) ELSE 0 END"))
+        .agg(max($"n_cohort").as("n_cohort"), max($"n_arm1").as("n_arm1"),
+          sum($"d1").as("o1"), sum($"e1_6").as("se1"), sum($"v9").as("sv9"))
+        .selectExpr("n_cohort", "n_arm1", "n_cohort - n_arm1 AS n_arm0",
+          "o1 AS observed_1",
+          "round(CAST(se1 AS DOUBLE) / 1000000.0, 6) AS expected_1",
+          "round(CAST(sv9 AS DOUBLE) / 1000000000.0, 6) AS variance",
+          "CASE WHEN sv9 > 0 THEN round((CAST(o1 AS DOUBLE) " +
+            "- CAST(se1 AS DOUBLE) / 1000000.0) * (CAST(o1 AS DOUBLE) " +
+            "- CAST(se1 AS DOUBLE) / 1000000.0) " +
+            "/ (CAST(sv9 AS DOUBLE) / 1000000000.0), 6) END AS chi2")
+    }),
+
+    // ---- Q28: Benjamini–Hochberg FDR over the q19 arm tests ---------------
+    // The multiple-testing close of the experimentation layer: once a
+    // platform reads k metrics/arms, per-test α lies — BH 1995 step-up
+    // controls the false-discovery rate. Over the SHARED q19 moment
+    // pass: per-arm Welch z vs the 'view' control, two-sided p via the
+    // generated A&S 26.2.17 text, ranks ascending by p (arm tiebreak —
+    // a ≤|event-types|-row frame, the bounded-window convention), and
+    // reject ranks ≤ argmax{i : p_(i) ≤ i·α/m}. Decisions compare
+    // UNROUNDED bit-identical doubles (the q19 flag convention).
+    // 100 TB shape: ONE map-side moment agg collapses the corpus;
+    // everything after is a ≤types-row frame.
+    "q28_bh_fdr" -> ((s, dir) => {
+      import s.implicits._
+      val mom = Stats2.abPowerMoments(s, dir)
+      val ctrl = mom.filter($"event_type" === "view")
+        .select($"n".as("n_c"), $"sq".as("sq_c"), $"sq2".as("sq2_c"))
+      val ps = mom.filter($"event_type" =!= "view")
+        .crossJoin(broadcast(ctrl))
+        .selectExpr("event_type", "n",
+          "(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) " +
+            "- CAST(sq_c AS DOUBLE) / CAST(n_c AS DOUBLE)) " +
+            "/ sqrt(((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) " +
+            "* CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) " +
+            "/ CAST(n - 1 AS DOUBLE)) / CAST(n AS DOUBLE) " +
+            "+ ((CAST(sq2_c AS DOUBLE) - CAST(sq_c AS DOUBLE) " +
+            "* CAST(sq_c AS DOUBLE) / CAST(n_c AS DOUBLE)) " +
+            "/ CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE)) AS z")
+        .selectExpr("event_type", "n", "z",
+          s"${normTwoSidedP("z")} AS p")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"p", $"event_type") // ≤ |event types| rows
+      val ranked = ps
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("m", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))))
+        .withColumn("thr", expr(
+          s"CAST(i AS DOUBLE) * $BhAlpha / CAST(m AS DOUBLE)"))
+        .localCheckpoint() // feeds kmax AND the report
+      val kmax = ranked.agg(coalesce(max(when($"p" <= $"thr", $"i")),
+        lit(0L)).as("kmax"))
+      ranked.crossJoin(broadcast(kmax))
+        .select($"event_type", $"n".as("n_treat"),
+          round($"z", 6).as("z"), round($"p", 6).as("p_value"),
+          $"i".as("bh_rank"), round($"thr", 6).as("bh_threshold"),
+          ($"i" <= $"kmax").as("rejected"))
+        .orderBy($"bh_rank")
+    }))
+
+  private def oracleObsCtes: String =
+    s"""ev AS (
+       |  SELECT user_id, event_type, ${Det.epochSSql("ts")} AS es,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |b AS (SELECT CAST(min(es) AS BIGINT) AS mn,
+       |  CAST(max(es) AS BIGINT) AS mx FROM ev),
+       |tcx AS (SELECT mn + (3 * (mx - mn)) // 5 AS tc FROM b),
+       |su AS (
+       |  SELECT user_id, CAST(min(es) AS BIGINT) AS s_es
+       |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+       |coh AS (
+       |  SELECT user_id, s_es, tc FROM su CROSS JOIN tcx
+       |  WHERE s_es <= tc),
+       |pu AS (
+       |  SELECT ev.user_id, CAST(min(es - s_es) AS BIGINT) AS delta
+       |  FROM ev JOIN coh ON ev.user_id = coh.user_id
+       |  WHERE event_type = 'purchase' AND cents >= $KmThrCents
+       |    AND es >= s_es
+       |  GROUP BY 1),
+       |obs AS (
+       |  SELECT coh.user_id,
+       |    CASE WHEN ${Det.fracSql("coh.user_id", Stats3.AbSeed)} < 0.5
+       |      THEN 1 ELSE 0 END AS grp,
+       |    CASE WHEN pu.delta IS NOT NULL
+       |        AND pu.delta <= coh.tc - coh.s_es
+       |      THEN pu.delta ELSE coh.tc - coh.s_es END AS t,
+       |    CASE WHEN pu.delta IS NOT NULL
+       |        AND pu.delta <= coh.tc - coh.s_es
+       |      THEN 1 ELSE 0 END AS d
+       |  FROM coh LEFT JOIN pu ON coh.user_id = pu.user_id)"""
+      .stripMargin
+
+  private def oracleRiskCtes: String =
+    s"""ncx AS (SELECT CAST(count(*) AS BIGINT) AS n_cohort FROM obs),
+       |vt AS (
+       |  SELECT t, CAST(sum(d) AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM obs GROUP BY 1),
+       |cum AS (
+       |  SELECT t, d, c,
+       |    CAST(sum(c) OVER (ORDER BY t) AS BIGINT) AS cumc
+       |  FROM vt),
+       |evt AS (
+       |  SELECT t, d, n_cohort - (cumc - c) AS r
+       |  FROM cum CROSS JOIN ncx WHERE d > 0)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    "q26_km_survival" ->
+      s"""WITH $oracleObsCtes,
+         |$oracleRiskCtes,
+         |terms AS (
+         |  SELECT t, d, r,
+         |    CASE WHEN d < r THEN CAST(round(ln(CAST(r - d AS DOUBLE)
+         |      / CAST(r AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END AS l6,
+         |    CASE WHEN d < r
+         |      THEN (d * 1000000000000) // (r * (r - d))
+         |      ELSE 0 END AS gw12
+         |  FROM evt),
+         |scan AS (
+         |  SELECT t, d, r,
+         |    CAST(sum(l6) OVER (ORDER BY t) AS BIGINT) AS cl6,
+         |    CAST(sum(gw12) OVER (ORDER BY t) AS BIGINT) AS cgw
+         |  FROM terms)
+         |SELECT t AS t_s, d AS n_events, r AS n_risk,
+         |  CASE WHEN d = r THEN 0.0
+         |    ELSE round(exp(CAST(cl6 AS DOUBLE) / 1e6), 6) END
+         |    AS survival,
+         |  CASE WHEN d = r THEN NULL
+         |    ELSE round(exp(CAST(cl6 AS DOUBLE) / 1e6)
+         |      * sqrt(CAST(cgw AS DOUBLE) / 1e12), 6) END
+         |    AS greenwood_se
+         |FROM scan ORDER BY t_s""".stripMargin,
+
+    "a79_nelson_aalen" ->
+      s"""WITH $oracleObsCtes,
+         |$oracleRiskCtes,
+         |terms AS (
+         |  SELECT t, d, r, (d * 1000000000000) // r AS h12 FROM evt),
+         |scan AS (
+         |  SELECT t, d, r,
+         |    CAST(sum(h12) OVER (ORDER BY t) AS BIGINT) AS ch
+         |  FROM terms)
+         |SELECT t AS t_s, d AS n_events, r AS n_risk,
+         |  round(CAST(ch AS DOUBLE) / 1e12, 6) AS na_cumhaz,
+         |  round(exp(-CAST(ch AS DOUBLE) / 1e12), 6) AS fh_survival
+         |FROM scan ORDER BY t_s""".stripMargin,
+
+    "q27_logrank" ->
+      s"""WITH $oracleObsCtes,
+         |ncx AS (SELECT CAST(count(*) AS BIGINT) AS n_cohort,
+         |  CAST(sum(grp) AS BIGINT) AS n_arm1 FROM obs),
+         |vt AS (
+         |  SELECT t, CAST(sum(d) AS BIGINT) AS d,
+         |    CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(d * grp) AS BIGINT) AS d1,
+         |    CAST(sum(grp) AS BIGINT) AS c1
+         |  FROM obs GROUP BY 1),
+         |cum AS (
+         |  SELECT t, d, c, d1, c1,
+         |    CAST(sum(c) OVER (ORDER BY t) AS BIGINT) AS cumc,
+         |    CAST(sum(c1) OVER (ORDER BY t) AS BIGINT) AS cumc1
+         |  FROM vt),
+         |evt AS (
+         |  SELECT t, d, d1,
+         |    n_cohort - (cumc - c) AS r,
+         |    n_arm1 - (cumc1 - c1) AS r1,
+         |    n_cohort, n_arm1
+         |  FROM cum CROSS JOIN ncx WHERE d > 0),
+         |terms AS (
+         |  SELECT n_cohort, n_arm1, d1,
+         |    (d * r1 * 1000000) // r AS e1_6,
+         |    CASE WHEN r > 1 THEN CAST(
+         |      (CAST(d AS HUGEINT) * r1 * (r - r1) * (r - d)
+         |        * 1000000000) // (r * r * (r - 1)) AS BIGINT)
+         |      ELSE 0 END AS v9
+         |  FROM evt),
+         |agg AS (
+         |  SELECT CAST(max(n_cohort) AS BIGINT) AS n_cohort,
+         |    CAST(max(n_arm1) AS BIGINT) AS n_arm1,
+         |    CAST(sum(d1) AS BIGINT) AS o1,
+         |    CAST(sum(e1_6) AS BIGINT) AS se1,
+         |    CAST(sum(v9) AS BIGINT) AS sv9
+         |  FROM terms)
+         |SELECT n_cohort, n_arm1, n_cohort - n_arm1 AS n_arm0,
+         |  o1 AS observed_1,
+         |  round(CAST(se1 AS DOUBLE) / 1000000.0, 6) AS expected_1,
+         |  round(CAST(sv9 AS DOUBLE) / 1000000000.0, 6) AS variance,
+         |  CASE WHEN sv9 > 0 THEN round((CAST(o1 AS DOUBLE)
+         |    - CAST(se1 AS DOUBLE) / 1000000.0) * (CAST(o1 AS DOUBLE)
+         |    - CAST(se1 AS DOUBLE) / 1000000.0)
+         |    / (CAST(sv9 AS DOUBLE) / 1000000000.0), 6) END AS chi2
+         |FROM agg""".stripMargin,
+
+    "q28_bh_fdr" ->
+      s"""WITH mom AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(q) AS BIGINT) AS sq,
+         |    CAST(sum(q * q) AS BIGINT) AS sq2
+         |  FROM (SELECT event_type,
+         |          CAST(round(value * 1000.0) AS BIGINT) AS q
+         |        FROM events)
+         |  GROUP BY 1),
+         |ctrl AS (SELECT n AS n_c, sq AS sq_c, sq2 AS sq2_c
+         |         FROM mom WHERE event_type = 'view'),
+         |zz AS (
+         |  SELECT event_type, n,
+         |    (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - CAST(sq_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+         |      / sqrt(((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE)
+         |      * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / CAST(n - 1 AS DOUBLE)) / CAST(n AS DOUBLE)
+         |      + ((CAST(sq2_c AS DOUBLE) - CAST(sq_c AS DOUBLE)
+         |      * CAST(sq_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+         |      / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE)) AS z
+         |  FROM mom CROSS JOIN ctrl WHERE event_type <> 'view'),
+         |ps AS (
+         |  SELECT event_type, n, z, ${normTwoSidedP("z")} AS p FROM zz),
+         |ranked AS (
+         |  SELECT event_type, n, z, p,
+         |    CAST(row_number() OVER (ORDER BY p, event_type) AS BIGINT)
+         |      AS i,
+         |    CAST(count(*) OVER () AS BIGINT) AS m
+         |  FROM ps),
+         |thr AS (
+         |  SELECT event_type, n, z, p, i,
+         |    CAST(i AS DOUBLE) * $BhAlpha / CAST(m AS DOUBLE) AS thr
+         |  FROM ranked),
+         |km AS (
+         |  SELECT CAST(coalesce(max(CASE WHEN p <= thr THEN i END), 0)
+         |    AS BIGINT) AS kmax FROM thr)
+         |SELECT event_type, n AS n_treat,
+         |  round(z, 6) AS z, round(p, 6) AS p_value,
+         |  i AS bh_rank, round(thr, 6) AS bh_threshold,
+         |  (i <= kmax) AS rejected
+         |FROM thr CROSS JOIN km ORDER BY bh_rank""".stripMargin)
+}

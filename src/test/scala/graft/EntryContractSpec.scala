@@ -30,7 +30,8 @@ class EntryContractSpec extends AnyFunSuite {
       "Stats" -> queries.Stats.queries.keySet,
       "Stats2" -> queries.Stats2.queries.keySet,
       "Stats3" -> queries.Stats3.queries.keySet,
-      "Curate" -> queries.Curate.queries.keySet)
+      "Curate" -> queries.Curate.queries.keySet,
+      "Survival" -> queries.Survival.queries.keySet)
     val dups = packs.combinations(2).flatMap {
       case Seq((na, a), (nb, b)) => (a & b).map(k => s"$k ($na ∩ $nb)")
     }.toSeq
