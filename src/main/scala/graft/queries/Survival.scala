@@ -70,6 +70,7 @@ object Survival {
         (Det.frac($"user_id", Stats3.AbSeed) < 0.5).cast("long").as("grp"),
         when(ev, $"delta").otherwise($"tc" - $"s_es").as("t"),
         when(ev, 1L).otherwise(0L).as("d"))
+      .localCheckpoint() // feeds the cohort counts AND the collapse
   }
 
   /** Per-event-time risk table (t, d, r): value-domain collapse of the
@@ -86,6 +87,65 @@ object Survival {
       .withColumn("r", $"n_cohort" - ($"cumc" - $"c"))
       .filter($"d" > 0L)
   }
+
+  /** q26/a80's shared KM scan (t, d, r, cl6, cgw): the risk table with
+    * the e6 ln-survivor and e12 Greenwood carries cumulated by the
+    * distributed prefix sum. */
+  private def kmSurvScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = kmRiskTable(s, kmObs(s, dir))
+      .withColumn("l6", when($"d" < $"r",
+        round(log(($"r" - $"d").cast("double") / $"r".cast("double"))
+          * 1e6).cast("long")).otherwise(0L))
+      .withColumn("gw12", when($"d" < $"r",
+        expr("(d * 1000000000000) div (r * (r - d))")).otherwise(0L))
+    val s1 = graft.ops.Ranks.globalCumSum(ev, Seq($"t"), $"l6", "cl6")
+    graft.ops.Ranks.globalCumSum(s1, Seq($"t"), $"gw12", "cgw")
+  }
+
+  /** q27/q29's per-event-time ARM risk table (t, d, d1, r, r1 + the
+    * 1-row cohort counts): the kmRiskTable machinery with the arm-1
+    * split riding the same two distributed prefix sums. */
+  private def kmArmRiskTable(s: SparkSession, obs: DataFrame): DataFrame = {
+    import s.implicits._
+    val nc = obs.agg(count(lit(1)).as("n_cohort"),
+      sum($"grp").as("n_arm1"))
+    val vt = obs.groupBy($"t")
+      .agg(sum($"d").as("d"), count(lit(1)).as("c"),
+        sum($"d" * $"grp").as("d1"), sum($"grp").as("c1"))
+    val c0 = graft.ops.Ranks.globalCumSum(vt, Seq($"t"), $"c", "cumc")
+    val c1 = graft.ops.Ranks.globalCumSum(c0, Seq($"t"), $"c1", "cumc1")
+    c1.crossJoin(broadcast(nc))
+      .withColumn("r", $"n_cohort" - ($"cumc" - $"c"))
+      .withColumn("r1", $"n_arm1" - ($"cumc1" - $"c1"))
+      .filter($"d" > 0L)
+  }
+
+  /** q29's Newton summands at an inline β expression — e9-quantized
+    * BIGINT (the a45 summand rule) so the event-time sums are
+    * order-free; ONE text for both engines. w = r1·e^β, r0 = r − r1:
+    * U term d·w/(r0+w) (Breslow ties), I term d·w·r0/(r0+w)². */
+  private val CoxIters = 6
+  private def coxDen(b: String): String =
+    s"(CAST(r - r1 AS DOUBLE) + CAST(r1 AS DOUBLE) * exp($b))"
+  private def coxU9(b: String): String =
+    s"CAST(round(1000000000.0 * CAST(d AS DOUBLE) " +
+      s"* (CAST(r1 AS DOUBLE) * exp($b)) / ${coxDen(b)}) AS BIGINT)"
+  private def coxI9(b: String): String =
+    s"CAST(round(1000000000.0 * CAST(d AS DOUBLE) " +
+      s"* (CAST(r1 AS DOUBLE) * exp($b)) * CAST(r - r1 AS DOUBLE) " +
+      s"/ (${coxDen(b)} * ${coxDen(b)})) AS BIGINT)"
+  /** U/β-update texts from the (o1, su, si) sums — shared verbatim. */
+  private def coxUExpr: String =
+    "(CAST(o1 AS DOUBLE) - CAST(su AS DOUBLE) / 1000000000.0)"
+  private def coxBetaUpd: String =
+    s"CASE WHEN si > 0 THEN beta + $coxUExpr " +
+      "/ (CAST(si AS DOUBLE) / 1000000000.0) ELSE beta END AS beta"
+  private def coxScoreUpd(first: Boolean): String =
+    if (first)
+      s"CASE WHEN si > 0 THEN $coxUExpr * $coxUExpr " +
+        "/ (CAST(si AS DOUBLE) / 1000000000.0) END AS score_chi2"
+    else "score_chi2"
 
   /** Two-sided normal p-value 2·Q(|z|) via Abramowitz & Stegun
     * 26.2.17 (Horner form, fixed association) — ONE text evaluated
@@ -120,15 +180,8 @@ object Survival {
     // collapse + two-pass distributed cumsums; no data-sized window.
     "q26_km_survival" -> ((s, dir) => {
       import s.implicits._
-      val ev = kmRiskTable(s, kmObs(s, dir))
-        .withColumn("l6", when($"d" < $"r",
-          round(log(($"r" - $"d").cast("double") / $"r".cast("double"))
-            * 1e6).cast("long")).otherwise(0L))
-        .withColumn("gw12", when($"d" < $"r",
-          expr("(d * 1000000000000) div (r * (r - d))")).otherwise(0L))
-      val s1 = graft.ops.Ranks.globalCumSum(ev, Seq($"t"), $"l6", "cl6")
-      val s2 = graft.ops.Ranks.globalCumSum(s1, Seq($"t"), $"gw12", "cgw")
-      s2.select($"t".as("t_s"), $"d".as("n_events"), $"r".as("n_risk"),
+      kmSurvScan(s, dir)
+        .select($"t".as("t_s"), $"d".as("n_events"), $"r".as("n_risk"),
         when($"d" === $"r", lit(0.0))
           .otherwise(round(exp($"cl6".cast("double") / 1e6), 6))
           .as("survival"),
@@ -170,18 +223,7 @@ object Survival {
     // and a 1-row readout.
     "q27_logrank" -> ((s, dir) => {
       import s.implicits._
-      val obs = kmObs(s, dir).localCheckpoint() // feeds counts AND collapse
-      val nc = obs.agg(count(lit(1)).as("n_cohort"),
-        sum($"grp").as("n_arm1"))
-      val vt = obs.groupBy($"t")
-        .agg(sum($"d").as("d"), count(lit(1)).as("c"),
-          sum($"d" * $"grp").as("d1"), sum($"grp").as("c1"))
-      val c0 = graft.ops.Ranks.globalCumSum(vt, Seq($"t"), $"c", "cumc")
-      val c1 = graft.ops.Ranks.globalCumSum(c0, Seq($"t"), $"c1", "cumc1")
-      c1.crossJoin(broadcast(nc))
-        .withColumn("r", $"n_cohort" - ($"cumc" - $"c"))
-        .withColumn("r1", $"n_arm1" - ($"cumc1" - $"c1"))
-        .filter($"d" > 0L)
+      kmArmRiskTable(s, kmObs(s, dir))
         .withColumn("e1_6", expr("(d * r1 * 1000000) div r"))
         .withColumn("v9", expr("CASE WHEN r > 1 THEN " +
           "(CAST(d AS DECIMAL(38,0)) * r1 * (r - r1) * (r - d) " +
@@ -245,6 +287,85 @@ object Survival {
           $"i".as("bh_rank"), round($"thr", 6).as("bh_threshold"),
           ($"i" <= $"kmax").as("rejected"))
         .orderBy($"bh_rank")
+    }),
+
+    // ---- Q29: Cox proportional hazards (one binary covariate) -------------
+    // The model a product analyst actually FITS on this data (Cox
+    // 1972): hazard ratio of arm 1 vs arm 0 by Newton–Raphson on the
+    // partial likelihood with Breslow tie handling — with one binary
+    // covariate the risk-set sums collapse to (r0, r1) per event time,
+    // so each Newton step is ONE agg over the SHARED q27 risk table
+    // with β broadcast (the d23/d27 iterative-fold recipe on a K-row
+    // frame). Reports β̂, the hazard ratio, the Wald se/z at β̂, and
+    // the score χ² at β = 0 — the score test IS the log-rank idea
+    // (q27's statistic up to its (r−d)/(r−1) tie correction; both
+    // gates queryable side by side). Exactness: per-time U/I summands
+    // e9-quantized BIGINT (the a45 summand rule → order-free sums);
+    // every β update is ONE generated text; I = 0 CASE-guarded (β
+    // stays, readouts NULL) identically in both engines. CoxIters = 6
+    // (one-parameter Newton from 0; the d27 convention — a fixed probe
+    // depth, stated). 100 TB shape: the q27 collapse ONCE (checkpointed
+    // ≤ distinct-event-times frame) + 7 tiny agg folds.
+    "q29_cox_hazard" -> ((s, dir) => {
+      import s.implicits._
+      val evt = kmArmRiskTable(s, kmObs(s, dir))
+        .select($"t", $"d", $"d1", $"r", $"r1")
+        .localCheckpoint() // feeds the init agg AND every Newton step
+      var st = evt.agg(sum($"d1").as("o1"), sum($"d").as("ev_total"),
+          count(lit(1)).as("n_times"))
+        .selectExpr("o1", "ev_total", "n_times",
+          "CAST(0.0 AS DOUBLE) AS beta",
+          "CAST(NULL AS DOUBLE) AS score_chi2")
+        .localCheckpoint()
+      for (i <- 1 to CoxIters) {
+        st = evt.crossJoin(broadcast(st))
+          .groupBy($"o1", $"ev_total", $"n_times", $"beta", $"score_chi2")
+          .agg(sum(expr(coxU9("beta"))).as("su"),
+            sum(expr(coxI9("beta"))).as("si"))
+          .selectExpr("o1", "ev_total", "n_times",
+            coxScoreUpd(i == 1), coxBetaUpd)
+          .localCheckpoint()
+      }
+      evt.crossJoin(broadcast(st))
+        .groupBy($"o1", $"ev_total", $"n_times", $"beta", $"score_chi2")
+        .agg(sum(expr(coxU9("beta"))).as("su"),
+          sum(expr(coxI9("beta"))).as("si"))
+        .selectExpr("n_times AS n_event_times", "ev_total AS n_events",
+          "o1 AS observed_1", "round(beta, 6) AS beta",
+          "round(exp(beta), 6) AS hazard_ratio",
+          "CASE WHEN si > 0 THEN round(1.0 " +
+            "/ sqrt(CAST(si AS DOUBLE) / 1000000000.0), 6) END AS se",
+          "CASE WHEN si > 0 THEN round(beta " +
+            "* sqrt(CAST(si AS DOUBLE) / 1000000000.0), 6) END AS wald_z",
+          "round(score_chi2, 6) AS score_chi2")
+    }),
+
+    // ---- A80: restricted mean survival time -------------------------------
+    // RMST(τ) = ∫₀^τ S(t)dt with τ = the last event time (the standard
+    // default): the mean seconds-to-conversion ADJUSTED FOR CENSORING —
+    // the single number a naive mean of q20's uncensored deltas gets
+    // wrong. Integrates q26's step function exactly: segment sums
+    // S(t_{k−1})·(t_k − t_{k−1}) as BIGINT products of the e6-quantized
+    // survivor (the a45 summand class) and exact integer time deltas.
+    // The lag window runs on the EVENT-TIME frame — bounded by distinct
+    // event seconds (the corpus time range), not by rows: the a78
+    // value-domain argument. 100 TB shape: the q26 shape + one
+    // bounded-frame lag + a 1-row agg.
+    "a80_rmst" -> ((s, dir) => {
+      import s.implicits._
+      val scan = kmSurvScan(s, dir)
+        .select($"t", $"cl6")
+        .withColumn("se6",
+          expr("CAST(round(exp(CAST(cl6 AS DOUBLE) / 1e6) * 1e6) " +
+            "AS BIGINT)"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
+      scan
+        .withColumn("pt", coalesce(lag($"t", 1).over(w), lit(0L)))
+        .withColumn("ps6", coalesce(lag($"se6", 1).over(w), lit(1000000L)))
+        .agg(count(lit(1)).as("n_event_times"), max($"t").as("tau_s"),
+          sum(($"t" - $"pt") * $"ps6").as("area6"))
+        .selectExpr("n_event_times", "tau_s",
+          "round(CAST(area6 AS DOUBLE) / 1e6, 6) AS rmst_s")
     }))
 
   private def oracleObsCtes: String =
@@ -280,6 +401,27 @@ object Survival {
        |  FROM coh LEFT JOIN pu ON coh.user_id = pu.user_id)"""
       .stripMargin
 
+  private def oracleArmRiskCtes: String =
+    s"""ncx AS (SELECT CAST(count(*) AS BIGINT) AS n_cohort,
+       |  CAST(sum(grp) AS BIGINT) AS n_arm1 FROM obs),
+       |vt AS (
+       |  SELECT t, CAST(sum(d) AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(d * grp) AS BIGINT) AS d1,
+       |    CAST(sum(grp) AS BIGINT) AS c1
+       |  FROM obs GROUP BY 1),
+       |cum AS (
+       |  SELECT t, d, c, d1, c1,
+       |    CAST(sum(c) OVER (ORDER BY t) AS BIGINT) AS cumc,
+       |    CAST(sum(c1) OVER (ORDER BY t) AS BIGINT) AS cumc1
+       |  FROM vt),
+       |evt AS (
+       |  SELECT t, d, d1,
+       |    n_cohort - (cumc - c) AS r,
+       |    n_arm1 - (cumc1 - c1) AS r1,
+       |    n_cohort, n_arm1
+       |  FROM cum CROSS JOIN ncx WHERE d > 0)""".stripMargin
+
   private def oracleRiskCtes: String =
     s"""ncx AS (SELECT CAST(count(*) AS BIGINT) AS n_cohort FROM obs),
        |vt AS (
@@ -294,24 +436,27 @@ object Survival {
        |  SELECT t, d, n_cohort - (cumc - c) AS r
        |  FROM cum CROSS JOIN ncx WHERE d > 0)""".stripMargin
 
+  private def oracleKmScanCtes: String =
+    s"""terms AS (
+       |  SELECT t, d, r,
+       |    CASE WHEN d < r THEN CAST(round(ln(CAST(r - d AS DOUBLE)
+       |      / CAST(r AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END AS l6,
+       |    CASE WHEN d < r
+       |      THEN (d * 1000000000000) // (r * (r - d))
+       |      ELSE 0 END AS gw12
+       |  FROM evt),
+       |scan AS (
+       |  SELECT t, d, r,
+       |    CAST(sum(l6) OVER (ORDER BY t) AS BIGINT) AS cl6,
+       |    CAST(sum(gw12) OVER (ORDER BY t) AS BIGINT) AS cgw
+       |  FROM terms)""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
     "q26_km_survival" ->
       s"""WITH $oracleObsCtes,
          |$oracleRiskCtes,
-         |terms AS (
-         |  SELECT t, d, r,
-         |    CASE WHEN d < r THEN CAST(round(ln(CAST(r - d AS DOUBLE)
-         |      / CAST(r AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END AS l6,
-         |    CASE WHEN d < r
-         |      THEN (d * 1000000000000) // (r * (r - d))
-         |      ELSE 0 END AS gw12
-         |  FROM evt),
-         |scan AS (
-         |  SELECT t, d, r,
-         |    CAST(sum(l6) OVER (ORDER BY t) AS BIGINT) AS cl6,
-         |    CAST(sum(gw12) OVER (ORDER BY t) AS BIGINT) AS cgw
-         |  FROM terms)
+         |$oracleKmScanCtes
          |SELECT t AS t_s, d AS n_events, r AS n_risk,
          |  CASE WHEN d = r THEN 0.0
          |    ELSE round(exp(CAST(cl6 AS DOUBLE) / 1e6), 6) END
@@ -338,25 +483,7 @@ object Survival {
 
     "q27_logrank" ->
       s"""WITH $oracleObsCtes,
-         |ncx AS (SELECT CAST(count(*) AS BIGINT) AS n_cohort,
-         |  CAST(sum(grp) AS BIGINT) AS n_arm1 FROM obs),
-         |vt AS (
-         |  SELECT t, CAST(sum(d) AS BIGINT) AS d,
-         |    CAST(count(*) AS BIGINT) AS c,
-         |    CAST(sum(d * grp) AS BIGINT) AS d1,
-         |    CAST(sum(grp) AS BIGINT) AS c1
-         |  FROM obs GROUP BY 1),
-         |cum AS (
-         |  SELECT t, d, c, d1, c1,
-         |    CAST(sum(c) OVER (ORDER BY t) AS BIGINT) AS cumc,
-         |    CAST(sum(c1) OVER (ORDER BY t) AS BIGINT) AS cumc1
-         |  FROM vt),
-         |evt AS (
-         |  SELECT t, d, d1,
-         |    n_cohort - (cumc - c) AS r,
-         |    n_arm1 - (cumc1 - c1) AS r1,
-         |    n_cohort, n_arm1
-         |  FROM cum CROSS JOIN ncx WHERE d > 0),
+         |$oracleArmRiskCtes,
          |terms AS (
          |  SELECT n_cohort, n_arm1, d1,
          |    (d * r1 * 1000000) // r AS e1_6,
@@ -423,5 +550,66 @@ object Survival {
          |  round(z, 6) AS z, round(p, 6) AS p_value,
          |  i AS bh_rank, round(thr, 6) AS bh_threshold,
          |  (i <= kmax) AS rejected
-         |FROM thr CROSS JOIN km ORDER BY bh_rank""".stripMargin)
+         |FROM thr CROSS JOIN km ORDER BY bh_rank""".stripMargin,
+
+    "q29_cox_hazard" -> {
+      val iters = (1 to CoxIters).map { i =>
+        val prev = if (i == 1) "cox0" else s"cox${i - 1}"
+        s"""cox${i}s AS (
+           |  SELECT o1, ev_total, n_times, beta, score_chi2,
+           |    CAST(sum(${coxU9("beta")}) AS BIGINT) AS su,
+           |    CAST(sum(${coxI9("beta")}) AS BIGINT) AS si
+           |  FROM evt CROSS JOIN $prev
+           |  GROUP BY 1, 2, 3, 4, 5),
+           |cox$i AS (
+           |  SELECT o1, ev_total, n_times, ${coxScoreUpd(i == 1)},
+           |    $coxBetaUpd
+           |  FROM cox${i}s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $oracleObsCtes,
+         |$oracleArmRiskCtes,
+         |cox0 AS (
+         |  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         |    CAST(sum(d) AS BIGINT) AS ev_total,
+         |    CAST(count(*) AS BIGINT) AS n_times,
+         |    CAST(0.0 AS DOUBLE) AS beta,
+         |    CAST(NULL AS DOUBLE) AS score_chi2
+         |  FROM evt),
+         |$iters,
+         |coxfs AS (
+         |  SELECT o1, ev_total, n_times, beta, score_chi2,
+         |    CAST(sum(${coxU9("beta")}) AS BIGINT) AS su,
+         |    CAST(sum(${coxI9("beta")}) AS BIGINT) AS si
+         |  FROM evt CROSS JOIN cox$CoxIters
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT n_times AS n_event_times, ev_total AS n_events,
+         |  o1 AS observed_1, round(beta, 6) AS beta,
+         |  round(exp(beta), 6) AS hazard_ratio,
+         |  CASE WHEN si > 0 THEN round(1.0
+         |    / sqrt(CAST(si AS DOUBLE) / 1000000000.0), 6) END AS se,
+         |  CASE WHEN si > 0 THEN round(beta
+         |    * sqrt(CAST(si AS DOUBLE) / 1000000000.0), 6) END AS wald_z,
+         |  round(score_chi2, 6) AS score_chi2
+         |FROM coxfs""".stripMargin
+    },
+
+    "a80_rmst" ->
+      s"""WITH $oracleObsCtes,
+         |$oracleRiskCtes,
+         |$oracleKmScanCtes,
+         |seg AS (
+         |  SELECT t, CAST(round(exp(CAST(cl6 AS DOUBLE) / 1e6) * 1e6)
+         |    AS BIGINT) AS se6
+         |  FROM scan),
+         |lagd AS (
+         |  SELECT t,
+         |    CAST(coalesce(lag(t) OVER (ORDER BY t), 0) AS BIGINT) AS pt,
+         |    CAST(coalesce(lag(se6) OVER (ORDER BY t), 1000000)
+         |      AS BIGINT) AS ps6
+         |  FROM seg)
+         |SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+         |  CAST(max(t) AS BIGINT) AS tau_s,
+         |  round(CAST(CAST(sum((t - pt) * ps6) AS BIGINT) AS DOUBLE)
+         |    / 1e6, 6) AS rmst_s
+         |FROM lagd""".stripMargin)
 }
