@@ -1381,6 +1381,73 @@ object Stats {
         .orderBy($"cluster")
     }),
 
+    // ---- E26: simplified silhouette over the e11 clusters -----------------
+    // The POINT-pairwise clustering-quality read e13's centroid view
+    // cannot give (Rousseeuw 1987; the decomposable mean-SQUARED-
+    // distance variant — "simplified silhouette" — stated): per vector,
+    // a = mean squared distance to its OWN cluster (excluding self),
+    // b = min over other clusters of the mean squared distance,
+    // s = (b − a)/max(a, b). The all-pairs sums collapse to per-cluster
+    // sufficient statistics (n_j, per-dim sums S_j, Σ‖y‖²):
+    // Σ_y‖x − y‖² = n_j‖x‖² − 2x·S_j + Σ‖y‖² — so the corpus is
+    // never paired. Exactness: all three statistics and the per-
+    // (vec, cluster) numerator are exact BIGINTs on the e6-quantized
+    // vectors (x·S_j summed per-dim in int64 — never a double dot, the
+    // e24 lesson); a, b, s assemble in doubles from exact integers;
+    // per-point s is e6-quantized (the a45 summand rule) so cluster
+    // means are order-free; singleton-own / all-zero guards CASE'd
+    // identically in both engines. 100 TB shape: the e11 assignment
+    // passes + ONE dim explode joined to a k·d-row broadcast (linear,
+    // ×k·d) + k-row reports.
+    "e26_silhouette" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = t(s, dir, "embeddings")
+        .select($"vec_id",
+          graft.similarity.KMeansQ.quantize($"embedding", KmScale).as("q"))
+        .localCheckpoint()
+      val init: Array[Array[Long]] = vecs.filter($"vec_id" < KmK)
+        .orderBy($"vec_id").select($"q").collect()
+        .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      val (assigned, _) = graft.similarity.KMeansQ.lloyd(
+        vecs, "vec_id", "q", KmK, KmIters, init)
+      val m = vecs.join(assigned, Seq("vec_id"))
+        .withColumn("qq2",
+          graft.expressions.DotExpr.dot($"q", $"q").cast("long"))
+        .localCheckpoint() // feeds the cluster stats AND the explode
+      val ssqn = m.groupBy($"cluster")
+        .agg(count(lit(1)).as("nj"), sum($"qq2").as("ssq"))
+      val qd = m.select($"vec_id", $"cluster".as("own"), $"qq2",
+          posexplode($"q").as(Seq("dim", "v")))
+        .withColumn("vl", $"v".cast("long"))
+        .localCheckpoint() // feeds the dim sums AND the cross join
+      val dims = qd.groupBy($"own", $"dim").agg(sum($"vl").as("sjd"))
+        .select($"own".as("j"), $"dim", $"sjd")
+      val xs = qd.join(broadcast(dims), Seq("dim")) // k·d-row broadcast
+        .groupBy($"vec_id", $"own", $"qq2", $"j")
+        .agg(sum($"vl" * $"sjd").as("xs"))
+      val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val ab = xs
+        .join(broadcast(ssqn.select($"cluster".as("j"), $"nj", $"ssq")),
+          Seq("j"))
+        .withColumn("num", $"nj" * $"qq2" - lit(2L) * $"xs" + $"ssq")
+        .groupBy($"vec_id", $"own")
+        .agg(max(when($"j" === $"own", $"num")).as("anum"),
+          max(when($"j" === $"own", $"nj" - 1L)).as("aden"),
+          min(when($"j" =!= $"own", dd($"num") / dd($"nj"))).as("b"))
+      ab
+        .withColumn("a", when($"aden" > 0L, dd($"anum") / dd($"aden")))
+        .withColumn("s6",
+          when($"aden" === 0L || $"b".isNull, 0L)
+            .otherwise(when(greatest($"a", $"b") === 0.0, 0L)
+              .otherwise(round(($"b" - $"a") / greatest($"a", $"b") * 1e6)
+                .cast("long"))))
+        .groupBy($"own")
+        .agg(count(lit(1)).as("n"), sum($"s6").as("ss6"))
+        .select($"own".as("cluster"), $"n",
+          round(dd($"ss6") / dd($"n") / 1e6, 6).as("mean_silhouette"))
+        .orderBy($"cluster")
+    }),
+
     // ---- Z5: embedding-side curation chain, one gated query -----------
     // k-means clustering → in-cluster near-dup drop (greedy-by-id at
     // cosine ≥ τ, the SemDeDup within-cell shape) → cluster-balanced
@@ -2682,6 +2749,62 @@ object Stats {
          |    AS centroid_sum
          |FROM c2 LEFT JOIN cnt ON c2.j = cnt.cluster
          |ORDER BY cluster""".stripMargin,
+
+    "e26_silhouette" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS j, qv AS cv FROM q WHERE vec_id < $KmK),
+         |${kmStep(1, "c0", "a1", "c1")},
+         |${kmStep(2, "c1", "a2", "c2")},
+         |m AS (
+         |  SELECT q.vec_id, q.qv, a2.cluster,
+         |    list_reduce(list_transform(generate_series(1, $KmDim),
+         |      i -> q.qv[i] * q.qv[i]), (a, b) -> a + b) AS qq2
+         |  FROM q JOIN a2 USING (vec_id)),
+         |ssqn AS (
+         |  SELECT cluster AS j, CAST(count(*) AS BIGINT) AS nj,
+         |    CAST(sum(qq2) AS BIGINT) AS ssq
+         |  FROM m GROUP BY 1),
+         |qd AS (
+         |  SELECT vec_id, cluster AS own, qq2,
+         |    unnest(generate_series(1, $KmDim)) AS dim,
+         |    unnest(qv) AS vl
+         |  FROM m),
+         |dims AS (
+         |  SELECT own AS j, dim, CAST(sum(vl) AS BIGINT) AS sjd
+         |  FROM qd GROUP BY 1, 2),
+         |xs AS (
+         |  SELECT qd.vec_id, qd.own, qd.qq2, dims.j,
+         |    CAST(sum(CAST(qd.vl AS BIGINT) * dims.sjd) AS BIGINT) AS xs
+         |  FROM qd JOIN dims USING (dim) GROUP BY 1, 2, 3, 4),
+         |msd AS (
+         |  SELECT xs.vec_id, xs.own, xs.j, ssqn.nj,
+         |    nj * qq2 - 2 * xs + ssq AS num
+         |  FROM xs JOIN ssqn USING (j)),
+         |ab AS (
+         |  SELECT vec_id, own,
+         |    max(CASE WHEN j = own THEN num END) AS anum,
+         |    max(CASE WHEN j = own THEN nj - 1 END) AS aden,
+         |    min(CASE WHEN j <> own THEN CAST(num AS DOUBLE)
+         |      / CAST(nj AS DOUBLE) END) AS b
+         |  FROM msd GROUP BY 1, 2),
+         |sil AS (
+         |  SELECT own,
+         |    CASE WHEN aden = 0 OR b IS NULL THEN 0
+         |      WHEN greatest(CAST(anum AS DOUBLE) / CAST(aden AS DOUBLE),
+         |        b) = 0.0 THEN 0
+         |      ELSE CAST(round((b - CAST(anum AS DOUBLE)
+         |        / CAST(aden AS DOUBLE))
+         |        / greatest(CAST(anum AS DOUBLE) / CAST(aden AS DOUBLE),
+         |          b) * 1e6) AS BIGINT) END AS s6
+         |  FROM ab)
+         |SELECT CAST(own AS INTEGER) AS cluster,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(CAST(sum(s6) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_silhouette
+         |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin,
 
     "e21_ari_stability" ->
       s"""WITH q AS (
