@@ -614,7 +614,8 @@ object Curate {
     * SHARED [[fsUs]] corpus rates. Contract (holds on this corpus, the
     * d21 field contract): 0 < u < 1 per field keeps every pm + pu > 0,
     * so no division is degenerate; 3 iterations is the stated fit
-    * depth (slow monotone convergence probed at all three SFs). */
+    * depth — a cost choice on a slow monotone tail, QUERYABLE via
+    * `d27_em_convergence`'s per-iteration max_delta rows. */
   private[queries] val EmIters = 3
   private val EmD1 = "CAST(1.0 AS DOUBLE)"
   private val EmKeys: Seq[String] =
