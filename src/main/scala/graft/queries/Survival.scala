@@ -218,7 +218,11 @@ object Survival {
     // and V summands as pure-integer divs (e6 / e9, the V numerator
     // riding DECIMAL(38,0)/HUGEINT — d·r₁·(r−r₁)·(r−d)·10⁹ crosses
     // int64 near this corpus size, measured), so the sums are
-    // order-free BIGINTs; r = 1 and V = 0 CASE-guarded identically.
+    // order-free BIGINTs; the V DIVISOR r²(r−1) rides the same width
+    // (plain int64 would wrap silently at r ≈ 2.1e6 in non-ANSI Spark
+    // while DuckDB errors — the r10 ADVICE divergence; widening it
+    // makes the numerator's r ≲ 5e6 bound the one that governs);
+    // r = 1 and V = 0 CASE-guarded identically.
     // 100 TB shape: the q26 collapse with two cumsums (total + arm-1)
     // and a 1-row readout.
     "q27_logrank" -> ((s, dir) => {
@@ -227,7 +231,8 @@ object Survival {
         .withColumn("e1_6", expr("(d * r1 * 1000000) div r"))
         .withColumn("v9", expr("CASE WHEN r > 1 THEN " +
           "(CAST(d AS DECIMAL(38,0)) * r1 * (r - r1) * (r - d) " +
-          "* 1000000000) div (r * r * (r - 1)) ELSE 0 END"))
+          "* 1000000000) div (CAST(r AS DECIMAL(38,0)) * r * (r - 1)) " +
+          "ELSE 0 END"))
         .agg(max($"n_cohort").as("n_cohort"), max($"n_arm1").as("n_arm1"),
           sum($"d1").as("o1"), sum($"e1_6").as("se1"), sum($"v9").as("sv9"))
         .selectExpr("n_cohort", "n_arm1", "n_cohort - n_arm1 AS n_arm0",
@@ -489,7 +494,8 @@ object Survival {
          |    (d * r1 * 1000000) // r AS e1_6,
          |    CASE WHEN r > 1 THEN CAST(
          |      (CAST(d AS HUGEINT) * r1 * (r - r1) * (r - d)
-         |        * 1000000000) // (r * r * (r - 1)) AS BIGINT)
+         |        * 1000000000) // (CAST(r AS HUGEINT) * r * (r - 1))
+         |      AS BIGINT)
          |      ELSE 0 END AS v9
          |  FROM evt),
          |agg AS (
