@@ -388,7 +388,14 @@ object Stats {
     // Product-limit estimator (Kaplan & Meier 1958) of time-to-first-
     // purchase from each user's first event; users who never purchase
     // are right-censored at their last observed event — the survival/
-    // retention curve none of the other monitors cover. Risk table at
+    // retention curve none of the other monitors cover.
+    // SEE ALSO `q26_km_survival` (Survival.scala): the DESIGNED-STUDY
+    // twin — administrative censoring at a fixed horizon, Greenwood se
+    // + KP confidence bounds, and the frame q27/q29/a79/a80 share.
+    // This estimator is the OBSERVATIONAL monitor (censor-at-last-
+    // event is informative when activity correlates with conversion —
+    // acceptable for a retention dashboard, not for inference); the
+    // Survival.scala object doc carries the full decision rule. Risk table at
     // each distinct event duration: n_i at risk, d_i events, Ŝ(t) =
     // Π_{t_j ≤ t} (1 − d_j/n_j). Exactness: durations and risk/event
     // counts are exact integers; each log factor ln((n−d)/n) is
@@ -411,7 +418,12 @@ object Stats {
     // The Mantel 1966 companion to a49 and the survival-outcome twin of
     // a35's A/B test: does the treatment cohort (keyed-LCG 50/50 user
     // assignment — the p15 stable-hash pattern) convert to first
-    // purchase on a different clock than control? At each event time,
+    // purchase on a different clock than control?
+    // SEE ALSO `q27_logrank` (Survival.scala): the same test on the
+    // designed q26 frame (administrative horizon censoring, χ² form,
+    // DECIMAL V carry) — use THAT for experiment readouts; this one
+    // monitors the a49 observational frame (z form, censor-at-last-
+    // event). Decision rule in the Survival.scala object doc. At each event time,
     // observed treatment events d1_i vs hypergeometric expectation
     // E_i = d·n1/n and variance V_i = d·(n1/n)·(1−n1/n)·(n−d)/(n−1);
     // z = Σ(O−E)/√ΣV. Exactness: every count is an exact integer; E_i
