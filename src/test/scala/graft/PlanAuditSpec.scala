@@ -410,20 +410,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(moved.isEmpty, moved.mkString("\n"))
   }
 
-  test("t38/a49/a50: every data-sized window rides Ranks' bucket " +
-      "partitioning (no global rank/cumsum of the corpus); the only " +
-      "other windowspecs are Ranks' bounded offset frames") {
-    // t38's per-source rank and pooled rank, and the survival pack's two
-    // running sums, must all compile to __gr_b-partitioned windows; a
-    // bare windowspecdefinition() over data would be the one-task shape.
-    // The ONE allowed non-__gr_ window is t38's source-offset cumsum —
-    // it runs on the ≤S-row per-source COUNT frame (the adjudicated
-    // bounded-frame exception, same class as Ranks' own offset windows)
-    for (q <- Seq("t38_quantile_norm", "a49_km_survival", "a50_logrank")) {
+  test("t38/a49/a50 + the r10 survival pack: every data-sized window " +
+      "rides Ranks' bucket partitioning (no global rank/cumsum of the " +
+      "corpus); the only bare windows are the adjudicated bounded-frame " +
+      "exceptions") {
+    // Every ranking/cumsum over a corpus-sized frame must compile to a
+    // __gr_b-partitioned window (the two-pass Ranks machinery); a bare
+    // windowspecdefinition() over data would be the one-task shape.
+    // Adjudicated exceptions (the t38 precedent — frames bounded by the
+    // VALUE DOMAIN, never by corpus rows): t38's source-offset cumsum
+    // (≤S-row per-source count frame), a80's lag pair (the ≤distinct-
+    // event-seconds KM scan frame — the a78 value-domain argument),
+    // q28's BH rank and family-size count (the ≤|event-types| p-value
+    // frame). The r10 verdict's 'What's wrong #2' pin.
+    val allowed: Map[String, String => Boolean] = Map(
+      "t38_quantile_norm" -> (l => l.contains("sum(n_s")),
+      "a80_rmst" -> (l => l.contains("lag(")),
+      "q28_bh_fdr" -> (l =>
+        l.contains("row_number()") || l.contains("count(1)")))
+    for (q <- Seq("t38_quantile_norm", "a49_km_survival", "a50_logrank",
+        "q26_km_survival", "a79_nelson_aalen", "q27_logrank",
+        "q29_cox_hazard", "a80_rmst", "q28_bh_fdr")) {
+      val ok = allowed.getOrElse(q, (_: String) => false)
       val p = plan(q)
       val bare = p.linesIterator.filter(l =>
         l.contains("windowspecdefinition(") && !l.contains("__gr_") &&
-          !(q == "t38_quantile_norm" && l.contains("sum(n_s"))).toSeq
+          !ok(l)).toSeq
       assert(bare.isEmpty, s"$q:\n" + bare.mkString("\n"))
     }
   }
