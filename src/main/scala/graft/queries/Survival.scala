@@ -54,11 +54,11 @@ object Survival {
     * administrative censoring BINDS at every test SF (events/censored:
     * 3/12 at sf0.001, 16/134 at sf0.01, 165/1333 at sf0.1), so both
     * branches of the estimator are exercised. */
-  private[queries] val KmThrCents = 20000L
+  private[graft] val KmThrCents = 20000L
 
   /** Study horizon: min + 3(max−min)/5 of the corpus event range, in
     * exact integer seconds (identical floor-div in both engines). */
-  private def kmHorizon(s: SparkSession, dir: String): DataFrame =
+  private[graft] def kmHorizon(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .agg(min(Det.epochS(col("ts"))).as("mn"),
         max(Det.epochS(col("ts"))).as("mx"))
@@ -106,12 +106,16 @@ object Survival {
       .filter($"d" > 0L)
   }
 
-  /** q26/a80's shared KM scan (t, d, r, cl6, cgw): the risk table with
-    * the e6 ln-survivor and e12 Greenwood carries cumulated by the
-    * distributed prefix sum. */
-  private def kmSurvScan(s: SparkSession, dir: String): DataFrame = {
+  /** q26/a80's shared KM scan (t, d, r, cl6, cgw) over an observation
+    * frame with (t, d) columns: the risk table with the e6 ln-survivor
+    * and e12 Greenwood carries cumulated by the distributed prefix
+    * sum. Takes `obs` (not a dir) so the streaming twin's spec can
+    * rebuild the IDENTICAL curve from kmObsStream emissions — the
+    * ttcReport sharing pattern. */
+  private[graft] def kmSurvScan(s: SparkSession, obs: DataFrame)
+      : DataFrame = {
     import s.implicits._
-    val ev = kmRiskTable(s, kmObs(s, dir))
+    val ev = kmRiskTable(s, obs)
       .withColumn("l6", when($"d" < $"r",
         round(log(($"r" - $"d").cast("double") / $"r".cast("double"))
           * 1e6).cast("long")).otherwise(0L))
@@ -195,6 +199,25 @@ object Survival {
     s"(2.0 * $pdf * $poly)"
   }
 
+  /** q26's full KM report over an observation frame with (t, d)
+    * columns — SHARED by the q26 gate and the kmObsStream spec (the
+    * ttcReport pattern: the streaming twin's emissions rebuild the
+    * oracle-green rows through the SAME code). */
+  private[graft] def kmReport(s: SparkSession, obs: DataFrame): DataFrame = {
+    import s.implicits._
+    kmSurvScan(s, obs)
+      .select($"t".as("t_s"), $"d".as("n_events"), $"r".as("n_risk"),
+        when($"d" === $"r", lit(0.0))
+          .otherwise(round(exp($"cl6".cast("double") / 1e6), 6))
+          .as("survival"),
+        when($"d" === $"r", lit(null).cast("double"))
+          .otherwise(round(exp($"cl6".cast("double") / 1e6) *
+            sqrt($"cgw".cast("double") / 1e12), 6)).as("greenwood_se"),
+        expr(kmCiSql("")).as("ci95_lo"),
+        expr(kmCiSql("-")).as("ci95_hi"))
+      .orderBy($"t_s")
+  }
+
   /** BH false-discovery-rate level. */
   private val BhAlpha = "0.05"
 
@@ -217,20 +240,7 @@ object Survival {
     // carries (see kmCiSql) — zero new passes. 100 TB shape: two
     // per-user aggs + a value-domain collapse + two-pass distributed
     // cumsums; no data-sized window.
-    "q26_km_survival" -> ((s, dir) => {
-      import s.implicits._
-      kmSurvScan(s, dir)
-        .select($"t".as("t_s"), $"d".as("n_events"), $"r".as("n_risk"),
-        when($"d" === $"r", lit(0.0))
-          .otherwise(round(exp($"cl6".cast("double") / 1e6), 6))
-          .as("survival"),
-        when($"d" === $"r", lit(null).cast("double"))
-          .otherwise(round(exp($"cl6".cast("double") / 1e6) *
-            sqrt($"cgw".cast("double") / 1e12), 6)).as("greenwood_se"),
-        expr(kmCiSql("")).as("ci95_lo"),
-        expr(kmCiSql("-")).as("ci95_hi"))
-        .orderBy($"t_s")
-    }),
+    "q26_km_survival" -> ((s, dir) => kmReport(s, kmObs(s, dir))),
 
     // ---- A79: Nelson–Aalen cumulative hazard ------------------------------
     // H(t) = Σ_{t_i ≤ t} d_i/r_i on the SAME risk table as q26, with
@@ -399,7 +409,7 @@ object Survival {
     // bounded-frame lag + a 1-row agg.
     "a80_rmst" -> ((s, dir) => {
       import s.implicits._
-      val scan = kmSurvScan(s, dir)
+      val scan = kmSurvScan(s, kmObs(s, dir))
         .select($"t", $"cl6")
         .withColumn("se6",
           expr("CAST(round(exp(CAST(cl6 AS DOUBLE) / 1e6) * 1e6) " +

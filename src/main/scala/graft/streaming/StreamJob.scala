@@ -635,6 +635,67 @@ object StreamJob {
       }
   }
 
+  case class KmObsIn(user_id: Long, event_type: String, es: Long,
+                     cents: Long)
+  case class KmObsStat(user_id: Long, s_es: Long, p_es: Long)
+  case class KmObsState(sEs: Long, pEs: Long)
+
+  /** Streaming censored-observation feed — the sufficient statistic of
+    * `q26_km_survival`'s observation frame (the r10 verdict's stretch
+    * ask #6): per user the FIRST signup epoch and the FIRST qualifying
+    * (≥ `Survival.KmThrCents`) purchase at-or-after it, emitted ON
+    * CHANGE so the LAST emission per user is the final statistic
+    * (≤ 2 emissions per user, never re-emitted). The administrative
+    * horizon is applied by the CONSUMER — it is a corpus-level
+    * constant broadcast at read time, and the obs (t, d) derive from
+    * (s_es, p_es, tc) in one expression: t = p_es−s_es if a qualifying
+    * purchase landed inside the window else tc−s_es, d likewise. The
+    * spec rebuilds the FULL oracle-green q26 curve — Greenwood se and
+    * KP bounds included — from these emissions via the SHARED
+    * `Survival.kmReport` (the ttcReport pattern). State is two epochs
+    * per user (the srmStream first-touch class, bounded by distinct
+    * users, NOT stream length): s_es latches on the first signup,
+    * p_es on the first qualifying purchase with es ≥ s_es — both
+    * min-latches commute over batch cuts under the family's per-key
+    * arrival-order contract (es non-decreasing per user across
+    * batches; in-batch disorder sorted signup-first on ties, matching
+    * batch's es ≥ s_es so a same-second conversion counts). */
+  def kmObsStream(stream: DataFrame)
+      : org.apache.spark.sql.Dataset[KmObsStat] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val thr = graft.queries.Survival.KmThrCents // serializable local
+    stream
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("es").cast("long").as("es"),
+        col("cents").cast("long").as("cents"))
+      .as[KmObsIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[KmObsIn],
+         state: org.apache.spark.sql.streaming.GroupState[KmObsState]) =>
+          var st = state.getOption.getOrElse(KmObsState(-1L, -1L))
+          val out = collection.mutable.ArrayBuffer[KmObsStat]()
+          rows.toSeq
+            .sortBy(r => (r.es, if (r.event_type == "signup") 0 else 1))
+            .foreach { r =>
+              if (r.event_type == "signup" && st.sEs < 0L) {
+                st = KmObsState(r.es, st.pEs)
+                out += KmObsStat(key, st.sEs, st.pEs)
+              } else if (r.event_type == "purchase" && r.cents >= thr &&
+                st.sEs >= 0L && st.pEs < 0L && r.es >= st.sEs) {
+                st = KmObsState(st.sEs, r.es)
+                out += KmObsStat(key, st.sEs, st.pEs)
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class CusumIn(user_id: Long, event_id: Long, es: Long, q: Long,
                      sq: Long, n_events: Long)
   case class CusumPeak(user_id: Long, n_events: Long, dabs: Long,

@@ -609,6 +609,60 @@ class StreamJobSpec extends SparkSpec {
     }
   }
 
+  test("streaming KM observations rebuild the oracle-green q26 curve " +
+      "(Greenwood se + KP bounds included), across three batch-cut " +
+      "layouts") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q26_km_survival")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    val tc = graft.queries.Survival.kmHorizon(spark, dir)
+      .collect()(0).getLong(0)
+    // es-ordered global feed, signup-first on ties (the ttc contract)
+    val rows = graft.Tables.t(spark, dir, "events")
+      .select($"user_id", $"event_type",
+        graft.functions.Det.epochS($"ts").as("es"),
+        round($"value" * 100).cast("long").as("cents"))
+      .orderBy($"es",
+        when($"event_type" === "signup", 0).otherwise(1), $"user_id")
+      .collect()
+      .map(r => StreamJob.KmObsIn(r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    implicit val sq = spark.sqlContext
+    val layouts = Seq(Seq(rows.length), Seq(700, rows.length),
+      Seq(150, 900, rows.length))
+    for ((cuts, i) <- layouts.zipWithIndex) {
+      val mem = MemoryStream[StreamJob.KmObsIn]
+      val q = StreamJob.kmObsStream(mem.toDF())
+        .writeStream.format("memory").queryName(s"km_out_$i")
+        .outputMode("append").start()
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(rows.slice(prev, c).toIndexedSeq: _*)
+        q.processAllAvailable(); prev = c
+      }
+      q.stop()
+      val emitted = spark.table(s"km_out_$i")
+      // ≤ 2 emissions per user (latch, then at most one close)
+      val perUser = emitted.groupBy($"user_id").count().collect()
+      assert(perUser.forall(_.getLong(1) <= 2L))
+      // last emission per user = the final sufficient statistic (s_es
+      // is latched once so max ≡ the value; p_es only grows from -1)
+      val stats = emitted.groupBy($"user_id")
+        .agg(max($"s_es").as("s_es"), max($"p_es").as("p_es"))
+      // the consumer-side horizon application (one expression)
+      val ev = $"p_es" >= 0L && $"p_es" <= tc
+      val obs = stats.filter($"s_es" <= tc)
+        .select($"user_id",
+          when(ev, $"p_es" - $"s_es").otherwise(lit(tc) - $"s_es").as("t"),
+          when(ev, 1L).otherwise(0L).as("d"))
+      // the SHARED kmReport rebuilds the full curve ≡ oracle-green q26
+      val rebuilt = graft.queries.Survival.kmReport(spark, obs)
+        .collect().map(_.toSeq).toSeq
+      assert(rebuilt == batch, s"cut layout $i diverged from q26")
+    }
+  }
+
   test("streaming Page–Hinkley decisions ≡ the oracle-green a65 drift " +
       "rows, across three batch-cut layouts") {
     val dir = "/root/testdata/sf0.001"
