@@ -113,9 +113,15 @@ object Survival {
     * rebuild the IDENTICAL curve from kmObsStream emissions — the
     * ttcReport sharing pattern. */
   private[graft] def kmSurvScan(s: SparkSession, obs: DataFrame)
-      : DataFrame = {
+      : DataFrame = kmScanCarries(s, kmRiskTable(s, obs))
+
+  /** The carry half of the KM scan over ANY (t, d, r) event-time frame
+    * — shared by q26/a80/a81 (total curve) and q30 (per-arm curves):
+    * the e6 ln-survivor and e12 Greenwood summands cumulated by the
+    * distributed prefix sum. */
+  private def kmScanCarries(s: SparkSession, rt: DataFrame): DataFrame = {
     import s.implicits._
-    val ev = kmRiskTable(s, obs)
+    val ev = rt
       .withColumn("l6", when($"d" < $"r",
         round(log(($"r" - $"d").cast("double") / $"r".cast("double"))
           * 1e6).cast("long")).otherwise(0L))
@@ -205,7 +211,14 @@ object Survival {
     * oracle-green rows through the SAME code). */
   private[graft] def kmReport(s: SparkSession, obs: DataFrame): DataFrame = {
     import s.implicits._
-    kmSurvScan(s, obs)
+    kmCurveSelect(s, kmSurvScan(s, obs)).orderBy($"t_s")
+  }
+
+  /** The display projection over a (t, d, r, cl6, cgw) scan frame —
+    * shared by q26 and q30's per-arm curves. */
+  private def kmCurveSelect(s: SparkSession, scan: DataFrame): DataFrame = {
+    import s.implicits._
+    scan
       .select($"t".as("t_s"), $"d".as("n_events"), $"r".as("n_risk"),
         when($"d" === $"r", lit(0.0))
           .otherwise(round(exp($"cl6".cast("double") / 1e6), 6))
@@ -215,7 +228,6 @@ object Survival {
             sqrt($"cgw".cast("double") / 1e12), 6)).as("greenwood_se"),
         expr(kmCiSql("")).as("ci95_lo"),
         expr(kmCiSql("-")).as("ci95_hi"))
-      .orderBy($"t_s")
   }
 
   /** a81's shared texts — the Weibull probability-plot regression
@@ -333,6 +345,34 @@ object Survival {
             "- CAST(se1 AS DOUBLE) / 1000000.0) * (CAST(o1 AS DOUBLE) " +
             "- CAST(se1 AS DOUBLE) / 1000000.0) " +
             "/ (CAST(sv9 AS DOUBLE) / 1000000000.0), 6) END AS chi2")
+    }),
+
+    // ---- Q30: per-arm Kaplan–Meier curves ---------------------------------
+    // The PLOT behind q27's number: both arms' full survival curves
+    // (with Greenwood se and KP bounds) side by side — what an analyst
+    // looks at before trusting any log-rank p, and the proportional-
+    // hazards eyeball check q29 assumes. Decomposition: the SHARED
+    // kmArmRiskTable already carries (d1, r1) per event time, so arm 1
+    // reads (d1, r1) and arm 0 reads (d−d1, r−r1); each arm's curve is
+    // the SAME kmScanCarries + kmCurveSelect machinery over its
+    // ≤event-times frame, unioned. Exactness: q26's recipe verbatim,
+    // twice; the arm frames filter d_g > 0 with shared predicate text.
+    // 100 TB shape: the q27 collapse ONCE (checkpointed) + two
+    // value-domain scans — no per-group window over data, no new
+    // primitive.
+    "q30_km_by_arm" -> ((s, dir) => {
+      import s.implicits._
+      val armrt = kmArmRiskTable(s, kmObs(s, dir))
+        .select($"t", $"d", $"d1", $"r", $"r1")
+        .localCheckpoint() // feeds both arm scans
+      def curve(g: Int): DataFrame = {
+        val ev =
+          if (g == 1) armrt.selectExpr("t", "d1 AS d", "r1 AS r")
+          else armrt.selectExpr("t", "d - d1 AS d", "r - r1 AS r")
+        kmCurveSelect(s, kmScanCarries(s, ev.filter($"d" > 0L)))
+          .select(lit(g.toLong).as("grp"), col("*"))
+      }
+      curve(0).unionByName(curve(1)).orderBy($"grp", $"t_s")
     }),
 
     // ---- Q28: Benjamini–Hochberg FDR over the q19 arm tests ---------------
@@ -556,20 +596,38 @@ object Survival {
        |  SELECT t, d, n_cohort - (cumc - c) AS r
        |  FROM cum CROSS JOIN ncx WHERE d > 0)""".stripMargin
 
-  private def oracleKmScanCtes: String =
-    s"""terms AS (
+  private def oracleKmScanCtes: String = oracleKmScanCtesFrom("", "evt")
+
+  /** The scan CTE pair over ANY (t, d, r) source CTE — suffixed so q30
+    * can run it once per arm (the kmScanCarries twin). */
+  private def oracleKmScanCtesFrom(sfx: String, src: String): String =
+    s"""terms$sfx AS (
        |  SELECT t, d, r,
        |    CASE WHEN d < r THEN CAST(round(ln(CAST(r - d AS DOUBLE)
        |      / CAST(r AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END AS l6,
        |    CASE WHEN d < r
        |      THEN (d * 1000000000000) // (r * (r - d))
        |      ELSE 0 END AS gw12
-       |  FROM evt),
-       |scan AS (
+       |  FROM $src),
+       |scan$sfx AS (
        |  SELECT t, d, r,
        |    CAST(sum(l6) OVER (ORDER BY t) AS BIGINT) AS cl6,
        |    CAST(sum(gw12) OVER (ORDER BY t) AS BIGINT) AS cgw
-       |  FROM terms)""".stripMargin
+       |  FROM terms$sfx)""".stripMargin
+
+  /** The display-projection column text over a scan CTE — shared by
+    * the q26 and q30 oracles (the kmCurveSelect twin). */
+  private def kmCurveColsSql: String =
+    s"""t AS t_s, d AS n_events, r AS n_risk,
+       |  CASE WHEN d = r THEN 0.0
+       |    ELSE round(exp(CAST(cl6 AS DOUBLE) / 1e6), 6) END
+       |    AS survival,
+       |  CASE WHEN d = r THEN NULL
+       |    ELSE round(exp(CAST(cl6 AS DOUBLE) / 1e6)
+       |      * sqrt(CAST(cgw AS DOUBLE) / 1e12), 6) END
+       |    AS greenwood_se,
+       |  ${kmCiSql("")} AS ci95_lo,
+       |  ${kmCiSql("-")} AS ci95_hi""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -577,17 +635,22 @@ object Survival {
       s"""WITH $oracleObsCtes,
          |$oracleRiskCtes,
          |$oracleKmScanCtes
-         |SELECT t AS t_s, d AS n_events, r AS n_risk,
-         |  CASE WHEN d = r THEN 0.0
-         |    ELSE round(exp(CAST(cl6 AS DOUBLE) / 1e6), 6) END
-         |    AS survival,
-         |  CASE WHEN d = r THEN NULL
-         |    ELSE round(exp(CAST(cl6 AS DOUBLE) / 1e6)
-         |      * sqrt(CAST(cgw AS DOUBLE) / 1e12), 6) END
-         |    AS greenwood_se,
-         |  ${kmCiSql("")} AS ci95_lo,
-         |  ${kmCiSql("-")} AS ci95_hi
+         |SELECT $kmCurveColsSql
          |FROM scan ORDER BY t_s""".stripMargin,
+
+    "q30_km_by_arm" ->
+      s"""WITH $oracleObsCtes,
+         |$oracleArmRiskCtes,
+         |evt0 AS (SELECT t, d - d1 AS d, r - r1 AS r FROM evt
+         |  WHERE d - d1 > 0),
+         |evt1 AS (SELECT t, d1 AS d, r1 AS r FROM evt WHERE d1 > 0),
+         |${oracleKmScanCtesFrom("0", "evt0")},
+         |${oracleKmScanCtesFrom("1", "evt1")}
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS grp, $kmCurveColsSql FROM scan0
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT) AS grp, $kmCurveColsSql FROM scan1)
+         |ORDER BY grp, t_s""".stripMargin,
 
     "a79_nelson_aalen" ->
       s"""WITH $oracleObsCtes,
