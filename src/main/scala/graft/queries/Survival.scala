@@ -69,7 +69,7 @@ object Survival {
     * the event flag d (1 = high-value purchase inside the window), and
     * the q22 keyed-LCG arm. 100 TB shape: two per-user aggs collapse
     * the corpus; the horizon is a 1-row broadcast. */
-  private def kmObs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmObs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val coh = Stats2.ttcSignups(s, dir)
       .crossJoin(broadcast(kmHorizon(s, dir)))

@@ -660,6 +660,23 @@ class StreamJobSpec extends SparkSpec {
       val rebuilt = graft.queries.Survival.kmReport(spark, obs)
         .collect().map(_.toSeq).toSeq
       assert(rebuilt == batch, s"cut layout $i diverged from q26")
+      // stronger: the rebuilt OBSERVATION FRAME (grp is a pure function
+      // of user_id — the q22 keyed LCG) equals batch kmObs row-for-row,
+      // so by referential transparency EVERY gate of the survival pack
+      // (q26/q27/q29/q30/a79/a80/a81 all consume only this frame) is
+      // rebuilt by this one feed
+      val obsG = stats.filter($"s_es" <= tc)
+        .select($"user_id",
+          (graft.functions.Det.frac($"user_id",
+            graft.queries.Stats3.AbSeed) < 0.5).cast("long").as("grp"),
+          when(ev, $"p_es" - $"s_es").otherwise(lit(tc) - $"s_es").as("t"),
+          when(ev, 1L).otherwise(0L).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+      val batchObs = graft.queries.Survival.kmObs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+      assert(obsG == batchObs, s"cut layout $i: obs frame diverged")
     }
   }
 
