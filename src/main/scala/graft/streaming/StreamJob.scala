@@ -652,7 +652,11 @@ object StreamJob {
     * purchase landed inside the window else tc−s_es, d likewise. The
     * spec rebuilds the FULL oracle-green q26 curve — Greenwood se and
     * KP bounds included — from these emissions via the SHARED
-    * `Survival.kmReport` (the ttcReport pattern). State is two epochs
+    * `Survival.kmReport` (the ttcReport pattern), AND asserts the
+    * rebuilt (user_id, grp, t, d) frame ≡ batch `Survival.kmObs`
+    * row-for-row: every gate of the survival pack (q26/q27/q29/q30/
+    * a79/a80/a81) consumes only that frame, so ONE feed provably
+    * powers all seven. State is two epochs
     * per user (the srmStream first-touch class, bounded by distinct
     * users, NOT stream length): s_es latches on the first signup,
     * p_es on the first qualifying purchase with es ≥ s_es — both
