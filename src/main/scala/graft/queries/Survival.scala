@@ -175,6 +175,98 @@ object Survival {
         "/ (CAST(si AS DOUBLE) / 1000000000.0) END AS score_chi2"
     else "score_chi2"
 
+  /** The shared Cox machinery (q29 + q31): the checkpointed arm risk
+    * table and the Newton fold to the 1-row fitted state. */
+  private def coxEvt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmArmRiskTable(s, kmObs(s, dir))
+      .select($"t", $"d", $"d1", $"r", $"r1")
+      .localCheckpoint() // feeds the init agg AND every Newton step
+  }
+  private def coxFold(s: SparkSession, evt: DataFrame): DataFrame = {
+    import s.implicits._
+    var st = evt.agg(sum($"d1").as("o1"), sum($"d").as("ev_total"),
+        count(lit(1)).as("n_times"))
+      .selectExpr("o1", "ev_total", "n_times",
+        "CAST(0.0 AS DOUBLE) AS beta",
+        "CAST(NULL AS DOUBLE) AS score_chi2")
+      .localCheckpoint()
+    for (i <- 1 to CoxIters) {
+      st = evt.crossJoin(broadcast(st))
+        .groupBy($"o1", $"ev_total", $"n_times", $"beta", $"score_chi2")
+        .agg(sum(expr(coxU9("beta"))).as("su"),
+          sum(expr(coxI9("beta"))).as("si"))
+        .selectExpr("o1", "ev_total", "n_times",
+          coxScoreUpd(i == 1), coxBetaUpd)
+        .localCheckpoint()
+    }
+    st
+  }
+  /** The fold as oracle CTEs, ending at cox`CoxIters` — shared by the
+    * q29 and q31 oracles. */
+  private def coxOracleFoldCtes: String = {
+    val iters = (1 to CoxIters).map { i =>
+      val prev = if (i == 1) "cox0" else s"cox${i - 1}"
+      s"""cox${i}s AS (
+         |  SELECT o1, ev_total, n_times, beta, score_chi2,
+         |    CAST(sum(${coxU9("beta")}) AS BIGINT) AS su,
+         |    CAST(sum(${coxI9("beta")}) AS BIGINT) AS si
+         |  FROM evt CROSS JOIN $prev
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |cox$i AS (
+         |  SELECT o1, ev_total, n_times, ${coxScoreUpd(i == 1)},
+         |    $coxBetaUpd
+         |  FROM cox${i}s)""".stripMargin
+    }.mkString(",\n")
+    s"""cox0 AS (
+       |  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+       |    CAST(sum(d) AS BIGINT) AS ev_total,
+       |    CAST(count(*) AS BIGINT) AS n_times,
+       |    CAST(0.0 AS DOUBLE) AS beta,
+       |    CAST(NULL AS DOUBLE) AS score_chi2
+       |  FROM evt),
+       |$iters""".stripMargin
+  }
+
+  /** q31's texts — the Schoenfeld-residual trend test of the
+    * proportional-hazards assumption (Schoenfeld 1982 residuals; the
+    * trend-on-time idea of Grambsch & Therneau 1994, in its unscaled
+    * form): at β̂, the per-event-time residual is s = d1 − d·w/(r0+w)
+    * — observed minus expected arm-1 events under the fitted model —
+    * and PH predicts NO time trend in s. The residual is the q29 U
+    * summand flipped: s9 = d1·10⁹ − u9(β̂), already e9-quantized
+    * BIGINT. The Pearson trend needs Σt·s9 and Σs9², which cross int64
+    * (|s9| ≤ d_t·10⁹ — the q27 V-numerator situation), so both ride
+    * the wide integer type (DECIMAL(38,0) / HUGEINT, passed per
+    * engine); ρ and its z assemble in DOUBLE from exact wide integers
+    * on ONE shared text. */
+  private def phResidSql: String =
+    s"d1 * 1000000000 - ${coxU9("beta")} AS s9"
+  private def phMoments(wide: String): Seq[String] = Seq(
+    "CAST(count(*) AS BIGINT) AS m",
+    "CAST(sum(t) AS BIGINT) AS st", "CAST(sum(s9) AS BIGINT) AS ss",
+    // t² also rides the wide type: in BIGINT, Σt² would bind at m ≈
+    // 9.2e18/τ² — only ~900 event times at a 3-year (1e8 s) horizon
+    s"sum(CAST(t AS $wide) * t) AS stt",
+    s"sum(CAST(t AS $wide) * s9) AS sts",
+    s"sum(CAST(s9 AS $wide) * s9) AS ss9")
+  private def phReport: Seq[String] = {
+    val num = "(CAST(m AS DOUBLE) * CAST(sts AS DOUBLE) " +
+      "- CAST(st AS DOUBLE) * CAST(ss AS DOUBLE))"
+    val dt = "(CAST(m AS DOUBLE) * CAST(stt AS DOUBLE) " +
+      "- CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"
+    val ds = "(CAST(m AS DOUBLE) * CAST(ss9 AS DOUBLE) " +
+      "- CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))"
+    val rho = s"($num / sqrt($dt * $ds))"
+    Seq("m AS n_event_times", "round(beta, 6) AS beta",
+      s"CASE WHEN m >= 3 AND $dt > 0 AND $ds > 0 " +
+        s"THEN round($rho, 6) END AS rho",
+      s"CASE WHEN m >= 3 AND $dt > 0 AND $ds > 0 " +
+        s"AND $rho * $rho < 1.0 " +
+        s"THEN round($rho * sqrt(CAST(m - 2 AS DOUBLE)) " +
+        s"/ sqrt(1.0 - $rho * $rho), 6) END AS trend_z")
+  }
+
   /** Kalbfleisch–Prentice (1980 §1.4) log-log 95% confidence bound for
     * the KM survivor — the transformation every survival package plots
     * (bounds stay inside [0,1] by construction, unlike plain ±z·se):
@@ -443,24 +535,8 @@ object Survival {
     // ≤ distinct-event-times frame) + 7 tiny agg folds.
     "q29_cox_hazard" -> ((s, dir) => {
       import s.implicits._
-      val evt = kmArmRiskTable(s, kmObs(s, dir))
-        .select($"t", $"d", $"d1", $"r", $"r1")
-        .localCheckpoint() // feeds the init agg AND every Newton step
-      var st = evt.agg(sum($"d1").as("o1"), sum($"d").as("ev_total"),
-          count(lit(1)).as("n_times"))
-        .selectExpr("o1", "ev_total", "n_times",
-          "CAST(0.0 AS DOUBLE) AS beta",
-          "CAST(NULL AS DOUBLE) AS score_chi2")
-        .localCheckpoint()
-      for (i <- 1 to CoxIters) {
-        st = evt.crossJoin(broadcast(st))
-          .groupBy($"o1", $"ev_total", $"n_times", $"beta", $"score_chi2")
-          .agg(sum(expr(coxU9("beta"))).as("su"),
-            sum(expr(coxI9("beta"))).as("si"))
-          .selectExpr("o1", "ev_total", "n_times",
-            coxScoreUpd(i == 1), coxBetaUpd)
-          .localCheckpoint()
-      }
+      val evt = coxEvt(s, dir)
+      val st = coxFold(s, evt)
       evt.crossJoin(broadcast(st))
         .groupBy($"o1", $"ev_total", $"n_times", $"beta", $"score_chi2")
         .agg(sum(expr(coxU9("beta"))).as("su"),
@@ -473,6 +549,38 @@ object Survival {
           "CASE WHEN si > 0 THEN round(beta " +
             "* sqrt(CAST(si AS DOUBLE) / 1000000000.0), 6) END AS wald_z",
           "round(score_chi2, 6) AS score_chi2")
+    }),
+
+    // ---- Q31: proportional-hazards check (Schoenfeld trend) --------------
+    // The diagnostic that decides whether q29's single hazard ratio is
+    // TRUSTWORTHY (Schoenfeld 1982; the Grambsch–Therneau 1994
+    // trend-on-time idea, unscaled): at the SHARED Newton fold's β̂,
+    // the per-event-time residual d1 − d·w/(r0+w) should show no time
+    // trend under PH — a significant trend_z means the hazard ratio
+    // drifts and one number misleads. Reports Pearson ρ(residual, t)
+    // and its normal-approximation z. Honest measurement on keyed-LCG
+    // random arms (no real effect ⇒ no drift expected): at sf0.1 the
+    // null behaves — ρ = −0.014, z = −0.18 over 165 event times; at
+    // sf0.01 z = −1.12; sf0.001 reads z = −2.33 on THREE event times,
+    // where the normal approximation means nothing — n_event_times is
+    // the read-me-first caveat column (the a81 convention; q30's
+    // curves are the visual twin). Exactness: the residual IS the q29
+    // e9 U summand flipped
+    // (BIGINT); Σt·s9 and Σs9² ride DECIMAL(38,0)/HUGEINT (they cross
+    // int64 — the q27 V precedent); ρ/z assemble in DOUBLE from exact
+    // wide integers on ONE shared text; m < 3, zero variances, and
+    // |ρ| = 1 CASE-guarded identically. 100 TB shape: the q29 fold +
+    // ONE more agg over the checkpointed ≤event-times frame.
+    "q31_ph_check" -> ((s, dir) => {
+      import s.implicits._
+      val evt = coxEvt(s, dir)
+      val st = coxFold(s, evt)
+      val ms = phMoments("DECIMAL(38,0)").map(expr)
+      evt.crossJoin(broadcast(st.select($"beta")))
+        .selectExpr("t", "beta", phResidSql)
+        .groupBy($"beta")
+        .agg(ms.head, ms.tail: _*)
+        .selectExpr(phReport: _*)
     }),
 
     // ---- A81: Weibull probability-plot fit of the KM curve ---------------
@@ -738,30 +846,22 @@ object Survival {
          |  (i <= kmax) AS rejected
          |FROM thr CROSS JOIN km ORDER BY bh_rank""".stripMargin,
 
-    "q29_cox_hazard" -> {
-      val iters = (1 to CoxIters).map { i =>
-        val prev = if (i == 1) "cox0" else s"cox${i - 1}"
-        s"""cox${i}s AS (
-           |  SELECT o1, ev_total, n_times, beta, score_chi2,
-           |    CAST(sum(${coxU9("beta")}) AS BIGINT) AS su,
-           |    CAST(sum(${coxI9("beta")}) AS BIGINT) AS si
-           |  FROM evt CROSS JOIN $prev
-           |  GROUP BY 1, 2, 3, 4, 5),
-           |cox$i AS (
-           |  SELECT o1, ev_total, n_times, ${coxScoreUpd(i == 1)},
-           |    $coxBetaUpd
-           |  FROM cox${i}s)""".stripMargin
-      }.mkString(",\n")
+    "q31_ph_check" ->
       s"""WITH $oracleObsCtes,
          |$oracleArmRiskCtes,
-         |cox0 AS (
-         |  SELECT CAST(sum(d1) AS BIGINT) AS o1,
-         |    CAST(sum(d) AS BIGINT) AS ev_total,
-         |    CAST(count(*) AS BIGINT) AS n_times,
-         |    CAST(0.0 AS DOUBLE) AS beta,
-         |    CAST(NULL AS DOUBLE) AS score_chi2
-         |  FROM evt),
-         |$iters,
+         |$coxOracleFoldCtes,
+         |resid AS (
+         |  SELECT t, beta, $phResidSql
+         |  FROM evt CROSS JOIN cox$CoxIters),
+         |mom AS (
+         |  SELECT beta, ${phMoments("HUGEINT").mkString(", ")}
+         |  FROM resid GROUP BY 1)
+         |SELECT ${phReport.mkString(", ")} FROM mom""".stripMargin,
+
+    "q29_cox_hazard" -> {
+      s"""WITH $oracleObsCtes,
+         |$oracleArmRiskCtes,
+         |$coxOracleFoldCtes,
          |coxfs AS (
          |  SELECT o1, ev_total, n_times, beta, score_chi2,
          |    CAST(sum(${coxU9("beta")}) AS BIGINT) AS su,

@@ -430,7 +430,8 @@ class PlanAuditSpec extends SparkSpec {
         l.contains("row_number()") || l.contains("count(1)")))
     for (q <- Seq("t38_quantile_norm", "a49_km_survival", "a50_logrank",
         "q26_km_survival", "a79_nelson_aalen", "q27_logrank",
-        "q29_cox_hazard", "a80_rmst", "q28_bh_fdr")) {
+        "q29_cox_hazard", "q30_km_by_arm", "q31_ph_check", "a80_rmst",
+        "q28_bh_fdr")) {
       val ok = allowed.getOrElse(q, (_: String) => false)
       val p = plan(q)
       val bare = p.linesIterator.filter(l =>
