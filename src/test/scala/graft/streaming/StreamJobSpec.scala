@@ -643,13 +643,19 @@ class StreamJobSpec extends SparkSpec {
       }
       q.stop()
       val emitted = spark.table(s"km_out_$i")
-      // ≤ 2 emissions per user (latch, then at most one close)
-      val perUser = emitted.groupBy($"user_id").count().collect()
-      assert(perUser.forall(_.getLong(1) <= 2L))
-      // last emission per user = the final sufficient statistic (s_es
-      // is latched once so max ≡ the value; p_es only grows from -1)
+      // ≤ 2 emissions per (user, s_es) epoch (latch, then at most one
+      // close); state removal on close means a post-close signup
+      // re-opens a FRESH epoch with a strictly larger s_es
+      val perEpoch = emitted.groupBy($"user_id", $"s_es").count().collect()
+      assert(perEpoch.forall(_.getLong(2) <= 2L))
+      // order-free final-statistic selection (the removal-safe consumer
+      // rule): min s_es is the true first-signup epoch (re-open
+      // emissions carry larger s_es), and within it max p_es (the
+      // close, if any) wins over the open's -1
       val stats = emitted.groupBy($"user_id")
-        .agg(max($"s_es").as("s_es"), max($"p_es").as("p_es"))
+        .agg(min(struct($"s_es", (-$"p_es").as("np"))).as("m"))
+        .select($"user_id", $"m.s_es".as("s_es"),
+          (-$"m.np").as("p_es"))
       // the consumer-side horizon application (one expression)
       val ev = $"p_es" >= 0L && $"p_es" <= tc
       val obs = stats.filter($"s_es" <= tc)
@@ -678,6 +684,58 @@ class StreamJobSpec extends SparkSpec {
           r.getLong(3))).sorted.toSeq
       assert(obsG == batchObs, s"cut layout $i: obs frame diverged")
     }
+  }
+
+  test("kmObsStream: tied purchase in an earlier batch than its signup " +
+      "counts (pend latch), and post-close state removal never corrupts " +
+      "the min-struct final statistic") {
+    val thr = graft.queries.Survival.KmThrCents
+    import StreamJob.KmObsIn
+    // per-key es non-decreasing across batches (the family contract);
+    // u1 = the r11 ADVICE case (qualifying purchase delivered one batch
+    // BEFORE its same-second first signup); u2 = close → state.remove()
+    // → re-open on a later signup (this corpus's ≤24-signups reality);
+    // u4 = tied but NON-qualifying purchase must not latch; u5 = pend
+    // below the signup epoch must not latch
+    val b1 = Seq(
+      KmObsIn(1L, "purchase", 100L, thr),
+      KmObsIn(2L, "signup", 50L, 0L), KmObsIn(2L, "purchase", 60L, thr),
+      KmObsIn(3L, "signup", 10L, 0L),
+      KmObsIn(4L, "purchase", 5L, thr - 1L),
+      KmObsIn(5L, "purchase", 30L, thr))
+    val b2 = Seq(
+      KmObsIn(1L, "signup", 100L, 0L),
+      KmObsIn(2L, "signup", 70L, 0L),
+      KmObsIn(4L, "signup", 5L, 0L),
+      KmObsIn(5L, "signup", 40L, 0L))
+    val b3 = Seq(
+      KmObsIn(2L, "purchase", 80L, thr),
+      KmObsIn(5L, "purchase", 45L, thr))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[KmObsIn]
+    val q = StreamJob.kmObsStream(mem.toDF())
+      .writeStream.format("memory").queryName("km_tie_out")
+      .outputMode("append").start()
+    Seq(b1, b2, b3).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val emitted = spark.table("km_tie_out")
+    // u2's close was removed, so its second signup re-opened and
+    // re-emitted — removal is NOT emission-neutral, which is exactly
+    // why the consumer rule is order-free min-struct selection
+    assert(emitted.filter($"user_id" === 2L).count() == 4L)
+    val fin = emitted.groupBy($"user_id")
+      .agg(min(struct($"s_es", (-$"p_es").as("np"))).as("m"))
+      .select($"user_id", $"m.s_es".as("s_es"), (-$"m.np").as("p_es"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(fin == Map(
+      1L -> ((100L, 100L)), // the ADVICE case: tie across the cut counts
+      2L -> ((50L, 60L)),   // re-open emissions (70,*) discarded
+      3L -> ((10L, -1L)),   // censored
+      4L -> ((5L, -1L)),    // non-qualifying tie must not close
+      5L -> ((40L, 45L))))  // pend 30 < s_es 40 never latches
   }
 
   test("streaming Page–Hinkley decisions ≡ the oracle-green a65 drift " +

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Calibration-normalized cross-run bench diff (the r10 verdict ask).
 
-Usage: tools/bench_diff.py <detail_a.json> <detail_b.json> [--flag-ratio R]
+Usage: tools/bench_diff.py <detail_a.json> <detail_b.json> [--flag-ratio=R]
+(the space-separated form `--flag-ratio R` is accepted too)
 
 Reads two bench detail files (Bench's --detail output), normalizes each
 run's per-query seconds by that run's measured contention factor, and
@@ -38,11 +39,27 @@ def calib_median(d):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Accept both --flag-ratio=R and --flag-ratio R (the r11 ADVICE fix:
+    # the space-separated form used to IndexError on the missing '=').
+    argv = sys.argv[1:]
+    args = []
     flag_ratio = 2.0
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--flag-ratio"):
-            flag_ratio = float(a.split("=", 1)[1])
+            if "=" in a:
+                flag_ratio = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                flag_ratio = float(argv[i])
+            else:
+                sys.exit("--flag-ratio needs a value: " + __doc__)
+        elif a.startswith("--"):
+            sys.exit("unknown flag %s\n%s" % (a, __doc__))
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     pa, pb = args
