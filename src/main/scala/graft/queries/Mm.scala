@@ -1,10 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.Det
 import graft.multimodal.{ImageCodec, Media, VideoCodec}
+import graft.text.UrlOps
 
 /** Multimodal oracle queries — the codec → perceptual-hash → blocked pair
   * join chain under the same cross-engine gate as text dedup.
@@ -49,22 +51,24 @@ object Mm {
   private val VideoNFrames = 4
   private val VideoFps = 4
 
-  /** Deterministic 62-bit seed column from doc_id: 8 LCG-derived bytes
-    * (top byte capped to 6 bits — no BIGINT overflow on the shift, and the
-    * image can never be all-white), one flipped bit per group member. */
-  private def seedCol(key: Long) = {
-    val g = floor(col("doc_id") / GroupSize).cast("long")
+  /** Deterministic 62-bit seed column from an id column: 8 LCG-derived
+    * bytes (top byte capped to 6 bits — no BIGINT overflow on the shift,
+    * and the image can never be all-white), one flipped bit per group
+    * member. The m4/m5 pair fixture reuses it keyed on the REPOST id. */
+  private def seedColOf(id: Column, key: Long) = {
+    val g = floor(id / GroupSize).cast("long")
     val bytes = (0 until 8).map { j =>
       val b = floor(Det.frac(g * 8 + j, key) * 256).cast("long")
       shiftleft(if (j == 7) b % 64 else b, 8 * j)
     }
     val base = bytes.reduce(_ + _) // disjoint bit lanes: + is OR
-    val m = (col("doc_id") % GroupSize).cast("int")
+    val m = (id % GroupSize).cast("int")
     val flip = FlipBit.foldLeft(lit(0L)) { case (acc, (mm, bit)) =>
       when(m === mm, lit(1L << bit)).otherwise(acc)
     }
     base.bitwiseXOR(flip)
   }
+  private def seedCol(key: Long) = seedColOf(col("doc_id"), key)
 
   /** doc_id → seeded synthetic media bytes via `enc`, the codec batch
     * shape shared by the PNG and WAV fixtures. */
@@ -124,6 +128,95 @@ object Mm {
     le32(8000); le32(16000); le16(2); le16(16)
     out.write("data".getBytes("US-ASCII")); le32(data.length); out.write(data)
     out.toByteArray
+  }
+
+  // ---- m4/m5 cross-modal pair fixture ------------------------------------
+  /** Image seeds keyed on the REPOST id (doc_id with its low bit cleared):
+    * consecutive doc pairs (2k, 2k+1) carry byte-identical PNGs, giving
+    * the (url, image) pair-dedup geometry m5 curates. Distinct LCG key so
+    * the pair corpus is independent of m1's. */
+  private val PairImageKey = 17L
+  /** Caption-noise LCG key: per doc, `doc_id % 8` bit flips at LCG-drawn
+    * positions < 62 turn the declared caption hash away from the image —
+    * alignment quality varies smoothly across docs (XOR composition makes
+    * position collisions harmless and identical in both engines). */
+  private val CapNoiseKey = 19L
+  /** Alignment funnel threshold (bits of hash disagreement tolerated). */
+  private val AlignMaxDist = 3
+  /** Per-domain keep cap of the m5 curation funnel (binds at every SF:
+    * ~36 aligned docs/domain at sf0.001, ~357 at sf0.1 pre-dedup). */
+  private val PairDomainCap = 12
+
+  private def repostId = col("doc_id") - (col("doc_id") % 2)
+
+  /** doc_id → repost-seeded PNG bytes (the m1 codec batch shape). */
+  private def pairMediaFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", seedColOf(repostId, PairImageKey).as("seed"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, seed) => (id, pngOf(seed)) }
+      }.toDF("media_id", "content")
+  }
+
+  /** The shared m4/m5 alignment frame: (doc_id, ahash, cap_hash, hamming,
+    * score_ppm, aligned). The image leg round-trips REAL bytes through the
+    * REAL codec (PNG encode → ImageIO decode → aHash — the m1 bar); the
+    * caption leg synthesizes a caption STRING carrying the declared hash
+    * and parses it back (the string round-trip is Spark-side realism; the
+    * oracle computes the hash arithmetically, as in m1). Alignment =
+    * 64 − hamming(ahash, caption hash), reported in exact ppm. */
+  private def clipAlignFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Media.imageHashes(pairMediaFrame(s, dir))
+    val base = t(s, dir, "documents").select(
+      ($"doc_id" +:
+        seedColOf(repostId, PairImageKey).as("cseed") +:
+        ($"doc_id" % 8).cast("int").as("nb") +:
+        (0 until 8).map { i =>
+          floor(Det.frac($"doc_id" * 8L + i, CapNoiseKey) * 62.0)
+            .cast("int").as(s"p$i")
+        }): _*)
+    val maskSql = (0 until 8).map { i =>
+      s"(CASE WHEN $i < nb THEN shiftleft(CAST(1 AS BIGINT), p$i) " +
+        "ELSE CAST(0 AS BIGINT) END)"
+    }.reduce((a, b) => s"($a ^ $b)")
+    val caps = base.selectExpr("doc_id",
+      s"concat('photo of item ', CAST((cseed ^ $maskSql) AS STRING)) " +
+        "AS caption")
+    val parsed = caps.select($"doc_id",
+      substring_index($"caption", " ", -1).cast("long").as("cap_hash"))
+    hashes.join(parsed, $"media_id" === $"doc_id")
+      .select($"doc_id", $"ahash", $"cap_hash")
+      .withColumn("hamming",
+        expr("CAST(bit_count(ahash ^ cap_hash) AS INT)"))
+      .withColumn("score_ppm",
+        expr("CAST(((64 - hamming) * 1000000) div 64 AS BIGINT)"))
+      .withColumn("aligned", $"hamming" <= AlignMaxDist)
+  }
+
+  /** m5's raw pair-URL synthesis (the t22 technique, utm-only params so
+    * every repost pair canonicalizes to ONE url): scheme/www/host case and
+    * tracking junk vary per doc; host and path derive from doc_id div 2,
+    * so a repost pair shares its canonical URL AND its image bytes. */
+  private def pairUrlCol: Column = {
+    val half = expr("doc_id div 2")
+    val site = concat(lit("site"), (half % 7).cast("string"))
+    concat(
+      when(col("doc_id") % 2 === 0, "https://").otherwise("HTTP://"),
+      when(col("doc_id") % 3 === 0, "www.")
+        .when(col("doc_id") % 3 === 1, "WWW.").otherwise(""),
+      when(col("doc_id") % 2 === 0, upper(site)).otherwise(site),
+      lit(".Example.COM"),
+      concat(lit("/item/"), half.cast("string"),
+        when(col("doc_id") % 5 === 0, "/").otherwise("")),
+      when(col("doc_id") % 4 === 0, "?utm_source=pair")
+        .when(col("doc_id") % 4 === 1, "")
+        .when(col("doc_id") % 4 === 2, "?utm_medium=m")
+        .otherwise("?utm_campaign=x"))
   }
 
   /** Per-frame seed column for the VIDEO fixture: frame `f` of group `g`
@@ -246,6 +339,54 @@ object Mm {
         .localCheckpoint()
       Media.imageNearDupPairs(sigs, MaxDist)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- m4: image–text pair alignment scoring (LAION/DataComp-style) ----
+    // The first cross-modal curation surface: every (caption, image) pair
+    // gets a deterministic alignment score — here the bit-agreement
+    // between the REAL decoded perceptual hash (PNG → ImageIO → aHash,
+    // the m1 bar) and the hash the caption DECLARES (parsed back out of a
+    // synthesized caption string) — the fixture's stand-in for a CLIP
+    // score, exact in both engines. 100 TB shape: two map-only legs
+    // (codec batch + string parse) and one doc_id equi-join; no shuffle
+    // beyond the join, no pair blowup.
+    "m4_clip_align" -> ((s, dir) => {
+      clipAlignFrame(s, dir)
+        .select(col("doc_id"), col("ahash"), col("cap_hash"),
+          col("hamming"), col("score_ppm"), col("aligned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- m5: cross-modal pair curation funnel ----------------------------
+    // The DataComp recipe over m4's scored pairs: (1) alignment threshold
+    // (hamming ≤ AlignMaxDist); (2) pair-level EXACT dedup on
+    // (canonical url, image hash) keeping the min doc_id — reposts of
+    // the same image at the same page collapse (the fixture builds them:
+    // repost pairs share bytes AND canonical URL through the tracking
+    // junk); (3) per-domain cap in quality order (score desc, doc_id) —
+    // composition control so no site dominates the curated pair set.
+    // 100 TB shape: the m4 legs + two WindowGroupLimit top-k passes on
+    // hash-shuffled keys (canon_url+ahash, then domain) — no corpus
+    // sort, no driver state (the t22 shape with the image leg joined in).
+    "m5_pair_curation" -> ((s, dir) => {
+      import s.implicits._
+      val scored = clipAlignFrame(s, dir).filter($"aligned")
+      val urls = t(s, dir, "documents")
+        .select($"doc_id", pairUrlCol.as("url"))
+        .select($"doc_id",
+          UrlOps.canonicalize($"url").as("canon_url"),
+          UrlOps.canonicalHost($"url").as("domain"))
+      val dedup = scored.join(urls, Seq("doc_id"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy($"canon_url", $"ahash").orderBy($"doc_id")))
+        .filter($"__rn" === 1).drop("__rn")
+      dedup
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy($"domain")
+            .orderBy($"score_ppm".desc, $"doc_id")))
+        .filter($"__rk" <= PairDomainCap)
+        .select($"domain", $"doc_id", $"canon_url", $"ahash", $"score_ppm")
+        .orderBy($"domain", $"doc_id")
     }))
 
   /** Arithmetic DuckDB twin of the full codec chain for one seed key: the
@@ -296,8 +437,83 @@ object Mm {
     pairsOverSeedSql(frameSeeds.reduce((a, b) => s"xor($a, $b)"))
   }
 
+  /** The m4/m5 arithmetic CTE prefix — seed/noise/alignment as INT64
+    * arithmetic (the fixture guarantees `ahash == seed(repost)`, so the
+    * oracle never decodes; the Spark side must). Ends at `pal`
+    * (doc_id, ahash, cap_hash, hamming, score_ppm, aligned). */
+  private def pairAlignOracleCtes: String = {
+    val seed = s"xor(${seedBytesSql(PairImageKey, j => s"(g * 8 + $j)")}, " +
+      s"$flipSql)"
+    val mask = (0 until 8).map { i =>
+      val p = s"CAST(floor(${Det.fracSql(s"(doc_id * 8 + $i)",
+        CapNoiseKey)} * 62) AS INTEGER)"
+      s"(CASE WHEN $i < (doc_id % 8) THEN (CAST(1 AS BIGINT) << $p) " +
+        "ELSE CAST(0 AS BIGINT) END)"
+    }.reduce((a, b) => s"xor($a, $b)")
+    s"""pids AS (
+       |  SELECT doc_id, (doc_id - (doc_id % 2)) // $GroupSize AS g,
+       |    (doc_id - (doc_id % 2)) % $GroupSize AS m
+       |  FROM documents),
+       |pseeds AS (
+       |  SELECT doc_id, $seed AS ahash FROM pids),
+       |pnoise AS (
+       |  SELECT doc_id, $mask AS mask FROM documents),
+       |praw AS (
+       |  SELECT s.doc_id, s.ahash, xor(s.ahash, n.mask) AS cap_hash
+       |  FROM pseeds s JOIN pnoise n USING (doc_id)),
+       |pham AS (
+       |  SELECT doc_id, ahash, cap_hash,
+       |    CAST(bit_count(xor(ahash, cap_hash)) AS INTEGER) AS hamming
+       |  FROM praw),
+       |pal AS (
+       |  SELECT doc_id, ahash, cap_hash, hamming,
+       |    CAST(((64 - hamming) * 1000000) // 64 AS BIGINT) AS score_ppm,
+       |    (hamming <= $AlignMaxDist) AS aligned
+       |  FROM pham)""".stripMargin
+  }
+
+  /** SQL twin of [[pairUrlCol]]. */
+  private def pairUrlSql: String = {
+    val site = s"('site' || CAST((doc_id // 2) % 7 AS VARCHAR))"
+    s"""((CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+       |  (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+       |        WHEN doc_id % 3 = 1 THEN 'WWW.' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 2 = 0 THEN upper($site) ELSE $site END) ||
+       |  '.Example.COM' || '/item/' || CAST((doc_id // 2) AS VARCHAR) ||
+       |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=pair'
+       |        WHEN doc_id % 4 = 1 THEN ''
+       |        WHEN doc_id % 4 = 2 THEN '?utm_medium=m'
+       |        ELSE '?utm_campaign=x' END))""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "m1_image_neardup" -> pairOracleSql(ImageKey),
     "m2_audio_neardup" -> pairOracleSql(AudioKey),
-    "m3_video_neardup" -> videoPairOracleSql)
+    "m3_video_neardup" -> videoPairOracleSql,
+
+    "m4_clip_align" ->
+      s"""WITH $pairAlignOracleCtes
+         |SELECT doc_id, ahash, cap_hash, hamming, score_ppm, aligned
+         |FROM pal ORDER BY doc_id""".stripMargin,
+
+    "m5_pair_curation" ->
+      s"""WITH $pairAlignOracleCtes,
+         |purls AS (SELECT doc_id, $pairUrlSql AS url FROM documents),
+         |pfull AS (
+         |  SELECT p.doc_id, p.ahash, p.score_ppm,
+         |    ${UrlOps.canonicalizeSql("url")} AS canon_url,
+         |    ${UrlOps.canonicalHostSql("url")} AS domain
+         |  FROM pal p JOIN purls USING (doc_id)
+         |  WHERE p.aligned),
+         |pdd AS (
+         |  SELECT domain, doc_id, canon_url, ahash, score_ppm FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY canon_url, ahash ORDER BY doc_id) AS rn
+         |    FROM pfull) WHERE rn = 1)
+         |SELECT domain, doc_id, canon_url, ahash, score_ppm FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY domain ORDER BY score_ppm DESC, doc_id) AS rk
+         |  FROM pdd) WHERE rk <= $PairDomainCap
+         |ORDER BY domain, doc_id""".stripMargin)
 }
