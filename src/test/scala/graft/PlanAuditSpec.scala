@@ -419,15 +419,21 @@ class PlanAuditSpec extends SparkSpec {
     // windowspecdefinition() over data would be the one-task shape.
     // Adjudicated exceptions (the t38 precedent — frames bounded by the
     // VALUE DOMAIN, never by corpus rows): t38's source-offset cumsum
-    // (≤S-row per-source count frame), a80's lag pair (the ≤distinct-
-    // event-seconds KM scan frame — the a78 value-domain argument),
-    // q28's BH rank and family-size count (the ≤|event-types| p-value
-    // frame). The r10 verdict's 'What's wrong #2' pin.
+    // (≤S-row per-source count frame) and a80's lag pair (the
+    // ≤distinct-event-seconds KM scan frame — the a78 value-domain
+    // argument). Tightened per the r11 verdict ('What's wrong #1'):
+    // a80's allowance now pins the FULL window fragment — the ±1-row
+    // lag frame ordered on the value-domain t with NO partition key —
+    // so a future corpus-sized lag cannot hide behind a substring; and
+    // q28's allowance is REMOVED as dead code (measured: its BH rank
+    // windows run inside eager localCheckpoints, so the final plan has
+    // ZERO windowspecdefinition lines — if one ever surfaces bare, this
+    // audit now fails loudly instead of excusing it).
     val allowed: Map[String, String => Boolean] = Map(
       "t38_quantile_norm" -> (l => l.contains("sum(n_s")),
-      "a80_rmst" -> (l => l.contains("lag(")),
-      "q28_bh_fdr" -> (l =>
-        l.contains("row_number()") || l.contains("count(1)")))
+      "a80_rmst" -> (l => l.contains("lag(t#") &&
+        l.contains("windowspecdefinition(t#") &&
+        l.contains("specifiedwindowframe(RowFrame, -1, -1)")))
     for (q <- Seq("t38_quantile_norm", "a49_km_survival", "a50_logrank",
         "q26_km_survival", "a79_nelson_aalen", "q27_logrank",
         "q29_cox_hazard", "q30_km_by_arm", "q31_ph_check", "a80_rmst",
