@@ -299,6 +299,39 @@ object Media {
       .distinct()
   }
 
+  /** Cross-frame hamming top-k retrieval: for every query row (query_id,
+    * qhash), the k nearest item rows (item_id, ihash) within hamming ≤
+    * `maxDist` — the ASYMMETRIC twin of [[blockedHammingPairs]] (same
+    * 8-chunk pigeonhole: any pair within hamming 7 shares ≥ 1 of 8 byte
+    * chunks, so blocking recall is exact at maxDist ≤ 7), hot-chunk
+    * guarded on BOTH sides with separate drop-accounting labels. One
+    * shuffle on (chunk, value) + one WindowGroupLimit top-k partitioned
+    * on query_id; never a cross product. Ties break on item_id. */
+  def hammingTopK(queries: DataFrame, items: DataFrame, maxDist: Int,
+                  k: Int, label: String = "xmodal"): DataFrame = {
+    require(maxDist <= 7,
+      "8-chunk blocking guarantees recall only to hamming 7")
+    def chunksOf(df: DataFrame, id: String, h: String, lbl: String) =
+      graft.ops.Buckets.capMembers(
+        df.select(col(id), col(h), posexplode(array(
+          (0 until 8).map(c =>
+            shiftright(col(h), 8 * c).bitwiseAND(255)): _*))
+          .as(Seq("chunk", "cv"))),
+        Seq(col("chunk"), col("cv")), label = lbl)
+    val qc = chunksOf(queries, "query_id", "qhash", s"${label}_q")
+    val ic = chunksOf(items, "item_id", "ihash", s"${label}_i")
+    val cand = qc.join(ic, Seq("chunk", "cv"))
+      .select(col("query_id"), col("item_id"),
+        bit_count(col("qhash").bitwiseXOR(col("ihash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+    cand.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("item_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Media rows are orders of magnitude wider than tabular rows: partition
     * by a byte budget, not a row count (the 100 TB knob). */
   def repartitionByByteBudget(df: DataFrame, bytesPerPartition: Long): DataFrame = {

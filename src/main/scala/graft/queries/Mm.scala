@@ -146,6 +146,8 @@ object Mm {
   /** Per-domain keep cap of the m5 curation funnel (binds at every SF:
     * ~36 aligned docs/domain at sf0.001, ~357 at sf0.1 pre-dedup). */
   private val PairDomainCap = 12
+  /** m6 retrieval depth (nearest images per caption within MaxDist). */
+  private val RetrK = 3
 
   private def repostId = col("doc_id") - (col("doc_id") % 2)
 
@@ -169,9 +171,12 @@ object Mm {
     * and parses it back (the string round-trip is Spark-side realism; the
     * oracle computes the hash arithmetically, as in m1). Alignment =
     * 64 − hamming(ahash, caption hash), reported in exact ppm. */
-  private def clipAlignFrame(s: SparkSession, dir: String): DataFrame = {
+  /** The caption leg alone: (doc_id, cap_hash) — the caption STRING is
+    * synthesized carrying the declared hash and parsed back (Spark-side
+    * realism; the hash itself is LCG arithmetic both engines share).
+    * Feeds [[clipAlignFrame]] (m4/m5) and the m6 retrieval queries. */
+  private def capHashFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = Media.imageHashes(pairMediaFrame(s, dir))
     val base = t(s, dir, "documents").select(
       ($"doc_id" +:
         seedColOf(repostId, PairImageKey).as("cseed") +:
@@ -187,8 +192,14 @@ object Mm {
     val caps = base.selectExpr("doc_id",
       s"concat('photo of item ', CAST((cseed ^ $maskSql) AS STRING)) " +
         "AS caption")
-    val parsed = caps.select($"doc_id",
+    caps.select($"doc_id",
       substring_index($"caption", " ", -1).cast("long").as("cap_hash"))
+  }
+
+  private def clipAlignFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Media.imageHashes(pairMediaFrame(s, dir))
+    val parsed = capHashFrame(s, dir)
     hashes.join(parsed, $"media_id" === $"doc_id")
       .select($"doc_id", $"ahash", $"cap_hash")
       .withColumn("hamming",
@@ -387,6 +398,30 @@ object Mm {
         .filter($"__rk" <= PairDomainCap)
         .select($"domain", $"doc_id", $"canon_url", $"ahash", $"score_ppm")
         .orderBy($"domain", $"doc_id")
+    }),
+
+    // ---- m6: cross-modal retrieval (caption → image hamming top-k) -------
+    // The retrieval surface over the pair fixture: every caption's
+    // declared hash queries the WHOLE image corpus (real decode leg) for
+    // its k nearest perceptual hashes within hamming ≤ MaxDist —
+    // text→image search in hash space, the cross-modal twin of the
+    // e-pack's embedding ANN. Spark side: [[Media.hammingTopK]] — the
+    // asymmetric 8-chunk pigeonhole join (recall exact at ≤ 7),
+    // hot-chunk guarded both sides, then ONE WindowGroupLimit top-k per
+    // caption; the oracle may use the naive quadratic form because
+    // blocking is exact at this radius. 100 TB shape: one shuffle on
+    // (chunk, value) + one top-k — no cross product, no corpus sort.
+    "m6_crossmodal_topk" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = Media.imageHashes(pairMediaFrame(s, dir))
+        .select($"media_id".as("item_id"), $"ahash".as("ihash"))
+        .localCheckpoint()
+      val caps = capHashFrame(s, dir)
+        .select($"doc_id".as("query_id"), $"cap_hash".as("qhash"))
+      Media.hammingTopK(caps, imgs, MaxDist, RetrK, label = "m6")
+        .select($"query_id".as("cap_id"), $"item_id".as("img_id"),
+          $"hamming", $"rank")
+        .orderBy($"cap_id", $"rank")
     }))
 
   /** Arithmetic DuckDB twin of the full codec chain for one seed key: the
@@ -515,5 +550,20 @@ object Mm {
          |  SELECT *, row_number() OVER
          |    (PARTITION BY domain ORDER BY score_ppm DESC, doc_id) AS rk
          |  FROM pdd) WHERE rk <= $PairDomainCap
-         |ORDER BY domain, doc_id""".stripMargin)
+         |ORDER BY domain, doc_id""".stripMargin,
+
+    "m6_crossmodal_topk" ->
+      s"""WITH $pairAlignOracleCtes,
+         |rcand AS (
+         |  SELECT c.doc_id AS cap_id, i.doc_id AS img_id,
+         |    CAST(bit_count(xor(c.cap_hash, i.ahash)) AS INTEGER)
+         |      AS hamming
+         |  FROM pal c JOIN pseeds i
+         |    ON bit_count(xor(c.cap_hash, i.ahash)) <= $MaxDist)
+         |SELECT cap_id, img_id, hamming, rank FROM (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY cap_id ORDER BY hamming, img_id) AS INTEGER)
+         |    AS rank
+         |  FROM rcand) WHERE rank <= $RetrK
+         |ORDER BY cap_id, rank""".stripMargin)
 }
