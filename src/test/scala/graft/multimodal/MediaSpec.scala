@@ -351,4 +351,46 @@ class MediaSpec extends SparkSpec {
       s"got ${got.size} pairs, expected ${expected.size}")
     assert(expected.size > ids.length / 2, s"fixture too sparse: ${expected.size}")
   }
+
+  test("hammingTopK: asymmetric blocked retrieval ≡ brute-force top-k " +
+      "(pigeonhole recall exact at the radius, ties on item_id)") {
+    import spark.implicits._
+    // 62-bit synthetic hashes with controlled distances: items derive
+    // from 16 base patterns, queries perturb a base by 0–9 bit flips —
+    // only perturbations ≤ 6 must be retrieved, ranked by distance
+    def base(i: Long): Long = {
+      var h = 0L
+      (0 until 8).foreach { j =>
+        val b = math.floor(
+          graft.functions.Det.fracHost(i * 8 + j, 31L) * 256).toLong
+        h |= (if (j == 7) b % 64 else b) << (8 * j)
+      }
+      h
+    }
+    val items = (0 until 16).map(i => (i.toLong, base(i)))
+    val queries = (0 until 64).map { q =>
+      val b = base(q % 16)
+      val flips = (0 until (q % 10)).map(f =>
+        1L << (math.floor(graft.functions.Det.fracHost(
+          q * 16L + f, 37L) * 62).toInt)).fold(0L)(_ ^ _)
+      (q.toLong, b ^ flips)
+    }
+    val got = graft.multimodal.Media.hammingTopK(
+        queries.toDF("query_id", "qhash"),
+        items.toDF("item_id", "ihash"),
+        maxDist = 6, k = 3, label = "spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val expected = queries.flatMap { case (qid, qh) =>
+      items.map { case (iid, ih) =>
+        (qid, iid, java.lang.Long.bitCount(qh ^ ih)) }
+        .filter(_._3 <= 6)
+        .sortBy(t => (t._3, t._2))
+        .take(3).zipWithIndex
+        .map { case ((a, b, h), r) => (a, b, h, r + 1) }
+    }.toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    assert(expected.nonEmpty)
+  }
 }
