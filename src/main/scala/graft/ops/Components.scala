@@ -40,11 +40,22 @@ object Components {
     // pairs): each round's cost at small frames is per-partition
     // scheduler overhead × rounds, not data. 0 = the session default
     // (the corpus-scale choice).
+    //
+    // Self-loop trick (optimization r12, guide §2.4 — one shuffle join
+    // fewer per round): adding (v, v) for every node makes "min over
+    // neighbors including self" fall out of the ONE edges⋈labels join —
+    // the old shape needed a SECOND per-round join of the labels frame
+    // against the neighbor minima to apply `least(own, nbr)`. The self
+    // row also carries the node's previous label through the same
+    // aggregation (`min` over the single dst = src row), so convergence
+    // stays a filter over materialized data.
     val sym0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-    val sym = (if (partitions > 0) sym0.repartition(partitions, col("dst"))
-               else sym0.repartition(col("dst")))
+    val sym = (sym0.unionByName(sym0.select(col("src"), col("src").as("dst")))
+      .distinct() match {
+        case d if partitions > 0 => d.repartition(partitions, col("dst"))
+        case d => d.repartition(col("dst"))
+      })
       .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
@@ -52,16 +63,15 @@ object Components {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("node", "__n"), col("dst") === col("__n"))
-        .groupBy(col("src")).agg(min(col("component")).as("__nbr"))
-      // carry the previous label through the checkpoint so convergence is a
-      // filter over materialized data, not another shuffle join
-      val next = labels
-        .join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"), col("component").as("__prev"),
-          least(col("component"), coalesce(col("__nbr"), col("component")))
-            .as("component"))
+      val next = sym
+        .join(labels.select(col("node").as("__n"), col("component")),
+          col("dst") === col("__n"))
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("component"),
+          // the self-loop row is the unique dst = src row: its joined
+          // label IS this node's previous label
+          min(when(col("dst") === col("src"), col("component"))).as("__prev"))
+        .select(col("src").as("node"), col("component"), col("__prev"))
         .localCheckpoint()
       changed = next.filter(col("component") =!= col("__prev")).count()
       labels = next.drop("__prev")

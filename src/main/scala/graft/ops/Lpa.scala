@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-round synchronous label propagation (Raghavan et al. 2007) — the
@@ -20,8 +19,8 @@ import org.apache.spark.sql.functions._
   * Scale shape: per round, one co-partitioned join of the once-shuffled
   * checkpointed edge frame against the (node-sized, checkpointed) label
   * frame, one (node, label) count aggregation, and one per-node argmax
-  * window partitioned by node. Nothing unpartitioned, nothing collected,
-  * nothing quadratic.
+  * aggregation (min over (−count, label) structs — both aggs map-side
+  * combine). Nothing unpartitioned, nothing collected, nothing quadratic.
   */
 object Lpa {
 
@@ -36,15 +35,19 @@ object Lpa {
     var labels = e0.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
-    val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))
+    // argmax via min(struct(-count, lbl)) instead of a row_number window
+    // (optimization r12, guide §2.4): the same (count desc, label asc)
+    // rule — struct comparison is lexicographic and type-agnostic in the
+    // label field — but an aggregation does partial map-side combine and
+    // skips the window's per-partition sort.
     for (_ <- 1 to rounds) {
       labels = e0
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lbl"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("m"))
+        .select(col("node"), col("m.lbl").as("lbl"))
         .localCheckpoint()
     }
     labels

@@ -93,6 +93,15 @@ object Ranks {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val leadType = df.select(orderCols.head.as("__gr_probe")).schema.head.dataType
+    // NOT checkpointed on purpose (optimization r12, measured): the input
+    // lineage does run ~3× per call (eager approxQuantile probe + the
+    // final plan's offsets and window branches), but the probe and the
+    // offsets branch are COLUMN-PRUNED by Catalyst (key/value columns
+    // only) — an unconditional localCheckpoint here materializes every
+    // column (fat gram/token arrays included) and measured 10–30× SLOWER
+    // construction on the dedup family (d13–d16: 50–108 s vs ≤ 4 s).
+    // Callers whose input lineage is expensive and narrow checkpoint at
+    // the call site instead.
     val keyed = df.withColumn("__gr_key", bucketKey(orderCols.head, leadType))
     val bounds: Array[Double] =
       if (n <= 1) Array.empty
@@ -112,25 +121,45 @@ object Ranks {
     * exactly (integers / integer cents — the engine's money contract);
     * float values would re-associate across bucket boundaries. */
   def globalCumSum(df: DataFrame, orderCols: Seq[Column], value: Column,
-                   out: String, numPartitions: Int = 0): DataFrame = {
-    val parted = bucketed(df.withColumn("__gr_v", value), orderCols,
-      numPartitions)
+                   out: String, numPartitions: Int = 0): DataFrame =
+    globalCumSums(df, orderCols, Seq((value, out)), numPartitions)
+
+  /** [[globalCumSum]] for SEVERAL values over the SAME global order in ONE
+    * pass (optimization r12): one boundary probe, one shuffle, one Window
+    * operator and one broadcast offsets join compute any number of prefix
+    * sums — callers that chained `globalCumSum` calls paid all of that per
+    * value (and the second call's probe re-executed the first call's whole
+    * plan). Exactness is unchanged: each sum is the identical integer
+    * arithmetic over the identical window order. */
+  def globalCumSums(df: DataFrame, orderCols: Seq[Column],
+                    values: Seq[(Column, String)],
+                    numPartitions: Int = 0): DataFrame = {
+    require(values.nonEmpty, "globalCumSums needs at least one (value, out)")
+    val vNames = values.indices.map(i => s"__gr_v$i")
+    val withV = values.zip(vNames).foldLeft(df) {
+      case (acc, ((v, _), nm)) => acc.withColumn(nm, v)
+    }
+    val parted = bucketed(withV, orderCols, numPartitions)
 
     val offWin = Window.orderBy(col("__gr_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val bAggs = vNames.map(nm => sum(col(nm)).as(s"__gr_bs_$nm"))
     val offsets = parted.groupBy(col("__gr_b"))
-      .agg(sum(col("__gr_v")).as("__gr_bsum"))
-      .withColumn("__gr_off",
-        coalesce(sum(col("__gr_bsum")).over(offWin), lit(0L)))
-      .withColumnRenamed("__gr_b", "__gr_b2")
-      .drop("__gr_bsum")
+      .agg(bAggs.head, bAggs.tail: _*)
+      .select((col("__gr_b").as("__gr_b2") +: vNames.map(nm =>
+        coalesce(sum(col(s"__gr_bs_$nm")).over(offWin), lit(0L))
+          .as(s"__gr_off_$nm"))): _*)
 
     val localWin = Window.partitionBy(col("__gr_b")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted.withColumn("__gr_lcs", sum(col("__gr_v")).over(localWin))
-      .join(broadcast(offsets), col("__gr_b") === col("__gr_b2"))
-      .withColumn(out, col("__gr_off") + col("__gr_lcs"))
-      .drop("__gr_b", "__gr_b2", "__gr_off", "__gr_lcs", "__gr_v")
+    values.zip(vNames).foldLeft(
+      parted.join(broadcast(offsets), col("__gr_b") === col("__gr_b2"))) {
+        case (acc, ((_, out), nm)) =>
+          acc.withColumn(out, col(s"__gr_off_$nm") + sum(col(nm)).over(localWin))
+      }
+      .drop(vNames: _*)
+      .drop(vNames.map(nm => s"__gr_off_$nm"): _*)
+      .drop("__gr_b", "__gr_b2")
   }
 
   private def ranked(df: DataFrame, orderCols: Seq[Column], out: String,

@@ -451,9 +451,8 @@ object Stats {
       val n = subj.agg(count(lit(1)).as("n_all"),
         sum($"grp").cast("long").as("n1_all"))
       graft.ops.Ranks
-        .globalCumSum(graft.ops.Ranks
-          .globalCumSum(risk, Seq($"dur"), $"tot", "cumtot"),
-          Seq($"dur"), $"tot1", "cumtot1")
+        .globalCumSums(risk, Seq($"dur"),
+          Seq(($"tot", "cumtot"), ($"tot1", "cumtot1")))
         .crossJoin(broadcast(n))
         .withColumn("nr", $"n_all" - $"cumtot" + $"tot")
         .withColumn("n1r", $"n1_all" - $"cumtot1" + $"tot1")

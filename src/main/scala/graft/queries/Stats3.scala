@@ -665,28 +665,34 @@ object Stats3 {
       val mfull = mjk.select(($"j" * D + $"k").as("idx"), $"m")
         .unionAll(mjk.filter($"j" =!= $"k")
           .select(($"k" * D + $"j").as("idx"), $"m"))
-      var st = mfull
+      // The 10 von-Mises rounds as ONE aggregate(sequence) fold
+      // (optimization r12): the per-round localCheckpoint chain paid one
+      // Spark job per round to keep Catalyst from exponentially inlining
+      // the w-reuse; a higher-order `aggregate` iterates at RUNTIME, so
+      // there is nothing to inline — the matvec text appears 3× per round
+      // (w, its norm, the normalize) and re-evaluates to the identical
+      // doubles (same ops, same order as the materialized-w form).
+      val wT = s"transform(sequence(0, ${D - 1}), j -> " +
+        s"aggregate(transform(sequence(0, ${D - 1}), k -> " +
+        s"element_at(am, j * $D + k + 1) * element_at(acc.v, k + 1)), " +
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+      val nrmT = s"sqrt(aggregate(transform($wT, x -> x * x), " +
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+      val st = mfull
         .agg(expr("transform(sort_array(collect_list(struct(idx, m))), " +
           "e -> e.m)").as("am"))
         .crossJoin(broadcast(nrow))
         .selectExpr("am", "n",
-          s"transform(sequence(0, ${D - 1}), " +
-            "x -> CAST(0.125 AS DOUBLE)) AS v", // 1/√64 — exact dyadic
-          "CAST(0.0 AS DOUBLE) AS nrm")
-        .localCheckpoint()
-      for (_ <- 1 to PowIters)
-        st = st
-          .selectExpr("am", "n",
-            s"transform(sequence(0, ${D - 1}), j -> " +
-              s"aggregate(transform(sequence(0, ${D - 1}), k -> " +
-              s"element_at(am, j * $D + k + 1) * element_at(v, k + 1)), " +
-              "CAST(0.0 AS DOUBLE), (a, b) -> a + b)) AS w")
-          .selectExpr("am", "n", "w",
-            "sqrt(aggregate(transform(w, x -> x * x), " +
-              "CAST(0.0 AS DOUBLE), (a, b) -> a + b)) AS nrm")
-          .selectExpr("am", "n", "nrm",
-            "transform(w, x -> x / nrm) AS v")
-          .localCheckpoint() // 1-row; keeps iterations un-inlined
+          s"""aggregate(sequence(1, $PowIters),
+             |  named_struct(
+             |    'v', transform(sequence(0, ${D - 1}),
+             |           x -> CAST(0.125 AS DOUBLE)),
+             |    'nrm', CAST(0.0 AS DOUBLE)),
+             |  (acc, i) -> named_struct(
+             |    'v', transform($wT, x -> x / $nrmT),
+             |    'nrm', $nrmT)
+             |) AS __pw""".stripMargin) // v seed 1/√64 — exact dyadic
+        .selectExpr("am", "n", "__pw.nrm AS nrm", "__pw.v AS v")
       st.selectExpr("n", "nrm", "v",
           s"aggregate(transform(sequence(0, ${D - 1}), j -> " +
             s"element_at(am, j * $D + j + 1)), " +

@@ -127,8 +127,11 @@ object Survival {
           * 1e6).cast("long")).otherwise(0L))
       .withColumn("gw12", when($"d" < $"r",
         expr("(d * 1000000000000) div (r * (r - d))")).otherwise(0L))
-    val s1 = graft.ops.Ranks.globalCumSum(ev, Seq($"t"), $"l6", "cl6")
-    graft.ops.Ranks.globalCumSum(s1, Seq($"t"), $"gw12", "cgw")
+    // ONE fused prefix-sum pass for both carries (optimization r12):
+    // the chained form paid a second probe + shuffle + window AND its
+    // probe re-executed the first cumsum's whole plan.
+    graft.ops.Ranks.globalCumSums(ev, Seq($"t"),
+      Seq(($"l6", "cl6"), ($"gw12", "cgw")))
   }
 
   /** q27/q29's per-event-time ARM risk table (t, d, d1, r, r1 + the
@@ -141,8 +144,9 @@ object Survival {
     val vt = obs.groupBy($"t")
       .agg(sum($"d").as("d"), count(lit(1)).as("c"),
         sum($"d" * $"grp").as("d1"), sum($"grp").as("c1"))
-    val c0 = graft.ops.Ranks.globalCumSum(vt, Seq($"t"), $"c", "cumc")
-    val c1 = graft.ops.Ranks.globalCumSum(c0, Seq($"t"), $"c1", "cumc1")
+    // fused: both arm cumulations in ONE prefix-sum pass (optimization r12)
+    val c1 = graft.ops.Ranks.globalCumSums(vt, Seq($"t"),
+      Seq(($"c", "cumc"), ($"c1", "cumc1")))
     c1.crossJoin(broadcast(nc))
       .withColumn("r", $"n_cohort" - ($"cumc" - $"c"))
       .withColumn("r1", $"n_arm1" - ($"cumc1" - $"c1"))
@@ -154,25 +158,36 @@ object Survival {
     * order-free; ONE text for both engines. w = r1·e^β, r0 = r − r1:
     * U term d·w/(r0+w) (Breslow ties), I term d·w·r0/(r0+w)². */
   private val CoxIters = 6
-  private def coxDen(b: String): String =
-    s"(CAST(r - r1 AS DOUBLE) + CAST(r1 AS DOUBLE) * exp($b))"
-  private def coxU9(b: String): String =
-    s"CAST(round(1000000000.0 * CAST(d AS DOUBLE) " +
-      s"* (CAST(r1 AS DOUBLE) * exp($b)) / ${coxDen(b)}) AS BIGINT)"
-  private def coxI9(b: String): String =
-    s"CAST(round(1000000000.0 * CAST(d AS DOUBLE) " +
-      s"* (CAST(r1 AS DOUBLE) * exp($b)) * CAST(r - r1 AS DOUBLE) " +
-      s"/ (${coxDen(b)} * ${coxDen(b)})) AS BIGINT)"
-  /** U/β-update texts from the (o1, su, si) sums — shared verbatim. */
-  private def coxUExpr: String =
-    "(CAST(o1 AS DOUBLE) - CAST(su AS DOUBLE) / 1000000000.0)"
-  private def coxBetaUpd: String =
-    s"CASE WHEN si > 0 THEN beta + $coxUExpr " +
-      "/ (CAST(si AS DOUBLE) / 1000000000.0) ELSE beta END AS beta"
+  /** `p` prefixes the risk-table columns (""  = plain columns, the oracle
+    * CTE form; "e." = array-element fields in the folded Spark form) —
+    * ONE generator for both, so the texts cannot drift. */
+  private def coxDen(b: String, p: String = ""): String =
+    s"(CAST(${p}r - ${p}r1 AS DOUBLE) + CAST(${p}r1 AS DOUBLE) * exp($b))"
+  private def coxU9(b: String, p: String = ""): String =
+    s"CAST(round(1000000000.0 * CAST(${p}d AS DOUBLE) " +
+      s"* (CAST(${p}r1 AS DOUBLE) * exp($b)) / ${coxDen(b, p)}) AS BIGINT)"
+  private def coxI9(b: String, p: String = ""): String =
+    s"CAST(round(1000000000.0 * CAST(${p}d AS DOUBLE) " +
+      s"* (CAST(${p}r1 AS DOUBLE) * exp($b)) * CAST(${p}r - ${p}r1 AS DOUBLE) " +
+      s"/ (${coxDen(b, p)} * ${coxDen(b, p)})) AS BIGINT)"
+  /** U/β-update texts from the (o1, su, si) sums — shared verbatim.
+    * `su`/`si`/`b` parameterize WHERE the sums and the previous β come
+    * from (plain columns in the oracle's unrolled CTEs; inline
+    * array-aggregate texts + `acc.beta` in the folded Spark form) —
+    * one generator, no drift. */
+  private def coxUExprAt(su: String): String =
+    s"(CAST(o1 AS DOUBLE) - CAST($su AS DOUBLE) / 1000000000.0)"
+  private def coxUExpr: String = coxUExprAt("su")
+  private def coxBetaUpdExpr(su: String = "su", si: String = "si",
+                             b: String = "beta"): String =
+    s"CASE WHEN $si > 0 THEN $b + ${coxUExprAt(su)} " +
+      s"/ (CAST($si AS DOUBLE) / 1000000000.0) ELSE $b END"
+  private def coxBetaUpd: String = coxBetaUpdExpr() + " AS beta"
+  private def coxScoreExpr(su: String = "su", si: String = "si"): String =
+    s"CASE WHEN $si > 0 THEN ${coxUExprAt(su)} * ${coxUExprAt(su)} " +
+      s"/ (CAST($si AS DOUBLE) / 1000000000.0) END"
   private def coxScoreUpd(first: Boolean): String =
-    if (first)
-      s"CASE WHEN si > 0 THEN $coxUExpr * $coxUExpr " +
-        "/ (CAST(si AS DOUBLE) / 1000000000.0) END AS score_chi2"
+    if (first) coxScoreExpr() + " AS score_chi2"
     else "score_chi2"
 
   /** The shared Cox machinery (q29 + q31): the checkpointed arm risk
@@ -185,22 +200,34 @@ object Survival {
   }
   private def coxFold(s: SparkSession, evt: DataFrame): DataFrame = {
     import s.implicits._
-    var st = evt.agg(sum($"d1").as("o1"), sum($"d").as("ev_total"),
-        count(lit(1)).as("n_times"))
+    // The whole Newton iteration as ONE aggregate(sequence(1, CoxIters))
+    // fold over the collected risk table (optimization r12): the unrolled
+    // form paid CoxIters aggregation jobs + broadcasts + checkpoints. The
+    // risk table is VALUE-domain (distinct event times with d > 0 —
+    // SCALE_BOUNDS pins the horizon-bounded count), so one in-row array is
+    // the e24 `am` pattern, not a corpus collect. The per-iteration sums
+    // are BIGINT (e9-quantized per element) accumulated by an array
+    // `aggregate` — integer adds, so the nondeterministic collect_list
+    // order cannot move the result; the summand text is the SAME coxU9 /
+    // coxI9 generator the oracle's unrolled CTEs use, at prefix "e.".
+    val suF = s"aggregate(ea, CAST(0 AS BIGINT), " +
+      s"(a, e) -> a + ${coxU9("acc.beta", "e.")})"
+    val siF = s"aggregate(ea, CAST(0 AS BIGINT), " +
+      s"(a, e) -> a + ${coxI9("acc.beta", "e.")})"
+    evt.agg(sum($"d1").as("o1"), sum($"d").as("ev_total"),
+        count(lit(1)).as("n_times"),
+        collect_list(struct($"d", $"r", $"r1")).as("ea"))
       .selectExpr("o1", "ev_total", "n_times",
-        "CAST(0.0 AS DOUBLE) AS beta",
-        "CAST(NULL AS DOUBLE) AS score_chi2")
-      .localCheckpoint()
-    for (i <- 1 to CoxIters) {
-      st = evt.crossJoin(broadcast(st))
-        .groupBy($"o1", $"ev_total", $"n_times", $"beta", $"score_chi2")
-        .agg(sum(expr(coxU9("beta"))).as("su"),
-          sum(expr(coxI9("beta"))).as("si"))
-        .selectExpr("o1", "ev_total", "n_times",
-          coxScoreUpd(i == 1), coxBetaUpd)
-        .localCheckpoint()
-    }
-    st
+        s"""aggregate(sequence(1, $CoxIters),
+           |  named_struct('beta', CAST(0.0 AS DOUBLE),
+           |               'score_chi2', CAST(NULL AS DOUBLE)),
+           |  (acc, i) -> named_struct(
+           |    'beta', ${coxBetaUpdExpr(suF, siF, "acc.beta")},
+           |    'score_chi2', CASE WHEN i = 1 THEN ${coxScoreExpr(suF, siF)}
+           |                       ELSE acc.score_chi2 END)
+           |) AS __cox""".stripMargin)
+      .selectExpr("o1", "ev_total", "n_times",
+        "__cox.score_chi2 AS score_chi2", "__cox.beta AS beta")
   }
   /** The fold as oracle CTEs, ending at cox`CoxIters` — shared by the
     * q29 and q31 oracles. */
