@@ -139,12 +139,20 @@ object TextDedup {
     * verified, not all-pairs ground truth). */
   private[queries] def jacVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint: the gram frame feeds BOTH verify-join sides — the
+    // unchecked frame recomputed the whole tokenize+ngram+distinct pass
+    // once per side (optimization r13; the d6/d13/d17 gram frames were
+    // already checkpointed, this one had been missed)
     val grams = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id",
         array_distinct(TextOps.wordNgrams(toks($"text"), NGRAM_N))
           .as("g"))
-    lshPairs(s, dir).select($"a_id", $"b_id")
+      .localCheckpoint()
+    // est-free candidate generator: d22/d25 verify exactly, so the
+    // est_jaccard re-joins lshPairs pays are dead weight here (see
+    // lshCandFromSig — the pair set is provably identical)
+    lshCandFromSig(sigDF(s, dir).localCheckpoint())
       .join(grams.select($"doc_id".as("a_id"), $"g".as("ga")), Seq("a_id"))
       .join(grams.select($"doc_id".as("b_id"), $"g".as("gb")), Seq("b_id"))
       .select($"a_id", $"b_id",
@@ -161,6 +169,31 @@ object TextDedup {
     * d22's curve is flat through 0.8). */
   private val BlockTauPpm = 800000L
 
+  /** Distinct LSH band-sharing candidate pairs (a_id < b_id) of a
+    * checkpointed signature frame — the band explode + capped self-join
+    * WITHOUT the two signature re-joins that estimate Jaccard. Callers
+    * that verify candidates EXACTLY ([[jacVerifiedPairs]] → d22/d25)
+    * never read `est_jaccard`, but the est re-joins are inner joins
+    * Catalyst cannot prune away (it cannot know `sig` holds exactly one
+    * row per doc_id); skipping them drops two shuffle joins + the est
+    * projection from those paths (optimization r13, guide §2.4/§3.1).
+    * Pair-set equivalence: every a_id/b_id comes FROM `sig` via the band
+    * explode, and `sig` has exactly one row per doc (projection of
+    * `documents`, no filter), so the est joins were cardinality-neutral. */
+  private def lshCandFromSig(sig: DataFrame): DataFrame = {
+    val bands0 = sig.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+      concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*)).as(Seq("band", "bv")))
+    // hot-band guard: the self-join below is quadratic in the largest band
+    // bucket; skip degenerate bands (cap unhit at test SFs — oracle exact)
+    val bands = graft.ops.Buckets.capMembers(bands0,
+      Seq(col("band"), col("bv")), label = "minhash_lsh")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
   /** Candidate pairs sharing ≥1 of 4 LSH bands (2 slices per band), with
     * their 8-slice match count as estimated Jaccard. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
@@ -171,17 +204,7 @@ object TextDedup {
     // miss makes every broadcast build recompute the whole minhash pass;
     // checkpoint blocks are unconditionally reused.
     val sig = sigDF(s, dir).localCheckpoint()
-    val bands0 = sig.select($"doc_id", posexplode(array((0 until 4).map(b =>
-      concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))): _*)).as(Seq("band", "bv")))
-    // hot-band guard: the self-join below is quadratic in the largest band
-    // bucket; skip degenerate bands (cap unhit at test SFs — oracle exact)
-    val bands = graft.ops.Buckets.capMembers(bands0,
-      Seq(col("band"), col("bv")), label = "minhash_lsh")
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val cand = lshCandFromSig(sig)
     val est = (0 until 8).map(j =>
       when(col(s"xa.s$j") === col(s"xb.s$j"), 1).otherwise(0)).reduce(_ + _)
     cand.join(sig.as("xa"), col("a_id") === col("xa.doc_id"))
