@@ -63,6 +63,14 @@ object Components {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // convergence count rides the checkpoint-materialization job via
+      // observe (optimization r13, guide §1.5): the old shape paid a
+      // SECOND per-round action (filter+count over the checkpointed
+      // blocks) — one Spark job per round per query, pure scheduling
+      // overhead at any scale. localCheckpoint(eager) runs through
+      // withAction, so the Observation resolves when the round's one job
+      // finishes. coalesce: an empty graph yields a null sum.
+      val obs = org.apache.spark.sql.Observation()
       val next = sym
         .join(labels.select(col("node").as("__n"), col("component")),
           col("dst") === col("__n"))
@@ -72,8 +80,10 @@ object Components {
           // label IS this node's previous label
           min(when(col("dst") === col("src"), col("component"))).as("__prev"))
         .select(col("src").as("node"), col("component"), col("__prev"))
+        .observe(obs, coalesce(sum(when(col("component") =!= col("__prev"),
+          1L).otherwise(0L)), lit(0L)).as("n_changed"))
         .localCheckpoint()
-      changed = next.filter(col("component") =!= col("__prev")).count()
+      changed = obs.get("n_changed").asInstanceOf[Long]
       labels = next.drop("__prev")
       iter += 1
     }

@@ -46,10 +46,15 @@ object PageRank {
     // iteration's join reuse this exchange instead of re-shuffling.
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint()
+    // node count rides the checkpoint-materialization job via observe
+    // (optimization r13, guide §1.5 — same pattern as Components): the
+    // old separate deg.count() was one extra Spark job per query.
+    val obs = org.apache.spark.sql.Observation()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .observe(obs, count(lit(1)).as("n_nodes"))
       .localCheckpoint()
-    val n = deg.count() // nodes = distinct sources (symmetric edge lists
-                        // make this the full node set)
+    val n = obs.get("n_nodes").asInstanceOf[Long] // nodes = distinct sources
+      // (symmetric edge lists make this the full node set)
     require(n > 0, "PageRank needs a non-empty edge list")
     val base = scale / n                  // integer teleport share
     val teleport = (100L - damp) * base / 100L

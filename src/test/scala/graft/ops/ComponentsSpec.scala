@@ -16,6 +16,15 @@ class ComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("an empty edge list yields an empty labeling (the observe-based " +
+      "convergence count must coalesce its null sum, not NPE)") {
+    // optimization r13: the per-round changed-label count rides the
+    // checkpoint job via Dataset.observe; over ZERO rows the sum metric
+    // is NULL and only the coalesce keeps the loop terminating cleanly.
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(edges, "a", "b").count() === 0L)
+  }
+
   test("hitting the iteration cap unconverged throws instead of handing " +
       "back non-minimal labels") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")

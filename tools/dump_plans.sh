@@ -11,16 +11,16 @@ out="$1"; suffix="$2"; shift 2
 mkdir -p "$out"
 sbt -batch "runMain graft.Plans $*" > /tmp/dump_plans_raw.txt 2>/tmp/dump_plans_err.txt || {
   echo "Plans run failed; see /tmp/dump_plans_err.txt"; exit 1; }
-python3 - "$out" "$suffix" < /tmp/dump_plans_raw.txt <<'EOF'
+python3 - "$out" "$suffix" /tmp/dump_plans_raw.txt <<'EOF'
 import sys, re
-outdir, suffix = sys.argv[1], sys.argv[2]
+outdir, suffix, raw = sys.argv[1], sys.argv[2], sys.argv[3]
 cur, buf = None, []
 def flush():
     if cur and buf:
         with open(f"{outdir}/{cur}_{suffix}.txt", "w") as f:
             f.write("".join(buf))
         print(f"wrote {outdir}/{cur}_{suffix}.txt ({len(buf)} lines)")
-for line in sys.stdin:
+for line in open(raw):
     m = re.match(r"^########## (\S+) ##########", line)
     if m:
         flush(); cur, buf = m.group(1), []
